@@ -1,0 +1,111 @@
+"""Table catalog: declared schemas + loaders for the test corpus.
+
+The reference's data model is a positional (int64 | blob) row log
+(SURVEY.md §1.1); this engine upgrades it to named, typed Spark columns.
+Schemas are *declared*, never inferred, so the DuckDB-oracle schema
+comparison is stable (SURVEY.md §1.3).
+
+``events.ts`` is stored as parquet INT64 TIMESTAMP(NANOS,false).  Spark 4
+cannot read that type natively; with ``spark.sql.legacy.parquet.nanosAsLong``
+it reads as a raw nanosecond long.  DuckDB 1.0 reads the same column as a
+microsecond TIMESTAMP (truncated).  For exact oracle parity the loader
+derives ``ts = timestamp_micros(ts div 1000)`` — integer floor division,
+matching DuckDB's truncation — typed TIMESTAMP_NTZ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from .session import tune
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _st(*fields: tuple) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+# Physical (as-stored) schemas; FIXTURES.md, verified with pyarrow.
+SCHEMAS: dict[str, StructType] = {
+    "region": _st(("r_regionkey", IntegerType()), ("r_name", StringType())),
+    "nation": _st(("n_nationkey", IntegerType()), ("n_name", StringType()),
+                  ("n_regionkey", IntegerType())),
+    "supplier": _st(("s_suppkey", LongType()), ("s_name", StringType()),
+                    ("s_nationkey", IntegerType()), ("s_acctbal", DoubleType())),
+    "customer": _st(("c_custkey", LongType()), ("c_name", StringType()),
+                    ("c_nationkey", IntegerType()), ("c_acctbal", DoubleType()),
+                    ("c_mktsegment", StringType())),
+    "part": _st(("p_partkey", LongType()), ("p_name", StringType()),
+                ("p_brand", StringType()), ("p_type", StringType()),
+                ("p_size", IntegerType()), ("p_retailprice", DoubleType())),
+    "orders": _st(("o_orderkey", LongType()), ("o_custkey", LongType()),
+                  ("o_orderstatus", StringType()), ("o_totalprice", DoubleType()),
+                  ("o_orderdate", TimestampNTZType()), ("o_orderpriority", StringType())),
+    "lineitem": _st(("l_orderkey", LongType()), ("l_partkey", LongType()),
+                    ("l_suppkey", LongType()), ("l_linenumber", IntegerType()),
+                    ("l_quantity", DoubleType()), ("l_extendedprice", DoubleType()),
+                    ("l_discount", DoubleType()), ("l_tax", DoubleType()),
+                    ("l_returnflag", StringType()), ("l_linestatus", StringType()),
+                    ("l_shipdate", TimestampNTZType())),
+    # ts read as raw nanos (legacy.parquet.nanosAsLong), converted in load().
+    "events": _st(("event_id", LongType()), ("ts", LongType()),
+                  ("user_id", LongType()), ("event_type", StringType()),
+                  ("value", DoubleType()), ("props", StringType())),
+    "documents": _st(("doc_id", LongType()), ("text", StringType()),
+                     ("lang", StringType()), ("source", StringType()),
+                     ("n_chars", LongType())),
+    "embeddings": _st(("vec_id", LongType()), ("embedding", ArrayType(FloatType())),
+                      ("label", IntegerType())),
+}
+
+EMBEDDING_DIM = 64
+
+
+def path_of(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table with its declared schema (logical view).
+
+    ``events`` comes back with ``ts`` as TIMESTAMP_NTZ at microsecond
+    precision — exactly what DuckDB's view of the same parquet sees.
+    """
+    tune(spark)
+    df = spark.read.schema(SCHEMAS[name]).parquet(path_of(sf_dir, name))
+    if name == "events":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast(TimestampNTZType()),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Register temp views so operators can also be expressed via spark.sql."""
+    dfs = load_tables(spark, sf_dir, names)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs

@@ -1,0 +1,284 @@
+"""§2.8 Scalar function families (string / date / math / conditional /
+cast / array / map / json / explode).
+
+Cross-engine determinism notes baked into each query:
+- per-row double arithmetic is IEEE-identical; only libm-backed functions
+  (ln/exp/pow) get a ROUND() wrapper in both engines,
+- double→int casts: Spark truncates, DuckDB rounds → always trunc() first,
+- timestamp→string goes through explicit format strings, never raw casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_up,
+       lower(p_brand) AS brand_lo,
+       substr(p_name, 1, 8) AS name_pfx,
+       trim(concat('  ', p_type, '  ')) AS type_trim,
+       length(p_name) AS name_len,
+       replace(p_type, ' ', '_') AS type_us,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       reverse(p_brand) AS brand_rev,
+       split_part(p_type, ' ', 1) AS type_first
+FROM part
+""",
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = load_table(spark, sf_dir, "part")
+    return pa.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_up"),
+        F.lower("p_brand").alias("brand_lo"),
+        F.substring("p_name", 1, 8).alias("name_pfx"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("type_trim"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dy,
+       quarter(o_orderdate) AS qtr,
+       dayofyear(o_orderdate) AS doy,
+       isodow(o_orderdate) - 1 AS wd,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(o_orderdate AS DATE) + 30 AS plus30,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+FROM orders
+""",
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family.  Day-of-week aligned to Monday=0 in both dialects
+    (Spark weekday == DuckDB isodow-1)."""
+    od = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return od.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekday("o_orderdate").alias("wd"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(d, 30).alias("plus30"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+SELECT event_id,
+       round(value, 1) AS v_round,
+       CAST(floor(value) AS BIGINT) AS v_floor,
+       CAST(ceil(value) AS BIGINT) AS v_ceil,
+       abs(value - 250) AS v_absdiff,
+       round(pow(value, 1.5), 4) AS v_pow,
+       sqrt(value) AS v_sqrt,
+       round(ln(value + 1), 6) AS v_ln,
+       round(exp(-value / 100), 8) AS v_exp,
+       CAST(sign(value - 250) AS DOUBLE) AS v_sign,
+       fmod(value, 7) AS v_mod
+FROM events
+""",
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family.  sqrt/abs/floor/ceil/fmod are IEEE-exact; pow/ln/exp are
+    libm-backed and rounded in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(v, 1).alias("v_round"),
+        F.floor(v).alias("v_floor"),
+        F.ceil(v).alias("v_ceil"),
+        F.abs(v - 250).alias("v_absdiff"),
+        F.round(F.pow(v, 1.5), 4).alias("v_pow"),
+        F.sqrt(v).alias("v_sqrt"),
+        F.round(F.log(v + 1), 6).alias("v_ln"),
+        F.round(F.exp(-v / 100), 8).alias("v_exp"),
+        F.signum(v - 250).alias("v_sign"),
+        (v % 7).alias("v_mod"),
+    )
+
+
+@query(
+    "q_fn_conditional",
+    oracle="""
+SELECT event_id,
+       CASE WHEN value >= 400 THEN 'high'
+            WHEN value >= 100 THEN 'mid'
+            ELSE 'low' END AS band,
+       COALESCE(NULLIF(event_type, 'click'), 'silent') AS et_coalesced,
+       NULLIF(user_id, 0) AS uid_nullable,
+       GREATEST(value, CAST(user_id AS DOUBLE)) AS hi,
+       LEAST(value, CAST(user_id AS DOUBLE)) AS lo,
+       IF(event_type = 'purchase', value, 0.0) AS purchase_value
+FROM events
+""",
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v, u = F.col("value"), F.col("user_id").cast("double")
+    return ev.select(
+        "event_id",
+        F.when(v >= 400, "high").when(v >= 100, "mid").otherwise("low").alias("band"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("click")), F.lit("silent"))
+        .alias("et_coalesced"),
+        F.nullif(F.col("user_id"), F.lit(0)).alias("uid_nullable"),
+        F.greatest(v, u).alias("hi"),
+        F.least(v, u).alias("lo"),
+        F.when(F.col("event_type") == "purchase", v).otherwise(0.0)
+        .alias("purchase_value"),
+    )
+
+
+@query(
+    "q_fn_cast",
+    oracle="""
+SELECT event_id,
+       CAST(trunc(value) AS BIGINT) AS v_long,
+       CAST(trunc(value) AS INT) AS v_int,
+       CAST(user_id AS DOUBLE) AS uid_dbl,
+       CAST(user_id AS VARCHAR) AS uid_str,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS day_str,
+       CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts,
+       CAST('42' AS BIGINT) AS const_int,
+       CAST(event_id % 2 AS BOOLEAN) AS id_odd
+FROM events
+""",
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix.  double→int goes through trunc() because Spark's cast
+    truncates while DuckDB's rounds — the one true dialect trap here."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("value").cast("long").alias("v_long"),
+        F.col("value").cast("int").alias("v_int"),
+        F.col("user_id").cast("double").alias("uid_dbl"),
+        F.col("user_id").cast("string").alias("uid_str"),
+        F.col("ts").cast("date").cast("string").alias("day_str"),
+        F.col("ts").cast("date").cast("timestamp_ntz").alias("day_ts"),
+        F.lit("42").cast("long").alias("const_int"),
+        (F.col("event_id") % 2).cast("boolean").alias("id_odd"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_elem,
+       list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE) * 2, 6)) AS head3_x2,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+       list_contains(list_transform(embedding, x -> CAST(x AS DOUBLE) > 0.5),
+                     true) AS any_gt_half
+FROM embeddings
+""",
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops + higher-order functions over the embedding column.
+    All float32 elements widen to double *before* arithmetic so both
+    engines compute on identical doubles; the fold is sequential in list
+    order in both (rounded once at the end)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    as_dbl = F.transform(e, lambda x: x.cast("double"))
+    return em.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.element_at(e, 1).cast("double").alias("first_elem"),
+        F.transform(F.slice(e, 1, 3),
+                    lambda x: F.round(x.cast("double") * 2, 6)).alias("head3_x2"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(as_dbl, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+        F.exists(e, lambda x: x.cast("double") > 0.5).alias("any_gt_half"),
+    )
+
+
+@query("q_fn_map")  # rows-only: map key ordering is engine-specific
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + access.  Hash-checked indirectly: the scalar
+    projections of map lookups are deterministic even though whole-map
+    ordering is not (hence rows-only)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    return ev.select(
+        "event_id",
+        m.alias("props_map"),
+        F.map_keys(m).alias("keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+SELECT event_id,
+       props->>'$.k' AS k_str,
+       CAST(props->>'$.k' AS BIGINT) AS k_int,
+       CAST(props->>'$.k' AS BIGINT) * 2 AS k_doubled,
+       json_valid(props) AS is_valid
+FROM events
+""",
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parsing — lstore blob payloads are app-encoded JSON;
+    this is the typed-extraction surface (SURVEY.md §1.2)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_int"),
+        (k.cast("long") * 2).alias("k_doubled"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+    )
+
+
+@query(
+    "q_fn_explode",
+    oracle="""
+SELECT vec_id,
+       generate_subscripts(embedding, 1) - 1 AS pos,
+       CAST(unnest(embedding) AS DOUBLE) AS val
+FROM embeddings
+WHERE vec_id < 50
+""",
+)
+def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → rows with position (UDTF-shaped lateral)."""
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return em.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))

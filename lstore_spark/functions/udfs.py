@@ -1,0 +1,117 @@
+"""§2.11 UDF / UDAF / UDTF surface.
+
+UDF discipline (SURVEY.md §4, pyspark guide): row-at-a-time Python UDFs
+exist for API parity but every hot-path custom computation is a
+vectorized pandas UDF (Arrow batches) or — better — a builtin-expression
+rewrite.  Each UDF here has a builtin/SQL twin so the oracle can check it.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType, ArrayType
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "q_udf_scalar_python",
+    oracle="""
+SELECT event_id,
+       CAST(props->>'$.k' AS BIGINT) AS k_parsed,
+       CASE WHEN CAST(props->>'$.k' AS BIGINT) >= 50 THEN 'hi' ELSE 'lo' END AS k_band
+FROM events WHERE user_id < 40
+""",
+)
+def q_udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF parsing the lstore-style blob payload.
+    Correctness twin of get_json_object; kept off the 100 TB hot path
+    (each row round-trips through the Python worker)."""
+
+    @F.udf(returnType=LongType())
+    def parse_k(props: str) -> int:
+        try:
+            return int(json.loads(props).get("k"))
+        except Exception:
+            return None
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    k = parse_k("props")
+    return ev.select(
+        "event_id",
+        k.alias("k_parsed"),
+        F.when(k >= 50, "hi").otherwise("lo").alias("k_band"),
+    )
+
+
+@query(
+    "q_udf_pandas_scalar",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+""",
+)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) pandas UDF: L2 norm per embedding.  Sequential
+    float64 accumulation to mirror the SQL fold exactly; rounded once."""
+
+    @F.pandas_udf(DoubleType())
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        def norm(v):
+            acc = 0.0
+            for x in v:
+                xd = float(x)
+                acc += xd * xd
+            return round(math.sqrt(acc), 6)
+        return vecs.map(norm)
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.select("vec_id", l2_norm("embedding").alias("l2_norm"))
+
+
+@query("q_udaf_pandas_grouped_agg")  # rows-only: custom estimator (SURVEY §2.11)
+def q_udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a grouped-agg pandas UDF: 10% trimmed mean of
+    event value per type.  Verified against numpy in pytest."""
+
+    @F.pandas_udf(DoubleType())
+    def trimmed_mean(v: pd.Series) -> float:
+        s = v.sort_values().to_numpy()
+        k = int(len(s) * 0.1)
+        core = s[k: len(s) - k] if len(s) > 2 * k else s
+        return float(core.mean())
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(trimmed_mean("value"), 6).alias("trimmed_mean_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_udtf_flatmap",
+    oracle="""
+SELECT doc_id, t.tok AS token
+FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+WHERE doc_id < 100 AND t.tok <> ''
+""",
+)
+def q_udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function shape: one doc row → N token rows via a UDF returning
+    an array + explode (the distributed flatMap; scales linearly)."""
+
+    @F.udf(returnType=ArrayType(StringType()))
+    def tokenize(text: str):
+        return [t for t in text.split(" ") if t]
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("token"))

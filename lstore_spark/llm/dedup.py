@@ -1,0 +1,285 @@
+"""§2.10 Deduplication operators over ``documents``.
+
+Five dedup modes, as a training-data pipeline needs them:
+
+- exact (normalized-hash groupBy)              → oracle-checked
+- SimHash (portable-hash bit signature)        → oracle-checked
+- n-gram Jaccard all-pairs                     → oracle-checked
+- MinHash + LSH banding                        → rows-only (+ pytest on
+  planted near-duplicates; uses native murmur3 — the 100 TB hot path)
+- embedding-cosine near-dup                    → oracle-checked
+
+Scale shape: every mode is tokenize/hash (scan) → keyed shuffle →
+bounded self-join on bucket keys.  Nothing quadratic on the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .hashing import sql_md5_long
+from .similarity import cosine
+from .text import _DUCK_TOKENS, _SPARK_TOKENS
+
+_MINHASH_K = 16  # permutations
+_BANDS = 4       # → 4 rows per band
+
+
+@query(
+    "q_llm_dedup_exact",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, md5(lower(trim(text))) AS text_hash,
+         ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                            ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_copies
+  FROM documents
+)
+SELECT doc_id, text_hash, n_copies FROM hashed WHERE rn = 1
+""",
+)
+def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized text hash: keep the lowest doc_id per
+    hash group, report group size.  At 100 TB this is one shuffle on the
+    hash key (and the hash itself prunes to 16 bytes/row shuffled)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy(h).orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            h.alias("text_hash"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(h)).alias("n_copies"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text_hash", "n_copies")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
+    """doc_id → k-minimum murmur3 hashes over 3-word shingles (native
+    hash(): JVM codegen, the right primitive at scale)."""
+    shingles = F.expr(f"""
+        transform(
+          sequence(1, greatest(size({_SPARK_TOKENS}) - 2, 1)),
+          i -> concat(element_at({_SPARK_TOKENS}, i), ' ',
+                      coalesce(element_at({_SPARK_TOKENS}, i + 1), ''), ' ',
+                      coalesce(element_at({_SPARK_TOKENS}, i + 2), ''))
+        )""")
+    sh = docs.select("doc_id", F.explode(shingles).alias("sh"))
+    aggs = [
+        F.min(F.hash(F.lit(p), F.col("sh"))).alias(f"mh{p}")
+        for p in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@query("q_llm_dedup_minhash")  # rows-only: algorithmic (pytest on planted dups)
+def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection: 16 minhashes per doc, banded
+    into 4 buckets of 4; docs sharing any band bucket become candidate
+    pairs; estimated Jaccard = fraction of agreeing minhashes.
+
+    Output: every doc with its candidate-mate count and best-estimate
+    Jaccard (docs with no mates report 0 / NULL), so the result is
+    non-empty even on a corpus without near-duplicates; planted-duplicate
+    detection is asserted in tests/test_llm.py.
+
+    Scale: signatures in one scan; banding join is equi on (band, bucket)
+    — O(candidates), never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).cache()
+    rows = _BANDS
+    per_band = _MINHASH_K // rows
+    band_cols = []
+    for bnd in range(rows):
+        cols = [F.col(f"mh{bnd * per_band + j}") for j in range(per_band)]
+        band_cols.append(
+            F.struct(F.lit(bnd).alias("band"), F.hash(*cols).alias("bkt")))
+    banded = sig.select(
+        "doc_id", *[F.col(f"mh{p}") for p in range(_MINHASH_K)],
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkt",
+             *[F.col(f"mh{p}") for p in range(_MINHASH_K)])
+
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), "band", "bkt",
+        *[F.col(f"mh{p}").alias(f"a{p}") for p in range(_MINHASH_K)])
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), "band", "bkt",
+        *[F.col(f"mh{p}").alias(f"b{p}") for p in range(_MINHASH_K)])
+    agree = sum(
+        (F.col(f"a{p}") == F.col(f"b{p}")).cast("int")
+        for p in range(_MINHASH_K)
+    )
+    pairs = (
+        a.join(b, ["band", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                (agree / F.lit(float(_MINHASH_K))).alias("est_jaccard"))
+        .distinct()
+    )
+    mates = (
+        pairs.select(F.col("id_a").alias("doc_id"), "est_jaccard")
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id"), "est_jaccard"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_mates"),
+             F.max("est_jaccard").alias("best_est_jaccard"))
+    )
+    return (
+        sig.select("doc_id")
+        .join(mates, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_mates", F.lit(0)).alias("n_mates"),
+            F.coalesce("best_est_jaccard", F.lit(0.0)).alias("best_est_jaccard"),
+        )
+    )
+
+
+# SimHash: 16 bits from the first 4 md5 hex digits of each token,
+# weighted ±1 by token multiplicity — same SQL text in both engines.
+def _simhash_bit_sums() -> list[str]:
+    sums = []
+    for digit in range(1, 5):          # hex digits 1..4
+        dv = f"(instr('0123456789abcdef', substr(md5(tok), {digit}, 1)) - 1)"
+        for bit in range(4):
+            sums.append(
+                f"SUM((({dv} >> {bit}) & 1) * 2 - 1) AS s{(digit - 1) * 4 + bit}")
+    return sums
+
+
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
+
+
+@query(
+    "q_llm_dedup_simhash",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, unnest({_DUCK_TOKENS}) AS t(tok)
+),
+bits AS (
+  SELECT doc_id, {", ".join(_simhash_bit_sums())}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_FP} AS simhash16 FROM bits
+""",
+)
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (16-bit, portable-hash variant so the
+    oracle can verify bit-for-bit; the 64-bit production variant uses
+    xxhash64 and Hamming-ball bucketing).  Near-dups = small Hamming
+    distance between simhash16 values."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("tok"))
+    bits = tok.groupBy("doc_id").agg(
+        *[F.expr(s.replace(" AS ", " AS ")) for s in _simhash_bit_sums()])
+    return bits.select("doc_id", F.expr(_SIMHASH_FP).alias("simhash16"))
+
+
+@query(
+    "q_llm_dedup_jaccard_ngram",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents WHERE doc_id < 80
+),
+shingle AS (
+  SELECT DISTINCT doc_id,
+         ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' '
+           || ts[CAST(i AS INT) + 2] AS sh
+  FROM tok, range(1, 256) AS g(i)
+  WHERE i <= len(ts) - 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_common,
+       CAST(n_common AS DOUBLE)
+         / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.01
+""",
+)
+def q_llm_dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard similarity pairs on a bounded doc
+    slice: the shingle-inverted-index join — |∩| via equi-join on shingle,
+    |∪| from per-doc set sizes.  Integer counts → exact double division.
+    At scale the shingle join is preceded by MinHash-LSH candidate pruning
+    (q_llm_dedup_minhash); this operator is the exact verifier stage."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    shingles = F.expr(f"""
+        transform(
+          sequence(1, size({_SPARK_TOKENS}) - 2),
+          i -> concat(element_at({_SPARK_TOKENS}, i), ' ',
+                      element_at({_SPARK_TOKENS}, i + 1), ' ',
+                      element_at({_SPARK_TOKENS}, i + 2))
+        )""")
+    sh = docs.select(
+        "doc_id", F.explode(shingles).alias("sh")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.01)
+    )
+
+
+_TAU_EMB_NEAR_DUP = 0.40  # fixture has random unit vectors (max cos≈0.51);
+                          # production near-dup threshold would be ~0.95.
+
+
+@query(
+    "q_llm_dedup_embcos",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(
+           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+           / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+              * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+           6) AS cos_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  CROSS JOIN generate_series(1, 64) AS g(i)
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_TAU_EMB_NEAR_DUP}
+""",
+)
+def q_llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs across the whole embeddings
+    table (500 vectors here).  Same exact-cosine machinery as §similarity;
+    at 100 TB candidates come from LSH buckets first."""
+    em = load_table(spark, sf_dir, "embeddings")
+    a = em.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
+    b = em.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("a_emb", "b_emb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _TAU_EMB_NEAR_DUP)
+    )

@@ -1,0 +1,139 @@
+"""§2.10 Multimodal column operators.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata; the
+Spark-side plumbing (schema, Arrow batching via mapInPandas, partitioning)
+is real and tested, while the codec step is a clearly-marked deterministic
+stub (decode libraries are not in this container — see _fake_decode).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType)
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "q_llm_multimodal_join",
+    oracle="""
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       e.label, len(e.embedding) AS dim
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def q_llm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row assembly: document ⋈ its embedding into one struct
+    row (projected back flat for the oracle hash).  At scale: both sides
+    bucketed by id → colocated join, embeddings stay columnar."""
+    docs = load_table(spark, sf_dir, "documents")
+    em = load_table(spark, sf_dir, "embeddings")
+    joined = docs.join(em, docs.doc_id == em.vec_id)
+    assembled = joined.select(
+        F.struct("doc_id", "text", "lang", "source", "n_chars").alias("doc"),
+        F.struct("embedding", "label").alias("vec"),
+    )
+    return assembled.select(
+        F.col("doc.doc_id").alias("doc_id"),
+        F.col("doc.lang").alias("lang"),
+        F.col("doc.source").alias("source"),
+        F.col("doc.n_chars").alias("n_chars"),
+        F.col("vec.label").alias("label"),
+        F.size("vec.embedding").alias("dim"),
+    )
+
+
+@query(
+    "q_llm_langdist_pivot",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) FILTER (source = 'src0') AS BIGINT) AS src0,
+       CAST(COUNT(*) FILTER (source = 'src1') AS BIGINT) AS src1,
+       CAST(COUNT(*) FILTER (source = 'src2') AS BIGINT) AS src2,
+       CAST(COUNT(*) FILTER (source = 'src3') AS BIGINT) AS src3,
+       CAST(COUNT(*) FILTER (source = 'src4') AS BIGINT) AS src4,
+       CAST(COUNT(*) FILTER (source NOT IN ('src0','src1','src2','src3','src4'))
+            AS BIGINT) AS other
+FROM documents
+GROUP BY lang
+""",
+)
+def q_llm_langdist_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """language × source pivot of doc counts (explicit value list so the
+    output schema is static — required both for the oracle and for a
+    scalable single-pass pivot)."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = ["src0", "src1", "src2", "src3", "src4"]
+    bucketed = docs.withColumn(
+        "src_bucket",
+        F.when(F.col("source").isin(srcs), F.col("source")).otherwise("other"))
+    return (
+        bucketed.groupBy("lang")
+        .pivot("src_bucket", srcs + ["other"])
+        .count()
+        .na.fill(0, srcs + ["other"])
+    )
+
+
+_FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("format", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+_REAL_DECODE = False  # no image/audio codecs in this container
+
+
+def _fake_decode(blob: bytes) -> tuple[str, int, int]:
+    """STUB decoder (deterministic).  A real deployment replaces this with
+    PIL/ffmpeg inside the same mapInPandas batch loop; the Spark-side
+    contract (binary in, typed features out, Arrow-batched) is unchanged.
+    """
+    if _REAL_DECODE:  # pragma: no cover
+        raise NotImplementedError("codec libraries not available in container")
+    fmt = ["png", "jpeg", "webp"][blob[0] % 3]
+    width = 64 + (blob[1] % 64)
+    height = 64 + (blob[2] % 64)
+    return fmt, width, height
+
+
+@query("q_llm_multimodal_features")  # rows-only: stubbed codec (SURVEY §2.10)
+def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over an opaque binary column.
+
+    The fixture has no real media, so a deterministic binary payload is
+    synthesized per document (md5 bytes of its text — stands in for image
+    bytes); mapInPandas then 'decodes' each blob via the stubbed codec.
+    Everything Spark-side is production-shaped: binary column, Arrow
+    batches, per-partition decode loop, typed feature schema."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_blob = docs.select(
+        "doc_id", F.unhex(F.md5("text")).cast(BinaryType()).alias("media"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, sizes = [], [], [], []
+            for blob in pdf["media"]:
+                b = bytes(blob)
+                fmt, w, h = _fake_decode(b)
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                sizes.append(len(b))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pd.Series(sizes, dtype="int32"),
+                "format": fmts,
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+            })
+
+    return with_blob.mapInPandas(extract, schema=_FEATURE_SCHEMA)

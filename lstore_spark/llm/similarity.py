@@ -1,0 +1,248 @@
+"""§2.10 Similarity search over the embedding column (array<float>[64]).
+
+Brute-force exact cosine is the correctness baseline (oracle-checked);
+the LSH-bucketed variant is the 100 TB scale path (candidate generation
+via equi-join on bucket keys instead of a crossJoin).
+
+Numeric discipline: float32 elements widen to double *before* any
+arithmetic in both engines; the final cosine is ROUND(...,6) in both so
+summation-order ulps cannot flip the hash.  Vectors in the fixture are
+pre-normalized (‖v‖≈1) but norms are still computed — the operators must
+work for arbitrary input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# ---- shared Spark-side vector expressions (HOFs — no UDF, JVM-side) ----
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(f"""
+        aggregate(
+          zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+    """)
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(F.expr(f"""
+        aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+    """))
+
+
+def cosine(a: str, b: str) -> Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+# DuckDB twin: dot/norms via an index join over generate_series, rounded
+# identically.  (list_cosine_similarity exists but its internal float32
+# accumulation order is unspecified; the explicit form pins semantics.)
+_DUCK_PAIRS = """
+  SELECT a.vec_id AS {ida}, b.vec_id AS {idb},
+         ROUND(
+           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+           / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+              * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+           6) AS cos_sim
+  FROM embeddings a
+  JOIN embeddings b ON {pair_cond}
+  CROSS JOIN generate_series(1, 64) AS g(i)
+  GROUP BY a.vec_id, b.vec_id
+"""
+
+
+@query(
+    "q_llm_sim_cosine_topk",
+    oracle=f"""
+WITH pairs AS (
+  {_DUCK_PAIRS.format(ida="query_id", idb="cand_id",
+                      pair_cond="a.vec_id < 10 AND b.vec_id >= 10")}
+)
+SELECT query_id, cand_id, cos_sim, rn AS rank
+FROM (
+  SELECT query_id, cand_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id) AS rn
+  FROM pairs
+) WHERE rn <= 5
+""",
+)
+def q_llm_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (k=5) for 10 query vectors: broadcast
+    the tiny query side across the corpus, HOF dot product, per-query
+    top-k window.  This is the ANN *baseline*: at 100 TB the corpus side
+    streams (one scan), queries broadcast — cost O(|corpus|·|queries|),
+    which is exactly right for small query batches; q_llm_sim_lsh_topk is
+    the sublinear path for large ones."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    corpus = em.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    pairs = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id", "cand_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+_TAU_PAIRS = 0.30
+
+
+@query(
+    "q_llm_sim_threshold_pairs",
+    oracle=f"""
+WITH pairs AS (
+  {_DUCK_PAIRS.format(ida="id_a", idb="id_b",
+                      pair_cond="a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200")}
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_TAU_PAIRS}
+""",
+)
+def q_llm_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs similarity self-join (cos ≥ τ) on a bounded slice.
+    τ=0.30 yields a non-trivial result on the random-unit-vector fixture
+    (max pairwise cos ≈ 0.51).  At scale this goes through LSH candidate
+    buckets first — see q_llm_sim_lsh_topk — since exact all-pairs is
+    quadratic by definition."""
+    em = (load_table(spark, sf_dir, "embeddings")
+          .filter(F.col("vec_id") < 200))
+    a = em.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
+    b = em.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("a_emb", "b_emb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _TAU_PAIRS)
+    )
+
+
+@query(
+    "q_llm_knn_label",
+    oracle=f"""
+WITH pairs AS (
+  {_DUCK_PAIRS.format(ida="query_id", idb="cand_id",
+                      pair_cond="a.vec_id < 20 AND b.vec_id >= 20")}
+),
+knn AS (
+  SELECT p.query_id, p.cand_id, p.cos_sim, e.label
+  FROM (
+    SELECT query_id, cand_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, cand_id) AS rn
+    FROM pairs
+  ) p JOIN embeddings e ON p.cand_id = e.vec_id
+  WHERE p.rn <= 10
+),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY COUNT(*) DESC, label) AS vr
+  FROM knn GROUP BY query_id, label
+)
+SELECT query_id, label AS pred_label, n_votes
+FROM votes WHERE vr = 1
+""",
+)
+def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN (k=10) majority-label classification of the first 20 vectors
+    against the rest: top-k window → vote count → argmax with total
+    tie-break."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    corpus = em.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"),
+        "label")
+    pairs = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id", "cand_id", "label",
+        cosine("q_emb", "c_emb").alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id"))
+    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    votes = knn.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+_N_PLANES = 12  # LSH signature bits
+
+
+@query("q_llm_sim_lsh_topk")  # rows-only: approximate (recall < 1 by design)
+def q_llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH.  Each vector gets a
+    {_N_PLANES}-bit signature (sign of dot with deterministic ±1
+    hyperplanes derived from murmur3 of (plane, dim)); candidates = pairs
+    sharing a bucket in any of 3 bands; exact cosine re-ranks candidates.
+
+    At 100 TB: signatures are one scan; the bucket join is an equi
+    shuffle on (band, bucket) — no crossJoin anywhere.  Recall vs the
+    exact top-k is asserted in pytest (rows-only for the driver)."""
+    em = load_table(spark, sf_dir, "embeddings")
+
+    # Deterministic pseudo-random ±1 hyperplanes: sign(murmur3(p, i)).
+    def bit(p: int) -> Column:
+        terms = F.expr(f"""
+            aggregate(
+              zip_with(embedding, sequence(0, 63),
+                       (x, i) -> CAST(x AS DOUBLE)
+                                 * (CAST(hash({p}, i) % 2 = 0 AS DOUBLE) * 2 - 1)),
+              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+        """)
+        return (terms > 0).cast("int")
+
+    sig = em.select(
+        "vec_id", "embedding",
+        *[bit(p).alias(f"b{p}") for p in range(_N_PLANES)],
+    )
+    # 3 bands of 4 bits each → bucket keys.
+    bands = []
+    for band in range(3):
+        bits = [f"b{band * 4 + j}" for j in range(4)]
+        expr = sum(F.col(b) * (2 ** j) for j, b in enumerate(bits))
+        bands.append(expr.alias(f"band{band}"))
+    bucketed = sig.select("vec_id", "embedding", *bands)
+
+    band_rows = bucketed.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("bkt"))
+            for i in range(3)
+        ])).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.bkt")
+
+    a = band_rows.select(F.col("vec_id").alias("id_a"),
+                         F.col("embedding").alias("a_emb"), "band", "bkt")
+    b = band_rows.select(F.col("vec_id").alias("id_b"),
+                         F.col("embedding").alias("b_emb"), "band", "bkt")
+    cands = (
+        a.join(b, ["band", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "a_emb", "b_emb")
+        .distinct()
+    )
+    ranked = cands.select(
+        "id_a", "id_b", cosine("a_emb", "b_emb").alias("cos_sim"))
+    w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("id_a", "id_b", "cos_sim", "rank")
+    )

@@ -1,0 +1,285 @@
+"""§2.10 Text-analysis operators over ``documents``.
+
+Tokenization convention (shared by every operator + oracle): split on a
+single space, drop empty tokens (fixture texts end with a space —
+FIXTURES.md).  All operators are full DataFrame pipelines: tokenize →
+explode → aggregate, i.e. linear scans + keyed shuffles that scale to
+100 TB of documents unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .hashing import sql_md5_long
+
+# Both engines: array of non-empty space-separated tokens.
+_SPARK_TOKENS = "filter(split(text, ' '), x -> x <> '')"
+_DUCK_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def tokens_col():
+    return F.expr(_SPARK_TOKENS)
+
+
+@query(
+    "q_llm_text_tokenize_tf",
+    oracle=f"""
+SELECT t.tok AS term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM documents, unnest({_DUCK_TOKENS}) AS t(tok)
+GROUP BY t.tok
+""",
+)
+def q_llm_text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequencies (word-count shape: explode+agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"),
+             F.countDistinct("doc_id").alias("df"))
+    )
+
+
+@query(
+    "q_llm_text_tfidf",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest({_DUCK_TOKENS}) AS t(tok)
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf,
+       ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+WHERE tf.doc_id < 50
+""",
+)
+def q_llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term): two aggregations + a broadcast join on the
+    term dictionary (the dictionary is tiny relative to the corpus — at
+    100 TB the df side still broadcasts after aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    return (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df), "term")
+        .select(
+            "doc_id", "term", "tf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+            .alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "q_llm_text_stats",
+    oracle=f"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS sum_tokens
+FROM documents
+GROUP BY lang, source
+""",
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) document statistics (integer sums → exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(F.size(tokens_col())).alias("sum_tokens"),
+    )
+
+
+@query(
+    "q_llm_text_ngrams",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+)
+SELECT ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS bigram, COUNT(*) AS n
+FROM tok, range(1, 256) AS g(i)
+WHERE i <= len(ts) - 1
+GROUP BY 1
+HAVING COUNT(*) >= 20
+""",
+)
+def q_llm_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram extraction: sequence+transform HOF (no UDF), explode, count."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(f"""
+        transform(
+          sequence(1, size({_SPARK_TOKENS}) - 1),
+          i -> concat(element_at({_SPARK_TOKENS}, i), ' ',
+                      element_at({_SPARK_TOKENS}, i + 1))
+        )""")
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+# Stopword-ish markers per language for the n-gram language-ID heuristic.
+_LANG_MARKERS = {
+    "en": ["the", "a"],
+    "de": ["der", "die"],
+    "fr": ["le", "la"],
+    "es": ["el", "los"],
+    "zh": ["de5", "shi4"],
+}
+
+
+@query(
+    "q_llm_text_langid",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {" + ".join(f"len(list_filter({_DUCK_TOKENS}, x -> x = '{m}'))"
+                     for m in _LANG_MARKERS['en'])} AS en_score,
+         len({_DUCK_TOKENS}) AS n_tok
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN en_score > 0 THEN 'en' ELSE 'unknown' END AS pred_lang,
+       en_score
+FROM scored
+""",
+)
+def q_llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (the fixture corpus is synthetic
+    English-ish, so the production n-gram-profile model is represented by
+    its plumbing: per-language marker scores → argmax).  Pure column ops —
+    no UDF, scales as a scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    en_score = sum(
+        (F.size(F.expr(f"filter({_SPARK_TOKENS}, x -> x = '{m}')"))
+         for m in _LANG_MARKERS["en"]),
+        F.lit(0),
+    )
+    return docs.select(
+        "doc_id", "lang",
+        F.when(en_score > 0, "en").otherwise("unknown").alias("pred_lang"),
+        en_score.alias("en_score"),
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+@query(
+    "q_llm_text_quality",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+         n_chars,
+         len({_DUCK_TOKENS}) AS n_tok,
+         len(list_filter({_DUCK_TOKENS},
+             x -> list_contains({_STOPWORDS!r}, x))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tok, n_stop,
+       CAST(n_chars AS DOUBLE) / n_tok AS avg_word_len,
+       CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+       ROUND(LEAST(1.0, n_tok / 100.0) * 0.5
+             + LEAST(1.0, 5.0 * n_stop / n_tok) * 0.5, 6) AS quality_score
+FROM feat
+""",
+)
+def q_llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length + stopword-ratio components), the
+    standard pretraining-data filter shape; pure column arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    n_tok = F.size(tokens_col())
+    n_stop = F.size(F.expr(
+        f"filter({_SPARK_TOKENS}, x -> array_contains(array({stop_list}), x))"))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_stop.alias("n_stop"),
+        (F.col("n_chars").cast("double") / n_tok).alias("avg_word_len"),
+        (n_stop.cast("double") / n_tok).alias("stop_ratio"),
+        F.round(
+            F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
+            + F.least(F.lit(1.0), F.lit(5.0) * n_stop / n_tok) * 0.5, 6
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "q_llm_text_tokens",
+    oracle=f"""
+SELECT doc_id,
+       len({_DUCK_TOKENS}) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS approx_bpe_tokens
+FROM documents
+""",
+)
+def q_llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, regex word-split (the
+    BPE-ish pretokenizer), and the chars/4 BPE budget estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("re_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("approx_bpe_tokens"),
+    )
+
+
+@query(
+    "q_llm_text_fingerprint",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+),
+shingle AS (
+  SELECT doc_id,
+         ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' '
+           || ts[CAST(i AS INT) + 2] AS sh
+  FROM tok, range(1, 256) AS g(i)
+  WHERE i <= len(ts) - 2
+)
+SELECT doc_id,
+       MIN({sql_md5_long('sh')}) AS fingerprint,
+       COUNT(DISTINCT sh) AS n_shingles
+FROM shingle
+GROUP BY doc_id
+""",
+)
+def q_llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min portable-hash over 3-word shingles (the
+    k=1 winnowing/MinHash primitive), oracle-checkable because the hash is
+    built from md5 hex digits identically in both engines (hashing.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.expr(f"""
+        transform(
+          sequence(1, size({_SPARK_TOKENS}) - 2),
+          i -> concat(element_at({_SPARK_TOKENS}, i), ' ',
+                      element_at({_SPARK_TOKENS}, i + 1), ' ',
+                      element_at({_SPARK_TOKENS}, i + 2))
+        )""")
+    sh = docs.select("doc_id", F.explode(shingles).alias("sh"))
+    return sh.groupBy("doc_id").agg(
+        F.expr(f"min({sql_md5_long('sh')})").alias("fingerprint"),
+        F.countDistinct("sh").alias("n_shingles"),
+    )

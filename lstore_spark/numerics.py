@@ -1,0 +1,46 @@
+"""Deterministic numeric aggregation helpers (oracle-parity discipline).
+
+Floating-point SUM/AVG are order-dependent: Spark's partial aggregation
+over 32 shuffle partitions and DuckDB's single-node scan sum the same
+doubles in different orders, so raw double aggregates differ in the last
+ulps and fail an exact value-hash comparison.
+
+Fix: aggregate in *exact decimal* arithmetic, then cast the final value
+back to double.  The input doubles encode values with <=4 true decimal
+digits (prices, discounts, event values), so casting each per-row term to
+DECIMAL(30,8) is rounding-mode-proof (the double sits ~1e-12 from an
+exact 4-digit decimal, never near a half-ulp boundary at 8 digits), the
+decimal sum is exact and order-independent, and the final decimal->double
+cast is a single deterministic rounding.  The DuckDB oracle does the
+literal same thing — see ``DSUM``/``DAVG`` SQL templates.
+
+Per-row double arithmetic (x*y, 1-x, ...) is bit-identical across engines
+(IEEE 754) and needs no special handling; only *aggregated* floats and
+libm-backed functions (ln/exp/pow — wrap in round()) do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(30,8)"
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Exact, order-independent sum of a double expression, as double."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str) -> Column:
+    """Order-independent average: exact decimal sum / count, in double."""
+    return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+            f" / COUNT({expr}) AS {alias}")

@@ -1,0 +1,304 @@
+"""§2.4 Aggregations.
+
+All float SUM/AVG go through exact-decimal accumulation (numerics.py) so
+the value hash matches DuckDB bit-for-bit regardless of partial-aggregate
+ordering.  Spark plans these as 2-phase hash aggregates (partial map-side
+combine → shuffle by group key → final), which is the shape that scales:
+the shuffle carries one row per (partition, group), not per input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..numerics import davg, dsum, sql_davg, sql_dsum
+from ..registry import query
+
+
+@query(
+    "q_agg_global",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       {sql_dsum('l_extendedprice', 'sum_price')},
+       {sql_davg('l_quantity', 'avg_qty')},
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship
+FROM lineitem
+""",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregate: one partial row per partition, single
+    final reduce — constant shuffle volume at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum(F.col("l_extendedprice"), "sum_price"),
+        davg(F.col("l_quantity"), "avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@query(
+    "q_agg_groupby_hash",
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {sql_davg('l_quantity', 'avg_qty')},
+       {sql_davg('l_extendedprice', 'avg_price')},
+       {sql_davg('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_groupby_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: TPC-H-Q1-shaped pricing summary (SURVEY.md §7 Phase 1).
+
+    groupBy on two low-cardinality keys + 8 aggregates; per-row products
+    stay in IEEE double (bit-identical in any engine), accumulation is
+    exact decimal.  At 100 TB this is a pure map-side-combine pattern:
+    6 groups × n_partitions rows shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_count_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct: Spark expands to a 2-phase (partial distinct per
+    partition, then final) — the scalable exact form."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL estimate != exact hash
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): sketches merge associatively,
+    so shuffle volume is O(groups × sketch size) regardless of data size —
+    the 100 TB answer when exact distinct is too heavy.  Verified by pytest
+    against the exact count within rsd bounds (rows-only for the driver).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle=f"""
+SELECT c_mktsegment,
+       c_nationkey,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+       CAST(GROUPING(c_nationkey) AS INT) AS g_nat,
+       COUNT(*) AS n_cust,
+       {sql_dsum('c_acctbal', 'sum_bal')}
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    cu.createOrReplaceTempView("q_gs_customer")
+    return spark.sql(f"""
+        SELECT c_mktsegment,
+               c_nationkey,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+               CAST(GROUPING(c_nationkey) AS INT) AS g_nat,
+               COUNT(*) AS n_cust,
+               {sql_dsum('c_acctbal', 'sum_bal')}
+        FROM q_gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """)
+
+
+@query(
+    "q_agg_rollup",
+    oracle=f"""
+SELECT r_name,
+       n_name,
+       CAST(GROUPING(r_name) AS INT) AS g_r,
+       CAST(GROUPING(n_name) AS INT) AS g_n,
+       COUNT(*) AS n_cust,
+       {sql_dsum('c_acctbal', 'sum_bal')}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region→nation rollup of customer balances; dims broadcast-joined."""
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    joined = cu.join(
+        F.broadcast(na), cu.c_nationkey == na.n_nationkey
+    ).join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_r"),
+        F.grouping("n_name").cast("int").alias("g_n"),
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum(F.col("c_acctbal"), "sum_bal"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle=f"""
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_s"),
+        F.grouping("o_orderpriority").cast("int").alias("g_p"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle=f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+""",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+SELECT event_type,
+       ROUND(STDDEV_SAMP(value), 6) AS sd_value,
+       ROUND(VAR_SAMP(value), 6) AS var_value,
+       ROUND(CORR(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+       ROUND(COVAR_SAMP(value, CAST(user_id AS DOUBLE)), 6) AS covar_vu
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance/corr/covar (identical estimator definitions
+    in Spark and DuckDB); rounded to 6dp — these accumulate in floating
+    point and are the one family where last-ulp drift is unavoidable."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_vu"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+SELECT user_id,
+       list(event_type ORDER BY event_type, event_id) AS types_all,
+       list_sort(list(DISTINCT event_type)) AS types_set
+FROM events
+WHERE user_id < 20
+GROUP BY user_id
+""",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set, order-stabilized with sort_array so the
+    value hash is deterministic (SURVEY.md §5.2 discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list("event_type")).alias("types_all"),
+            F.sort_array(F.collect_set("event_type")).alias("types_set"),
+        )
+    )
+
+
+@query(
+    "q_agg_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(MEDIAN(o_totalprice), 4) AS med_price,
+       ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p25,
+       ROUND(PERCENTILE_CONT(0.90) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    PERCENTILE_CONT).  percentile_approx is exercised in pytest only —
+    its sketch is not hash-comparable."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("med_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,341 @@
+"""§2.3 Joins.
+
+The reference has no joins (single-log store) — these are capability-parity
+operators for the analytics engine (SURVEY.md §2.3).  Join-strategy notes
+are per-query; the overarching 100 TB rules:
+
+- dimension sides are wrapped in ``broadcast()`` (region/nation/customer/
+  part stay tiny relative to facts at every SF),
+- large-large joins shuffle on the equi key (sort-merge; AQE may convert
+  to shuffled-hash or split skewed partitions at runtime),
+- non-equi joins are *banded*: rewritten to an equi join on a coarse
+  bucket key + an exact residual filter, so they scale as a hash join
+  instead of a broadcast-nested-loop O(n·m) scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..numerics import dsum, sql_dsum
+from ..registry import query
+
+
+@query(
+    "q_join_inner_hash",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+""",
+)
+def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer; Catalyst picks broadcast/SMJ by
+    size, AQE re-plans at runtime."""
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    cu = load_table(spark, sf_dir, "customer")
+    return od.join(cu, od.o_custkey == cu.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+SELECT p_brand, COUNT(*) AS n_items, {sql_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10
+GROUP BY p_brand
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with explicit broadcast: no shuffle of the 100 TB fact side;
+    part (filtered) ships to every executor once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum(F.col("l_extendedprice"), "sum_price"))
+    )
+
+
+@query(
+    "q_join_sort_merge",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderpriority
+""",
+)
+def q_join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large⋈large with an explicit merge hint: both sides shuffle-sort on
+    l_orderkey/o_orderkey.  At scale this is the join to co-locate via
+    bucketing on orderkey so the exchange disappears entirely."""
+    li = load_table(spark, sf_dir, "lineitem").hint("merge")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum(rev, "revenue"))
+    )
+
+
+@query(
+    "q_join_left_outer",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_totalprice > 450000
+WHERE c_custkey <= 200
+""",
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a join-side predicate (kept customers get NULL order
+    columns — the classic outer-join-vs-where distinction)."""
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    od = load_table(spark, sf_dir, "orders")
+    cond = (cu.c_custkey == od.o_custkey) & (od.o_totalprice > 450000)
+    return cu.join(od, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+WITH a AS (SELECT user_id, COUNT(*) AS n_purch FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id),
+     b AS (SELECT user_id, COUNT(*) AS n_err FROM events
+           WHERE event_type = 'error' GROUP BY user_id)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id, a.n_purch, b.n_err
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+""",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = (ev.filter(F.col("event_type") == "purchase").groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n_purch"))
+         .withColumnRenamed("user_id", "uid_a"))
+    b = (ev.filter(F.col("event_type") == "error").groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n_err"))
+         .withColumnRenamed("user_id", "uid_b"))
+    return a.join(b, a.uid_a == b.uid_b, "full").select(
+        F.coalesce("uid_a", "uid_b").alias("user_id"), "n_purch", "n_err")
+
+
+@query(
+    "q_join_left_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 420000)
+""",
+)
+def q_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join ≡ EXISTS: probe side streams, no row multiplication."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 420000)
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").select(
+        "c_custkey", "c_name")
+
+
+@query(
+    "q_join_left_anti",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+)
+def q_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join ≡ NOT EXISTS: customers with no big-ticket order (every
+    customer has *some* order in the fixture, so the anti side filters)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_join_cross_nl",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+)
+def q_join_cross_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny dims (5×25); broadcast nested loop.  Safe only
+    because both sides are bounded — the engine never cross-joins facts."""
+    re = load_table(spark, sf_dir, "region")
+    na = load_table(spark, sf_dir, "nation")
+    return re.crossJoin(F.broadcast(na)).select("r_name", "n_name")
+
+
+_BAND = 0.05  # theta-join band width on events.value
+
+
+@query(
+    "q_join_theta_range",
+    oracle=f"""
+SELECT a.event_id AS id_a, b.event_id AS id_b, a.value AS value_a, b.value AS value_b
+FROM events a JOIN events b
+  ON a.event_id < b.event_id
+ AND abs(a.value - b.value) < {_BAND}
+WHERE a.event_type = 'purchase' AND b.event_type = 'purchase'
+""",
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta self-join |a.value − b.value| < ε, rewritten as a *banded equi
+    join*: each row joins on floor(value/ε) and its neighbor buckets, then
+    the exact predicate filters residuals.  Turns an O(n²) nested loop into
+    a hash join on ~2n keys — the form that survives 100 TB.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase")
+          .select("event_id", "value"))
+    bucket = F.floor(F.col("value") / _BAND)
+    a = ev.select(
+        F.col("event_id").alias("id_a"), F.col("value").alias("value_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bkt"))
+    b = ev.select(
+        F.col("event_id").alias("id_b"), F.col("value").alias("value_b"),
+        bucket.alias("bkt"))
+    return (
+        a.join(b, "bkt")
+        .filter((F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("value_a") - F.col("value_b")) < _BAND))
+        .select("id_a", "id_b", "value_a", "value_b")
+    )
+
+
+@query(
+    "q_join_interval_range",
+    oracle="""
+SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+       CAST(a.o_orderdate AS DATE) AS date_a, CAST(b.o_orderdate AS DATE) AS date_b
+FROM orders a JOIN orders b
+  ON b.o_orderdate >= a.o_orderdate
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 2 DAY
+ AND a.o_orderkey <> b.o_orderkey
+WHERE a.o_orderpriority = '1-URGENT' AND a.o_orderkey <= 3000
+""",
+)
+def q_join_interval_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (b within [a, a+2d)), banded on epoch-day buckets:
+    a-side explodes to the 2 candidate day buckets, equi-join, exact
+    residual filter — same scale story as q_join_theta_range (DuckDB's
+    IEJoin does this natively; Spark needs the rewrite to avoid BNLJ)."""
+    od = load_table(spark, sf_dir, "orders")
+    a = od.filter((F.col("o_orderpriority") == "1-URGENT")
+                  & (F.col("o_orderkey") <= 3000))
+    day = lambda c: F.floor(F.unix_timestamp(F.col(c).cast("timestamp")) / 86400)  # noqa: E731
+    a = a.select(
+        F.col("o_orderkey").alias("key_a"), F.col("o_orderdate").alias("date_a"),
+        F.explode(F.array(day("o_orderdate"), day("o_orderdate") + 1)).alias("dbkt"))
+    b = od.select(
+        F.col("o_orderkey").alias("key_b"), F.col("o_orderdate").alias("date_b"),
+        day("o_orderdate").alias("dbkt"))
+    return (
+        a.join(b, "dbkt")
+        .filter((F.col("date_b") >= F.col("date_a"))
+                & (F.col("date_b") < F.col("date_a") + F.expr("INTERVAL 2 DAY"))
+                & (F.col("key_a") != F.col("key_b")))
+        .select("key_a", "key_b",
+                F.col("date_a").cast("date").alias("date_a"),
+                F.col("date_b").cast("date").alias("date_b"))
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+WITH matched AS (
+  SELECT e.event_id, e.user_id, e.value,
+         o.o_orderkey, o.o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  WHERE e.event_id < 2000
+)
+SELECT event_id, user_id, value, o_orderkey,
+       CAST(o_orderdate AS DATE) AS asof_date
+FROM matched WHERE rn = 1
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event → latest order of that user at-or-before the
+    event time (lstore consumers do this against reference tables; SURVEY
+    §2.3).  Formulated as range join + ROW_NUMBER()=1 with a total
+    tie-break, identical in both engines.
+
+    Scale path: when the probe side is a 100 TB stream, replace with the
+    union-and-LAST(ignoreNulls) window trick over a bucketed sort — no row
+    multiplication.  Here user populations are small so the range join +
+    dedup is the clearer plan and AQE keeps it broadcast.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 2000)
+          .select("event_id", "user_id", "value", "ts"))
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate")
+    j = ev.join(
+        F.broadcast(od),
+        (od.o_custkey == ev.user_id) & (od.o_orderdate <= ev.ts),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "value", "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("asof_date"))
+    )
+
+
+@query(
+    "q_join_multiway_star",
+    oracle=f"""
+SELECT n_name, COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 5-way star join.  Dim chain (region→nation→customer)
+    broadcasts; the only shuffle is lineitem⋈orders on orderkey.  Filters
+    sit on the dims so dynamic partition pruning applies when facts are
+    date-partitioned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")))
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE"))
+    dims = (cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+              .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+              .select("c_custkey", "n_name"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(dims), od.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum(rev, "revenue"))
+    )

@@ -1,0 +1,197 @@
+"""§2.5 Window functions.
+
+Determinism discipline: every ORDER BY inside a window frame ends with a
+unique key (event_id / o_orderkey) so row_number/lag/first are stable
+across engines (FIXTURES.md tie-break note).
+
+Scale: a window partitioned by a key shuffles once on that key and sorts
+within partitions — same cost shape as a groupBy.  Windows with *no*
+partition key (global ranks) serialize to one task and are only used on
+pre-reduced inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..numerics import DEC
+from ..registry import query
+
+
+@query(
+    "q_win_rank_topn",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER w AS rn,
+         RANK() OVER w AS rk,
+         DENSE_RANK() OVER w AS drk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 3
+""",
+)
+def q_win_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the scalable per-group top-k idiom
+    (shuffle by custkey, in-partition sort, early filter)."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        od.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+SELECT event_id, user_id, value,
+       LAG(value)  OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS us_since_last
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas (lstore consumers reconstruct exactly this by
+    replaying the log per user; here it's one shuffled window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id", "user_id", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (us - F.lag(us).over(w)).alias("us_since_last"),
+    )
+
+
+@query(
+    "q_win_running_sum",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS run_spend
+FROM orders
+""",
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer; accumulates in exact decimal so the
+    running values are order-independent-identical to DuckDB."""
+    od = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return od.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("run_spend"),
+    )
+
+
+@query(
+    "q_win_sliding_avg",
+    oracle=f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+         / COUNT(value) OVER w AS avg5,
+       COUNT(value) OVER w AS n_in_frame
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the last 5 events per user (rows frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        (F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+         / F.count("value").over(w)).alias("avg5"),
+        F.count("value").over(w).alias("n_in_frame"),
+    )
+
+
+@query(
+    "q_win_range_frame",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       COUNT(*) OVER w AS n_within_10k,
+       MIN(o_totalprice) OVER w AS min_within_10k
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range frame (peers by totalprice within 10k) — frame bounds by
+    value, so order-key ties don't affect results."""
+    od = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+         .rangeBetween(-10000, Window.currentRow))
+    return od.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_10k"),
+        F.min("o_totalprice").over(w).alias("min_within_10k"),
+    )
+
+
+@query(
+    "q_win_ntile_cume",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+       NTILE(10) OVER w AS decile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deciles of account balance (unique tie-break on custkey).
+    Global window = single task; acceptable only because customer is a
+    dimension — facts never take an unpartitioned window."""
+    cu = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cu.select(
+        "c_custkey", "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "q_win_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice)  OVER w AS last_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return od.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

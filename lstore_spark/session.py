@@ -1,0 +1,80 @@
+"""SparkSession construction + scale-oriented config profile.
+
+The reference (esdb/lstore) is an embedded single-node log store; its only
+physical optimizations are block skipping via per-block bloom filters and
+int min/max summaries (SURVEY.md §4.1).  On Spark those are free
+(parquet row-group stats, bloom filters, predicate pushdown), so this
+module's job is the *cluster-scale* config profile:
+
+- AQE on (runtime coalesce / skew-join splitting / join re-planning),
+- Arrow for any Python<->JVM data movement (pandas UDFs),
+- broadcast threshold sized so dimension tables broadcast,
+- shuffle partitions sized to cores locally (on a real cluster this is
+  overridden by AQE coalescing from a higher initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime (dynamic) confs we also re-apply to externally-created sessions —
+# the driver constructs its own SparkSession, so anything correctness-
+# critical must be settable at runtime, not only at builder time.
+_RUNTIME_CONFS = {
+    # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark cannot
+    # read natively (PARQUET_TYPE_ILLEGAL); read it as raw nanos long.
+    # DuckDB 1.0 reads the same column truncated to micros, so the catalog
+    # derives `ts = timestamp_micros(ts_ns div 1000)` for exact parity.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Oracle parity: naive timestamps everywhere, no local-zone surprises.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables (region/nation/customer/supplier/part at any SF that
+    # fits) should broadcast; 64 MiB is a safe executor-memory fraction.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet scan efficiency: pushdown + row-group skipping analogous to
+    # lstore's indexed-segment block skipping (SURVEY.md §4.2).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (e.g. the driver's)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build / read-only — keep going; every
+            # critical conf above is dynamic on Spark 4.1.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "lstore-spark", cpus: str | int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build the engine's SparkSession (local mode; cluster-shaped confs).
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS, else all cores.  At 100 TB the
+    same profile applies with master handled by the cluster manager and
+    ``spark.sql.shuffle.partitions`` raised to ~2-3x total cores (AQE
+    coalesces the excess at runtime).
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    return tune(b.getOrCreate())

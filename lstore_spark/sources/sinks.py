@@ -1,0 +1,43 @@
+"""§2.1 Sink round-trip: write a query result to parquet, read it back.
+
+The lstore write path (append → segment → indexed segment) maps to
+"write partitioned parquet with stats/blooms"; this exercises the write
+codec + schema round-trip.  Bloom filters are enabled on the string key
+column at write time — the direct analog of lstore's pbloom-indexed
+segments (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..numerics import dsum
+from ..registry import query
+
+
+@query("q_sink_parquet")  # rows-only: side-effecting round-trip
+def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate events per (event_type, day), write to parquet partitioned
+    by event_type with a bloom filter on the partition-local sort key,
+    re-read and return.  At 100 TB the same shape: partition by coarse key,
+    sort within files so row-group stats are selective."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "sum_value"))
+    )
+    out = tempfile.mkdtemp(prefix="lstore_spark_sink_")
+    (
+        agg.repartition("event_type")
+        .sortWithinPartitions("day")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#event_type", "true")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.select("event_type", "day", "n", "sum_value")

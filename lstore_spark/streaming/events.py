@@ -1,0 +1,282 @@
+"""§2.9 Streaming operators — the reference's native domain.
+
+lstore *is* a stream store: consumers follow the log from an offset,
+blocking at the tail (SURVEY.md §3.1).  Structured Streaming is the
+mandated substrate (BASELINE.json:7).  Because the correctness oracle is
+batch DuckDB SQL, every operator here is written once over an event-time
+core that runs identically under batch ``read`` (oracle-checkable twin,
+registered below) and ``readStream + trigger(availableNow)`` (exercised
+by ``run_streaming``/pytest; equality with the batch twin is asserted
+there).
+
+Scale: all stateful operators are watermark-bounded (state store holds
+only windows newer than watermark − lateness); event streams partition by
+user/key so state shards across executors.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..catalog import SCHEMAS, load_table, path_of
+from ..numerics import DEC, dsum, sql_dsum
+from ..registry import query
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded source: file stream over the parquet log —
+    the Spark twin of lstore's tail-follow consumption."""
+    # Glob pattern: the file-stream source wants a directory-or-glob (a
+    # bare file path trips its basePath check); the glob also naturally
+    # extends to "new segment files appear over time" — the lstore tail.
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .parquet(path_of(sf_dir, "events") + "*")
+    )
+    # TIMESTAMP (not NTZ): watermarks require the instant type; session tz
+    # is pinned UTC so wall-clock values match the batch twin exactly.
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(df: DataFrame, sink_name: str,
+                      mode: str = "append") -> DataFrame:
+    """Drain a streaming DataFrame with availableNow into a memory sink;
+    return the materialized table (bounded-input streaming execution)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(sink_name)
+
+
+@query("q_source_stream_events")  # rows-only (streaming source smoke)
+def q_source_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail the events log as a stream (lstore blocking read): file source
+    + availableNow drain into a memory sink, projected like q_scan_full."""
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    return run_available_now(stream, "q_source_stream_events_sink")
+
+
+@query(
+    "q_stream_tumbling_count",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts per event_type.  Batch twin of
+    ``groupBy(window(ts, '1 hour'), event_type)`` — the window() bucketing
+    is identical in batch and streaming; streaming equality is asserted in
+    tests/test_streaming.py with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("wstart"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding_sum",
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                - k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS wstart,
+       COUNT(*) AS n,
+       {sql_dsum('value', 'sum_value')}
+FROM events, range(4) AS t(k)
+GROUP BY 1
+""",
+)
+def q_stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 15m slide): each event lands in 4
+    windows.  The DuckDB twin materializes the 4 window starts per event
+    explicitly — same multiset, same aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "sum_value"))
+        .select(F.date_format("w.start", _FMT).alias("wstart"), "n", "sum_value")
+    )
+
+
+@query(
+    "q_stream_session_window",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min inactivity gap).  Spark side uses
+    the native session_window; the oracle is the gaps-and-islands SQL.
+    Spark's session end = last_ts + gap, so span is reported as
+    max(ts)−min(ts) to stay engine-neutral."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(us) - F.min(us)).alias("span_us"),
+            F.min("ts").alias("start_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("start_ts", _FMT).alias("session_start"),
+            "span_us",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_stream_watermark_late",
+    oracle=f"""
+WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+SELECT event_type, COUNT(*) AS n, {sql_dsum('value', 'sum_value')}
+FROM events, mx
+WHERE ts >= mx.max_ts - INTERVAL 24 HOURS
+GROUP BY event_type
+""",
+)
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data policy, batch-expressible twin: drop events older than
+    watermark δ=24h behind max event time, then aggregate.  The streaming
+    form is withWatermark('ts','24 hours') (tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 24 HOURS"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "sum_value"))
+    )
+
+
+@query(
+    "q_stream_dedup_ids",
+    oracle="""
+SELECT user_id, event_type, event_id AS first_event_id, value AS first_value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def q_stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-style dedup: first event per (user_id, event_type) in
+    log order.  Batch twin is ROW_NUMBER()=1 (deterministic, unlike bare
+    dropDuplicates); the streaming form is dropDuplicates on the key with
+    a watermark, which sees rows in log order and keeps the same ones."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("value").alias("first_value"),
+        )
+    )
+
+
+@query(
+    "q_stream_stateful_runagg",
+    oracle=f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(30,8)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_value,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS run_n
+FROM events
+""",
+)
+def q_stream_stateful_runagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user aggregate — the canonical stateful-consumer loop
+    over the lstore log.  Batch twin: cumulative window (exact decimal).
+    Streaming form: transformWithStateInPandas/applyInPandasWithState
+    keyed by user_id (tests/test_streaming.py exercises the state path)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("run_value"),
+        F.count(F.lit(1)).over(w).alias("run_n"),
+    )
+
+
+@query("q_stream_foreachbatch_sink")  # rows-only (sink side effect)
+def q_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch sink: stream → tumbling-hour aggregate → foreachBatch
+    writes each micro-batch to parquet → re-read the sink output.
+    This is the lstore indexer analog: raw log in, compacted aggregate
+    segments out."""
+    out_dir = tempfile.mkdtemp(prefix="lstore_spark_febsink_")
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", _FMT).alias("wstart"), "event_type", "n")
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        StructType([
+            StructField("wstart", StringType()),
+            StructField("event_type", StringType()),
+            StructField("n", LongType()),
+        ])
+    ).parquet(out_dir)

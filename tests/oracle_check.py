@@ -1,0 +1,98 @@
+"""Local replica of the driver's DuckDB-oracle differential check.
+
+Stricter than it needs to be: cells are canonicalized to exact strings
+(full float repr — no tolerance) and compared as sorted multisets, so a
+query that passes here passes any reasonable order-insensitive hash.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+import numpy as np
+
+from lstore_spark.catalog import TABLE_NAMES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, (bool, np.bool_)):
+        return "T" if v else "F"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        return repr(f)
+    if isinstance(v, decimal.Decimal):
+        return canon_cell(float(v))
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+@dataclass
+class CompareResult:
+    key: str
+    ok: bool
+    detail: str = ""
+    spark_rows: int = 0
+    duck_rows: int = 0
+    mismatches: list = field(default_factory=list)
+
+
+def compare(key: str, spark_df, con, sql: str, max_report: int = 5) -> CompareResult:
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    cur = con.execute(sql)
+    d_cols = [d[0] for d in cur.description]
+    d_rows = cur.fetchall()
+
+    res = CompareResult(key=key, ok=True,
+                        spark_rows=len(s_rows), duck_rows=len(d_rows))
+    if sorted(s_cols) != sorted(d_cols):
+        res.ok = False
+        res.detail = f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+        return res
+    if len(s_rows) != len(d_rows):
+        res.ok = False
+        res.detail = f"rowcount: spark={len(s_rows)} duck={len(d_rows)}"
+        return res
+    cs = canon_rows(s_cols, s_rows)
+    cd = canon_rows(d_cols, d_rows)
+    if cs != cd:
+        res.ok = False
+        diffs = [(a, b) for a, b in zip(cs, cd) if a != b]
+        res.detail = f"values: {len(diffs)} differing rows (of {len(cs)})"
+        res.mismatches = diffs[:max_report]
+    return res
