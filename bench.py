@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {key: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop-format write (full compute,
+no collect-to-driver cost in the measurement).  One JVM warm-up query
+runs first and is discarded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lstore_spark.registry import QUERIES  # noqa: E402
+from lstore_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per major family, weighted toward shuffle/join/window
+# heavy shapes (the ones whose plans matter at 100 TB).
+HEADLINE = [
+    "q_scan_full",
+    "q_filter_int_range",
+    "q_agg_groupby_hash",
+    "q_agg_count_distinct",
+    "q_join_broadcast",
+    "q_join_sort_merge",
+    "q_join_multiway_star",
+    "q_join_asof",
+    "q_win_rank_topn",
+    "q_stream_session_window",
+    "q_topk_limit",
+    "q_llm_text_tfidf",
+    "q_llm_dedup_exact",
+    "q_llm_dedup_minhash",
+    "q_llm_sim_cosine_topk",
+]
+
+
+def run_once(spark, key: str) -> float:
+    t0 = time.perf_counter()
+    df = QUERIES[key](spark, SF_DIR)
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("lstore-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    run_once(spark, "q_agg_groupby_hash")  # JVM/codegen warm-up, discarded
+    times: dict[str, float] = {}
+    for key in HEADLINE:
+        times[key] = round(run_once(spark, key), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    out = {
+        "metric": "total_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -90,10 +90,12 @@ def q_udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float(core.mean())
 
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(trimmed_mean("value"), 6).alias("trimmed_mean_value"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    # A grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — counts come from a second agg.
+    tm = ev.groupBy("event_type").agg(
+        F.round(trimmed_mean("value"), 6).alias("trimmed_mean_value"))
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return tm.join(n, "event_type")
 
 
 @query(

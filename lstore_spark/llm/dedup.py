@@ -62,15 +62,17 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
     """doc_id → k-minimum murmur3 hashes over 3-word shingles (native
-    hash(): JVM codegen, the right primitive at scale)."""
-    shingles = F.expr(f"""
+    hash(): JVM codegen, the right primitive at scale).  Tokens are
+    materialized once per doc before shingling (see text.py note)."""
+    shingles = F.expr("""
         transform(
-          sequence(1, greatest(size({_SPARK_TOKENS}) - 2, 1)),
-          i -> concat(element_at({_SPARK_TOKENS}, i), ' ',
-                      coalesce(element_at({_SPARK_TOKENS}, i + 1), ''), ' ',
-                      coalesce(element_at({_SPARK_TOKENS}, i + 2), ''))
+          sequence(1, greatest(size(ts) - 2, 1)),
+          i -> concat(element_at(ts, i), ' ',
+                      coalesce(element_at(ts, i + 1), ''), ' ',
+                      coalesce(element_at(ts, i + 2), ''))
         )""")
-    sh = docs.select("doc_id", F.explode(shingles).alias("sh"))
+    sh = (docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
+          .select("doc_id", F.explode(shingles).alias("sh")))
     aggs = [
         F.min(F.hash(F.lit(p), F.col("sh"))).alias(f"mh{p}")
         for p in range(k)
@@ -218,15 +220,10 @@ def q_llm_dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the shingle join is preceded by MinHash-LSH candidate pruning
     (q_llm_dedup_minhash); this operator is the exact verifier stage."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    shingles = F.expr(f"""
-        transform(
-          sequence(1, size({_SPARK_TOKENS}) - 2),
-          i -> concat(element_at({_SPARK_TOKENS}, i), ' ',
-                      element_at({_SPARK_TOKENS}, i + 1), ' ',
-                      element_at({_SPARK_TOKENS}, i + 2))
-        )""")
-    sh = docs.select(
-        "doc_id", F.explode(shingles).alias("sh")).distinct()
+    from .text import _SPARK_SHINGLES3_TS
+    sh = (docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
+          .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES3_TS)).alias("sh"))
+          .distinct())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "sh")
     b = sh.select(F.col("doc_id").alias("id_b"), "sh")

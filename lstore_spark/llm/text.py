@@ -20,6 +20,17 @@ from .hashing import sql_md5_long
 _SPARK_TOKENS = "filter(split(text, ' '), x -> x <> '')"
 _DUCK_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+# Shingle/bigram builders over a *materialized* token-array column `ts` —
+# inlining the tokenizer inside each element_at would re-split the text
+# per element (O(tokens²) per doc; showed up as 7s of the sf0.1 bench).
+_SPARK_BIGRAMS_TS = """
+    transform(sequence(1, size(ts) - 1),
+              i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"""
+_SPARK_SHINGLES3_TS = """
+    transform(sequence(1, size(ts) - 2),
+              i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ',
+                          element_at(ts, i + 2)))"""
+
 
 def tokens_col():
     return F.expr(_SPARK_TOKENS)
@@ -123,14 +134,9 @@ HAVING COUNT(*) >= 20
 def q_llm_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram extraction: sequence+transform HOF (no UDF), explode, count."""
     docs = load_table(spark, sf_dir, "documents")
-    bigrams = F.expr(f"""
-        transform(
-          sequence(1, size({_SPARK_TOKENS}) - 1),
-          i -> concat(element_at({_SPARK_TOKENS}, i), ' ',
-                      element_at({_SPARK_TOKENS}, i + 1))
-        )""")
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        docs.select(tokens_col().alias("ts"))
+        .select(F.explode(F.expr(_SPARK_BIGRAMS_TS)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 20)
@@ -271,14 +277,8 @@ def q_llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=1 winnowing/MinHash primitive), oracle-checkable because the hash is
     built from md5 hex digits identically in both engines (hashing.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    shingles = F.expr(f"""
-        transform(
-          sequence(1, size({_SPARK_TOKENS}) - 2),
-          i -> concat(element_at({_SPARK_TOKENS}, i), ' ',
-                      element_at({_SPARK_TOKENS}, i + 1), ' ',
-                      element_at({_SPARK_TOKENS}, i + 2))
-        )""")
-    sh = docs.select("doc_id", F.explode(shingles).alias("sh"))
+    sh = (docs.select("doc_id", tokens_col().alias("ts"))
+          .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES3_TS)).alias("sh")))
     return sh.groupBy("doc_id").agg(
         F.expr(f"min({sql_md5_long('sh')})").alias("fingerprint"),
         F.countDistinct("sh").alias("n_shingles"),

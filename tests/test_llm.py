@@ -1,0 +1,96 @@
+"""§5.2(5): property/fixture tests for rows-only operators — planted
+near-duplicates for MinHash-LSH, recall for the ANN path, rsd bound for
+approximate distinct, numpy reference for the pandas UDAF."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lstore_spark.catalog import load_table
+from lstore_spark.llm.dedup import minhash_signatures, _MINHASH_K
+from lstore_spark.registry import QUERIES
+
+
+def test_minhash_detects_planted_near_duplicates(spark, sf_dir):
+    """Plant 3 near-duplicates (small token edits of real docs) and assert
+    the full LSH pipeline surfaces them as high-estimated-Jaccard mates."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    base = docs.select("doc_id", "text").collect()
+    planted = []
+    for i, row in enumerate(base[:3]):
+        words = row.text.split()
+        words[len(words) // 2] = "PLANTEDEDIT"
+        planted.append((10_000 + row.doc_id, " ".join(words)))
+    aug = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(planted, ["doc_id", "text"]))
+
+    sig = minhash_signatures(aug)
+    a = sig.select(F.col("doc_id").alias("id_a"),
+                   *[F.col(f"mh{p}").alias(f"a{p}") for p in range(_MINHASH_K)])
+    b = sig.select(F.col("doc_id").alias("id_b"),
+                   *[F.col(f"mh{p}").alias(f"b{p}") for p in range(_MINHASH_K)])
+    agree = sum((F.col(f"a{p}") == F.col(f"b{p}")).cast("int")
+                for p in range(_MINHASH_K))
+    pairs = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     (agree / float(_MINHASH_K)).alias("est_j")))
+    found = {
+        (r.id_a, r.id_b)
+        for r in pairs.filter(F.col("est_j") >= 0.5).collect()
+    }
+    for pid, _ in planted:
+        orig = pid - 10_000
+        assert (orig, pid) in found, f"planted dup ({orig},{pid}) not detected"
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """LSH candidate generation must recover a reasonable fraction of the
+    true top-5 neighbor pairs (random unit vectors are the hardest case —
+    recall just needs to beat 'no signal')."""
+    exact = {(r.query_id, r.cand_id)
+             for r in QUERIES["q_llm_sim_cosine_topk"](spark, sf_dir).collect()
+             if r.rank <= 3}
+    lsh = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+           for r in QUERIES["q_llm_sim_lsh_topk"](spark, sf_dir).collect()}
+    exact_norm = {(min(a, b), max(a, b)) for a, b in exact}
+    recall = len(exact_norm & lsh) / max(len(exact_norm), 1)
+    assert recall >= 0.2, f"LSH recall {recall:.2f} below floor"
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    rows = QUERIES["q_agg_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel_err <= 0.10, f"{r.event_type}: rel err {rel_err:.3f}"
+
+
+def test_trimmed_mean_matches_numpy(spark, sf_dir):
+    got = {r.event_type: r.trimmed_mean_value
+           for r in QUERIES["q_udaf_pandas_grouped_agg"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    for et, grp in ev.groupby("event_type"):
+        s = np.sort(grp["value"].to_numpy())
+        k = int(len(s) * 0.1)
+        expect = float(s[k: len(s) - k].mean()) if len(s) > 2 * k else float(s.mean())
+        assert got[et] == pytest.approx(expect, abs=1e-6)
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    a = QUERIES["q_llm_multimodal_features"](spark, sf_dir).collect()
+    b = QUERIES["q_llm_multimodal_features"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a[:10]:
+        assert r.n_bytes == 16  # md5 payload
+        assert r.format in {"png", "jpeg", "webp"}
+        assert 64 <= r.width < 128 and 64 <= r.height < 128
+
+
+def test_exact_dedup_keeps_min_doc_id(spark, sf_dir):
+    out = QUERIES["q_llm_dedup_exact"](spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    kept = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert kept == n_docs  # every doc accounted for exactly once

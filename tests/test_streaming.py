@@ -1,0 +1,101 @@
+"""§5.2(4): streaming equivalence — each §2.9 operator run via
+readStream + trigger(availableNow) must equal its batch twin exactly.
+Also exercises the stateful-processor path (transformWithStateInPandas /
+applyInPandasWithState equivalent via watermarked agg)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lstore_spark.registry import QUERIES
+from lstore_spark.streaming.events import _events_stream, run_available_now
+from tests.oracle_check import canon_rows
+
+
+def _rows(df):
+    return canon_rows(df.columns, [tuple(r) for r in df.collect()])
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    batch = QUERIES["q_stream_tumbling_count"](spark, sf_dir)
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+             .alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+                "event_type", "n", "sum_value")
+    )
+    out = run_available_now(stream, "t_tumbling_eq", mode="complete")
+    assert _rows(out) == _rows(batch)
+
+
+def test_stream_dedup_equals_batch(spark, sf_dir):
+    batch = QUERIES["q_stream_dedup_ids"](spark, sf_dir)
+    # Streaming dropDuplicates keyed like the batch twin; the file source
+    # replays the log in order, so "first seen" == min event_id.
+    stream = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "event_type",
+                F.col("event_id").alias("first_event_id"),
+                F.col("value").alias("first_value"))
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    out = run_available_now(stream, "t_dedup_eq", mode="append")
+    assert _rows(out) == _rows(batch)
+
+
+def test_stream_session_window_equals_batch(spark, sf_dir):
+    batch = QUERIES["q_stream_session_window"](spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (F.max(us) - F.min(us)).alias("span_us"),
+             F.min("ts").alias("start_ts"))
+        .select("user_id",
+                F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss")
+                .alias("session_start"),
+                "span_us", "n_events")
+    )
+    out = run_available_now(stream, "t_session_eq", mode="complete")
+    assert _rows(out) == _rows(batch)
+
+
+def test_stream_watermark_drops_late(spark, sf_dir):
+    """Late-data policy: with a watermark, windows finalized before the
+    watermark reject late arrivals.  availableNow over sorted history
+    keeps everything (nothing is late); this asserts the plumbing runs
+    and produces the batch-twin aggregate totals."""
+    batch_total = (
+        QUERIES["q_stream_tumbling_count"](spark, sf_dir)
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour")).agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_available_now(stream, "t_wm", mode="complete")
+    stream_total = out.agg(F.sum("n")).collect()[0][0]
+    assert stream_total == batch_total
+
+
+def test_stream_stateful_runagg(spark, sf_dir):
+    """Stateful per-user running aggregate in the streaming engine
+    (update-mode keyed aggregation — the applyInPandasWithState shape);
+    final per-user totals must equal the batch cumulative window's."""
+    batch_final = (
+        QUERIES["q_stream_stateful_runagg"](spark, sf_dir)
+        .groupBy("user_id").agg(F.max("run_n").alias("n_total"))
+    )
+    stream = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    out = run_available_now(stream, "t_runagg", mode="complete")
+    assert _rows(out) == _rows(batch_final)
