@@ -1,0 +1,90 @@
+"""100 TB scale toolkit (SURVEY.md §7 Phase 5).
+
+The test corpus is small, but every helper here changes the *plan shape*
+in a way that is verifiable locally and decisive at cluster scale:
+
+- ``salted_join``   — splits skewed join keys across N salt buckets so no
+  single task receives a pathological key's entire row set.  (AQE's skew
+  split handles moderate skew at runtime; salting is the deterministic
+  fallback for extreme single-key skew, e.g. one user with 10^9 events.)
+- ``write_events_partitioned`` / ``read_events_partitioned`` — the lstore
+  retention/segment model at scale: date-partitioned parquet, sorted
+  within files, bloom-filtered on the point-lookup column.  Partition
+  pruning == dropping whole segments; row-group stats == block skipping.
+- ``write_bucketed_pair`` — co-located bucketed tables for the recurring
+  fact⋈fact join (lineitem⋈orders): both sides pre-hashed into the same
+  bucket layout so the join compiles with NO shuffle exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(skewed: DataFrame, other: DataFrame, key: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Equi join resilient to heavy key skew on ``skewed``.
+
+    The skewed side gets a deterministic salt in [0, n_salts) derived from
+    a hash of the whole row (xxhash64 — no nondeterministic rand(), so
+    retries/speculative tasks agree); the other side replicates each row
+    across all salts.  Join key becomes (key, salt): a key holding p% of
+    all rows now spreads over n_salts tasks.
+
+    Cost: ``other`` inflates ×n_salts — use with a dimension-sized right
+    side, or AQE skew-join for fact⋈fact.
+    """
+    all_cols = [F.col(c) for c in skewed.columns]
+    s = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*all_cols), F.lit(n_salts)).cast("int"))
+    o = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    joined = s.join(o, [key, "_salt"], how)
+    return joined.drop("_salt")
+
+
+def events_with_day(df: DataFrame) -> DataFrame:
+    return df.withColumn("day", F.col("ts").cast("date"))
+
+
+def write_events_partitioned(events: DataFrame, path: str) -> None:
+    """Persist the event log the way lstore lays out segments, but
+    cluster-shaped: one partition dir per day (retention = drop dirs;
+    pruning = skip dirs), files sorted by ts so row-group min/max stats
+    skip blocks inside a day, bloom filter on event_type for point
+    predicates (the pbloom analog)."""
+    (
+        events_with_day(events)
+        .repartition("day")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#event_type", "true")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_bucketed_pair(spark: SparkSession,
+                        lineitem: DataFrame, orders: DataFrame,
+                        n_buckets: int = 8,
+                        li_table: str = "lineitem_bkt",
+                        od_table: str = "orders_bkt") -> None:
+    """Write lineitem and orders bucketed+sorted on the join key.  A
+    subsequent join of the two tables requires no Exchange on either side
+    (asserted in tests/test_scale.py) — at 100 TB this removes the
+    dominant shuffle of every order-grain query."""
+    (
+        lineitem.write.mode("overwrite")
+        .bucketBy(n_buckets, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable(li_table)
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(n_buckets, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable(od_table)
+    )
