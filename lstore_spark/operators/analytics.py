@@ -1,0 +1,399 @@
+"""Composite analytics: subqueries, TPC-H-style multi-operator queries,
+and event-log analytics (funnel / retention / gap-fill) — the workloads a
+consumer of the reference store actually runs over its log (SURVEY.md
+§1.3: events ≈ the lstore log), plus argmax/string-agg/unpivot/histogram
+aggregate forms.
+
+All scale notes from joins.py/aggregates.py apply: dims broadcast, facts
+shuffle once on their group key, window partitions are user/order keys
+(high cardinality → even task distribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..numerics import dsum, sql_dsum
+from ..registry import query
+
+# ---------------------------------------------------------------- subqueries
+
+
+@query(
+    "q_subq_scalar",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM orders)
+""",
+)
+def q_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders ≥1.9× the global average price.  The scalar
+    aggregate broadcasts (one row) — no correlated re-execution.
+    Comparison is on raw doubles: both engines compute avg() of the same
+    values; the 1.9× band keeps any last-ulp avg drift away from a
+    boundary row (prices have 2 decimals)."""
+    od = load_table(spark, sf_dir, "orders")
+    avg_p = od.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        od.crossJoin(F.broadcast(avg_p))
+        .filter(F.col("o_totalprice") > 1.9 * F.col("_avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_subq_in",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation
+  WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+""",
+)
+def q_subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN subqueries ≡ chained semi joins (Catalyst plans IN the
+    same way — the broadcast semi join is the scalable decorrelation)."""
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = na.join(
+        F.broadcast(re), na.n_regionkey == re.r_regionkey, "left_semi")
+    return cu.join(
+        F.broadcast(asia_nations), cu.c_nationkey == asia_nations.n_nationkey,
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_subq_correlated",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 1.5 * (
+  SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+""",
+)
+def q_subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated by hand the way Catalyst
+    does: per-key aggregate + equi join (one shuffle, no per-row rescan).
+    1.5× band keeps float-avg ulps off decision boundaries."""
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = od.groupBy(F.col("o_custkey").alias("_ck")).agg(
+        F.avg("o_totalprice").alias("_avg"))
+    return (
+        od.join(per_cust, od.o_custkey == per_cust._ck)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ------------------------------------------------------- TPC-H-style shapes
+
+
+@query(
+    "q_tpch_q3_shipping",
+    oracle=f"""
+SELECT l_orderkey,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       CAST(o_orderdate AS DATE) AS order_date
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): segment-filtered star join, grouped
+    revenue, top-10.  Plan: broadcast filtered customers, shuffle join
+    lineitem⋈orders, 2-phase agg, TakeOrdered."""
+    cu = (load_table(spark, sf_dir, "customer")
+          .filter(F.col("c_mktsegment") == "BUILDING"))
+    cut = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey, "left_semi")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(rev, "revenue"))
+        .select("l_orderkey", "revenue",
+                F.col("o_orderdate").cast("date").alias("order_date"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q18_large_orders",
+    oracle=f"""
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       {sql_dsum('l_quantity', 'total_qty')}
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+HAVING SUM(l_quantity) > 220
+""",
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): per-order quantity rollup with a
+    HAVING threshold, re-joined to customer names.  HAVING compares the
+    exact decimal sum (quantities are integral-valued doubles) so the
+    predicate cannot flake across engines."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias("_qty"))
+        .filter(F.col("_qty") > 220)
+    )
+    return (
+        od.join(per_order, od.o_orderkey == per_order.l_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+# ------------------------------------------------- event-log analytics (REF)
+
+
+@query(
+    "q_evt_funnel",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         MIN(ts) FILTER (event_type = 'signup') AS t_signup,
+         MIN(ts) FILTER (event_type = 'view') AS t_view_any,
+         MIN(ts) FILTER (event_type = 'purchase') AS t_purchase_any
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_signup) AS n_signed_up,
+       COUNT(CASE WHEN t_view_any > t_signup THEN 1 END) AS n_viewed_after,
+       COUNT(CASE WHEN t_purchase_any > t_signup THEN 1 END) AS n_purchased_after
+FROM stages
+""",
+)
+def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel over the event log: signup → later view → later purchase.
+    One grouped pass (conditional MIN per stage), no joins — the shape
+    that scales to any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        t("signup").alias("t_signup"),
+        t("view").alias("t_view_any"),
+        t("purchase").alias("t_purchase_any"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signed_up"),
+        F.count(F.when(F.col("t_view_any") > F.col("t_signup"), 1)).alias("n_viewed_after"),
+        F.count(F.when(F.col("t_purchase_any") > F.col("t_signup"), 1)).alias("n_purchased_after"),
+    )
+
+
+@query(
+    "q_evt_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_active
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+""",
+)
+def q_evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day; distinct active
+    users per (cohort, day-offset ≤ 7).  The firsts table is a per-user
+    aggregate (broadcastable at any realistic user cardinality tier)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    firsts = ev.groupBy(F.col("user_id").alias("_uid")).agg(
+        F.min(day).alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(firsts), ev.user_id == firsts._uid)
+        .select("user_id", "cohort_day",
+                F.datediff(day, F.col("cohort_day")).alias("day_offset"))
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "q_ts_gapfill",
+    oracle=f"""
+WITH spine AS (
+  SELECT unnest(generate_series(
+    (SELECT date_trunc('hour', MIN(ts)) FROM events),
+    (SELECT date_trunc('hour', MAX(ts)) FROM events),
+    INTERVAL 1 HOUR)) AS hour_b
+),
+agg AS (
+  SELECT date_trunc('hour', ts) AS hour_b, COUNT(*) AS n,
+         {sql_dsum('value', 'sum_value')}
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT strftime(s.hour_b, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       COALESCE(a.n, 0) AS n,
+       COALESCE(a.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN agg a ON s.hour_b = a.hour_b
+""",
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a dense hourly spine (sequence over the
+    observed range) left-joined to sparse hourly aggregates, zeros filled.
+    The spine is generated, not scanned — O(hours), broadcastable."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_b"))
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_b"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "sum_value"))
+    )
+    return (
+        spine.join(agg, "hour_b", "left")
+        .select(
+            F.date_format("hour_b", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+# ------------------------------------------------------ aggregate forms
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+SELECT event_type, event_id AS argmax_event_id, value AS max_value
+FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax as a single aggregate: max(struct(value, event_id)) gives
+    the lexicographically-largest pair — deterministic tie-break by id,
+    one 2-phase agg instead of a window sort.  (The oracle spells the
+    same semantics as ROW_NUMBER; DuckDB 1.0's max_by can't take a struct
+    comparator.)"""
+    ev = load_table(spark, sf_dir, "events")
+    mx = F.max(F.struct("value", "event_id")).alias("_m")
+    return (
+        ev.groupBy("event_type").agg(mx)
+        .select(
+            "event_type",
+            F.col("_m.event_id").alias("argmax_event_id"),
+            F.col("_m.value").alias("max_value"),
+        )
+    )
+
+
+@query(
+    "q_agg_stringagg",
+    oracle="""
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY event_id) AS type_seq
+FROM events
+WHERE user_id < 10 AND event_id < 2000
+GROUP BY user_id
+""",
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect (event_id, type)
+    structs, sort by id, join — deterministic by construction."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 10) & (F.col("event_id") < 2000))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("event_id", "event_type"))).alias("_l"))
+        .select(
+            "user_id",
+            F.array_join(F.expr("transform(_l, s -> s.event_type)"), ",")
+            .alias("type_seq"),
+        )
+    )
+
+
+@query(
+    "q_fn_unpivot",
+    oracle="""
+SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+UNION ALL
+SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier
+""",
+)
+def q_fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via the native unpivot operator (melt)."""
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").cast("double").alias("nationkey"))
+    return su.unpivot("s_suppkey", ["acctbal", "nationkey"], "metric", "val")
+
+
+@query(
+    "q_fn_histogram",
+    oracle="""
+SELECT LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,
+       COUNT(*) AS n,
+       MIN(value) AS lo,
+       MAX(value) AS hi
+FROM events
+GROUP BY 1
+""",
+)
+def q_fn_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by integer bucket arithmetic (identical in
+    both engines — no width_bucket dialect risk)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).alias("bucket")
+    return ev.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+@query("q_sample_seeded")  # rows-only: sampling algorithms are engine-specific
+def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (deterministic for a fixed seed *within*
+    Spark; not comparable across engines — pytest asserts bounds and
+    seed-stability instead)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.sample(fraction=0.1, seed=42).select(
+        "event_id", "user_id", "event_type", "value")

@@ -78,6 +78,15 @@ def write_bucketed_pair(spark: SparkSession,
     subsequent join of the two tables requires no Exchange on either side
     (asserted in tests/test_scale.py) — at 100 TB this removes the
     dominant shuffle of every order-grain query."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for tbl in (li_table, od_table):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # A fresh metastore can't see a previous run's managed location;
+        # remove the orphan dir so saveAsTable doesn't refuse it.
+        loc = warehouse.removeprefix("file:") + "/" + tbl
+        shutil.rmtree(loc, ignore_errors=True)
     (
         lineitem.write.mode("overwrite")
         .bucketBy(n_buckets, "l_orderkey").sortBy("l_orderkey")
