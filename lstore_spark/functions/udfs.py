@@ -99,6 +99,46 @@ def q_udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_udf_grouped_map",
+    oracle="""
+SELECT event_id, event_type,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) AS z_score
+FROM events
+""",
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-event-type z-score
+    normalization — the split-apply-combine shape for feature pipelines.
+    The pandas ddof=1 std matches STDDEV_SAMP; rounded in both engines.
+
+    Scale: one shuffle on the group key; each group is processed as Arrow
+    batches in a Python worker.  Groups must fit in worker memory — for
+    100 TB groups, use the window-function form instead (same SQL as the
+    oracle, fully JVM-side)."""
+    from pyspark.sql.types import StructField, StructType, LongType, StringType
+
+    out_schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("z_score", DoubleType()),
+    ])
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = ((v - v.mean()) / v.std(ddof=1)).round(6)
+        return pd.DataFrame({
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "z_score": z,
+        })
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(normalize, out_schema)
+
+
+@query(
     "q_udtf_flatmap",
     oracle="""
 SELECT doc_id, t.tok AS token

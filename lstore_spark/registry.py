@@ -40,4 +40,4 @@ def load_all() -> None:
     from .functions import scalar, udfs  # noqa: F401
     from .streaming import events, stateful  # noqa: F401
     from .llm import dedup, multimodal, similarity, text  # noqa: F401
-    from .sources import sinks  # noqa: F401
+    from .sources import lstore_log, sinks  # noqa: F401

@@ -1,0 +1,165 @@
+"""Custom Python DataSource: read lstore-style segment files as a table.
+
+The reference stores entries as an append-only sequence of
+(int64-slots, blob-slots) records in mmap'd segment files (SURVEY.md
+§1.1 — reconstruction; the mount was empty, so the binary layout here is
+OUR OWN simple framing standing in for gocodec, documenting the
+*plumbing*: a Spark 4 Python DataSource whose partitions are segment
+files, so a directory of segments scans in parallel exactly like the
+reference's segment list).
+
+Segment framing (little-endian):
+    record := offset:int64  n_ints:int32  ints[n_ints]:int64
+              n_blobs:int32  (blob_len:int32 blob_bytes)*n_blobs
+
+Worker importability: the DataSource class is pickled by reference, so
+``register()`` ships the whole package to workers as a zip via
+``SparkContext.addPyFile`` — no assumptions about worker PYTHONPATH.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import tempfile
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..catalog import load_table
+from ..registry import query
+
+SCHEMA_DDL = "offset bigint, ints array<bigint>, blobs array<binary>"
+
+
+# ------------------------------------------------------------ writer (test rig)
+
+
+def write_segment(path: str, records: list[tuple[int, list[int], list[bytes]]]) -> None:
+    """Append-only segment writer (the lstore write path analog)."""
+    with open(path, "wb") as f:
+        for offset, ints, blobs in records:
+            f.write(struct.pack("<qi", offset, len(ints)))
+            for v in ints:
+                f.write(struct.pack("<q", v))
+            f.write(struct.pack("<i", len(blobs)))
+            for b in blobs:
+                f.write(struct.pack("<i", len(b)))
+                f.write(b)
+
+
+def read_segment_file(path: str):
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    while pos < len(data):
+        offset, n_ints = struct.unpack_from("<qi", data, pos)
+        pos += 12
+        ints = list(struct.unpack_from(f"<{n_ints}q", data, pos))
+        pos += 8 * n_ints
+        (n_blobs,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        blobs = []
+        for _ in range(n_blobs):
+            (blen,) = struct.unpack_from("<i", data, pos)
+            pos += 4
+            blobs.append(bytes(data[pos: pos + blen]))
+            pos += blen
+        yield offset, ints, blobs
+
+
+# ------------------------------------------------------------ the DataSource
+
+
+class LstoreLogDataSource(DataSource):
+    """spark.read.format("lstore_log").load(dir): one input partition per
+    segment file — the parallel-scan unit matches the storage unit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lstore_log"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema) -> "LstoreLogReader":
+        return LstoreLogReader(self.options)
+
+
+class LstoreLogReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def partitions(self):
+        files = sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".seg")
+        )
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        for offset, ints, blobs in read_segment_file(partition.value):
+            yield (offset, ints, blobs)
+
+
+def _package_zip() -> str:
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(pkg_root)
+    zpath = os.path.join(tempfile.gettempdir(), "lstore_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, repo))
+    return zpath
+
+
+def register(spark: SparkSession) -> None:
+    spark.sparkContext.addPyFile(_package_zip())  # workers import by reference
+    spark.dataSource.register(LstoreLogDataSource)
+
+
+# ------------------------------------------------------------ oracle query
+
+
+@query(
+    "q_source_lstore_log",
+    oracle="""
+SELECT event_id, ts, user_id, event_type
+FROM events WHERE event_id < 2000
+""",
+)
+def q_source_lstore_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the reference's storage model: an event slice is
+    written as TWO segment files (ints=[event_id, ts_us, user_id],
+    blobs=[event_type]), read back via the custom DataSource in parallel,
+    and re-typed to named columns.  Oracle compares against the original
+    parquet — codec + source fidelity end-to-end."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 2000)
+          .select("event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                  "user_id", "event_type"))
+    rows = ev.collect()  # bounded slice: segment-writer rig, not a data path
+    seg_dir = tempfile.mkdtemp(prefix="lstore_segments_")
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        write_segment(
+            os.path.join(seg_dir, f"{i:05d}.seg"),
+            [(r.event_id, [r.event_id, r.ts_us, r.user_id],
+              [r.event_type.encode()]) for r in chunk],
+        )
+    register(spark)
+    raw = spark.read.format("lstore_log").option("path", seg_dir).load()
+    return raw.select(
+        F.col("ints")[0].alias("event_id"),
+        F.timestamp_micros(F.col("ints")[1]).cast("timestamp_ntz").alias("ts"),
+        F.col("ints")[2].alias("user_id"),
+        F.col("blobs")[0].cast("string").alias("event_type"),
+    )

@@ -13,6 +13,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType)
 
 from ..catalog import load_table
 from ..numerics import dsum
@@ -41,3 +43,49 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.parquet(out)
     return back.select("event_type", "day", "n", "sum_value")
+
+
+_RT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+])
+
+
+@query(
+    "q_source_csv_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_id < 1000
+""",
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip: write an event slice as headered CSV,
+    read it back under a declared schema; values must survive the text
+    codec exactly (doubles round-trip via Spark's shortest-repr writer).
+    Oracle compares against the original parquet — end-to-end fidelity."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 1000)
+          .select("event_id", "user_id", "event_type", "value"))
+    out = tempfile.mkdtemp(prefix="lstore_spark_csv_")
+    ev.write.mode("overwrite").option("header", "true").csv(out)
+    return spark.read.schema(_RT_SCHEMA).option("header", "true").csv(out)
+
+
+@query(
+    "q_source_json_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_id < 1000
+""",
+)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip under a declared schema (the
+    interchange format of every ingestion pipeline)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 1000)
+          .select("event_id", "user_id", "event_type", "value"))
+    out = tempfile.mkdtemp(prefix="lstore_spark_json_")
+    ev.write.mode("overwrite").json(out)
+    return spark.read.schema(_RT_SCHEMA).json(out)

@@ -85,6 +85,45 @@ def test_stream_watermark_drops_late(spark, sf_dir):
     assert stream_total == batch_total
 
 
+def test_stream_checkpoint_resume_no_reprocess(spark, sf_dir, tmp_path):
+    """Consumer-offset durability (the lstore cursor model): a checkpointed
+    stream drains segment 1; a new segment arrives; restarting from the
+    same checkpoint processes ONLY the new segment — no replay, no loss."""
+    import shutil
+
+    from lstore_spark.catalog import SCHEMAS, path_of
+
+    log_dir = tmp_path / "log"
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    log_dir.mkdir()
+    shutil.copy(path_of(sf_dir, "events"), log_dir / "seg1.parquet")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(SCHEMAS["events"])
+            .parquet(str(log_dir) + "/*.parquet")
+            .select("event_id")
+        )
+        q = (stream.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(sink).count()
+
+    shutil.copy(path_of(sf_dir, "events"), log_dir / "seg2.parquet")
+    drain()
+    total = spark.read.parquet(sink).count()
+
+    assert n1 > 0
+    assert total == 2 * n1, "restart must process exactly the new segment"
+
+
 def test_stream_stateful_runagg(spark, sf_dir):
     """Stateful per-user running aggregate in the streaming engine
     (update-mode keyed aggregation — the applyInPandasWithState shape);
