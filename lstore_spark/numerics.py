@@ -37,10 +37,21 @@ def davg(col: Column, alias: str) -> Column:
     return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).alias(alias)
 
 
+# DuckDB's direct DECIMAL→DOUBLE cast goes int128→double (rounds the
+# *scaled* integer at 2^53, then divides by 10^scale) and drifts one ulp
+# from the correctly-rounded value once |sum|·10^8 > 2^53 — observed at
+# sf0.1 on TPC-H-sized revenue sums.  Spark's BigDecimal.doubleValue is
+# correctly rounded, so the oracle routes through VARCHAR (strtod is
+# correctly rounded) to match.
+def sql_dec2dbl(sum_expr: str) -> str:
+    return f"CAST(CAST({sum_expr} AS VARCHAR) AS DOUBLE)"
+
+
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) AS {alias}"
+    return (f"{sql_dec2dbl(f'SUM(CAST({expr} AS DECIMAL(30,8)))')}"
+            f" AS {alias}")
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    return (f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+    return (f"{sql_dec2dbl(f'SUM(CAST({expr} AS DECIMAL(30,8)))')}"
             f" / COUNT({expr}) AS {alias}")

@@ -141,13 +141,15 @@ GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load_table(spark, sf_dir, "customer")
     cu.createOrReplaceTempView("q_gs_customer")
-    return spark.sql(f"""
+    # Spark-side decimal→double cast is correctly rounded natively (no
+    # VARCHAR hop needed — that's a DuckDB-only workaround in sql_dsum).
+    return spark.sql("""
         SELECT c_mktsegment,
                c_nationkey,
                CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
                CAST(GROUPING(c_nationkey) AS INT) AS g_nat,
                COUNT(*) AS n_cust,
-               {sql_dsum('c_acctbal', 'sum_bal')}
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS sum_bal
         FROM q_gs_customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
     """)

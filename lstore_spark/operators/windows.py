@@ -79,10 +79,10 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_running_sum",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DOUBLE) AS run_spend
+            AS VARCHAR) AS DOUBLE) AS run_spend
 FROM orders
 """,
 )
@@ -103,7 +103,7 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_sliding_avg",
     oracle=f"""
 SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS VARCHAR) AS DOUBLE)
          / COUNT(value) OVER w AS avg5,
        COUNT(value) OVER w AS n_in_frame
 FROM events

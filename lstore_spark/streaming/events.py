@@ -223,9 +223,9 @@ def q_stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_stateful_runagg",
     oracle=f"""
 SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(30,8)))
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8)))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_value,
+                  ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS run_value,
        COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) AS run_n
 FROM events
