@@ -1,0 +1,94 @@
+"""§2.10 Embedding-column utilities: quantization and per-class
+centroids — the vector-pipeline companions to similarity search (storage
+compression and cluster summaries for IVF-style indexes).
+
+All arithmetic widens float32→double before computing and uses only
+IEEE-exact ops (abs/trunc/greatest, exact-decimal sums), so both engines
+agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "q_llm_emb_quantize",
+    oracle="""
+WITH amax AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS a
+  FROM embeddings
+)
+SELECT vec_id, a AS amax,
+       list_transform(embedding,
+           x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0 / a) AS INT)) AS q8
+FROM amax
+""",
+)
+def q_llm_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: q = trunc(x·127/amax).
+    4× storage reduction for ANN candidate filtering; trunc (not round)
+    because double→int casts agree across engines only for truncation.
+    One scan, all HOFs — JVM-side, no shuffle."""
+    em = load_table(spark, sf_dir, "embeddings")
+    amax = F.expr("""
+        aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                  CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, v))
+    """).alias("amax")
+    with_amax = em.select("vec_id", "embedding", amax)
+    return with_amax.select(
+        "vec_id", "amax",
+        F.expr("""
+            transform(embedding,
+                      x -> CAST(CAST(x AS DOUBLE) * 127.0D / amax AS INT))
+        """).alias("q8"),
+    )
+
+
+@query(
+    "q_llm_emb_centroid",
+    oracle="""
+WITH elems AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT label, i,
+         CAST(CAST(SUM(CAST(v AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(v) AS c,
+         COUNT(*) AS n
+  FROM elems GROUP BY label, i
+)
+SELECT label, MIN(n) AS n_vectors, list(c ORDER BY i) AS centroid
+FROM dims GROUP BY label
+""",
+)
+def q_llm_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the IVF coarse-quantizer build step):
+    posexplode → exact-decimal mean per (label, dim) → re-assemble in dim
+    order.  Shuffles once on (label, dim) — 640 groups regardless of
+    corpus size; the re-assembly list is bounded by dim=64."""
+    em = load_table(spark, sf_dir, "embeddings")
+    elems = em.select(
+        "label", F.posexplode("embedding").alias("i", "v")
+    ).select("label", "i", F.col("v").cast("double").alias("v"))
+    dims = elems.groupBy("label", "i").agg(
+        (F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
+         / F.count("v")).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        dims.groupBy("label")
+        .agg(
+            F.min("n").alias("n_vectors"),
+            F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+            .alias("centroid"),
+        )
+    )

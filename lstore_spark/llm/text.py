@@ -252,6 +252,53 @@ def q_llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK, _STRIDE = 32, 24  # 32-token chunks, 8-token overlap
+
+
+@query(
+    "q_llm_text_chunk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+),
+spans AS (
+  SELECT doc_id, ts, CAST(i AS INT) AS chunk_id,
+         CAST(1 + i * {_STRIDE} AS INT) AS start
+  FROM tok, range(0, 64) AS g(i)
+  WHERE i = 0 OR 1 + i * {_STRIDE} <= len(ts)
+)
+SELECT doc_id, chunk_id,
+       array_to_string(ts[start : start + {_CHUNK - 1}], ' ') AS chunk_text,
+       len(ts[start : start + {_CHUNK - 1}]) AS n_tokens
+FROM spans
+""",
+)
+def q_llm_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for context-length-bounded training: 32-token
+    sliding chunks with 8-token overlap (stride 24).  Pure HOF pipeline —
+    sequence of chunk starts → slice → join; one scan, output rows ∝
+    corpus tokens / stride."""
+    docs = load_table(spark, sf_dir, "documents")
+    # max chunk_id: largest i with 1 + i*stride <= n_tokens, i.e.
+    # floor((n-1)/stride) — identical to the oracle's WHERE predicate.
+    chunks = F.expr(f"""
+        transform(
+          sequence(0, int(greatest(floor((size(ts) - 1) / {_STRIDE}.0), 0))),
+          i -> struct(i AS chunk_id,
+                      slice(ts, 1 + i * {_STRIDE}, {_CHUNK}) AS toks))
+    """)
+    return (
+        docs.select("doc_id", tokens_col().alias("ts"))
+        .select("doc_id", F.explode(chunks).alias("ch"))
+        .select(
+            "doc_id",
+            F.col("ch.chunk_id").alias("chunk_id"),
+            F.array_join("ch.toks", " ").alias("chunk_text"),
+            F.size("ch.toks").alias("n_tokens"),
+        )
+    )
+
+
 @query(
     "q_llm_text_fingerprint",
     oracle=f"""

@@ -18,6 +18,8 @@ in a way that is verifiable locally and decisive at cluster scale:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,6 +69,22 @@ def write_events_partitioned(events: DataFrame, path: str) -> None:
 
 def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def purge_before(spark: SparkSession, path: str, cutoff_day: str) -> int:
+    """Retention: drop event partitions older than ``cutoff_day`` — the
+    lstore remover (expired head segments are deleted whole; SURVEY.md
+    §1.1).  Partition-dir deletion is O(#partitions) metadata work, never
+    a data scan; returns the number of partitions dropped."""
+    import shutil
+
+    base = path.removeprefix("file:")
+    dropped = 0
+    for entry in sorted(os.listdir(base)):
+        if entry.startswith("day=") and entry[4:] < cutoff_day:
+            shutil.rmtree(os.path.join(base, entry))
+            dropped += 1
+    return dropped
 
 
 def write_bucketed_pair(spark: SparkSession,

@@ -48,6 +48,19 @@ def test_partitioned_events_prune(spark, sf_dir):
     assert pruned.count() == expect
 
 
+def test_purge_before_drops_old_partitions(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="lstore_events_purge_")
+    scale.write_events_partitioned(ev, out)
+    total = ev.count()
+    pre_cutoff = ev.filter(F.col("ts").cast("date") < "2024-01-10").count()
+    dropped = scale.purge_before(spark, out, "2024-01-10")
+    assert dropped == 9  # 2024-01-01 .. 2024-01-09
+    back = scale.read_events_partitioned(spark, out)
+    assert back.count() == total - pre_cutoff
+    assert back.filter(F.col("day") < "2024-01-10").count() == 0
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
