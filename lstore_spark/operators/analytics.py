@@ -389,6 +389,45 @@ def q_fn_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_profile_table",
+    oracle="""
+SELECT 'event_id' AS col, COUNT(event_id) AS n_nonnull,
+       COUNT(DISTINCT event_id) AS n_distinct FROM events
+UNION ALL
+SELECT 'user_id', COUNT(user_id), COUNT(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', COUNT(event_type), COUNT(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'value', COUNT(value), COUNT(DISTINCT value) FROM events
+UNION ALL
+SELECT 'props', COUNT(props), COUNT(DISTINCT props) FROM events
+""",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (non-null + distinct counts per column) — the
+    lstore indexer's per-block summaries surfaced as a query, and the
+    first step of any data-quality pipeline.  One pass per plan; Spark
+    computes all profiles in a single multi-aggregate scan then unpivots."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs += [F.count(c).alias(f"nn_{c}"),
+                 F.countDistinct(c).alias(f"nd_{c}")]
+    wide = ev.agg(*aggs)
+    parts = [
+        wide.select(F.lit(c).alias("col"),
+                    F.col(f"nn_{c}").alias("n_nonnull"),
+                    F.col(f"nd_{c}").alias("n_distinct"))
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @query("q_sample_seeded")  # rows-only: sampling algorithms are engine-specific
 def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (deterministic for a fixed seed *within*
