@@ -222,11 +222,23 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_fn_map")  # rows-only: map key ordering is engine-specific
+@query(
+    "q_fn_map",
+    oracle="""
+SELECT event_id,
+       list_sort(map_keys(MAP {'type': event_type, 'k': props->>'$.k'}))
+         AS keys_sorted,
+       element_at(MAP {'type': event_type, 'k': props->>'$.k'}, 'k')[1]
+         AS k_val,
+       CAST(cardinality(MAP {'type': event_type, 'k': props->>'$.k'}) AS INT)
+         AS n_keys
+FROM events
+""",
+)
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction + access.  Hash-checked indirectly: the scalar
-    projections of map lookups are deterministic even though whole-map
-    ordering is not (hence rows-only)."""
+    """Map construction + access.  The raw map column stays out of the
+    output (whole-map ordering is engine-specific); sorted keys and
+    scalar lookups hash-compare exactly."""
     ev = load_table(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("type"), F.col("event_type"),
@@ -234,8 +246,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        m.alias("props_map"),
-        F.map_keys(m).alias("keys"),
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
         F.element_at(m, "k").alias("k_val"),
         F.size(m).alias("n_keys"),
     )

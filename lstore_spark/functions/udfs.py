@@ -77,10 +77,31 @@ def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.select("vec_id", l2_norm("embedding").alias("l2_norm"))
 
 
-@query("q_udaf_pandas_grouped_agg")  # rows-only: custom estimator (SURVEY §2.11)
+@query(
+    "q_udaf_pandas_grouped_agg",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       ROUND(AVG(value), 6) AS trimmed_mean_value,
+       MIN(n) AS n
+FROM ranked
+WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+  AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+GROUP BY event_type
+""",
+)
 def q_udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate as a grouped-agg pandas UDF: 10% trimmed mean of
-    event value per type.  Verified against numpy in pytest."""
+    event value per type.  The oracle trims by rank over the same value
+    order — ties at the trim boundary remove equal *values* either way,
+    so the mean is identical; rounded to 6dp in both engines (numpy
+    pairwise vs DuckDB sequential summation).  Also cross-checked against
+    numpy in pytest."""
 
     @F.pandas_udf(DoubleType())
     def trimmed_mean(v: pd.Series) -> float:

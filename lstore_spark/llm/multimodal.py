@@ -105,7 +105,28 @@ def _fake_decode(blob: bytes) -> tuple[str, int, int]:
     return fmt, width, height
 
 
-@query("q_llm_multimodal_features")  # rows-only: stubbed codec (SURVEY §2.10)
+def _hex_byte(expr: str, i: int) -> str:
+    """Byte value of hex digits (2i-1, 2i) of ``expr`` — portable SQL."""
+    d = "instr('0123456789abcdef', substr({e}, {p}, 1)) - 1"
+    hi = d.format(e=expr, p=2 * i - 1)
+    lo = d.format(e=expr, p=2 * i)
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+_MM_ORACLE = f"""
+WITH h AS (SELECT doc_id, md5(text) AS m FROM documents)
+SELECT doc_id,
+       16 AS n_bytes,
+       CASE {_hex_byte('m', 1)} % 3 WHEN 0 THEN 'png'
+                                    WHEN 1 THEN 'jpeg'
+                                    ELSE 'webp' END AS format,
+       CAST(64 + {_hex_byte('m', 2)} % 64 AS INT) AS width,
+       CAST(64 + {_hex_byte('m', 3)} % 64 AS INT) AS height
+FROM h
+"""
+
+
+@query("q_llm_multimodal_features", oracle=_MM_ORACLE)
 def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over an opaque binary column.
 

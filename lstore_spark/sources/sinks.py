@@ -21,12 +21,25 @@ from ..numerics import dsum
 from ..registry import query
 
 
-@query("q_sink_parquet")  # rows-only: side-effecting round-trip
+@query(
+    "q_sink_parquet",
+    oracle="""
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+""",
+)
 def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate events per (event_type, day), write to parquet partitioned
     by event_type with a bloom filter on the partition-local sort key,
-    re-read and return.  At 100 TB the same shape: partition by coarse key,
-    sort within files so row-group stats are selective."""
+    re-read and return; the oracle recomputes the aggregate directly, so
+    the comparison proves write→read fidelity of the sink.  At 100 TB the
+    same shape: partition by coarse key, sort within files so row-group
+    stats are selective."""
     ev = load_table(spark, sf_dir, "events")
     agg = (
         ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))

@@ -25,6 +25,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from ..catalog import SCHEMAS, load_table, path_of
 from ..numerics import DEC, dsum, sql_dsum
 from ..registry import query
+from ..session import tune
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -32,6 +33,11 @@ _FMT = "yyyy-MM-dd HH:mm:ss"
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded source: file stream over the parquet log —
     the Spark twin of lstore's tail-follow consumption."""
+    # tune() first: the nanosAsLong conf must be set before ANY events
+    # read — a driver session that runs a streaming query first would
+    # otherwise hit PARQUET_TYPE_ILLEGAL (batch paths get it via
+    # load_table, but this path doesn't go through the catalog loader).
+    tune(spark)
     # Glob pattern: the file-stream source wants a directory-or-glob (a
     # bare file path trips its basePath check); the glob also naturally
     # extends to "new segment files appear over time" — the lstore tail.
