@@ -38,7 +38,11 @@ HEADLINE = [
     "q_win_rank_topn",
     "q_stream_session_window",
     "q_topk_limit",
+    "q_tpch_q3_shipping",
+    "q_evt_retention",
+    "q_stream_sliding_sum",
     "q_llm_text_tfidf",
+    "q_llm_text_chunk",
     "q_llm_dedup_exact",
     "q_llm_dedup_minhash",
     "q_llm_sim_cosine_topk",

@@ -32,6 +32,22 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     assert _rows(out) == _rows(batch)
 
 
+def test_stream_sliding_equals_batch(spark, sf_dir):
+    batch = QUERIES["q_stream_sliding_sum"](spark, sf_dir)
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+             .alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+                "n", "sum_value")
+    )
+    out = run_available_now(stream, "t_sliding_eq", mode="complete")
+    assert _rows(out) == _rows(batch)
+
+
 def test_stream_dedup_equals_batch(spark, sf_dir):
     batch = QUERIES["q_stream_dedup_ids"](spark, sf_dir)
     # Streaming dropDuplicates keyed like the batch twin; the file source
