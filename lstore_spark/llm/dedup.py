@@ -256,6 +256,96 @@ def q_llm_dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(doc_ids: DataFrame, pairs: DataFrame,
+                   max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate candidate-pair graph:
+    every doc gets ``cluster_id`` = min doc_id reachable through pairs —
+    the keep-one-per-cluster final stage of corpus dedup.
+
+    Label propagation: each round every vertex takes the min label among
+    itself and its neighbors; converges in O(graph diameter) rounds
+    (near-dup clusters are tiny, so 3-5 rounds in practice).  Each round
+    is one equi-join + groupBy — all shuffles on doc_id.  localCheckpoint
+    cuts the growing lineage so round N doesn't replan rounds 1..N-1.
+
+    ``doc_ids``: one column ``doc_id``; ``pairs``: columns id_a, id_b.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = doc_ids.select(
+        "doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"),
+                        F.coalesce("nbr_min", F.col("cluster_id")))
+                .alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("q_llm_dedup_clusters")  # rows-only: iterative algorithm (pytest-verified)
+def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup clustering: MinHash-LSH candidate pairs (est
+    Jaccard ≥ 0.5) → connected components → (doc_id, cluster_id,
+    is_cluster_head).  On the fixture (no planted dups) every doc is its
+    own head; planted-chain transitivity is asserted in tests/test_llm.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    # reuse the banding pipeline: recompute candidate pairs inline
+    band_cols = []
+    per_band = _MINHASH_K // _BANDS
+    for bnd in range(_BANDS):
+        cols = [F.col(f"mh{bnd * per_band + j}") for j in range(per_band)]
+        band_cols.append(
+            F.struct(F.lit(bnd).alias("band"), F.hash(*cols).alias("bkt")))
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkt")
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bkt")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bkt")
+    sig_a = sig.select(F.col("doc_id").alias("id_a"),
+                       *[F.col(f"mh{p}").alias(f"a{p}") for p in range(_MINHASH_K)])
+    sig_b = sig.select(F.col("doc_id").alias("id_b"),
+                       *[F.col(f"mh{p}").alias(f"b{p}") for p in range(_MINHASH_K)])
+    agree = sum((F.col(f"a{p}") == F.col(f"b{p}")).cast("int")
+                for p in range(_MINHASH_K))
+    pairs = (
+        a.join(b, ["band", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .join(sig_a, "id_a").join(sig_b, "id_b")
+        .filter(agree / F.lit(float(_MINHASH_K)) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    labels = dedup_clusters(docs.select("doc_id"), pairs)
+    return labels.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_cluster_head"))
+
+
 _TAU_EMB_NEAR_DUP = 0.40  # fixture has random unit vectors (max cos≈0.51);
                           # production near-dup threshold would be ~0.95.
 

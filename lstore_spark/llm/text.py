@@ -252,6 +252,73 @@ def q_llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-language sampling rates (training-data mixture reweighting): keep
+# all high-resource 'en', downsample the rest.  Percent thresholds against
+# a portable hash make the sample deterministic AND engine-independent.
+_MIX_RATES = {"en": 100, "de": 60, "fr": 60, "es": 40, "zh": 40}
+
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items()) + " ELSE 20 END"
+
+
+@query(
+    "q_llm_sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang, source,
+       {sql_md5_long("CAST(doc_id AS VARCHAR)", 8)} % 100 AS hash_pct
+FROM documents
+WHERE {sql_md5_long("CAST(doc_id AS VARCHAR)", 8)} % 100 < {_MIX_CASE}
+""",
+)
+def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for data-mixture reweighting:
+    keep a doc iff hash(doc_id) % 100 < rate(lang).  Hash-based Bernoulli
+    sampling is THE scalable sampler — stateless, reproducible across
+    runs/engines/retries, no sort, no count pass; changing the mixture is
+    a literal edit, not a reshuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(sql_md5_long("CAST(doc_id AS STRING)", 8)) % 100
+    rate = F.expr(_MIX_CASE.replace("CASE lang", "CASE lang"))
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("hash_pct"),
+                    rate.alias("_rate"))
+        .filter(F.col("hash_pct") < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+@query(
+    "q_llm_text_redact",
+    oracle=r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text || ' contact: user' || doc_id || '@example.com code 1234',
+                        '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+         '[0-9]+', '<NUM>', 'g') AS redacted,
+       len(regexp_extract_all(text || ' contact: user' || doc_id || '@example.com code 1234',
+                              '[0-9]+')) AS n_numbers
+FROM documents
+""",
+)
+def q_llm_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails and digit runs (synthetic
+    PII is appended since the fixture corpus has none — the operator is
+    the point).  Plain regexp_replace: JVM-side, streams with the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com code 1234"))
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(dirty, "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+            "[0-9]+", "<NUM>").alias("redacted"),
+        F.size(F.expr(
+            "regexp_extract_all(concat(text, ' contact: user', CAST(doc_id AS STRING), "
+            "'@example.com code 1234'), '[0-9]+', 0)")).alias("n_numbers"),
+    )
+
+
 _CHUNK, _STRIDE = 32, 24  # 32-token chunks, 8-token overlap
 
 

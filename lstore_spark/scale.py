@@ -71,6 +71,29 @@ def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_partition(spark: SparkSession, path: str, day: str,
+                      target_files: int = 1) -> int:
+    """Compact one day-partition's small files into ``target_files``
+    ts-sorted files — the lstore indexer's raw→indexed segment compaction
+    (many small appends become one scan-efficient segment with tight
+    row-group stats).  Returns the resulting file count.  Writes to a
+    sibling temp dir then atomically swaps, so readers never see a
+    half-compacted partition."""
+    import shutil
+    import tempfile as _tf
+
+    base = path.removeprefix("file:")
+    part = os.path.join(base, f"day={day}")
+    df = spark.read.parquet(part)
+    tmp = _tf.mkdtemp(prefix="lstore_compact_")
+    (df.repartition(target_files)
+       .sortWithinPartitions("ts")
+       .write.mode("overwrite").parquet(tmp))
+    shutil.rmtree(part)
+    shutil.move(tmp, part)
+    return len([f for f in os.listdir(part) if f.endswith(".parquet")])
+
+
 def purge_before(spark: SparkSession, path: str, cutoff_day: str) -> int:
     """Retention: drop event partitions older than ``cutoff_day`` — the
     lstore remover (expired head segments are deleted whole; SURVEY.md

@@ -46,6 +46,32 @@ def test_minhash_detects_planted_near_duplicates(spark, sf_dir):
         assert (orig, pid) in found, f"planted dup ({orig},{pid}) not detected"
 
 
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C (but never A~C directly) must land in one cluster —
+    the transitivity that pairwise dedup misses."""
+    from lstore_spark.llm.dedup import dedup_clusters
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], ["id_a", "id_b"])  # chain 1-3-5; pair 2-6
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
+    assert got[1] == got[3] == got[5] == 1
+    assert got[2] == got[6] == 2
+    assert got[0] == 0 and got[4] == 4 and got[7] == 7
+
+
+def test_dedup_clusters_end_to_end(spark, sf_dir):
+    from lstore_spark.registry import QUERIES
+    out = QUERIES["q_llm_dedup_clusters"](spark, sf_dir)
+    rows = out.collect()
+    n_docs = len(rows)
+    assert n_docs > 0
+    # every cluster head is its own minimum; members point at a head
+    heads = {r.doc_id for r in rows if r.is_cluster_head}
+    for r in rows:
+        assert r.cluster_id <= r.doc_id
+        assert r.cluster_id in heads
+
+
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     """LSH candidate generation must recover a reasonable fraction of the
     true top-5 neighbor pairs (random unit vectors are the hardest case —

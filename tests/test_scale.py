@@ -61,6 +61,49 @@ def test_purge_before_drops_old_partitions(spark, sf_dir):
     assert back.filter(F.col("day") < "2024-01-10").count() == 0
 
 
+def test_compact_partition_preserves_rows(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="lstore_events_compact_")
+    scale.write_events_partitioned(ev, out)
+    day = "2024-01-05"
+    before = scale.read_events_partitioned(spark, out).filter(
+        F.col("day") == day).drop("day").collect()
+    n_files = scale.compact_partition(spark, out, day, target_files=1)
+    assert n_files == 1
+    after = scale.read_events_partitioned(spark, out).filter(
+        F.col("day") == day).drop("day").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_two_consumer_groups_independent_offsets(spark, sf_dir, tmp_path):
+    """Message-queue semantics: two consumers (checkpoints) of the same
+    log each see all data, with independent progress."""
+    import shutil
+    from lstore_spark.catalog import SCHEMAS, path_of
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    shutil.copy(path_of(sf_dir, "events"), log_dir / "seg1.parquet")
+
+    def drain(group: str) -> int:
+        out = str(tmp_path / f"sink_{group}")
+        q = (spark.readStream.schema(SCHEMAS["events"])
+             .parquet(str(log_dir) + "/*.parquet")
+             .select("event_id")
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / f"ckpt_{group}"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    n_a = drain("a")
+    # group b starts later — gets the full log independently
+    n_b = drain("b")
+    assert n_a == n_b > 0
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
