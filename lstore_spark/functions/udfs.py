@@ -160,6 +160,43 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_udtf_python_native",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, ts[CAST(i AS INT)] AS token,
+       CAST(length(ts[CAST(i AS INT)]) AS INT) AS tok_len
+FROM tok, range(1, 256) AS g(i)
+WHERE i <= len(ts)
+""",
+)
+def q_udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (Spark 4 @udtf class API): one doc row →
+    (pos, token, tok_len) rows.  The class is defined in-function so
+    cloudpickle ships it by value to workers."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, tok_len int")
+    class Tokenize:
+        def eval(self, text: str):
+            pos = 0
+            for tok in text.split(" "):
+                if tok:
+                    yield pos, tok, len(tok)
+                    pos += 1
+
+    spark.udtf.register("q_udtf_tokenize", Tokenize)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("q_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, t.pos, t.token, t.tok_len
+        FROM q_udtf_docs d, LATERAL q_udtf_tokenize(d.text) t
+    """)
+
+
+@query(
     "q_udtf_flatmap",
     oracle="""
 SELECT doc_id, t.tok AS token

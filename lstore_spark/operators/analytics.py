@@ -390,6 +390,63 @@ def q_fn_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_lateral",
+    oracle="""
+SELECT c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS t
+WHERE c_custkey <= 100
+""",
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) — the SQL
+    form of per-key top-k; Catalyst decorrelates it to the same
+    shuffle+rank plan as the window formulation (q_win_rank_topn)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q_lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q_lat_orders")
+    return spark.sql("""
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM q_lat_customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM q_lat_orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS t
+        WHERE c_custkey <= 100
+    """)
+
+
+@query(
+    "q_sql_recursive_cte",
+    oracle="""
+WITH RECURSIVE days(d) AS (
+  SELECT DATE '2024-01-01'
+  UNION ALL
+  SELECT d + 1 FROM days WHERE d < DATE '2024-01-30'
+)
+SELECT days.d AS day, COUNT(e.event_id) AS n_events
+FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = days.d
+GROUP BY days.d
+""",
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): generate the January day spine by
+    recursion and left-join daily event counts — the iterative-query
+    surface (hierarchies, transitive closure) on its simplest exhibit."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("q_rec_events")
+    return spark.sql("""
+        WITH RECURSIVE days(d) AS (
+          SELECT DATE '2024-01-01' AS d
+          UNION ALL
+          SELECT date_add(d, 1) FROM days WHERE d < DATE '2024-01-30'
+        )
+        SELECT days.d AS day, COUNT(e.event_id) AS n_events
+        FROM days LEFT JOIN q_rec_events e ON CAST(e.ts AS DATE) = days.d
+        GROUP BY days.d
+    """)
+
+
+@query(
     "q_profile_table",
     oracle="""
 SELECT 'event_id' AS col, COUNT(event_id) AS n_nonnull,
