@@ -31,31 +31,24 @@ _BANDS = 4       # → 4 rows per band
 @query(
     "q_llm_dedup_exact",
     oracle="""
-WITH hashed AS (
-  SELECT doc_id, md5(lower(trim(text))) AS text_hash,
-         ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
-                            ORDER BY doc_id) AS rn,
-         COUNT(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_copies
-  FROM documents
-)
-SELECT doc_id, text_hash, n_copies FROM hashed WHERE rn = 1
+SELECT MIN(doc_id) AS doc_id,
+       md5(lower(trim(text))) AS text_hash,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(lower(trim(text)))
 """,
 )
 def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized text hash: keep the lowest doc_id per
-    hash group, report group size.  At 100 TB this is one shuffle on the
-    hash key (and the hash itself prunes to 16 bytes/row shuffled)."""
+    hash group, report group size.  A plain 2-phase aggregate (min +
+    count per hash) — no window sort; at 100 TB this is one partial-
+    combined shuffle of 16-byte keys."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.lower(F.trim(F.col("text"))))
-    w = Window.partitionBy(h).orderBy("doc_id")
     return (
-        docs.select(
-            "doc_id",
-            h.alias("text_hash"),
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy(h)).alias("n_copies"),
-        )
-        .filter(F.col("rn") == 1)
+        docs.groupBy(h.alias("text_hash"))
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
         .select("doc_id", "text_hash", "n_copies")
     )
 

@@ -252,6 +252,42 @@ def q_stream_stateful_runagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= p.ts
+ AND v.ts > p.ts - INTERVAL 1 HOUR
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join semantics, batch twin: each purchase matched to
+    the user's views in the preceding hour (attribution).  The equi key
+    (user_id) carries the join; the time band is a residual filter.  The
+    true two-stream form with watermarks on both sides is asserted equal
+    in tests/test_streaming.py — watermark + time-range bound is exactly
+    what lets the state store evict old view rows at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
+    v = (ev.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_id"),
+                 F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        p.join(v, (F.col("p_user") == F.col("v_user"))
+               & (F.col("v_ts") <= F.col("p_ts"))
+               & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")))
+        .select("purchase_id", "view_id", F.col("p_user").alias("user_id"),
+                (us("p_ts") - us("v_ts")).alias("gap_us"))
+    )
+
+
 @query("q_stream_foreachbatch_sink")  # rows-only (sink side effect)
 def q_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch sink: stream → tumbling-hour aggregate → foreachBatch

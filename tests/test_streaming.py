@@ -101,6 +101,32 @@ def test_stream_watermark_drops_late(spark, sf_dir):
     assert stream_total == batch_total
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """True two-stream join with watermarks on both sides + time-range
+    condition must equal the batch twin (inner join: neither side emits
+    unmatched rows, so availableNow over history matches exactly)."""
+    batch = QUERIES["q_stream_stream_join"](spark, sf_dir)
+    src = _events_stream(spark, sf_dir)
+    p = (src.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", "2 hours"))
+    v = (src.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_id"),
+                 F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+         .withWatermark("v_ts", "2 hours"))
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    joined = (
+        p.join(v, (F.col("p_user") == F.col("v_user"))
+               & (F.col("v_ts") <= F.col("p_ts"))
+               & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")))
+        .select("purchase_id", "view_id", F.col("p_user").alias("user_id"),
+                (us("p_ts") - us("v_ts")).alias("gap_us"))
+    )
+    out = run_available_now(joined, "t_ss_join", mode="append")
+    assert _rows(out) == _rows(batch)
+
+
 def test_stream_checkpoint_resume_no_reprocess(spark, sf_dir, tmp_path):
     """Consumer-offset durability (the lstore cursor model): a checkpointed
     stream drains segment 1; a new segment arrives; restarting from the
