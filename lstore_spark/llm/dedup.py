@@ -62,12 +62,14 @@ def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
     no explode, no shuffle, no 100×-row intermediate.  (The previous
     explode+groupBy formulation spent 4.6 s of the sf0.1 bench on the
     485k-row shuffle this avoids.)"""
+    # try_element_at: ANSI mode makes plain element_at throw past the end,
+    # so docs with <3 tokens (shingle padded with '') would crash.
     shingles = F.expr("""
         transform(
           sequence(1, greatest(size(ts) - 2, 1)),
-          i -> concat(element_at(ts, i), ' ',
-                      coalesce(element_at(ts, i + 1), ''), ' ',
-                      coalesce(element_at(ts, i + 2), ''))
+          i -> concat(coalesce(try_element_at(ts, i), ''), ' ',
+                      coalesce(try_element_at(ts, i + 1), ''), ' ',
+                      coalesce(try_element_at(ts, i + 2), ''))
         )""")
     doc_sh = (docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
               .select("doc_id", shingles.alias("shs")))
@@ -78,32 +80,20 @@ def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
     )
 
 
-@query("q_llm_dedup_minhash")  # rows-only: algorithmic (pytest on planted dups)
-def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate detection: 16 minhashes per doc, banded
-    into 4 buckets of 4; docs sharing any band bucket become candidate
-    pairs; estimated Jaccard = fraction of agreeing minhashes.
+def lsh_candidate_pairs(sig: DataFrame,
+                        min_est_jaccard: float = 0.0) -> DataFrame:
+    """LSH banding over minhash signatures → (id_a, id_b, est_jaccard).
 
-    Output: every doc with its candidate-mate count and best-estimate
-    Jaccard (docs with no mates report 0 / NULL), so the result is
-    non-empty even on a corpus without near-duplicates; planted-duplicate
-    detection is asserted in tests/test_llm.py.
-
-    Scale: signatures in one scan; banding join is equi on (band, bucket)
-    — O(candidates), never all-pairs."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).cache()
-    rows = _BANDS
-    per_band = _MINHASH_K // rows
+    Narrow banding relation: the bucket join and pair dedup shuffle only
+    (doc_id, band, bkt); full signatures rejoin once per side afterwards
+    (the shuffle-width discipline that matters when doc_id count is
+    10^10).  est_jaccard = fraction of agreeing minhashes."""
+    per_band = _MINHASH_K // _BANDS
     band_cols = []
-    for bnd in range(rows):
+    for bnd in range(_BANDS):
         cols = [F.col(f"mh{bnd * per_band + j}") for j in range(per_band)]
         band_cols.append(
             F.struct(F.lit(bnd).alias("band"), F.hash(*cols).alias("bkt")))
-    # Narrow banding relation: (doc_id, band, bkt) — the bucket join and
-    # pair dedup shuffle 3 ints per row; full signatures rejoin once per
-    # side afterwards (the shuffle-width discipline that matters when
-    # doc_id count is 10^10).
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bkt")
@@ -129,6 +119,27 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b",
                 (agree / F.lit(float(_MINHASH_K))).alias("est_jaccard"))
     )
+    if min_est_jaccard > 0:
+        pairs = pairs.filter(F.col("est_jaccard") >= min_est_jaccard)
+    return pairs
+
+
+@query("q_llm_dedup_minhash")  # rows-only: algorithmic (pytest on planted dups)
+def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection: 16 minhashes per doc, banded
+    into 4 buckets of 4; docs sharing any band bucket become candidate
+    pairs; estimated Jaccard = fraction of agreeing minhashes.
+
+    Output: every doc with its candidate-mate count and best-estimate
+    Jaccard (docs with no mates report 0 / NULL), so the result is
+    non-empty even on a corpus without near-duplicates; planted-duplicate
+    detection is asserted in tests/test_llm.py.
+
+    Scale: signatures in one scan (no shuffle — pure projection); banding
+    join is equi on (band, bucket) — O(candidates), never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
     mates = (
         pairs.select(F.col("id_a").alias("doc_id"), "est_jaccard")
         .unionByName(pairs.select(F.col("id_b").alias("doc_id"), "est_jaccard"))
@@ -307,32 +318,7 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     own head; planted-chain transitivity is asserted in tests/test_llm.py."""
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
-    # reuse the banding pipeline: recompute candidate pairs inline
-    band_cols = []
-    per_band = _MINHASH_K // _BANDS
-    for bnd in range(_BANDS):
-        cols = [F.col(f"mh{bnd * per_band + j}") for j in range(per_band)]
-        band_cols.append(
-            F.struct(F.lit(bnd).alias("band"), F.hash(*cols).alias("bkt")))
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkt")
-    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bkt")
-    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bkt")
-    sig_a = sig.select(F.col("doc_id").alias("id_a"),
-                       *[F.col(f"mh{p}").alias(f"a{p}") for p in range(_MINHASH_K)])
-    sig_b = sig.select(F.col("doc_id").alias("id_b"),
-                       *[F.col(f"mh{p}").alias(f"b{p}") for p in range(_MINHASH_K)])
-    agree = sum((F.col(f"a{p}") == F.col(f"b{p}")).cast("int")
-                for p in range(_MINHASH_K))
-    pairs = (
-        a.join(b, ["band", "bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-        .join(sig_a, "id_a").join(sig_b, "id_b")
-        .filter(agree / F.lit(float(_MINHASH_K)) >= 0.5)
-        .select("id_a", "id_b")
-    )
+    pairs = lsh_candidate_pairs(sig, min_est_jaccard=0.5).select("id_a", "id_b")
     labels = dedup_clusters(docs.select("doc_id"), pairs)
     return labels.select(
         "doc_id", "cluster_id",

@@ -23,13 +23,20 @@ _DUCK_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
 # Shingle/bigram builders over a *materialized* token-array column `ts` —
 # inlining the tokenizer inside each element_at would re-split the text
 # per element (O(tokens²) per doc; showed up as 7s of the sf0.1 bench).
+# Guarded with IF(...) for short docs: ANSI mode makes out-of-range
+# element_at throw, and sequence(1, 0) yields a DESCENDING [1, 0] rather
+# than an empty array, so an unguarded transform crashes on 1-token docs.
 _SPARK_BIGRAMS_TS = """
-    transform(sequence(1, size(ts) - 1),
-              i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"""
+    if(size(ts) >= 2,
+       transform(sequence(1, size(ts) - 1),
+                 i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))),
+       array())"""
 _SPARK_SHINGLES3_TS = """
-    transform(sequence(1, size(ts) - 2),
-              i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ',
-                          element_at(ts, i + 2)))"""
+    if(size(ts) >= 3,
+       transform(sequence(1, size(ts) - 2),
+                 i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ',
+                             element_at(ts, i + 2))),
+       array())"""
 
 
 def tokens_col():
@@ -278,7 +285,7 @@ def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     a literal edit, not a reshuffle."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.expr(sql_md5_long("CAST(doc_id AS STRING)", 8)) % 100
-    rate = F.expr(_MIX_CASE.replace("CASE lang", "CASE lang"))
+    rate = F.expr(_MIX_CASE)
     return (
         docs.select("doc_id", "lang", "source", h.alias("hash_pct"),
                     rate.alias("_rate"))

@@ -227,16 +227,18 @@ WHERE a.o_orderpriority = '1-URGENT' AND a.o_orderkey <= 3000
 )
 def q_join_interval_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join (b within [a, a+2d)), banded on epoch-day buckets:
-    a-side explodes to the 2 candidate day buckets, equi-join, exact
-    residual filter — same scale story as q_join_theta_range (DuckDB's
-    IEJoin does this natively; Spark needs the rewrite to avoid BNLJ)."""
+    a-side explodes to the 3 candidate day buckets (a 2-day window
+    starting mid-day can span 3 calendar days), equi-join, exact residual
+    filter — same scale story as q_join_theta_range (DuckDB's IEJoin does
+    this natively; Spark needs the rewrite to avoid BNLJ)."""
     od = load_table(spark, sf_dir, "orders")
     a = od.filter((F.col("o_orderpriority") == "1-URGENT")
                   & (F.col("o_orderkey") <= 3000))
     day = lambda c: F.floor(F.unix_timestamp(F.col(c).cast("timestamp")) / 86400)  # noqa: E731
     a = a.select(
         F.col("o_orderkey").alias("key_a"), F.col("o_orderdate").alias("date_a"),
-        F.explode(F.array(day("o_orderdate"), day("o_orderdate") + 1)).alias("dbkt"))
+        F.explode(F.array(day("o_orderdate"), day("o_orderdate") + 1,
+                          day("o_orderdate") + 2)).alias("dbkt"))
     b = od.select(
         F.col("o_orderkey").alias("key_b"), F.col("o_orderdate").alias("date_b"),
         day("o_orderdate").alias("dbkt"))

@@ -36,7 +36,15 @@ def salted_join(skewed: DataFrame, other: DataFrame, key: str,
 
     Cost: ``other`` inflates ×n_salts — use with a dimension-sized right
     side, or AQE skew-join for fact⋈fact.
+
+    Only inner/left/semi/anti joins are supported: in a right or full
+    join every unmatched ``other`` row would surface once per salt
+    replica (n_salts duplicates), so those modes are rejected.
     """
+    if how.replace("outer", "").strip("_") in {"right", "full"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched rows of "
+            "the replicated side would appear once per salt")
     all_cols = [F.col(c) for c in skewed.columns]
     s = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(*all_cols), F.lit(n_salts)).cast("int"))

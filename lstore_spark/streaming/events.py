@@ -129,14 +129,16 @@ def q_stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session_window",
     oracle="""
 WITH marked AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
+         -- >= not >: Spark session windows are [start, last+gap), so an
+         -- event exactly `gap` after the last one opens a NEW session.
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > 1800000000 THEN 1 ELSE 0 END AS new_session
+                   >= 1800000000 THEN 1 ELSE 0 END AS new_session
   FROM events
 ), numbered AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
 )

@@ -46,6 +46,29 @@ def test_minhash_detects_planted_near_duplicates(spark, sf_dir):
         assert (orig, pid) in found, f"planted dup ({orig},{pid}) not detected"
 
 
+def test_short_docs_do_not_crash(spark):
+    """ANSI-mode regression: 0/1/2-token docs must flow through the
+    bigram/shingle/minhash builders without INVALID_ARRAY_INDEX errors
+    (sequence(1,0) descends and element_at throws past the end)."""
+    from pyspark.sql import functions as F
+    from lstore_spark.llm.dedup import minhash_signatures
+    from lstore_spark.llm.text import (
+        _SPARK_BIGRAMS_TS, _SPARK_SHINGLES3_TS, tokens_col)
+
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, "two tokens"), (3, " "), (4, "a b c d")],
+        ["doc_id", "text"])
+    toks = docs.select("doc_id", tokens_col().alias("ts"))
+    bigrams = toks.select(
+        "doc_id", F.explode_outer(F.expr(_SPARK_BIGRAMS_TS)).alias("bg")).collect()
+    shingles = toks.select(
+        "doc_id", F.explode_outer(F.expr(_SPARK_SHINGLES3_TS)).alias("sh")).collect()
+    assert {r.doc_id for r in bigrams if r.bg} == {2, 4}
+    assert {r.doc_id for r in shingles if r.sh} == {4}
+    sigs = minhash_signatures(docs).collect()
+    assert len(sigs) == 4  # every doc gets a signature, even degenerate ones
+
+
 def test_dedup_clusters_transitive(spark):
     """A~B and B~C (but never A~C directly) must land in one cluster —
     the transitivity that pairwise dedup misses."""
