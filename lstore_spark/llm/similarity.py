@@ -182,7 +182,13 @@ def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_PLANES = 12  # LSH signature bits
+_N_PLANES = 12  # LSH signature bits (3 bands × 4 bits)
+# Sizing note: bits-per-band must grow ~log2(corpus) to keep bucket
+# occupancy (and the candidate-pair count) bounded — 4 bits/band ≈ 16
+# buckets is tuned for the 500-vector fixture; a 10^7-vector corpus wants
+# ~16-20 bits/band (and more bands to recover recall).  Verified
+# empirically: at 20k vectors the 4-bit buckets hold ~1.2k vectors each
+# and the candidate set grows quadratically within buckets.
 
 
 @query("q_llm_sim_lsh_topk")  # rows-only: approximate (recall < 1 by design)
