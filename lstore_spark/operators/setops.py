@@ -78,6 +78,40 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_set_intersect_all",
+    oracle="""
+SELECT user_id, value FROM events WHERE event_type = 'view'
+INTERSECT ALL
+SELECT user_id, value FROM events WHERE value < 250
+""",
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: keeps min(multiplicity) copies of each row
+    (Spark plans it as a count-compare aggregate, no row explosion)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id", "value")
+    b = ev.filter(F.col("value") < 250).select("user_id", "value")
+    return a.intersectAll(b)
+
+
+@query(
+    "q_set_except_all",
+    oracle="""
+SELECT user_id, event_type FROM events WHERE value < 500
+EXCEPT ALL
+SELECT user_id, event_type FROM events WHERE event_type = 'purchase'
+""",
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: subtracts per-row multiplicity (left count
+    minus right count), unlike q_set_except's distinct-set semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") < 500).select("user_id", "event_type")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_type")
+    return a.exceptAll(b)
+
+
+@query(
     "q_distinct",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
