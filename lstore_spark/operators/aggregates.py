@@ -304,3 +304,27 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+SELECT event_type,
+       BOOL_AND(value >= 0)       AS all_nonneg,
+       BOOL_OR(value > 900)       AS any_high,
+       COUNT(*) FILTER (WHERE value > 500) AS n_high,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) + conditional count.  count_if is
+    the map-side-combinable form of COUNT(*) FILTER — one long per
+    (partition, group) crosses the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 900).alias("any_high"),
+        F.count_if(F.col("value") > 500).alias("n_high"),
+        F.count(F.lit(1)).alias("n"),
+    )
