@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 import lstore_spark
-from lstore_spark.registry import ORACLE, QUERIES
+from lstore_spark.registry import ORACLE, QUERIES, sweep_order
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -32,12 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so a
+    budget-truncated sweep verifies never-checked keys first and hits the
+    slow side-effect keys last (see ``lstore_spark.registry.sweep_order``)."""
+    return {k: QUERIES[k] for k in sweep_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every hash-checkable query; keys absent
     here (streaming sinks, approximate/algorithmic ops) get the driver's
     weaker rows-only check."""
-    return dict(ORACLE)
+    return {k: ORACLE[k] for k in sweep_order(ORACLE)}

@@ -192,7 +192,10 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        len(embedding) AS dim,
        CAST(embedding[1] AS DOUBLE) AS first_elem,
-       list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE) * 2, 6)) AS head3_x2,
+       array_to_string(list_transform(embedding[1:3],
+                                      x -> CAST(trunc(CAST(x AS DOUBLE) * 2 * 1000000.0)
+                                                AS BIGINT)), ',')
+         AS head3_x2_u6,
        len(list_filter(embedding, x -> x > 0)) AS n_pos,
        round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
        list_contains(list_transform(embedding, x -> CAST(x AS DOUBLE) > 0.5),
@@ -212,8 +215,18 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size(e).alias("dim"),
         F.element_at(e, 1).cast("double").alias("first_elem"),
-        F.transform(F.slice(e, 1, 3),
-                    lambda x: F.round(x.cast("double") * 2, 6)).alias("head3_x2"),
+        # Joined to a CSV string of microunit BIGINTs: the driver
+        # canonicalizer can't hash array cells (q_agg_collect,
+        # CORRECTNESS_r01), and double→string formatting differs across
+        # engines (Spark prints 4.1E-4, DuckDB 0.00041).  double→BIGINT
+        # cast truncates in Spark, matching DuckDB's trunc().
+        F.array_join(
+            F.transform(
+                F.slice(e, 1, 3),
+                lambda x: (x.cast("double") * 2 * 1000000.0).cast("bigint"),
+            ),
+            ",",
+        ).alias("head3_x2_u6"),
         F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
         F.round(
             F.aggregate(as_dbl, F.lit(0.0), lambda acc, x: acc + x), 4
@@ -226,7 +239,8 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_map",
     oracle="""
 SELECT event_id,
-       list_sort(map_keys(MAP {'type': event_type, 'k': props->>'$.k'}))
+       array_to_string(
+         list_sort(map_keys(MAP {'type': event_type, 'k': props->>'$.k'})), ',')
          AS keys_sorted,
        element_at(MAP {'type': event_type, 'k': props->>'$.k'}, 'k')[1]
          AS k_val,
@@ -246,7 +260,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(m, "k").alias("k_val"),
         F.size(m).alias("n_keys"),
     )

@@ -25,8 +25,10 @@ WITH amax AS (
   FROM embeddings
 )
 SELECT vec_id, a AS amax,
-       list_transform(embedding,
-           x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0 / a) AS INT)) AS q8
+       array_to_string(
+         list_transform(embedding,
+             x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0 / a) AS INT)), ',')
+         AS q8
 FROM amax
 """,
 )
@@ -41,12 +43,18 @@ def q_llm_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, v))
     """).alias("amax")
     with_amax = em.select("vec_id", "embedding", amax)
+    # Joined to a CSV string: the driver canonicalizer can't hash array
+    # cells (CORRECTNESS_r01 q_agg_collect TypeError); int elements
+    # stringify identically in both engines.
     return with_amax.select(
         "vec_id", "amax",
-        F.expr("""
-            transform(embedding,
-                      x -> CAST(CAST(x AS DOUBLE) * 127.0D / amax AS INT))
-        """).alias("q8"),
+        F.array_join(
+            F.expr("""
+                transform(embedding,
+                          x -> CAST(CAST(x AS DOUBLE) * 127.0D / amax AS INT))
+            """),
+            ",",
+        ).alias("q8"),
     )
 
 
@@ -66,7 +74,10 @@ dims AS (
          COUNT(*) AS n
   FROM elems GROUP BY label, i
 )
-SELECT label, MIN(n) AS n_vectors, list(c ORDER BY i) AS centroid
+SELECT label, MIN(n) AS n_vectors,
+       array_to_string(
+         list(CAST(trunc(c * 1000000.0) AS BIGINT) ORDER BY i), ',')
+         AS centroid_u6
 FROM dims GROUP BY label
 """,
 )
@@ -84,11 +95,22 @@ def q_llm_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count("v")).alias("c"),
         F.count(F.lit(1)).alias("n"),
     )
+    # Centroid elements are projected to microunit BIGINTs before the CSV
+    # join: identical doubles → identical integers → identical strings,
+    # sidestepping double→string formatting differences between engines
+    # (and the driver canonicalizer's inability to hash array cells).
     return (
         dims.groupBy("label")
         .agg(
             F.min("n").alias("n_vectors"),
-            F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
-            .alias("centroid"),
+            F.array_join(
+                F.expr(
+                    # Spark double→BIGINT cast truncates toward zero, same
+                    # as DuckDB's trunc(); a decimal cast would round.
+                    "transform(array_sort(collect_list(struct(i, c))), "
+                    "s -> CAST(s.c * 1000000.0D AS BIGINT))"
+                ),
+                ",",
+            ).alias("centroid_u6"),
         )
     )

@@ -261,8 +261,8 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
 SELECT user_id,
-       list(event_type ORDER BY event_type, event_id) AS types_all,
-       list_sort(list(DISTINCT event_type)) AS types_set
+       array_to_string(list(event_type ORDER BY event_type, event_id), ',') AS types_all,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_set
 FROM events
 WHERE user_id < 20
 GROUP BY user_id
@@ -270,14 +270,23 @@ GROUP BY user_id
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list / collect_set, order-stabilized with sort_array so the
-    value hash is deterministic (SURVEY.md §5.2 discipline)."""
+    value hash is deterministic (SURVEY.md §5.2 discipline).
+
+    The aggregates build true array<string> columns; the final projection
+    joins them to CSV strings because the driver's canonicalizer (pandas
+    ``sort_values`` over object columns) cannot hash ndarray cells
+    (CORRECTNESS_r01 ``q_agg_collect`` TypeError)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.filter(F.col("user_id") < 20)
         .groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_list("event_type")).alias("types_all"),
-            F.sort_array(F.collect_set("event_type")).alias("types_set"),
+            F.array_join(
+                F.sort_array(F.collect_list("event_type")), ","
+            ).alias("types_all"),
+            F.array_join(
+                F.sort_array(F.collect_set("event_type")), ","
+            ).alias("types_set"),
         )
     )
 

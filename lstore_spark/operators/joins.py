@@ -274,31 +274,58 @@ FROM matched WHERE rn = 1
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event → latest order of that user at-or-before the
     event time (lstore consumers do this against reference tables; SURVEY
-    §2.3).  Formulated as range join + ROW_NUMBER()=1 with a total
-    tie-break, identical in both engines.
+    §2.3).
 
-    Scale path: when the probe side is a 100 TB stream, replace with the
-    union-and-LAST(ignoreNulls) window trick over a bucketed sort — no row
-    multiplication.  Here user populations are small so the range join +
-    dedup is the clearer plan and AQE keeps it broadcast.
+    Scale-safe plan (VERDICT r1 item 3): UNION the two slim inputs tagged
+    by side, sort each user's timeline once, and carry the latest order
+    forward with ``last(..., ignoreNulls)`` over a running-rows frame.
+    One shuffle on ``user_id``, no broadcast of either fact table, and —
+    unlike the range-join + ROW_NUMBER formulation — **zero row
+    multiplication**: every event stays exactly one row no matter how
+    many prior orders the user has.
+
+    Within a user's timeline, orders sort before events at equal
+    timestamp (``is_event`` 0 < 1) so an order placed exactly at the
+    event time is visible (the ``<=`` bound), and equal-date orders sort
+    by ``o_orderkey`` ascending so ``last()`` picks the max key — the
+    same total tie-break as the oracle's ROW_NUMBER ``DESC, DESC``.
     """
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("event_id") < 2000)
           .select("event_id", "user_id", "value", "ts"))
     od = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate")
-    j = ev.join(
-        F.broadcast(od),
-        (od.o_custkey == ev.user_id) & (od.o_orderdate <= ev.ts),
-        "left",
+
+    ev_u = ev.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("is_event"),
+        "event_id", "value",
+        F.lit(None).cast("long").alias("ord_key"),
+        F.lit(None).cast("timestamp_ntz").alias("ord_date"),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    od_u = od.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"), F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("o_orderkey").alias("ord_key"),
+        F.col("o_orderdate").alias("ord_date"),
+    )
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event", "ord_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "value", "o_orderkey",
-                F.col("o_orderdate").cast("date").alias("asof_date"))
+        od_u.unionByName(ev_u)
+        .withColumn("asof_key", F.last("ord_key", ignorenulls=True).over(w))
+        .withColumn("asof_dt", F.last("ord_date", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id", "user_id", "value",
+            F.col("asof_key").alias("o_orderkey"),
+            F.col("asof_dt").cast("date").alias("asof_date"),
+        )
     )
 
 

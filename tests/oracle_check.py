@@ -54,6 +54,27 @@ def canon_cell(v) -> str:
     return str(v)
 
 
+def driver_canon(cols: list[str], rows: list[tuple]):
+    """Replica of the DRIVER's canonicalizer (the CORRECTNESS sweep):
+    a pandas ``sort_values`` over all columns in name order, with **no**
+    special handling for array/map cells — so an output column holding
+    ndarray/list cells raises TypeError here exactly as it did in the
+    driver (CORRECTNESS_r01 ``q_agg_collect``:
+    ``TypeError: unhashable type: 'numpy.ndarray'``).
+
+    ``compare()`` runs this on both engines' results purely as a
+    crash-check, so the "array-typed oracle output" failure class can
+    never regress silently again.
+    """
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=cols)
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
 def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
@@ -87,6 +108,13 @@ def compare(key: str, spark_df, con, sql: str, max_report: int = 5) -> CompareRe
     if len(s_rows) != len(d_rows):
         res.ok = False
         res.detail = f"rowcount: spark={len(s_rows)} duck={len(d_rows)}"
+        return res
+    try:
+        driver_canon(s_cols, s_rows)
+        driver_canon(d_cols, d_rows)
+    except Exception as e:  # the driver would record this key as err
+        res.ok = False
+        res.detail = f"driver-style canonicalizer crash: {type(e).__name__}: {e}"
         return res
     cs = canon_rows(s_cols, s_rows)
     cd = canon_rows(d_cols, d_rows)

@@ -44,11 +44,20 @@ def test_merge_hint_gives_sort_merge(spark, sf_dir):
     "q_join_theta_range", "q_join_interval_range", "q_join_asof"])
 def test_banded_nonequi_joins_avoid_nested_loop(spark, sf_dir, key):
     p = _plan(spark, sf_dir, key)
-    # as-of keeps its equi key → hash join with range residual; the banded
-    # rewrites must never degrade to a cartesian/nested loop.
+    # the banded rewrites must never degrade to a cartesian/nested loop.
     assert "CartesianProduct" not in p
-    if key != "q_join_asof":
-        assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_join_is_union_window_no_join(spark, sf_dir):
+    """VERDICT r1 item 3: the as-of plan must be union + running last()
+    — no join operator at all (so no fact-table broadcast and no
+    pre-dedup row multiplication), exactly one user_id shuffle."""
+    p = _plan(spark, sf_dir, "q_join_asof")
+    assert "Join" not in p, p
+    assert "Union" in p and "Window" in p
+    # one Exchange for the window partitioning (plus nothing else)
+    assert p.count("Exchange hashpartitioning") == 1, p
 
 
 def test_groupby_is_two_phase(spark, sf_dir):
