@@ -3,6 +3,7 @@ the 100 TB design requires, verified on the local corpus."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -10,6 +11,13 @@ from pyspark.sql import functions as F
 
 from lstore_spark.catalog import load_table
 from lstore_spark import scale
+
+# ~sf1 corpus (20k embeddings / 50k documents); regenerate with
+# `python scripts/make_sfbig.py` if absent.
+SFBIG = os.environ.get("SFBIG_DIR", "/tmp/sfbig")
+needs_sfbig = pytest.mark.skipif(
+    not os.path.exists(f"{SFBIG}/embeddings.parquet"),
+    reason="sfbig corpus not materialized (run scripts/make_sfbig.py)")
 
 
 def _plan(df) -> str:
@@ -116,3 +124,78 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     before_agg = plan.split("HashAggregate")[-1]  # join subtree sits below agg
     assert "Exchange hashpartitioning" not in before_agg, before_agg[:1200]
     assert j.count() > 0
+
+
+@needs_sfbig
+def test_hyperplane_lsh_scale_recall_and_occupancy(spark):
+    """VERDICT r1 #6: LSH sizing must hold at 20k vectors, not just the
+    500-vector fixture.  Plant 200 near-duplicate copies (deterministic
+    ±2% element perturbation → cos ≈ 0.999) into the sfbig embeddings,
+    size the LSH from the formula at tau=0.9, and require:
+
+    - recall ≥ 0.9 on the planted (orig, copy) pairs;
+    - bucket occupancy near the target (the corpus-size-adaptive bits
+      actually bound the buckets);
+    - a sub-quadratic candidate set.
+    """
+    from lstore_spark.llm.similarity import (
+        hyperplane_band_rows, hyperplane_lsh_params)
+
+    em = (spark.read.parquet(f"{SFBIG}/embeddings.parquet")
+          .select("vec_id", "embedding"))
+    n = em.count()
+    base = em.orderBy("vec_id").limit(200)
+    planted = base.select(
+        (F.col("vec_id") + 100_000_000).alias("vec_id"),
+        F.expr("""
+            transform(embedding, (x, i)
+                -> CAST(x AS FLOAT)
+                   * CAST(1.0 + 0.02 * (CAST(hash(vec_id, i) % 2 = 0
+                                             AS DOUBLE) * 2 - 1) AS FLOAT))
+        """).alias("embedding"))
+    corpus = em.unionByName(planted).localCheckpoint()
+
+    target_occ = 128
+    bits, bands = hyperplane_lsh_params(n + 200, tau=0.9,
+                                        target_recall=0.9,
+                                        target_occupancy=target_occ)
+    assert bits >= 7, "20k corpus must get more bucket bits than the 500-row fixture"
+
+    rows = hyperplane_band_rows(corpus, "vec_id", "embedding", bits, bands)
+    occ = (rows.groupBy("band", "bkt").count()
+           .agg(F.avg("count").alias("avg"), F.max("count").alias("mx"))
+           .collect()[0])
+    assert occ["avg"] <= 8 * target_occ, f"avg bucket occupancy {occ['avg']}"
+
+    a = rows.select(F.col("vec_id").alias("id_a"), "band", "bkt")
+    b = rows.select(F.col("vec_id").alias("id_b"), "band", "bkt")
+    cands = (a.join(b, ["band", "bkt"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    planted_caught = cands.filter(
+        F.col("id_b") - F.col("id_a") == 100_000_000).count()
+    recall = planted_caught / 200.0
+    assert recall >= 0.9, f"planted-pair recall {recall:.2f}"
+    n_cands = cands.count()
+    assert n_cands < (n + 200) * 1000, f"candidate set too dense: {n_cands}"
+
+
+@needs_sfbig
+def test_minhash_lsh_scale_recall(spark):
+    """MinHash banding sized by minhash_lsh_params must catch planted
+    textual near-duplicates at 50k docs."""
+    from lstore_spark.llm.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = (spark.read.parquet(f"{SFBIG}/documents.parquet")
+            .select("doc_id", "text"))
+    base = docs.orderBy("doc_id").limit(100)
+    planted = base.select(
+        (F.col("doc_id") + 100_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended tail token")).alias("text"))
+    corpus = docs.unionByName(planted).localCheckpoint()
+
+    sig = minhash_signatures(corpus)
+    pairs = lsh_candidate_pairs(sig)
+    caught = pairs.filter(
+        F.col("id_b") - F.col("id_a") == 100_000_000).count()
+    assert caught >= 90, f"planted near-dup recall {caught}/100"
