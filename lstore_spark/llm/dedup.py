@@ -354,6 +354,13 @@ def dedup_clusters(doc_ids: DataFrame, pairs: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # A chain with graph diameter > max_iters would return silently
+        # wrong clusters (ADVICE r1) — fail loudly instead.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — the "
+            "graph has a longer near-duplicate chain than expected")
     return labels
 
 

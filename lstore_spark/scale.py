@@ -41,7 +41,10 @@ def salted_join(skewed: DataFrame, other: DataFrame, key: str,
     join every unmatched ``other`` row would surface once per salt
     replica (n_salts duplicates), so those modes are rejected.
     """
-    if how.replace("outer", "").strip("_") in {"right", "full"}:
+    # Explicit membership over every Spark alias — 'outer' alone is a
+    # full-outer alias and must be rejected too (ADVICE r1).
+    if how.lower().replace("_", "") in {
+            "outer", "full", "fullouter", "right", "rightouter"}:
         raise ValueError(
             f"salted_join does not support how={how!r}: unmatched rows of "
             "the replicated side would appear once per salt")
@@ -84,21 +87,31 @@ def compact_partition(spark: SparkSession, path: str, day: str,
     """Compact one day-partition's small files into ``target_files``
     ts-sorted files — the lstore indexer's raw→indexed segment compaction
     (many small appends become one scan-efficient segment with tight
-    row-group stats).  Returns the resulting file count.  Writes to a
-    sibling temp dir then atomically swaps, so readers never see a
-    half-compacted partition."""
+    row-group stats).  Returns the resulting file count.
+
+    Swap discipline (ADVICE r1): the compacted files are written to a
+    SIBLING dir inside the table root — same filesystem, so the two
+    ``os.rename`` calls below are true renames, never copies — and the
+    partition is absent only between those two renames (a metadata-op
+    window, not a data-copy window).  A concurrent reader can still
+    observe that gap; full snapshot isolation needs a table format with
+    atomic commits (Iceberg/Delta), which this layout deliberately
+    predates — it mirrors lstore's single-writer segment swap."""
     import shutil
-    import tempfile as _tf
 
     base = path.removeprefix("file:")
     part = os.path.join(base, f"day={day}")
     df = spark.read.parquet(part)
-    tmp = _tf.mkdtemp(prefix="lstore_compact_")
+    tmp = os.path.join(base, f".compact_tmp_day={day}")
+    old = os.path.join(base, f".compact_old_day={day}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     (df.repartition(target_files)
        .sortWithinPartitions("ts")
        .write.mode("overwrite").parquet(tmp))
-    shutil.rmtree(part)
-    shutil.move(tmp, part)
+    os.rename(part, old)
+    os.rename(tmp, part)
+    shutil.rmtree(old)
     return len([f for f in os.listdir(part) if f.endswith(".parquet")])
 
 

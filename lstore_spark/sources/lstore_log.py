@@ -26,7 +26,12 @@ import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..catalog import load_table
 from ..registry import query
@@ -87,6 +92,9 @@ class LstoreLogDataSource(DataSource):
     def reader(self, schema) -> "LstoreLogReader":
         return LstoreLogReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "LstoreLogStreamReader":
+        return LstoreLogStreamReader(self.options)
+
 
 class LstoreLogReader(DataSourceReader):
     def __init__(self, options):
@@ -103,6 +111,42 @@ class LstoreLogReader(DataSourceReader):
     def read(self, partition):
         for offset, ints, blobs in read_segment_file(partition.value):
             yield (offset, ints, blobs)
+
+
+class LstoreLogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail over a segment directory — the lstore consumer
+    model made literal: the stream's offset IS the store's row offset
+    (monotone int64 cursor, SURVEY.md §1.1), and each micro-batch is
+    "every record appended past my cursor", lstore's blocking tail read.
+
+    A producer appends segment files; ``read(start)`` scans past the
+    cursor and advances it; ``readBetweenOffsets`` replays a committed
+    range deterministically after restart (offsets are stable because
+    the log is append-only)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def initialOffset(self) -> dict:
+        return {"offset": -1}
+
+    def _records_after(self, lo: int, hi: int | None = None):
+        for fn in sorted(os.listdir(self.path)):
+            if not fn.endswith(".seg"):
+                continue
+            for offset, ints, blobs in read_segment_file(
+                    os.path.join(self.path, fn)):
+                if offset > lo and (hi is None or offset <= hi):
+                    yield offset, ints, blobs
+
+    def read(self, start: dict):
+        lo = start["offset"]
+        rows = list(self._records_after(lo))
+        hi = max((r[0] for r in rows), default=lo)
+        return iter(rows), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._records_after(start["offset"], end["offset"]))
 
 
 def _package_zip() -> str:

@@ -143,3 +143,21 @@ def test_exact_dedup_keeps_min_doc_id(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     kept = out.agg(F.sum("n_copies")).collect()[0][0]
     assert kept == n_docs  # every doc accounted for exactly once
+
+
+def test_oracle_range_caps_cover_corpus(duck):
+    """ADVICE r1: several DuckDB oracles bound token positions with
+    constant range() tables — range(1, 256) shingle/ngram/UDTF positions
+    (truncates past 257 tokens) and range(0, 64) chunk ids (truncates
+    past 1 + 64·24 tokens).  The Spark implementations are unbounded, so
+    a longer document would make the oracle silently diverge.  Fail
+    loudly here instead: the corpus under test must stay below the caps.
+    """
+    from lstore_spark.llm.text import _DUCK_TOKENS
+
+    mx = duck.execute(
+        f"SELECT max(len({_DUCK_TOKENS})) FROM documents").fetchone()[0]
+    assert mx <= 255, (
+        f"max doc token count {mx} exceeds the range(1, 256) oracle cap — "
+        "raise the caps in dedup/text/udfs oracles")
+    assert mx <= 1 + 64 * 24, "chunk-id oracle cap range(0, 64) exceeded"
