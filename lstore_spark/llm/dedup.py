@@ -205,6 +205,64 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PORTABLE_MINHASH_K = 8
+
+# Portable 3-shingle builders (identical semantics in both engines):
+# docs with <3 tokens contribute one whole-text shingle so every doc has
+# a signature (the murmur3 builder pads with '' instead — fine for the
+# rows-only hot path, but the oracle-checked twin must match exactly).
+_SPARK_SHINGLES_OR_WHOLE = """
+    if(size(ts) >= 3,
+       transform(sequence(1, size(ts) - 2),
+                 i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1),
+                             ' ', element_at(ts, i + 2))),
+       array(array_join(ts, ' ')))"""
+_DUCK_SHINGLES_OR_WHOLE = """
+    CASE WHEN len(ts) >= 3
+         THEN list_transform(generate_series(1, len(ts) - 2),
+                             i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
+         ELSE [array_to_string(ts, ' ')] END"""
+
+
+@query(
+    "q_llm_dedup_minhash_portable",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id, ({_DUCK_SHINGLES_OR_WHOLE}) AS shs FROM tok
+)
+SELECT doc_id,
+       {", ".join(
+           f"list_min(list_transform(shs, s -> md5('{p}:' || s))) AS mh{p}"
+           for p in range(_PORTABLE_MINHASH_K))}
+FROM sh
+""",
+)
+def q_llm_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with a PORTABLE hash so the whole
+    shingle→permute→min pipeline is DuckDB-hash-verified (the murmur3
+    hot path in ``minhash_signatures`` is rows-only by necessity —
+    engine-specific hash).  Each permutation p keeps the minimum md5 hex
+    string of 'p:'-salted 3-shingles; lexicographic min of fixed-width
+    lowercase hex == numeric min, so the string itself is the signature.
+    Same shape as the hot path: pure projection over the scan, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
+        .select("doc_id", F.expr(_SPARK_SHINGLES_OR_WHOLE).alias("shs"))
+        .select(
+            "doc_id",
+            *[F.expr(
+                f"array_min(transform(shs, s -> md5(concat('{p}:', s))))"
+              ).alias(f"mh{p}")
+              for p in range(_PORTABLE_MINHASH_K)],
+        )
+    )
+
+
 # SimHash: 16 bits from the first 4 md5 hex digits of each token,
 # weighted ±1 by token multiplicity — same SQL text in both engines.
 def _simhash_bit_sums() -> list[str]:

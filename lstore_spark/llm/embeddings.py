@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from .similarity import cosine
 
 
 @query(
@@ -114,3 +115,76 @@ def q_llm_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_u6"),
         )
     )
+
+@query(
+    "q_llm_emb_ivf_assign",
+    oracle="""
+WITH elems AS (
+  SELECT label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i,
+         CAST(CAST(SUM(CAST(v AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(v) AS c
+  FROM elems GROUP BY label, i
+),
+vec AS (
+  SELECT vec_id, label AS own_label,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT vec.vec_id, vec.own_label, cent.label AS cand_label,
+         ROUND(SUM(vec.v * cent.c)
+               / (sqrt(SUM(vec.v * vec.v)) * sqrt(SUM(cent.c * cent.c))),
+               6) AS cos_sim
+  FROM vec JOIN cent ON vec.i = cent.i
+  GROUP BY vec.vec_id, vec.own_label, cent.label
+),
+best AS (
+  SELECT vec_id, own_label, cand_label, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, cand_label) AS rn
+  FROM pairs
+)
+SELECT vec_id, own_label, cand_label AS ivf_label, cos_sim
+FROM best WHERE rn = 1
+""",
+)
+def q_llm_emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment: route every vector to its
+    nearest centroid (built per label, exact-decimal means as in
+    q_llm_emb_centroid).  This is the partition-routing step of an IVF
+    ANN index: at 100 TB the centroid table is tiny (n_lists rows) and
+    BROADCASTS across the corpus scan; the argmax is a map-side-combined
+    ``max_by`` per vector — one narrow shuffle of (vec_id, best) rows,
+    nothing quadratic.  Tie-break: lowest candidate label."""
+    em = load_table(spark, sf_dir, "embeddings")
+    elems = em.select(
+        "label", F.posexplode("embedding").alias("i", "v")
+    ).select("label", "i", F.col("v").cast("double").alias("v"))
+    cent = elems.groupBy("label", "i").agg(
+        (F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
+         / F.count("v")).alias("c"))
+    cvecs = (
+        cent.groupBy("label")
+        .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), "
+                    "s -> s.c)").alias("cvec"))
+        .select(F.col("label").alias("cand_label"), "cvec")
+    )
+    pairs = (
+        em.select("vec_id", F.col("label").alias("own_label"), "embedding")
+        .crossJoin(F.broadcast(cvecs))
+        .select("vec_id", "own_label", "cand_label",
+                cosine("embedding", "cvec").alias("cos_sim"))
+    )
+    best = pairs.groupBy("vec_id", "own_label").agg(
+        F.expr("max_by(struct(cand_label, cos_sim), "
+               "struct(cos_sim, -cand_label))").alias("b"))
+    return best.select(
+        "vec_id", "own_label",
+        F.col("b.cand_label").alias("ivf_label"),
+        F.col("b.cos_sim").alias("cos_sim"))

@@ -87,6 +87,28 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_source_orc_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_id < 1000
+""",
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip: the second columnar format Spark ships
+    natively (row-group stats + optional blooms like parquet); an
+    lstore-style store exported for a Hive-era consumer goes through
+    exactly this path.  Oracle compares against the original parquet."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 1000)
+          .select("event_id", "user_id", "event_type", "value"))
+    out = tempfile.mkdtemp(prefix="lstore_spark_orc_")
+    (ev.write.mode("overwrite")
+       .option("orc.bloom.filter.columns", "event_type")
+       .orc(out))
+    return spark.read.schema(_RT_SCHEMA).orc(out)
+
+
+@query(
     "q_source_json_roundtrip",
     oracle="""
 SELECT event_id, user_id, event_type, value
