@@ -124,6 +124,40 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fn_bitwise",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS lo_byte,
+       event_id | 4096 AS with_flag,
+       xor(event_id, user_id) AS x,
+       event_id << 3 AS shl,
+       event_id >> 2 AS shr,
+       CAST(bit_count(event_id) AS INT) AS popcnt,
+       ~event_id AS inverted
+FROM events WHERE event_id < 5000
+""",
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family over int64 columns — the reference's entries are
+    positional int64 slots (SURVEY §1.1), where flag masks and packed
+    fields live in exactly these ops.  All exact integer semantics,
+    identical across engines (operands kept non-negative so shift
+    behavior can't diverge)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    e, u = F.col("event_id"), F.col("user_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        e.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        e.bitwiseXOR(u).alias("x"),
+        F.shiftleft(e, 3).alias("shl"),
+        F.shiftright(e, 2).alias("shr"),
+        F.bit_count(e).alias("popcnt"),
+        F.bitwise_not(e).alias("inverted"),
+    )
+
+
+@query(
     "q_fn_conditional",
     oracle="""
 SELECT event_id,

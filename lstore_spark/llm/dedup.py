@@ -365,6 +365,45 @@ def q_llm_dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_llm_dedup_editdist",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, substr(text, 1, 40) AS prefix
+  FROM documents WHERE doc_id < 30
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.prefix, b.prefix) AS edit_dist,
+       ROUND(1.0 - levenshtein(a.prefix, b.prefix)
+             / greatest(len(a.prefix), len(b.prefix), 1), 6) AS edit_sim
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+""",
+)
+def q_llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Levenshtein distance on a bounded doc slice (40-char
+    prefixes): the character-level exact verifier that runs BEHIND
+    LSH/minhash candidate pruning for fuzzy dedup — edit distance is
+    O(len²) per pair, so at 100 TB it only ever sees candidate pairs,
+    never the corpus cross product (the bounded slice here mirrors
+    that).  Classic DP semantics, identical in both engines."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 30)
+            .select("doc_id", F.substring("text", 1, 40).alias("prefix")))
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    dist = F.levenshtein("pa", "pb")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", dist.alias("edit_dist"),
+            F.round(
+                1.0 - dist / F.greatest(F.length("pa"), F.length("pb"), F.lit(1)),
+                6).alias("edit_sim"),
+        )
+    )
+
+
 def dedup_clusters(doc_ids: DataFrame, pairs: DataFrame,
                    max_iters: int = 20) -> DataFrame:
     """Connected components over a near-duplicate candidate-pair graph:

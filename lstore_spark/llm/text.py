@@ -294,6 +294,37 @@ def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_HASH = sql_md5_long("concat('split:', CAST(doc_id AS VARCHAR))", 8)
+
+
+@query(
+    "q_llm_text_split",
+    oracle=f"""
+SELECT doc_id, lang,
+       {_SPLIT_HASH} % 1000 AS bucket,
+       CASE WHEN {_SPLIT_HASH} % 1000 < 900 THEN 'train'
+            WHEN {_SPLIT_HASH} % 1000 < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_llm_text_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by portable
+    salted hash of doc_id: stable across runs, engines, retries and
+    re-partitionings — the property a 100 TB split MUST have so a doc
+    never migrates between splits when the pipeline reruns.  The salt
+    decorrelates the split from the sampling hash in
+    q_llm_sample_stratified (same helper, different stream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark concat() matches the SQL text modulo STRING/VARCHAR spelling.
+    h = F.expr(sql_md5_long("concat('split:', CAST(doc_id AS STRING))", 8)) % 1000
+    return docs.select(
+        "doc_id", "lang", h.alias("bucket"),
+        F.when(h < 900, "train").when(h < 950, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
 @query(
     "q_llm_text_redact",
     oracle=r"""
