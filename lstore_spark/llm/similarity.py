@@ -152,18 +152,25 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_TAU_PAIRS}
 """,
 )
 def q_llm_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs similarity self-join (cos ≥ τ) on a bounded slice.
-    τ=0.30 yields a non-trivial result on the random-unit-vector fixture
-    (max pairwise cos ≈ 0.51).  At scale this goes through LSH candidate
-    buckets first — see q_llm_sim_lsh_topk — since exact all-pairs is
-    quadratic by definition."""
+    """Similarity self-join (cos ≥ τ) on a bounded slice, candidates via
+    hyperplane LSH (equi-join on (band, bucket) — no crossJoin) with
+    exact cosine re-rank; the all-pairs DuckDB oracle hash-verifies the
+    result, certifying the LSH stage's recall at test scale.  τ=0.30
+    yields a non-trivial result on the random-unit-vector fixture (max
+    pairwise cos ≈ 0.51); at such a low τ the size-adaptive formula
+    honestly allocates many cheap 1-bit bands — at a production τ≈0.95
+    it allocates selective multi-bit bands instead."""
     em = (load_table(spark, sf_dir, "embeddings")
           .filter(F.col("vec_id") < 200))
+    n = em.count()
+    cands = hyperplane_candidate_pairs(
+        em, "vec_id", "embedding", n_rows=n,
+        tau=_TAU_PAIRS, target_recall=1.0 - 1e-6)
     a = em.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
     b = em.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", cosine("a_emb", "b_emb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= _TAU_PAIRS)
     )

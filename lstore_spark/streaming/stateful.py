@@ -12,6 +12,14 @@ groupBy shuffle; each micro-batch touches only keys present in the batch.
 With real unbounded streams add a timeout/TTL policy (GroupStateTimeout)
 so abandoned keys age out — here the bounded availableNow drain keeps
 state finite by construction.
+
+Spark 4's successor API (``transformWithStateInPandas`` +
+StatefulProcessor) was probed in this environment and fails at stream
+start: its driver-side runner needs the ``google.protobuf`` Python
+package, which is broken in this container and cannot be installed
+(STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError
+'descriptor').  applyInPandasWithState is the supported stateful path
+here; the processor shape ports 1:1 when protobuf is available.
 """
 
 from __future__ import annotations
