@@ -492,6 +492,7 @@ WITH pairs AS (
            6) AS cos_sim
   FROM embeddings a
   JOIN embeddings b ON a.vec_id < b.vec_id
+                   AND a.vec_id < 2000 AND b.vec_id < 2000
   CROSS JOIN generate_series(1, 64) AS g(i)
   GROUP BY a.vec_id, b.vec_id
 )
@@ -511,10 +512,17 @@ def q_llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     random unit vectors, max pairwise cos≈0.51) the formula honestly
     allocates many cheap bands, at a production τ≈0.95 it allocates
     selective multi-bit bands instead.  Candidates shuffle as narrow
-    (id, band, bucket) rows; vectors rejoin only for surviving pairs."""
+    (id, band, bucket) rows; vectors rejoin only for surviving pairs.
+
+    The slice is bounded (vec_id < 2000) because the certifying oracle
+    is all-pairs — quadratic in BOTH engines at any corpus size; the
+    unbounded production path is the same machinery at τ≥0.9, where the
+    planted-duplicate test at 20k vectors (tests/test_scale.py) is the
+    scale evidence."""
     from .similarity import hyperplane_candidate_pairs
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = (load_table(spark, sf_dir, "embeddings")
+          .filter(F.col("vec_id") < 2000))
     n = em.count()
     cands = hyperplane_candidate_pairs(
         em, "vec_id", "embedding", n_rows=n,

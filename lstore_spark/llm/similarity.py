@@ -236,6 +236,7 @@ def hyperplane_lsh_params(
     tau: float,
     target_recall: float = 0.9999,
     target_occupancy: int = 128,
+    max_planes: int = 256,
 ) -> tuple[int, int]:
     """Compute (bits_per_band, n_bands) from corpus size and similarity
     threshold instead of freezing fixture-tuned constants.
@@ -251,18 +252,34 @@ def hyperplane_lsh_params(
 
     At production thresholds (τ≈0.95 → p≈0.90) this yields e.g.
     (15 bits, ~40 bands) for a 10^7-vector corpus — selective buckets AND
-    high recall.  At the fixture's low τ the formula honestly returns few
-    bits and many bands (low τ gives LSH little signal to work with —
-    that is the math, not a tuning artifact).
+    high recall.  At low τ the formula honestly returns few bits and many
+    bands (low τ gives LSH little signal to work with — that is the
+    math, not a tuning artifact).
+
+    ``max_planes`` caps bits·bands: an unbounded formula at (low τ, high
+    recall, large n) runs away — e.g. τ=0.40 / recall 1-1e-6 / n=20k
+    wants 8 bits × 544 bands ≈ 4350 signature expressions, which no plan
+    compiler (or cluster) should be asked to execute.  Under the cap,
+    bits step down first (coarser buckets need fewer bands for the same
+    recall); if even 1-bit bands can't reach the recall target inside
+    the cap, bands clamp to the cap — surfacing that hyperplane LSH
+    cannot be both selective and complete in that regime (production
+    near-dup thresholds τ≥0.9 sit comfortably inside it).
     """
     p = 1.0 - math.acos(max(-1.0, min(1.0, tau))) / math.pi
     bits = max(1, math.ceil(math.log2(max(n_rows / target_occupancy, 2.0))))
-    p_band = p ** bits
-    if p_band >= 1.0:
-        return bits, 1
-    bands = math.ceil(
-        math.log(max(1.0 - target_recall, 1e-12)) / math.log(1.0 - p_band))
-    return bits, max(1, bands)
+    log_miss = math.log(max(1.0 - target_recall, 1e-12))
+
+    def bands_for(b: int) -> int:
+        p_band = p ** b
+        if p_band >= 1.0:
+            return 1
+        return max(1, math.ceil(log_miss / math.log(1.0 - p_band)))
+
+    while bits > 1 and bits * bands_for(bits) > max_planes:
+        bits -= 1
+    bands = min(bands_for(bits), max(1, max_planes // bits))
+    return bits, bands
 
 
 def hyperplane_band_rows(df: DataFrame, id_col: str, vec_col: str,
@@ -331,8 +348,10 @@ def q_llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-k is asserted in pytest (rows-only for the driver)."""
     em = load_table(spark, sf_dir, "embeddings")
     n = em.count()
+    # Design similarity 0.9: the production ANN/near-dup regime, where
+    # banding is selective — and the plane budget stays small at any n.
     cands = hyperplane_candidate_pairs(
-        em, "vec_id", "embedding", n_rows=n, tau=0.5, target_recall=0.95)
+        em, "vec_id", "embedding", n_rows=n, tau=0.9, target_recall=0.95)
     a = em.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
     b = em.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
     ranked = (
