@@ -87,6 +87,8 @@ _FEATURE_SCHEMA = StructType([
     StructField("format", StringType()),
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
+    StructField("resized_w", IntegerType()),
+    StructField("resized_h", IntegerType()),
 ])
 
 _REAL_DECODE = False  # no image/audio codecs in this container
@@ -113,16 +115,26 @@ def _hex_byte(expr: str, i: int) -> str:
     return f"(({hi}) * 16 + ({lo}))"
 
 
+_RESIZE_MAX = 32  # thumbnail bound (longest edge)
+
 _MM_ORACLE = f"""
-WITH h AS (SELECT doc_id, md5(text) AS m FROM documents)
-SELECT doc_id,
-       16 AS n_bytes,
-       CASE {_hex_byte('m', 1)} % 3 WHEN 0 THEN 'png'
-                                    WHEN 1 THEN 'jpeg'
-                                    ELSE 'webp' END AS format,
-       CAST(64 + {_hex_byte('m', 2)} % 64 AS INT) AS width,
-       CAST(64 + {_hex_byte('m', 3)} % 64 AS INT) AS height
-FROM h
+WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+dims AS (
+  SELECT doc_id,
+         16 AS n_bytes,
+         CASE {_hex_byte('m', 1)} % 3 WHEN 0 THEN 'png'
+                                      WHEN 1 THEN 'jpeg'
+                                      ELSE 'webp' END AS format,
+         CAST(64 + {_hex_byte('m', 2)} % 64 AS INT) AS width,
+         CAST(64 + {_hex_byte('m', 3)} % 64 AS INT) AS height
+  FROM h
+)
+SELECT doc_id, n_bytes, format, width, height,
+       CAST(trunc(width * {_RESIZE_MAX} / greatest(width, height)) AS INT)
+         AS resized_w,
+       CAST(trunc(height * {_RESIZE_MAX} / greatest(width, height)) AS INT)
+         AS resized_h
+FROM dims
 """
 
 
@@ -141,13 +153,18 @@ def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fmts, ws, hs, sizes = [], [], [], []
+            fmts, ws, hs, sizes, rws, rhs = [], [], [], [], [], []
             for blob in pdf["media"]:
                 b = bytes(blob)
                 fmt, w, h = _fake_decode(b)
+                # aspect-preserving thumbnail bound (integer floor —
+                # matches the oracle's integer division exactly)
+                m = max(w, h)
                 fmts.append(fmt)
                 ws.append(w)
                 hs.append(h)
+                rws.append(w * _RESIZE_MAX // m)
+                rhs.append(h * _RESIZE_MAX // m)
                 sizes.append(len(b))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
@@ -155,6 +172,79 @@ def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "format": fmts,
                 "width": pd.Series(ws, dtype="int32"),
                 "height": pd.Series(hs, dtype="int32"),
+                "resized_w": pd.Series(rws, dtype="int32"),
+                "resized_h": pd.Series(rhs, dtype="int32"),
             })
 
     return with_blob.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_bytes", IntegerType()),
+    StructField("frame_md5", StringType()),
+])
+
+_FRAME_STRIDE = 2   # keep every 2nd frame
+_N_FRAMES = 4       # synthetic "video" = 4 × 16-byte frames
+
+
+@query(
+    "q_llm_multimodal_framesample",
+    oracle=f"""
+WITH frames AS (
+  SELECT doc_id, i AS frame_idx,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':'
+             || text) AS fhex
+  FROM documents, range(0, {_N_FRAMES}) AS g(i)
+  WHERE i % {_FRAME_STRIDE} = 0
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       16 AS frame_bytes, md5(fhex) AS frame_md5
+FROM frames
+""",
+)
+def q_llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one opaque blob → N frame rows, keeping
+    every ``_FRAME_STRIDE``-th frame (the decode-side data reduction
+    every video training pipeline starts with).  The fixture has no real
+    media, so each document synthesizes a deterministic 4-frame blob
+    (16 md5 bytes per frame); mapInPandas splits the blob, strides, and
+    fingerprints each kept frame — one input row yields several output
+    rows through the Arrow batch iterator, exactly the real codec loop's
+    shape (a real deployment swaps the splitter for ffmpeg keyframe
+    extraction; schema and batching are unchanged)."""
+    docs = load_table(spark, sf_dir, "documents")
+    frame_hex = [
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                          F.lit(str(i)), F.col("text")))
+        for i in range(_N_FRAMES)
+    ]
+    with_blob = docs.select(
+        "doc_id",
+        F.unhex(F.concat(*frame_hex)).cast(BinaryType()).alias("media"))
+
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, hashes = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                n = len(b) // 16
+                for i in range(0, n, _FRAME_STRIDE):
+                    frame = b[i * 16:(i + 1) * 16]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(frame))
+                    # md5 of the frame's hex — portable to the SQL twin
+                    hashes.append(hashlib.md5(frame.hex().encode()).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_bytes": pd.Series(sizes, dtype="int32"),
+                "frame_md5": hashes,
+            })
+
+    return with_blob.mapInPandas(sample, schema=_FRAME_SCHEMA)
