@@ -181,12 +181,27 @@ _BAND = 0.05  # theta-join band width on events.value
 
 @query(
     "q_join_theta_range",
+    # The oracle uses the same band-bucket rewrite (parity by
+    # construction): a plain `abs(a.value-b.value) < eps` join condition
+    # denies DuckDB a hash join too, and its fallback nested loop is
+    # O(n²) — it stalled the ~sf1 sweep at 200k×200k purchase pairs.
+    # The exact residual predicate stays explicit, so the bucketing is
+    # an implementation detail in BOTH engines.
     oracle=f"""
-SELECT a.event_id AS id_a, b.event_id AS id_b, a.value AS value_a, b.value AS value_b
-FROM events a JOIN events b
-  ON a.event_id < b.event_id
+WITH e AS (
+  SELECT event_id, value,
+         CAST(floor(value / {_BAND}) AS BIGINT) AS bkt
+  FROM events WHERE event_type = 'purchase'
+),
+a AS (
+  SELECT event_id, value, unnest([bkt - 1, bkt, bkt + 1]) AS bkt FROM e
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       a.value AS value_a, b.value AS value_b
+FROM a JOIN e b
+  ON a.bkt = b.bkt
+ AND a.event_id < b.event_id
  AND abs(a.value - b.value) < {_BAND}
-WHERE a.event_type = 'purchase' AND b.event_type = 'purchase'
 """,
 )
 def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
