@@ -364,3 +364,58 @@ def q_llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("id_a", "id_b", "cos_sim", "rank")
     )
+
+
+@query("q_llm_sim_ivf_topk")  # rows-only: approximate (nprobe < n_lists by design)
+def q_llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN search — the other classic scale path next
+    to LSH (q_llm_sim_lsh_topk): partition the corpus into coarse lists
+    (here: per-label mean centroids, a deterministic stand-in for k-means
+    — same plan shape), then each query probes only its nprobe nearest
+    lists and exact-cosine re-ranks inside them.
+
+    At 100 TB: the centroid table is n_lists rows → BROADCASTS twice
+    (once to route the corpus, once to route queries); list assignment is
+    one corpus scan with a map-side max_by; the probe join broadcasts
+    (query × nprobe) rows against the list-assigned corpus — the corpus
+    never shuffles at all.  Cost drops from O(|corpus|·|queries|) to
+    O(|corpus|·nprobe/n_lists·|queries|).  Recall vs the exact top-k is
+    asserted in pytest (rows-only for the driver)."""
+    nprobe, k = 3, 5
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    corpus = em.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), "label", F.col("embedding").alias("c_emb"))
+    # Coarse quantizer: per-label mean vectors (n_lists = |labels|).
+    cvecs = (
+        corpus.select("label", F.posexplode("c_emb").alias("i", "v"))
+        .groupBy("label", "i").agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), "
+                    "s -> s.c)").alias("cvec"))
+        .select(F.col("label").alias("list_id"), "cvec")
+    )
+    # Route every corpus vector to its nearest list: one scan, map-side argmax.
+    assigned = (
+        corpus.crossJoin(F.broadcast(cvecs))
+        .select("cand_id", "c_emb", "list_id",
+                cosine("c_emb", "cvec").alias("_s"))
+        .groupBy("cand_id").agg(
+            F.expr("max_by(struct(c_emb, list_id), struct(_s, -list_id))").alias("b"))
+        .select("cand_id", F.col("b.c_emb").alias("c_emb"),
+                F.col("b.list_id").alias("list_id"))
+    )
+    # Each query probes its nprobe nearest lists (tiny × tiny).
+    probes = partitioned_topk(
+        queries.crossJoin(F.broadcast(cvecs))
+        .select("query_id", "q_emb", F.col("list_id").alias("cand_id"),
+                cosine("q_emb", "cvec").alias("cos_sim")),
+        "query_id", nprobe, payload=["q_emb"],
+    ).select("query_id", "q_emb", F.col("cand_id").alias("list_id"))
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .select("query_id", "cand_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+    )
+    return partitioned_topk(scored, "query_id", k).select(
+        "query_id", "cand_id", "cos_sim", "rank")

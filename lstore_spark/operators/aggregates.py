@@ -337,3 +337,32 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("value") > 500).alias("n_high"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       arg_max(event_type,
+               lpad(CAST(cnt AS VARCHAR), 12, '0') || '|' || event_type)
+         AS modal_type,
+       MAX(cnt) AS modal_cnt
+FROM c GROUP BY user_id
+""",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value) per key.  Built-in
+    `F.mode` is tie-nondeterministic, so both engines compute it as
+    count-then-argmax with an explicit tie-break (greatest value wins) —
+    two partial-combinable aggregates sharing the user_id shuffle, no
+    window sort."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("user_id").agg(
+        F.expr("max_by(event_type, struct(cnt, event_type))").alias("modal_type"),
+        F.max("cnt").alias("modal_cnt"),
+    )

@@ -290,6 +290,58 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_evt_sessionize",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS BIGINT) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sess GROUP BY user_id, session_idx
+""",
+)
+def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a >30-minute gap between a user's
+    consecutive events starts a new session (the batch twin of
+    q_stream_session_window's gap-based session windows).
+
+    Classic gaps-and-islands: lag → new-session flag → running sum =
+    session index → per-session aggregate.  Both windows and the final
+    groupBy share the user_id partitioning, so the whole query costs ONE
+    shuffle on user_id (Catalyst collapses the two window operators —
+    same partition spec and ordering — into one sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1).otherwise(0)
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_idx",
+                    F.sum("is_new").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
 # ------------------------------------------------------ aggregate forms
 
 

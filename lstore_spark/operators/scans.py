@@ -61,6 +61,37 @@ def q_scan_tail_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.orderBy(F.col("event_id").desc()).limit(100).select(*_EV_COLS[:5])
 
 
+@query(
+    "q_scan_latest_by_key",
+    oracle="""
+SELECT user_id,
+       arg_max(event_id, event_id) AS last_event_id,
+       arg_max(event_type, event_id) AS last_type,
+       arg_max(value, event_id) AS last_value,
+       COUNT(*) AS n_versions
+FROM events GROUP BY user_id
+""",
+)
+def q_scan_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-compacted read: the latest record per key (user_id), treating
+    the log as a stream of upserts — the event-store "materialized
+    current state" view (log compaction semantics).
+
+    Deliberately an aggregate (``max_by`` keyed on the unique offset),
+    NOT a ``row_number()=1`` window: the aggregate partial-combines
+    map-side, so each input partition forwards one candidate row per key
+    instead of shuffling every version of every key to a sort.  At 100 TB
+    with millions of keys this is the difference between shuffling the
+    whole log and shuffling ~|keys| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.expr("max_by(event_type, event_id)").alias("last_type"),
+        F.expr("max_by(value, event_id)").alias("last_value"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+
+
 _STAR = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
 
 
