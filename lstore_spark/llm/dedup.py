@@ -535,3 +535,65 @@ def q_llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cosine("a_emb", "b_emb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= _TAU_EMB_NEAR_DUP)
     )
+
+
+@query(
+    "q_llm_text_contamination",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, {_DUCK_TOKENS} AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         concat(coalesce(ts[i], ''), ' ', coalesce(ts[i + 1], ''), ' ',
+                coalesce(ts[i + 2], '')) AS shingle
+  FROM tok, range(1, 256) AS g(i)
+  WHERE i <= greatest(len(ts) - 2, 1)
+),
+ev AS (SELECT DISTINCT doc_id AS eval_id, shingle FROM sh WHERE source = 'src0'),
+tr AS (SELECT DISTINCT doc_id AS train_id, shingle FROM sh WHERE source <> 'src0'),
+evtot AS (SELECT eval_id, COUNT(*) AS n_eval FROM ev GROUP BY eval_id),
+hits AS (
+  SELECT train_id, eval_id, COUNT(*) AS n_shared
+  FROM tr JOIN ev USING (shingle) GROUP BY train_id, eval_id
+)
+SELECT train_id, eval_id, n_shared,
+       ROUND(n_shared / n_eval, 6) AS overlap_frac
+FROM hits JOIN evtot USING (eval_id)
+WHERE n_shared >= 3
+""",
+)
+def q_llm_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection (decontamination): flag training
+    docs sharing ≥3 distinct 3-word shingles with any benchmark doc
+    (source 'src0' plays the held-out eval set).
+
+    The canonical production shape: the eval benchmark is tiny (10^4-10^5
+    docs), so its distinct-shingle inverted index BROADCASTS; the
+    training corpus streams through one scan, `array_distinct` dedupes
+    shingles per doc *before* explode (no distinct shuffle), and the only
+    shuffle is the groupBy on colliding (train, eval) pairs — a set that
+    is ~empty for clean corpora.  Nothing quadratic, corpus never
+    re-shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.expr("""
+        array_distinct(transform(
+          sequence(1, greatest(size(ts) - 2, 1)),
+          i -> concat(coalesce(try_element_at(ts, i), ''), ' ',
+                      coalesce(try_element_at(ts, i + 1), ''), ' ',
+                      coalesce(try_element_at(ts, i + 2), ''))))""")
+    sh = (docs.select("doc_id", "source", F.expr(_SPARK_TOKENS).alias("ts"))
+          .select("doc_id", "source", F.explode(shingles).alias("shingle")))
+    ev = sh.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_id"), "shingle")
+    tr = sh.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_id"), "shingle")
+    evtot = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
+    hits = (tr.join(F.broadcast(ev), "shingle")
+            .groupBy("train_id", "eval_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 3))
+    return (hits.join(F.broadcast(evtot), "eval_id")
+            .select("train_id", "eval_id", "n_shared",
+                    F.round(F.col("n_shared") / F.col("n_eval"), 6)
+                     .alias("overlap_frac")))
