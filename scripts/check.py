@@ -11,6 +11,8 @@ import sys
 import time
 import traceback
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lstore_spark.registry import ORACLE, QUERIES  # noqa: E402
@@ -18,6 +20,24 @@ from lstore_spark.session import get_spark  # noqa: E402
 from tests.oracle_check import compare, duck_connect  # noqa: E402
 
 SF_DIR = os.environ.get("LSTORE_SPARK_TEST_SF", "/root/testdata/sf0.01")
+
+# Keys whose OUTPUT (not plan) is quadratic in input size: at the ~sf1
+# sweep the theta join alone emits 21M pairs — far past what the
+# collect-and-canonicalize comparator can hash in Python.  The query
+# itself stays a banded equi-join (fine at scale); only the *comparison*
+# is bounded, by pushing the same deterministic modulus slice of pairs
+# into both engines (still ~200k exactly-compared rows at ~sf1).
+PAIR_SAMPLE: dict[str, tuple[str, int]] = {
+    "q_join_theta_range": ("id_a", 97),
+}
+
+
+def _maybe_sample(key: str, df, sql: str):
+    if key in PAIR_SAMPLE and os.environ.get("LSTORE_SPARK_BIG"):
+        col, m = PAIR_SAMPLE[key]
+        df = df.filter(F.col(col) % m == 0)
+        sql = f"SELECT * FROM ({sql}) WHERE {col} % {m} = 0"
+    return df, sql
 
 
 def main() -> int:
@@ -36,7 +56,8 @@ def main() -> int:
         try:
             df = QUERIES[key](spark, SF_DIR)
             if key in ORACLE:
-                res = compare(key, df, con, ORACLE[key])
+                df2, sql2 = _maybe_sample(key, df, ORACLE[key])
+                res = compare(key, df2, con, sql2)
                 status = "OK " if res.ok else "FAIL"
                 extra = res.detail
                 if res.ok and res.spark_rows == 0:

@@ -95,3 +95,39 @@ def test_minhash_signatures_have_no_shuffle(spark, sf_dir):
 
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_latest_by_key_is_aggregate_not_window(spark, sf_dir):
+    """Log-compaction read must be a partial-combinable aggregate (one
+    narrow shuffle of per-key candidates), never a row_number window
+    (full log shuffle + sort)."""
+    p = _plan(spark, sf_dir, "q_scan_latest_by_key")
+    assert "Window" not in p, p
+    # max_by lowers to SortAggregate; the load-bearing property is the
+    # map-side partial (each partition forwards one candidate per key).
+    assert "partial_max_by" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Gaps-and-islands sessionization: both windows and the final
+    groupBy share the user_id partitioning — exactly one exchange."""
+    p = _plan(spark, sf_dir, "q_evt_sessionize")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_ivf_topk_broadcasts_centroids_no_shuffle_join(spark, sf_dir):
+    """IVF search: centroid routing and probe joins are broadcasts — the
+    corpus must never hit a shuffle (sort-merge) join or cartesian."""
+    p = _plan(spark, sf_dir, "q_llm_sim_ivf_topk")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_contamination_broadcasts_eval_index(spark, sf_dir):
+    """Decontamination: the eval shingle index broadcasts; the training
+    corpus side must not shuffle into a sort-merge join."""
+    p = _plan(spark, sf_dir, "q_llm_text_contamination")
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
