@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..numerics import dsum, sql_dsum
+from ..numerics import DEC, dsum, sql_dsum
 from ..registry import query
 
 # ---------------------------------------------------------------- subqueries
@@ -545,3 +545,171 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.sample(fraction=0.1, seed=42).select(
         "event_id", "user_id", "event_type", "value")
+
+
+# ------------------------------------------------ event-log analytics II
+
+
+@query(
+    "q_evt_pathing",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+)
+def q_evt_pathing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event pathing: counts of (previous → next) event-type transitions
+    per user — the bigram table behind sankey/flow dashboards.  LAG over
+    (user, time) then a plain count aggregate; event_id breaks ts ties
+    so the sequence is a total order in both engines.
+
+    Scale: the window partitions by user_id (high cardinality), the
+    transition aggregate has ≤ |types|² groups — partial-combined to
+    almost nothing before the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+
+
+@query(
+    "q_evt_anomaly_zscore",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       ROUND((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+FROM events e JOIN stats USING (event_type)
+WHERE abs((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 2.5
+""",
+)
+def q_evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging: events whose value sits > 2.5σ from
+    their event-type mean.  Moments are computed as exact-decimal sums
+    (order-independent — numerics.py discipline), then mean/σ/z are
+    plain IEEE double arithmetic, bit-identical across engines; builtin
+    STDDEV in either engine would be order-dependent.
+
+    Scale: the stats side is ≤ |types| rows → broadcast; flagging is a
+    map-side filter over the raw scan — no second shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    sigma = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    z = (F.col("value") - mean) / sigma
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )
+
+
+@query(
+    "q_ts_interval_coalesce",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts, event_id, ts + INTERVAL 5 MINUTE AS te
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, event_id, te,
+         CASE WHEN ts > MAX(te) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, ts, te,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM marked
+)
+SELECT user_id, island_id, MIN(ts) AS island_start, MAX(te) AS island_end,
+       COUNT(*) AS n_events
+FROM islands GROUP BY user_id, island_id
+""",
+)
+def q_ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (gaps-and-islands): each event opens a 5-min
+    activity interval; overlapping/touching intervals per user merge
+    into islands.  New island ⇔ start exceeds the running MAX of prior
+    interval ends (handles containment, where a plain LAG misses that a
+    long early interval spans later ones); island ids by running sum.
+
+    Scale: two windows + one aggregate, all partitioned by user_id —
+    no self-join, no shuffle beyond the per-user repartition the window
+    needs anyway (Catalyst reuses one Exchange for all three)."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select("user_id", "ts", "event_id",
+                   F.expr("ts + INTERVAL 5 MINUTE").alias("te"))
+    w_prev = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.select(
+        "user_id", "ts", "event_id", "te",
+        F.when(F.col("ts") > F.max("te").over(w_prev), 1)
+        .otherwise(0).alias("new_island"),
+    )
+    w_run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    islands = marked.select(
+        "user_id", "ts", "te",
+        F.sum("new_island").over(w_run).alias("island_id"))
+    return (
+        islands.groupBy("user_id", "island_id")
+        .agg(F.min("ts").alias("island_start"),
+             F.max("te").alias("island_end"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "q_ts_forward_fill",
+    oracle="""
+SELECT event_id, user_id, ts,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_value
+FROM events
+""",
+)
+def q_ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF): carry each user's most recent purchase value
+    onto every subsequent event — ``last(..., ignorenulls)`` over a
+    per-user time order; events before the first purchase stay NULL.
+    The value passes through unaggregated, so no float discipline is
+    needed.
+
+    Scale: one window, partitioned by user_id; running state is a
+    single value per partition — Spark's window operator streams the
+    frame without buffering it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )

@@ -36,7 +36,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 def load_all() -> None:
     """Import every operator module so registration side effects run."""
-    from .operators import aggregates, analytics, filters, joins, scans, setops, sorts, windows  # noqa: F401
+    from .operators import aggregates, analytics, filters, joins, mutations, scans, setops, sorts, windows  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
     from .streaming import events, stateful  # noqa: F401
     from .llm import dedup, embeddings, multimodal, similarity, text  # noqa: F401
