@@ -188,3 +188,159 @@ def q_llm_emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "own_label",
         F.col("b.cand_label").alias("ivf_label"),
         F.col("b.cos_sim").alias("cos_sim"))
+
+
+# ------------------------------------------------------------- k-means
+
+def centroid_vectors(df: DataFrame, key: str) -> DataFrame:
+    """(key, embedding) → (key, cvec array<double>): exact-decimal
+    per-dimension means, re-assembled in dimension order.  One shuffle
+    on (key, i) — |clusters|·dim groups regardless of corpus size."""
+    elems = df.select(key, F.posexplode("embedding").alias("i", "v")) \
+              .select(key, "i", F.col("v").cast("double").alias("v"))
+    cent = elems.groupBy(key, "i").agg(
+        (F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
+         / F.count("v")).alias("c"))
+    return cent.groupBy(key).agg(
+        F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+        .alias("cvec"))
+
+
+def assign_nearest(em: DataFrame, cvecs: DataFrame, key: str) -> DataFrame:
+    """Route every vector to its max-cosine centroid (tie → lowest key).
+    The centroid table BROADCASTS over the corpus scan; the argmax is a
+    map-side-combined max_by per vector — the distributed Lloyd
+    assignment step, nothing quadratic."""
+    pairs = (
+        em.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cvecs.select(F.col(key).alias("_ck"), "cvec")))
+        .select("vec_id", "_ck", cosine("embedding", "cvec").alias("cos_sim")))
+    best = pairs.groupBy("vec_id").agg(
+        F.expr("max_by(struct(_ck, cos_sim), struct(cos_sim, -_ck))")
+        .alias("b"))
+    return best.select("vec_id", F.col("b._ck").alias("cluster"),
+                       F.col("b.cos_sim").alias("cos_sim"))
+
+
+@query(
+    "q_llm_emb_kmeans_update",
+    oracle="""
+WITH elems AS (
+  SELECT label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i,
+         CAST(CAST(SUM(CAST(v AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(v) AS c
+  FROM elems GROUP BY label, i
+),
+vec AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT vec.vec_id, cent.label AS cand,
+         SUM(vec.v * cent.c)
+           / (sqrt(SUM(vec.v * vec.v)) * sqrt(SUM(cent.c * cent.c)))
+           AS cos_sim
+  FROM vec JOIN cent ON vec.i = cent.i
+  GROUP BY vec.vec_id, cent.label
+),
+assign AS (
+  SELECT vec_id, cand AS cluster,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, cand) AS rn
+  FROM pairs
+),
+new_elems AS (
+  SELECT a.cluster, generate_subscripts(e.embedding, 1) AS i,
+         CAST(unnest(e.embedding) AS DOUBLE) AS v
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1
+),
+new_dims AS (
+  SELECT cluster, i,
+         CAST(CAST(SUM(CAST(v AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(v) AS c,
+         COUNT(*) AS n
+  FROM new_elems GROUP BY cluster, i
+)
+SELECT cluster, MIN(n) AS n_members,
+       array_to_string(
+         list(CAST(trunc(c * 1000000.0) AS BIGINT) ORDER BY i), ',')
+         AS centroid_u6
+FROM new_dims GROUP BY cluster
+""",
+)
+def q_llm_emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of (spherical) k-means, seeded from the
+    per-label centroids: assign every vector to its max-cosine centroid,
+    then recompute each cluster's centroid from its new members.
+    Centroid elements ship as microunit BIGINTs CSV-joined (the
+    q_llm_emb_centroid stringify discipline).
+
+    Scale: assignment broadcasts the k×dim centroid table over one
+    corpus scan; the update is one partial-combined shuffle of
+    (cluster, dim) cells — k·dim groups, corpus-size-independent.  This
+    pair of steps is the building block q_llm_emb_kmeans iterates."""
+    em = load_table(spark, sf_dir, "embeddings")
+    lab_cvecs = centroid_vectors(
+        em.select(F.col("label").alias("ck"), "embedding"), "ck")
+    assign = assign_nearest(em, lab_cvecs, "ck").select("vec_id", "cluster")
+    members = em.join(assign, "vec_id").select(
+        F.col("cluster").alias("ck"), "embedding")
+    elems = members.select("ck", F.posexplode("embedding").alias("i", "v")) \
+                   .select("ck", "i", F.col("v").cast("double").alias("v"))
+    dims = elems.groupBy("ck", "i").agg(
+        (F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
+         / F.count("v")).alias("c"),
+        F.count(F.lit(1)).alias("n"))
+    return (
+        dims.groupBy("ck")
+        .agg(F.min("n").alias("n_members"),
+             F.array_join(
+                 F.expr("transform(array_sort(collect_list(struct(i, c))), "
+                        "s -> CAST(s.c * 1000000.0D AS BIGINT))"),
+                 ",").alias("centroid_u6"))
+        .select(F.col("ck").alias("cluster"), "n_members", "centroid_u6")
+    )
+
+
+@query("q_llm_emb_kmeans")
+def q_llm_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative spherical k-means (k=8): centroids seeded from the 8
+    lowest vec_ids (deterministic — no random init), Lloyd-iterated to
+    assignment fixpoint or 6 rounds.  Rows-only key (the iteration
+    count is data-dependent, so no closed-form SQL oracle); determinism
+    and cluster-coverage invariants are pytest-asserted.
+
+    Scale: each round = broadcast-assign (one corpus scan) + one
+    (cluster, dim)-cell shuffle; localCheckpoint caps lineage growth
+    across rounds exactly as in dedup_clusters.  Driver holds only the
+    k×dim centroid table."""
+    from pyspark.sql import Window
+    em = load_table(spark, sf_dir, "embeddings")
+    k, max_iters = 8, 6
+    w = Window.orderBy("vec_id")
+    cvecs = (em.orderBy("vec_id").limit(k)
+             .select((F.row_number().over(w) - 1).alias("ck"),
+                     F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                     .alias("cvec")))
+    assign = prev = None
+    for _ in range(max_iters):
+        assign = assign_nearest(em, cvecs, "ck").localCheckpoint()
+        if prev is not None:
+            changed = (assign.join(
+                prev.select("vec_id", F.col("cluster").alias("pc")), "vec_id")
+                .filter(F.col("cluster") != F.col("pc")).count())
+            if changed == 0:
+                break
+        prev = assign
+        cvecs = centroid_vectors(
+            em.join(assign.select("vec_id", "cluster"), "vec_id")
+            .select(F.col("cluster").alias("ck"), "embedding"),
+            "ck").localCheckpoint()
+    return assign.select("vec_id", "cluster",
+                         F.round("cos_sim", 6).alias("cos_sim"))

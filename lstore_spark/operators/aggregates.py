@@ -366,3 +366,50 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(event_type, struct(cnt, event_type))").alias("modal_type"),
         F.max("cnt").alias("modal_cnt"),
     )
+
+
+@query(
+    "q_agg_heavy_hitters",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents
+),
+cnt AS (
+  SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY token
+),
+tot AS (SELECT SUM(n_occurrences) AS t FROM cnt)
+SELECT token, n_occurrences,
+       ROUND(n_occurrences * 1.0 / t, 6) AS support
+FROM cnt, tot
+WHERE n_occurrences * 200 >= t
+""",
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: tokens whose corpus frequency is ≥ 0.5% of all
+    token occurrences (support threshold as in frequent-item mining).
+    The threshold compares integers (n·200 ≥ total) so no float
+    boundary can flake between engines; support is reported as a
+    rounded ratio of those exact integers.
+
+    Scale: explode+count partial-combines map-side, so the shuffle
+    carries one row per distinct token per task, not per occurrence;
+    the one-row grand total broadcasts back over the (tiny) surviving
+    set.  A true streaming sketch (Misra–Gries) would cap memory per
+    task, but the exact two-phase form is already shuffle-bounded by
+    vocabulary size."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(
+            F.expr("filter(split(text, ' '), x -> x <> '')")).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    tot = cnt.agg(F.sum("n_occurrences").alias("t"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_occurrences") * 200 >= F.col("t"))
+        .select("token", "n_occurrences",
+                F.round(F.col("n_occurrences") * 1.0 / F.col("t"), 6)
+                .alias("support"))
+    )

@@ -713,3 +713,183 @@ def q_ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@query(
+    "q_ts_pop_change",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           AS revenue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY CAST(ts AS DATE)
+)
+SELECT day, revenue,
+       ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY day))
+                   / LAG(revenue) OVER (ORDER BY day), 6) AS pct_change
+FROM daily
+""",
+)
+def q_ts_pop_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change: daily purchase revenue with % change
+    vs the previous day.  Revenue sums in exact DECIMAL (numerics.py
+    discipline); the ratio is then plain IEEE-double arithmetic on
+    identical inputs, rounded to 6 places.
+
+    Scale: the raw scan collapses to one row per day *before* the
+    window, so the global (un-partitioned) LAG runs over a series
+    bounded by calendar days, not corpus size — the one case where a
+    global window is safe at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(dsum(F.col("value"), "revenue"))
+    )
+    prev = F.lag("revenue").over(Window.orderBy("day"))
+    return daily.select(
+        "day", "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6)
+        .alias("pct_change"),
+    )
+
+
+@query(
+    "q_ts_missing_ranges",
+    oracle="""
+WITH pruned AS (
+  SELECT event_id FROM events WHERE event_id % 7 <> 0
+),
+seq AS (
+  SELECT event_id,
+         LAG(event_id) OVER (ORDER BY event_id) AS prev_id
+  FROM pruned
+)
+SELECT prev_id + 1 AS gap_start, event_id - 1 AS gap_end,
+       event_id - prev_id - 1 AS n_missing
+FROM seq WHERE event_id - prev_id > 1
+""",
+)
+def q_ts_missing_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection: contiguous ranges of missing event_ids
+    (the lstore "hole in the offset log" audit).  Ids ≡ 0 mod 7 are
+    dropped first so the fixture — a gapless monotone log — produces a
+    deterministic non-empty answer.
+
+    Scale: a naive global LAG needs a total sort into ONE task.  This
+    plan blocks ids into 1024-id chunks: in-block gaps come from a
+    window partitioned by block (parallel), cross-block gaps from a LAG
+    over the per-block min/max summary — a series 1/1024 the corpus
+    size.  The oracle keeps the naive global form; both emit identical
+    ranges because consecutive surviving ids share a block or sit in
+    adjacent non-empty blocks."""
+    ev = load_table(spark, sf_dir, "events")
+    pruned = (ev.filter(F.col("event_id") % 7 != 0)
+              .select("event_id", F.expr("event_id DIV 1024").alias("blk")))
+    w_in = Window.partitionBy("blk").orderBy("event_id")
+    in_blk = (
+        pruned.select("event_id",
+                      F.lag("event_id").over(w_in).alias("prev_id"))
+        .filter(F.col("event_id") - F.col("prev_id") > 1)
+    )
+    summary = pruned.groupBy("blk").agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx"))
+    w_blk = Window.orderBy("blk")
+    cross_blk = (
+        summary.select(F.col("mn").alias("event_id"),
+                       F.lag("mx").over(w_blk).alias("prev_id"))
+        .filter(F.col("event_id") - F.col("prev_id") > 1)
+    )
+    gaps = in_blk.unionByName(cross_blk)
+    return gaps.select(
+        (F.col("prev_id") + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
+        (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
+    )
+
+
+@query(
+    "q_quality_constraints",
+    oracle="""
+SELECT 'orders_fk_customer' AS constraint_name,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_violations
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'events_type_domain',
+       (SELECT COUNT(*) FILTER (WHERE event_type NOT IN
+          ('click','error','purchase','signup','view')) FROM events)
+UNION ALL
+SELECT 'events_value_negative',
+       (SELECT COUNT(*) FILTER (WHERE value < 0) FROM events)
+UNION ALL
+SELECT 'events_value_outlier_400',
+       (SELECT COUNT(*) FILTER (WHERE value > 400) FROM events)
+UNION ALL
+SELECT 'documents_nchars_mismatch',
+       (SELECT COUNT(*) FILTER (WHERE length(text) <> n_chars)
+        FROM documents)
+UNION ALL
+SELECT 'orders_price_nonpositive',
+       (SELECT COUNT(*) FILTER (WHERE o_totalprice <= 0) FROM orders)
+""",
+)
+def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: one row per declared constraint with its
+    violation count (zeros included — the report IS the contract).
+    Covers referential integrity (FK anti-joins), domain membership,
+    range expectations, and derived-column consistency.
+
+    Scale: all per-table predicate checks for a table share ONE scan
+    (conditional count_if aggregates, partial-combined map-side);
+    FK checks are anti-joins that broadcast the dimension when small.
+    Seven checks cost two fact scans + two anti-joins, not seven
+    passes."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name, cnt_df):
+        return cnt_df.select(F.lit(name).alias("constraint_name"),
+                             F.col("n").cast("long").alias("n_violations"))
+
+    # The three event checks share ONE aggregate row, unpivoted via
+    # stack() — referencing the agg from three union branches would
+    # re-scan events per branch.
+    ev_long = ev.agg(
+        F.count_if(~F.col("event_type").isin(
+            "click", "error", "purchase", "signup", "view")).alias("dom"),
+        F.count_if(F.col("value") < 0).alias("neg"),
+        F.count_if(F.col("value") > 400).alias("out"),
+    ).select(F.expr(
+        "stack(3, 'events_type_domain', dom,"
+        " 'events_value_negative', neg,"
+        " 'events_value_outlier_400', out)"
+        " AS (constraint_name, n_violations)"))
+    parts = [
+        one("orders_fk_customer",
+            orders.join(cust, orders.o_custkey == cust.c_custkey,
+                        "left_anti").agg(F.count(F.lit(1)).alias("n"))),
+        one("lineitem_fk_orders",
+            li.join(orders, li.l_orderkey == orders.o_orderkey,
+                    "left_anti").agg(F.count(F.lit(1)).alias("n"))),
+        ev_long.select("constraint_name",
+                       F.col("n_violations").cast("long")),
+        one("documents_nchars_mismatch",
+            docs.agg(F.count_if(F.length("text") != F.col("n_chars"))
+                     .alias("n"))),
+        one("orders_price_nonpositive",
+            orders.agg(F.count_if(F.col("o_totalprice") <= 0).alias("n"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

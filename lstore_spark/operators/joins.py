@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..numerics import dsum, sql_dsum
 from ..registry import query
+from ..scale import salted_join
 
 
 @query(
@@ -383,3 +384,31 @@ def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_lines"), dsum(rev, "revenue"))
     )
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient fact⋈dim equi-join: events.user_id is a
+    small-population key (a handful of users hold most rows — the
+    classic hot-key shape), so the fact side is salted into 8
+    deterministic sub-keys and the dimension replicated across salts
+    (scale.salted_join).  Result is identical to the plain join the
+    oracle runs; only the task-level distribution changes.
+
+    Scale: a hot key holding p% of 100 TB lands on ONE task in a plain
+    shuffle join; salting spreads it over n_salts tasks at the cost of
+    dim×8 replication — the right trade for dimension-sized right
+    sides.  (AQE skew-join handles fact⋈fact; this operator is the
+    deterministic, planner-independent form.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    j = salted_join(ev, dim, "user_id", n_salts=8)
+    return j.select("event_id", "user_id", "c_mktsegment", "value")

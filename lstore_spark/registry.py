@@ -80,6 +80,7 @@ SLOW_KEYS: tuple[str, ...] = (
     "q_source_lstore_log",
     "q_stream_foreachbatch_sink",
     "q_llm_multimodal_features",
+    "q_llm_emb_kmeans",  # iterative: ~6 Lloyd rounds of actions (~14 s)
 )
 
 

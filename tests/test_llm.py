@@ -178,3 +178,19 @@ def test_oracle_range_caps_cover_corpus(duck):
         f"max doc token count {mx} exceeds the range(1, 256) oracle cap — "
         "raise the caps in dedup/text/udfs oracles")
     assert mx <= 1 + 64 * 24, "chunk-id oracle cap range(0, 64) exceeded"
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    """q_llm_emb_kmeans: deterministic fixpoint clustering — two runs
+    agree row-for-row, every vector is assigned, and the seeded k=8
+    splits into more than one non-empty cluster."""
+    from lstore_spark.registry import QUERIES
+    a = {r["vec_id"]: r["cluster"]
+         for r in QUERIES["q_llm_emb_kmeans"](spark, sf_dir).collect()}
+    b = {r["vec_id"]: r["cluster"]
+         for r in QUERIES["q_llm_emb_kmeans"](spark, sf_dir).collect()}
+    assert a == b, "k-means assignment is not deterministic"
+    assert len(a) == 500
+    clusters = set(a.values())
+    assert 1 < len(clusters) <= 8
+    assert clusters <= set(range(8))

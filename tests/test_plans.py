@@ -131,3 +131,29 @@ def test_contamination_broadcasts_eval_index(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_llm_text_contamination")
     assert "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_missing_ranges_window_is_blocked(spark, sf_dir):
+    """q_ts_missing_ranges must not globally sort the corpus: the
+    per-id window partitions by the 1024-id block, so only the tiny
+    block summary flows through an un-partitioned (single-task)
+    window."""
+    p = _plan(spark, sf_dir, "q_ts_missing_ranges")
+    assert "hashpartitioning(blk" in p, p
+
+
+def test_salted_join_spreads_key(spark, sf_dir):
+    """q_join_skew_salted joins on (user_id, _salt) — the hot key must
+    not be the sole shuffle key."""
+    p = _plan(spark, sf_dir, "q_join_skew_salted")
+    assert "_salt" in p, p
+
+
+def test_quality_constraints_single_event_scan(spark, sf_dir):
+    """The three event-table expectation checks share one scan (stack
+    over one aggregate row), so 'events.parquet' appears in exactly one
+    scan node."""
+    p = _plan(spark, sf_dir, "q_quality_constraints")
+    import re
+    scans = re.findall(r"Scan parquet[^\n]*events", p)
+    assert len(scans) == 1, p
