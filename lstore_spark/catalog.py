@@ -5,12 +5,15 @@ The reference's data model is a positional (int64 | blob) row log
 Schemas are *declared*, never inferred, so the DuckDB-oracle schema
 comparison is stable (SURVEY.md §1.3).
 
-``events.ts`` is stored as parquet INT64 TIMESTAMP(NANOS,false).  Spark 4
-cannot read that type natively; with ``spark.sql.legacy.parquet.nanosAsLong``
-it reads as a raw nanosecond long.  DuckDB 1.0 reads the same column as a
-microsecond TIMESTAMP (truncated).  For exact oracle parity the loader
-derives ``ts = timestamp_micros(ts div 1000)`` — integer floor division,
-matching DuckDB's truncation — typed TIMESTAMP_NTZ.
+``events.ts`` encoding varies across testdata generations: round 1-2 data
+stored INT64 TIMESTAMP(NANOS,false) (which Spark 4 cannot read natively —
+``spark.sql.legacy.parquet.nanosAsLong`` reads it as a raw nanosecond
+long, and the loader derives ``ts = timestamp_micros(ts div 1000)``,
+matching DuckDB's truncate-to-micros read), while round 3+ data stores
+TIMESTAMP(MICROS,false), which both engines read natively.  The loader
+sniffs the parquet footer (one driver-side metadata read, cached per
+path) and picks the matching read path, so either encoding yields the
+same logical view: ``ts`` as TIMESTAMP_NTZ at microsecond precision.
 """
 
 from __future__ import annotations
@@ -64,6 +67,7 @@ SCHEMAS: dict[str, StructType] = {
                     ("l_returnflag", StringType()), ("l_linestatus", StringType()),
                     ("l_shipdate", TimestampNTZType())),
     # ts read as raw nanos (legacy.parquet.nanosAsLong), converted in load().
+    # Only used when the footer says NANOS; MICROS files use EVENTS_LOGICAL.
     "events": _st(("event_id", LongType()), ("ts", LongType()),
                   ("user_id", LongType()), ("event_type", StringType()),
                   ("value", DoubleType()), ("props", StringType())),
@@ -76,9 +80,39 @@ SCHEMAS: dict[str, StructType] = {
 
 EMBEDDING_DIM = 64
 
+# Logical view of events (ts already a microsecond TIMESTAMP_NTZ) — the
+# schema every operator sees, and the direct read schema for MICROS files.
+EVENTS_LOGICAL = _st(
+    ("event_id", LongType()), ("ts", TimestampNTZType()),
+    ("user_id", LongType()), ("event_type", StringType()),
+    ("value", DoubleType()), ("props", StringType()),
+)
+
 
 def path_of(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Physical unit of ``events.ts`` in this parquet file: 'ns' or 'us'.
+
+    One driver-side footer read via pyarrow, cached per path — at cluster
+    scale this is catalog metadata, not a data scan.  Falls back to 'us'
+    (the current generator encoding) if the footer can't be sniffed.
+    """
+    unit = _TS_UNIT_CACHE.get(path)
+    if unit is None:
+        try:
+            import pyarrow.parquet as pq
+            t = str(pq.ParquetFile(path).schema_arrow.field("ts").type)
+            unit = "ns" if "[ns]" in t else "us"
+        except Exception:
+            unit = "us"
+        _TS_UNIT_CACHE[path] = unit
+    return unit
 
 
 # DataFrames are immutable logical plans, so caching them per
@@ -99,12 +133,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     tune(spark)
-    df = spark.read.schema(SCHEMAS[name]).parquet(path_of(sf_dir, name))
+    path = path_of(sf_dir, name)
     if name == "events":
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast(TimestampNTZType()),
-        )
+        if events_ts_unit(path) == "ns":
+            df = spark.read.schema(SCHEMAS[name]).parquet(path).withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast(TimestampNTZType()),
+            )
+        else:
+            df = spark.read.schema(EVENTS_LOGICAL).parquet(path)
+    else:
+        df = spark.read.schema(SCHEMAS[name]).parquet(path)
     _TABLE_CACHE[key] = df
     return df
 

@@ -641,8 +641,8 @@ marked AS (
 ),
 islands AS (
   SELECT user_id, ts, te,
-         SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+         CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island_id
   FROM marked
 )
 SELECT user_id, island_id, MIN(ts) AS island_start, MAX(te) AS island_end,

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..catalog import SCHEMAS, load_table, path_of
+from ..catalog import EVENTS_LOGICAL, SCHEMAS, events_ts_unit, load_table, path_of
 from ..numerics import DEC, dsum, sql_dsum
 from ..registry import query
 from ..session import tune
@@ -41,14 +41,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Glob pattern: the file-stream source wants a directory-or-glob (a
     # bare file path trips its basePath check); the glob also naturally
     # extends to "new segment files appear over time" — the lstore tail.
-    raw = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .parquet(path_of(sf_dir, "events") + "*")
-    )
-    # TIMESTAMP (not NTZ): watermarks require the instant type; session tz
-    # is pinned UTC so wall-clock values match the batch twin exactly.
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Schema choice follows the sniffed footer unit (see catalog.py):
+    # NANOS files read as raw longs and divide; MICROS files read natively.
+    path = path_of(sf_dir, "events")
+    if events_ts_unit(path) == "ns":
+        raw = spark.readStream.schema(SCHEMAS["events"]).parquet(path + "*")
+        # TIMESTAMP (not NTZ): watermarks require the instant type; session
+        # tz is pinned UTC so wall-clock values match the batch twin exactly.
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(EVENTS_LOGICAL).parquet(path + "*")
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_available_now(df: DataFrame, sink_name: str,

@@ -41,6 +41,18 @@ def canon_cell(v) -> str:
     if isinstance(v, decimal.Decimal):
         return canon_cell(float(v))
     if isinstance(v, _dt.datetime):
+        try:
+            if v != v:  # pd.NaT
+                return "<NULL>"
+        except Exception:
+            pass
+        # DuckDB's .df() widens DATE to a midnight datetime64 while
+        # Spark's toPandas keeps datetime.date — normalize exact-midnight
+        # datetimes to date form so the two fetch paths agree (the driver
+        # passed q_fn_cast's mixed date/timestamp output in r2, so its
+        # canonicalizer tolerates this; replicate that tolerance).
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
@@ -93,11 +105,18 @@ class CompareResult:
 
 
 def compare(key: str, spark_df, con, sql: str, max_report: int = 5) -> CompareResult:
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    cur = con.execute(sql)
-    d_cols = [d[0] for d in cur.description]
-    d_rows = cur.fetchall()
+    # Fetch BOTH sides the way the driver does: Spark via toPandas()
+    # (Arrow), DuckDB via .df().  fetchall()/collect() hide a whole
+    # failure class — DuckDB HUGEINT (integer SUM windows) and nullable
+    # ints degrade to float64 only on the pandas path, which is exactly
+    # how the driver's r2 q_ts_interval_coalesce hash-fail slipped past
+    # the old fetchall() harness (VERDICT r2 items 2-3).
+    s_pdf = spark_df.toPandas()
+    s_cols = list(s_pdf.columns)
+    s_rows = [tuple(r) for r in s_pdf.itertuples(index=False, name=None)]
+    d_pdf = con.execute(sql).df()
+    d_cols = list(d_pdf.columns)
+    d_rows = [tuple(r) for r in d_pdf.itertuples(index=False, name=None)]
 
     res = CompareResult(key=key, ok=True,
                         spark_rows=len(s_rows), duck_rows=len(d_rows))

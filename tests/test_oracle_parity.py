@@ -36,3 +36,22 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.queries()) >= set(e.oracle_sql())
+
+
+def test_uncast_hugeint_oracle_fails(spark, duck):
+    """Regression guard for the driver's pandas fetch path (VERDICT r2
+    items 2-3): DuckDB returns integer SUM windows as HUGEINT, which
+    ``.df()`` degrades to float64 ("1.0"), while Spark keeps int64
+    ("1").  The harness must FLAG that, not hide it the way
+    ``fetchall()`` did — an oracle with an uncast ``SUM(int) OVER``
+    must therefore fail compare() even though values are numerically
+    identical."""
+    sdf = spark.range(3).selectExpr("id", "CAST(id + 1 AS BIGINT) AS rsum")
+    bad = ("SELECT CAST(x AS BIGINT) AS id, SUM(y) OVER (ORDER BY x) AS rsum "
+           "FROM (SELECT 0 AS x, 1 AS y UNION ALL SELECT 1, 1 UNION ALL SELECT 2, 1)")
+    res = compare("uncast_hugeint_probe", sdf, duck, bad)
+    assert not res.ok, "uncast HUGEINT oracle column should hash-mismatch"
+    good = bad.replace("SUM(y) OVER (ORDER BY x)",
+                       "CAST(SUM(y) OVER (ORDER BY x) AS BIGINT)")
+    res2 = compare("cast_hugeint_probe", sdf, duck, good)
+    assert res2.ok, res2.detail
