@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..llm.hashing import sql_md5_long
 from ..numerics import DEC, dsum, sql_dsum
 from ..registry import query
 
@@ -537,14 +538,28 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("q_sample_seeded")  # rows-only: sampling algorithms are engine-specific
+_SAMPLE_HASH = sql_md5_long("concat('sample:42:', CAST(event_id AS {s}))", 8)
+
+
+@query(
+    "q_sample_seeded",
+    oracle=f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE {_SAMPLE_HASH.format(s='VARCHAR')} % 1000 < 100
+""",
+)
 def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (deterministic for a fixed seed *within*
-    Spark; not comparable across engines — pytest asserts bounds and
-    seed-stability instead)."""
+    """Seeded 10% universe sample: keep rows whose salted portable hash
+    of the key lands under the rate cutoff.  Unlike Bernoulli ``.sample``
+    (engine-specific RNG stream — not oracle-comparable, VERDICT r2
+    item 5), hash-mod sampling is deterministic, reproducible across
+    engines/runs, and *consistent*: the same key set is selected at any
+    scale, so samples of two tables stay joinable.  Pure map-side
+    filter — no shuffle, pushdown-friendly at 100 TB."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.sample(fraction=0.1, seed=42).select(
-        "event_id", "user_id", "event_type", "value")
+    keep = F.expr(_SAMPLE_HASH.format(s="STRING")) % 1000 < 100
+    return ev.filter(keep).select("event_id", "user_id", "event_type", "value")
 
 
 # ------------------------------------------------ event-log analytics II

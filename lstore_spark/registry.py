@@ -45,42 +45,52 @@ def load_all() -> None:
 
 # ---------------------------------------------------------------------------
 # Sweep ordering.  The driver's CORRECTNESS sweep iterates ``queries()`` in
-# dict order under a time budget: round 1 stopped after 50 of 124 keys,
-# leaving the window/setop/scalar/streaming/LLM families with no driver
-# signal (VERDICT r1).  We therefore order the dict so (1) keys the driver
-# has never verified run first, (2) keys it already hash-verified green in
-# round 1 run next, and (3) slow side-effect keys (tempdir parquet writes,
-# streaming sinks — 1.5-2.5 s each) run last, where a budget truncation
-# costs the least evidence.
+# dict order under a ~50-key budget, so ordering IS evidence strategy.
+# VERDICT r2's top finding: a hand-frozen round-1 verified set meant rounds
+# 2 and 3 re-verified the same 50 keys and the LLM/streaming families never
+# got driver signal.  The verified set is therefore now built from every
+# CORRECTNESS_r*.json on disk at import time — no more staleness:
+#   tier 0: keys whose LATEST driver check failed (regressions to re-prove)
+#   tier 1: never-driver-checked batch keys (cheapest new evidence first)
+#   tier 2: never-driver-checked streaming keys (~1-2 s micro-batch setup)
+#   tier 3: keys already green in their latest driver check
+#   tier 4: slow side-effect keys (tempdir writes, iterative k-means) —
+#           budget truncation here costs the least evidence.
 
-# Hash-verified green in CORRECTNESS_r01.json (q_agg_collect FAILED there,
-# so it stays in the never-verified front group).
-R1_VERIFIED: frozenset[str] = frozenset({
-    "q_agg_global", "q_agg_groupby_hash", "q_agg_count_distinct",
-    "q_agg_approx_distinct", "q_agg_grouping_sets", "q_agg_rollup",
-    "q_agg_cube", "q_agg_having", "q_agg_stats", "q_agg_percentiles",
-    "q_agg_bool", "q_subq_scalar", "q_subq_in", "q_subq_correlated",
-    "q_tpch_q3_shipping", "q_tpch_q18_large_orders", "q_evt_funnel",
-    "q_evt_retention", "q_ts_gapfill", "q_agg_argmax", "q_agg_stringagg",
-    "q_fn_unpivot", "q_fn_histogram", "q_join_lateral",
-    "q_sql_recursive_cte", "q_profile_table", "q_sample_seeded",
-    "q_filter_int_range", "q_filter_int_eq", "q_filter_blob_eq",
-    "q_filter_conjunction", "q_filter_disjunction_in",
-    "q_filter_null_handling", "q_project_prune", "q_filter_like_regex",
-    "q_join_inner_hash", "q_join_broadcast", "q_join_sort_merge",
-    "q_join_left_outer", "q_join_full_outer", "q_join_left_semi",
-    "q_join_left_anti", "q_join_cross_nl", "q_join_theta_range",
-    "q_join_interval_range", "q_join_asof", "q_join_multiway_star",
-    "q_scan_full", "q_scan_from_offset",
-})
 
-# Side-effect-heavy keys (measured 1.5-2.5 s each at sf0.01): always last.
+def _driver_evidence() -> tuple[frozenset, frozenset]:
+    """(green, checked) from all CORRECTNESS_r*.json; latest round wins
+    per key.  A key counts green only on a full rows+hash match — the
+    rows-only ``err: no_oracle`` keys stay in the re-check pool."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except Exception:
+            continue
+        for k, v in rows.items():
+            if isinstance(v, dict):
+                latest[k] = bool(v.get("rows_match") and v.get("hash_match"))
+    return (frozenset(k for k, ok in latest.items() if ok),
+            frozenset(latest))
+
+
+DRIVER_GREEN, DRIVER_CHECKED = _driver_evidence()
+
+# Side-effect-heavy keys (measured 1.5-2.5 s each at sf0.01; k-means ~14 s
+# of iterative actions): always last.
 SLOW_KEYS: tuple[str, ...] = (
     "q_sink_parquet",
     "q_source_lstore_log",
     "q_stream_foreachbatch_sink",
     "q_llm_multimodal_features",
-    "q_llm_emb_kmeans",  # iterative: ~6 Lloyd rounds of actions (~14 s)
+    "q_llm_emb_kmeans",
 )
 
 
@@ -90,13 +100,13 @@ def sweep_order(keys=None) -> list[str]:
 
     def tier(k: str) -> int:
         if k in SLOW_KEYS:
+            return 4
+        if k in DRIVER_CHECKED and k not in DRIVER_GREEN:
+            return 0
+        if k in DRIVER_GREEN:
             return 3
-        if k in R1_VERIFIED:
-            return 2
-        # Streaming keys are unverified but cost ~1-2 s of micro-batch
-        # setup each; run them after the cheap unverified batch keys.
         if k.startswith("q_stream_") or k.startswith("q_source_stream"):
-            return 1
-        return 0
+            return 2
+        return 1
 
     return sorted(keys, key=tier)  # sort is stable → insertion order kept

@@ -132,6 +132,15 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     for r in rows:
         rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
         assert rel_err <= 0.10, f"{r.event_type}: rel err {rel_err:.3f}"
+    # Native HLL++ (the 100 TB sketch) stays exercised here even though
+    # the registry key uses the portable linear-counting sketch.
+    from pyspark.sql import functions as F
+    from lstore_spark.catalog import load_table
+    hll = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll"),
+        F.countDistinct("user_id").alias("exact")).collect()
+    for r in hll:
+        assert abs(r.hll - r.exact) / max(r.exact, 1) <= 0.10
 
 
 def test_trimmed_mean_matches_numpy(spark, sf_dir):
