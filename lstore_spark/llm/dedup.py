@@ -20,7 +20,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_rows
 from ..registry import query
 from .hashing import sql_md5_long
 from .similarity import cosine
@@ -535,7 +535,9 @@ def q_llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = (load_table(spark, sf_dir, "embeddings")
           .filter(F.col("vec_id") < 2000))
-    n = em.count()
+    # Catalog-stats sizing, no pre-scan (VERDICT r2 item 7); the upper
+    # bound only pushes the recall formula toward more bands.
+    n = min(2000, table_rows(sf_dir, "embeddings"))
     cands = hyperplane_candidate_pairs(
         em, "vec_id", "embedding", n_rows=n,
         tau=_TAU_EMB_NEAR_DUP, target_recall=1.0 - 1e-6)

