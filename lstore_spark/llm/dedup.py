@@ -84,15 +84,15 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
     """doc_id → k minhashes over 3-word shingles: ONE murmur3 over each
-    shingle *string* (native hash(): JVM codegen), then k int-input
-    murmur3 re-hashes ``hash(h, p)`` of that value as the permutations.
-    Hashing the variable-length string is the dominant cost of signature
-    building (an int re-hash is a handful of ALU ops), and this query's
-    banding self-join evaluates the signature projection on several plan
-    branches, so paying the string hash once per shingle instead of k
-    times cuts the whole stage ~k×.  (A multiply-add-mod universal hash
-    of the base value is NOT a valid permutation family here: with
-    a·h < 2^61 the Mersenne modulus almost never wraps, every
+    *token* string (native hash(): JVM codegen), int-mixed into shingle
+    hashes, then k int-input murmur3 re-hashes ``hash(h, p)`` as the
+    permutations.  Hashing variable-length strings is the dominant cost
+    of signature building (int mixes are a handful of ALU ops), so the
+    pipeline hashes each token's bytes exactly once — not once per
+    shingle via concat (3× the string bytes + an allocation per
+    shingle), and not k times per shingle.  (A multiply-add-mod
+    universal hash of the base value is NOT a valid permutation family
+    here: with a·h < 2^61 the Mersenne modulus almost never wraps, every
     "permutation" preserves the base ordering, and all bands pick the
     same argmin shingle — measured 7× candidate-pair inflation.)
 
@@ -101,19 +101,22 @@ def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
     no explode, no shuffle, no 100×-row intermediate.  (The previous
     explode+groupBy formulation spent 4.6 s of the sf0.1 bench on the
     485k-row shuffle this avoids.)"""
-    # try_element_at: ANSI mode makes plain element_at throw past the end,
-    # so docs with <3 tokens (shingle padded with '') would crash.
-    shingles = F.expr("""
+    # Each token's string is murmur3-hashed ONCE; a 3-shingle hash is then
+    # pure int mixing hash(th_i, th_i+1, th_i+2) — vs concat'ing the three
+    # tokens into a new string and hashing that, this does a third of the
+    # string hashing and zero string allocation.  try_element_at: ANSI
+    # mode makes plain element_at throw past the end, so docs with <3
+    # tokens pad with 0 (the '' pad of the string form, re-expressed).
+    shingle_hashes = F.expr("""
         transform(
-          sequence(1, greatest(size(ts) - 2, 1)),
-          i -> concat(coalesce(try_element_at(ts, i), ''), ' ',
-                      coalesce(try_element_at(ts, i + 1), ''), ' ',
-                      coalesce(try_element_at(ts, i + 2), ''))
+          sequence(1, greatest(size(th) - 2, 1)),
+          i -> hash(coalesce(try_element_at(th, i), 0),
+                    coalesce(try_element_at(th, i + 1), 0),
+                    coalesce(try_element_at(th, i + 2), 0))
         )""")
     doc_sh = (docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
-              .select("doc_id", shingles.alias("shs"))
-              .select("doc_id",
-                      F.expr("transform(shs, s -> hash(s))").alias("hs")))
+              .select("doc_id", F.expr("transform(ts, t -> hash(t))").alias("th"))
+              .select("doc_id", shingle_hashes.alias("hs")))
     return doc_sh.select(
         "doc_id",
         *[F.expr(f"array_min(transform(hs, h -> hash(h, {p})))").alias(f"mh{p}")
@@ -125,57 +128,46 @@ def lsh_candidate_pairs(sig: DataFrame,
                         min_est_jaccard: float = 0.0) -> DataFrame:
     """LSH banding over minhash signatures → (id_a, id_b, est_jaccard).
 
-    Narrow banding relation: the bucket join shuffles only (doc_id, band,
-    bkt); full signatures rejoin once per side afterwards (the
-    shuffle-width discipline that matters when doc_id count is 10^10).
+    The packed signature array rides THROUGH the banding self-join, so
+    the whole operator is ONE equi shuffle on (band, bucket): agreement
+    count and first-colliding-band both compute from the two arrays
+    already present on the joined row — no signature-table rejoins (the
+    previous narrow-rows formulation paid two extra joins and evaluated
+    the signature projection on three plan branches; at k=18×4B the
+    array adds ~80B per banded row, a wash against re-shuffling the
+    signature relation twice, and two fewer stages end-to-end).
 
     Pair dedup does NOT use a global ``.distinct()`` (a full extra
     shuffle of the candidate set — 3.35 s of the r1 bench): a pair that
     collides in several bands is instead kept only on its FIRST
-    colliding band, recomputed per-row from the two signatures that are
-    already joined for est_jaccard — zero additional shuffles.  The
-    signature join carries each pair once per colliding band (≤ _BANDS,
-    ~1 for non-duplicates), a narrow-row duplication bounded by band
-    count, not corpus size.  est_jaccard = fraction of agreeing
-    minhashes."""
-    band_cols = []
-    for bnd in range(_BANDS):
-        cols = [F.col(f"mh{bnd * _MINHASH_R + j}") for j in range(_MINHASH_R)]
-        band_cols.append(
-            F.struct(F.lit(bnd).alias("band"), F.hash(*cols).alias("bkt")))
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkt")
+    colliding band — the joined band is by construction a colliding one,
+    so each pair survives exactly once.  est_jaccard = fraction of
+    agreeing minhashes."""
+    r, b, k = _MINHASH_R, _BANDS, _MINHASH_K
+    # slice() is 1-based; hash(array) hashes the r-row band as one value.
+    bands = F.expr(
+        f"transform(sequence(0, {b - 1}), "
+        f"bnd -> struct(bnd AS band, hash(slice(mhs, bnd * {r} + 1, {r})) AS bkt))")
+    packed = sig.select(
+        "doc_id", F.array(*[F.col(f"mh{p}") for p in range(k)]).alias("mhs"))
+    banded = (packed.select("doc_id", "mhs", F.explode(bands).alias("bb"))
+              .select("doc_id", "mhs", "bb.band", "bb.bkt"))
 
-    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bkt")
-    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bkt")
-    cand = (
-        a.join(b, ["band", "bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "band")
-    )
-    sig_a = sig.select(F.col("doc_id").alias("id_a"),
-                       *[F.col(f"mh{p}").alias(f"a{p}") for p in range(_MINHASH_K)])
-    sig_b = sig.select(F.col("doc_id").alias("id_b"),
-                       *[F.col(f"mh{p}").alias(f"b{p}") for p in range(_MINHASH_K)])
-    agree = sum(
-        (F.col(f"a{p}") == F.col(f"b{p}")).cast("int")
-        for p in range(_MINHASH_K)
-    )
-    # Band i collides iff all its minhash rows agree; the joined band is
-    # by construction a colliding one, so keeping band == first colliding
-    # band emits each pair exactly once.
-    band_match = F.array(*[
-        F.expr(" AND ".join(
-            f"(a{bnd * _MINHASH_R + j} = b{bnd * _MINHASH_R + j})"
-            for j in range(_MINHASH_R)))
-        for bnd in range(_BANDS)
-    ])
+    a = banded.select(F.col("doc_id").alias("id_a"),
+                      F.col("mhs").alias("mhs_a"), "band", "bkt")
+    b_side = banded.select(F.col("doc_id").alias("id_b"),
+                           F.col("mhs").alias("mhs_b"), "band", "bkt")
+    first_band = F.array_position(F.expr(
+        f"transform(sequence(0, {b - 1}), "
+        f"bnd -> slice(mhs_a, bnd * {r} + 1, {r}) = slice(mhs_b, bnd * {r} + 1, {r}))"
+    ), F.lit(True)) - 1
+    agree = F.expr("size(filter(zip_with(mhs_a, mhs_b, (x, y) -> x = y), v -> v))")
     pairs = (
-        cand.join(sig_a, "id_a").join(sig_b, "id_b")
-        .filter(F.col("band") == F.array_position(band_match, F.lit(True)) - 1)
+        a.join(b_side, ["band", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("band") == first_band)
         .select("id_a", "id_b",
-                (agree / F.lit(float(_MINHASH_K))).alias("est_jaccard"))
+                (agree / F.lit(float(k))).alias("est_jaccard"))
     )
     if min_est_jaccard > 0:
         pairs = pairs.filter(F.col("est_jaccard") >= min_est_jaccard)
