@@ -52,9 +52,11 @@ def load_all() -> None:
 # CORRECTNESS_r*.json on disk at import time — no more staleness:
 #   tier 0: keys whose LATEST driver check failed (regressions to re-prove)
 #   tier 1: never-driver-checked batch keys (cheapest new evidence first)
-#   tier 2: never-driver-checked streaming keys (~1-2 s micro-batch setup)
-#   tier 3: keys already green in their latest driver check
-#   tier 4: slow side-effect keys (tempdir writes, iterative k-means) —
+#   tier 2: never-driver-checked ORACLE-BACKED streaming keys (~1-2 s of
+#           micro-batch setup each, but hash-grade evidence)
+#   tier 3: never-driver-checked rows-only keys (weakest evidence class)
+#   tier 4: keys already green in their latest driver check
+#   tier 5: slow side-effect keys (tempdir writes, iterative k-means) —
 #           budget truncation here costs the least evidence.
 
 
@@ -100,10 +102,12 @@ def sweep_order(keys=None) -> list[str]:
 
     def tier(k: str) -> int:
         if k in SLOW_KEYS:
-            return 4
+            return 5
         if k in DRIVER_CHECKED and k not in DRIVER_GREEN:
             return 0
         if k in DRIVER_GREEN:
+            return 4
+        if k not in ORACLE:
             return 3
         if k.startswith("q_stream_") or k.startswith("q_source_stream"):
             return 2
