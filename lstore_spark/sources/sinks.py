@@ -124,3 +124,35 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="lstore_spark_json_")
     ev.write.mode("overwrite").json(out)
     return spark.read.schema(_RT_SCHEMA).json(out)
+
+
+@query(
+    "q_source_partition_prune",
+    oracle="""
+SELECT user_id, COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+)
+def q_source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning: write events
+    partitioned by event_type, read back with a partition-column filter,
+    aggregate per user.  The read plan must show the filter as a
+    ``PartitionFilters`` entry (directory-level pruning, zero I/O for
+    other types — asserted in tests/test_plans.py); this is the Spark
+    twin of lstore's segment-skipping read path (SURVEY.md §4.2) and the
+    layout that makes a 100 TB event log cheap to query by type/date.
+    Oracle recomputes from the original table, proving the partitioned
+    write→prune→read path end-to-end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    out = tempfile.mkdtemp(prefix="lstore_spark_part_")
+    (ev.repartition("event_type")
+       .write.mode("overwrite")
+       .partitionBy("event_type")
+       .parquet(out))
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"))

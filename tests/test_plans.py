@@ -200,3 +200,13 @@ def test_quality_constraints_single_event_scan(spark, sf_dir):
     import re
     scans = re.findall(r"Scan parquet[^\n]*events", p)
     assert len(scans) == 1, p
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """q_source_partition_prune: the partition-column filter must appear
+    as a PartitionFilters entry on the scan (directory pruning), not a
+    post-scan data filter."""
+    p = _plan(spark, sf_dir, "q_source_partition_prune")
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]* = purchase\)", p)
+    assert m, p
