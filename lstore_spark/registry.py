@@ -91,6 +91,7 @@ SLOW_KEYS: tuple[str, ...] = (
     "q_sink_parquet",
     "q_source_lstore_log",
     "q_source_partition_prune",
+    "q_source_bucketed_join",
     "q_stream_foreachbatch_sink",
     "q_llm_multimodal_features",
     "q_llm_emb_kmeans",

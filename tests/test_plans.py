@@ -210,3 +210,15 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
     import re
     m = re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]* = purchase\)", p)
     assert m, p
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """q_source_bucketed_join: both sides read pre-bucketed on the join
+    key — the sort-merge join must have NO Exchange on either input."""
+    p = _plan(spark, sf_dir, "q_source_bucketed_join")
+    assert "SortMergeJoin" in p, p
+    join_part = p[p.index("SortMergeJoin"):]
+    # the only exchange permitted is the post-join groupBy on priority
+    assert "Exchange hashpartitioning(l_orderkey" not in join_part, p
+    assert "Exchange hashpartitioning(o_orderkey" not in join_part, p
+    assert "SelectedBucketsCount" in p, p
