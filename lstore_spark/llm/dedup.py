@@ -603,3 +603,50 @@ def q_llm_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("train_id", "eval_id", "n_shared",
                     F.round(F.col("n_shared") / F.col("n_eval"), 6)
                      .alias("overlap_frac")))
+
+
+@query(
+    "q_llm_dedup_clusters_portable",
+    oracle="""
+WITH RECURSIVE hashed AS (
+  SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+),
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id <> b.doc_id
+),
+lbl AS (
+  SELECT doc_id, doc_id AS cluster_id FROM hashed
+  UNION
+  SELECT e.src AS doc_id, l.cluster_id
+  FROM lbl l JOIN e ON e.dst = l.doc_id
+)
+SELECT doc_id,
+       MIN(cluster_id) AS cluster_id,
+       (doc_id = MIN(cluster_id)) AS is_cluster_head
+FROM lbl GROUP BY doc_id
+""",
+)
+def q_llm_dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clustering with a HASH-GRADE oracle:
+    the edge relation is portable (exact-duplicate pairs by normalized
+    md5 — identical SQL in both engines), Spark runs the same generic
+    iterative label propagation as ``q_llm_dedup_clusters``, and DuckDB
+    independently computes components via a recursive-CTE transitive
+    closure.  This certifies the clustering operator's OUTPUT (not just
+    row counts) against an engine that implements connected components a
+    completely different way.  The LSH-edged twin stays rows-only
+    (murmur3 signatures are engine-specific); multi-hop chain merging is
+    asserted on planted chains in tests/test_llm.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+    a = hashed.select(F.col("doc_id").alias("id_a"), "h")
+    b = hashed.select(F.col("doc_id").alias("id_b"), "h")
+    pairs = (a.join(b, "h")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    labels = dedup_clusters(docs.select("doc_id"), pairs)
+    return labels.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_cluster_head"))
