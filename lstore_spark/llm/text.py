@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_rows
 from ..registry import query
 from .hashing import sql_md5_long
 
@@ -90,7 +90,8 @@ def q_llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    # N from catalog stats (parquet footer) — no extra corpus scan.
+    n_docs = table_rows(sf_dir, "documents")
     return (
         tf.filter(F.col("doc_id") < 50)
         .join(F.broadcast(df), "term")
