@@ -92,6 +92,7 @@ SLOW_KEYS: tuple[str, ...] = (
     "q_source_lstore_log",
     "q_source_partition_prune",
     "q_source_bucketed_join",
+    "q_maint_retention_purge",
     "q_stream_foreachbatch_sink",
     "q_llm_multimodal_features",
     "q_llm_emb_kmeans",

@@ -190,3 +190,45 @@ def q_source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lines"),
              dsum(F.col("l_quantity"), "sum_qty"))
     )
+
+
+@query(
+    "q_maint_retention_purge",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+GROUP BY CAST(ts AS DATE)
+""",
+)
+def q_maint_retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention purge — the lstore remover/purger re-expressed as
+    partition lifecycle: events land day-partitioned (segment ≈ day
+    partition), expired partitions are DROPPED as whole directories
+    (no row-level scanning — retention cost is O(partitions), not
+    O(rows), exactly like deleting aged-out segment files), and the
+    surviving table is read back.  The oracle recomputes the kept
+    window from the raw table, proving the purge removed exactly the
+    expired days.  At 100 TB this is `ALTER TABLE ... DROP PARTITION`
+    against a catalog; here the same semantics via the filesystem."""
+    import shutil
+
+    cutoff = "2024-01-15"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("date").alias("day"))
+    out = tempfile.mkdtemp(prefix="lstore_spark_retain_")
+    (ev.repartition("day")
+       .write.mode("overwrite")
+       .partitionBy("day")
+       .parquet(out))
+    # Purge expired partitions by directory — no data read, no rewrite.
+    import os
+    for d in os.listdir(out):
+        if d.startswith("day=") and d[4:] < cutoff:
+            shutil.rmtree(os.path.join(out, d))
+    back = spark.read.parquet(out)
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"))
