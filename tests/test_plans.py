@@ -222,3 +222,11 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange hashpartitioning(l_orderkey" not in join_part, p
     assert "Exchange hashpartitioning(o_orderkey" not in join_part, p
     assert "SelectedBucketsCount" in p, p
+
+
+def test_rank_topn_gets_window_group_limit(spark, sf_dir):
+    """q_win_rank_topn's rn<=3 filter must push into WindowGroupLimit
+    (map-side per-group top-k pruning BEFORE the shuffle) — at 100 TB
+    this forwards ≤k rows per (partition, key) instead of every row."""
+    p = _plan(spark, sf_dir, "q_win_rank_topn")
+    assert "WindowGroupLimit" in p, p
