@@ -43,6 +43,14 @@ def cosine(a: str, b: str) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
 
 
+def cosine_with_norms(a: str, b: str, na: str, nb: str) -> Column:
+    """cosine() with the two norms precomputed as columns — same
+    arithmetic (dot / (na·nb), rounded at 6), but each side's norm is
+    evaluated once per ROW instead of once per PAIR.  For |Q| queries ×
+    |C| corpus the norm HOFs drop from 2·|Q|·|C| to |Q|+|C|."""
+    return F.round(_dot(a, b) / (F.col(na) * F.col(nb)), 6)
+
+
 def partitioned_topk(scored: DataFrame, key: str, k: int,
                      payload: list[str] | None = None) -> DataFrame:
     """Exact per-key top-k without a global per-key sort (VERDICT r1 #5).
@@ -129,11 +137,14 @@ def q_llm_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     large ones."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_norm"))
     corpus = em.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("c_norm"))
     pairs = corpus.crossJoin(F.broadcast(queries)).select(
-        "query_id", "cand_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+        "query_id", "cand_id",
+        cosine_with_norms("q_emb", "c_emb", "q_norm", "c_norm").alias("cos_sim"))
     return partitioned_topk(pairs, "query_id", 5).select(
         "query_id", "cand_id", "cos_sim", "rank")
 
@@ -212,13 +223,14 @@ def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     global per-query sort) → vote count → argmax with total tie-break."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_norm"))
     corpus = em.filter(F.col("vec_id") >= 20).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"),
-        "label")
+        _norm("embedding").alias("c_norm"), "label")
     pairs = corpus.crossJoin(F.broadcast(queries)).select(
         "query_id", "cand_id", "label",
-        cosine("q_emb", "c_emb").alias("cos_sim"))
+        cosine_with_norms("q_emb", "c_emb", "q_norm", "c_norm").alias("cos_sim"))
     knn = partitioned_topk(pairs, "query_id", 10, payload=["label"])
     votes = knn.groupBy("query_id", "label").agg(
         F.count(F.lit(1)).alias("n_votes"))
