@@ -99,21 +99,33 @@ SLOW_KEYS: tuple[str, ...] = (
 )
 
 
+# Oracle-backed keys measured ≥2 s at sf0.01 (all-pairs DuckDB oracles,
+# iterative label propagation): if the driver's budget turns out to be
+# time-based rather than key-count-based, fronting these would burn
+# several cheap keys' worth of evidence — order them after the cheap
+# keys of the same tier.
+HEAVY_KEYS: frozenset = frozenset({
+    "q_llm_dedup_embcos", "q_llm_knn_label", "q_llm_dedup_editdist",
+    "q_llm_dedup_jaccard_ngram", "q_llm_dedup_clusters_portable",
+})
+
+
 def sweep_order(keys=None) -> list[str]:
     """Registry keys in driver-sweep priority order (stable within tiers)."""
     keys = list(QUERIES if keys is None else keys)
 
-    def tier(k: str) -> int:
+    def tier(k: str) -> tuple[int, int]:
+        heavy = 1 if k in HEAVY_KEYS else 0
         if k in SLOW_KEYS:
-            return 5
+            return (5, heavy)
         if k in DRIVER_CHECKED and k not in DRIVER_GREEN:
-            return 0
+            return (0, heavy)
         if k in DRIVER_GREEN:
-            return 4
+            return (4, heavy)
         if k not in ORACLE:
-            return 3
+            return (3, heavy)
         if k.startswith("q_stream_") or k.startswith("q_source_stream"):
-            return 2
-        return 1
+            return (2, heavy)
+        return (1, heavy)
 
     return sorted(keys, key=tier)  # sort is stable → insertion order kept
