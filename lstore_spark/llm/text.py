@@ -436,3 +436,103 @@ def q_llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"min({sql_md5_long('sh')})").alias("fingerprint"),
         F.countDistinct("sh").alias("n_shingles"),
     )
+
+
+_PACK_BUDGET = 512  # tokens per training sequence bin
+
+
+@query(
+    "q_llm_text_pack",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, len({_DUCK_TOKENS}) AS n_tok FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+  FROM tok
+)
+SELECT CAST(floor((cum_tok - 1) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM cum GROUP BY 1
+""",
+)
+def q_llm_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: stream documents in a stable
+    order, accumulate token counts, and cut a new bin every
+    ``_PACK_BUDGET`` tokens (first-fit-in-order packing — the streaming
+    form used by training pipelines, not bin-packing optimality).  One
+    running-sum window ordered by doc_id; per-bin stats via a tiny
+    follow-up aggregate.
+
+    Scale note: a single global ORDER BY is the semantic contract of
+    in-order packing, but the window needs no global sort of the DATA —
+    at 100 TB you run this per shard/date-partition (bin ids prefixed by
+    shard), keeping each window partition bounded; the fixture packs one
+    logical shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    cum = docs.select(
+        "doc_id", F.size(tokens_col()).alias("n_tok")
+    ).withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        cum.select(
+            "doc_id", "n_tok",
+            F.floor((F.col("cum_tok") - 1) / F.lit(float(_PACK_BUDGET)))
+            .cast("long").alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("bin_tokens"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"))
+    )
+
+
+_CLEAN_MIN_TOK = 20  # corpus-clean floor: drop stub docs
+
+
+@query(
+    "q_llm_corpus_clean",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(lower(trim(text))) AS h,
+         len({_DUCK_TOKENS}) AS n_tok
+  FROM documents
+),
+kept AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS head_id FROM feat
+)
+SELECT doc_id, lang, source, n_tok
+FROM kept
+WHERE doc_id = head_id AND n_tok >= {_CLEAN_MIN_TOK}
+""",
+)
+def q_llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the composition a training pipeline
+    actually ships: exact-dedup (keep lowest doc_id per normalized text
+    hash) + minimum-length quality floor, emitting the surviving corpus.
+    Dedup-keep is a groupBy(hash).min aggregate joined back (no global
+    window in the Spark plan — the oracle's MIN OVER is the same
+    semantics expressed for DuckDB).  At 100 TB: one 16-byte-key shuffle
+    for the dedup + a broadcast-joinable heads table; the near-dup and
+    contamination stages (q_llm_dedup_minhash / q_llm_text_contamination)
+    chain in front of this same keep-filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id", "lang", "source",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+        F.size(tokens_col()).alias("n_tok"))
+    heads = feat.groupBy("h").agg(F.min("doc_id").alias("head_id"))
+    return (
+        feat.join(heads, "h")
+        .filter((F.col("doc_id") == F.col("head_id"))
+                & (F.col("n_tok") >= _CLEAN_MIN_TOK))
+        .select("doc_id", "lang", "source", "n_tok")
+    )
