@@ -28,12 +28,10 @@ def test_minhash_detects_planted_near_duplicates(spark, sf_dir):
         spark.createDataFrame(planted, ["doc_id", "text"]))
 
     sig = minhash_signatures(aug)
-    a = sig.select(F.col("doc_id").alias("id_a"),
-                   *[F.col(f"mh{p}").alias(f"a{p}") for p in range(_MINHASH_K)])
-    b = sig.select(F.col("doc_id").alias("id_b"),
-                   *[F.col(f"mh{p}").alias(f"b{p}") for p in range(_MINHASH_K)])
-    agree = sum((F.col(f"a{p}") == F.col(f"b{p}")).cast("int")
-                for p in range(_MINHASH_K))
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("mhs").alias("mhs_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("mhs").alias("mhs_b"))
+    agree = F.expr(
+        "size(filter(zip_with(mhs_a, mhs_b, (x, y) -> x = y), v -> v))")
     pairs = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b",
                      (agree / float(_MINHASH_K)).alias("est_j")))
