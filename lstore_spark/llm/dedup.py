@@ -197,9 +197,12 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sig)
+    # explode, not union-of-two-projections: Spark does no CSE across
+    # union branches, so the union form executed the entire banding join
+    # TWICE (plan showed 5 scans of documents; this shape has 3).
     mates = (
-        pairs.select(F.col("id_a").alias("doc_id"), "est_jaccard")
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id"), "est_jaccard"))
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"),
+                     "est_jaccard")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_mates"),
              F.max("est_jaccard").alias("best_est_jaccard"))
