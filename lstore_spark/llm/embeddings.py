@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..numerics import DEC
 from ..registry import query
 from .similarity import cosine
 
@@ -344,3 +345,89 @@ def q_llm_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ck").localCheckpoint()
     return assign.select("vec_id", "cluster",
                          F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_PQ_M, _PQ_D = 8, 8  # 8 subspaces × 8 dims = EMBEDDING_DIM
+
+
+@query(
+    "q_llm_emb_pq_encode",
+    oracle="""
+WITH lab AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i,
+         CAST(CAST(SUM(CAST(v AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(v) AS c
+  FROM lab GROUP BY label, i
+),
+vx AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+d AS (
+  SELECT vx.vec_id, cent.label, CAST(floor(vx.i / 8.0) AS INT) AS m,
+         CAST(CAST(SUM(CAST((vx.x - cent.c) * (vx.x - cent.c)
+                            AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS d
+  FROM vx JOIN cent ON vx.i = cent.i
+  GROUP BY vx.vec_id, cent.label, CAST(floor(vx.i / 8.0) AS INT)
+),
+pick AS (
+  SELECT vec_id, m, label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, label) AS rn
+  FROM d
+)
+SELECT vec_id, string_agg(CAST(label AS VARCHAR), ',' ORDER BY m) AS pq_code
+FROM pick WHERE rn = 1 GROUP BY vec_id
+""",
+)
+def q_llm_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding — the memory-side companion to IVF
+    for billion-scale ANN: split each vector into M=8 subspaces of 8
+    dims, assign every subvector to its nearest sub-centroid, store only
+    the M code bytes (64 floats → 8 codes = 32× compression).  The
+    codebook here is the deterministic per-label sub-centroid (same
+    stand-in as q_llm_emb_ivf_assign; a k-means codebook drops in
+    unchanged).
+
+    Parity discipline: centroids via exact-decimal means, subspace
+    distances via exact-decimal sums of identical-double squared diffs,
+    argmin via lexicographic (d, label) — every step order-independent,
+    so the DuckDB oracle hash-matches the full encode.
+
+    Scale: the per-dim join is against a BROADCAST centroid relation
+    (n_labels × 64 rows); the (vec, label, subspace) distance aggregate
+    partial-combines map-side before one high-cardinality shuffle.  At
+    100 TB you train the codebook on a sample and encode with the same
+    plan."""
+    em = load_table(spark, sf_dir, "embeddings")
+    lab = em.select("label", F.posexplode("embedding").alias("i", "v")) \
+            .select("label", "i", F.col("v").cast("double").alias("v"))
+    cent = lab.groupBy("label", "i").agg(
+        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count("v")).alias("c"))
+    vx = em.select("vec_id", F.posexplode("embedding").alias("i", "x")) \
+           .select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    sq = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+    d = (
+        vx.join(F.broadcast(cent), "i")
+        .select("vec_id", "label",
+                F.floor(F.col("i") / 8.0).cast("int").alias("m"),
+                sq.alias("sq"))
+        .groupBy("vec_id", "label", "m")
+        .agg(F.sum(F.col("sq").cast(DEC)).cast("double").alias("d"))
+    )
+    pick = (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "label")).alias("best"))
+        .select("vec_id", "m", F.col("best.label").alias("code"))
+    )
+    return (
+        pick.groupBy("vec_id")
+        .agg(F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(m, code))), "
+                   "s -> CAST(s.code AS STRING))"), ",").alias("pq_code"))
+    )
