@@ -908,3 +908,76 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "q_ts_ohlc",
+    oracle="""
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS bar, value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT bar,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_ticks
+FROM ranked GROUP BY bar
+""",
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling (downsample a tick stream to hourly bars):
+    open/close via min_by/max_by on the (ts, event_id) total order,
+    high/low/count as plain aggregates — ONE partial-combinable hash
+    aggregate over the raw stream, no window sort of the data (the
+    oracle's ROW_NUMBER form expresses the same pick for DuckDB).
+    Values are selected, never summed, so doubles compare exactly.
+
+    Scale: classic time-series downsampling; the aggregate carries one
+    candidate row per (partition, bar) into the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    ordk = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bar"))
+        .agg(F.min_by("value", ordk).alias("open"),
+             F.max("value").alias("high"),
+             F.min("value").alias("low"),
+             F.max_by("value", ordk).alias("close"),
+             F.count(F.lit(1)).alias("n_ticks"))
+    )
+
+
+_RESERVOIR_HASH = sql_md5_long("concat('rsv:7:', CAST(event_id AS {s}))", 10)
+
+
+@query(
+    "q_sample_reservoir",
+    oracle=f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+ORDER BY {_RESERVOIR_HASH.format(s='VARCHAR')}, event_id
+LIMIT 100
+""",
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE uniform sample (n=100) via hash-priority selection:
+    every row gets a deterministic salted-hash priority; the sample is
+    the global bottom-100 priorities.  Equivalent to a seeded reservoir
+    sample but stateless and mergeable: Spark plans it as TakeOrdered
+    (per-partition bottom-100, then a 100×n_partitions merge on the
+    driver) — no global sort, no sequential pass, reproducible across
+    engines/runs/retries.  Complements q_sample_seeded (fixed-RATE)."""
+    ev = load_table(spark, sf_dir, "events")
+    pri = F.expr(_RESERVOIR_HASH.format(s="STRING"))
+    return (
+        ev.select("event_id", "user_id", "event_type", "value",
+                  pri.alias("_pri"))
+        .orderBy("_pri", "event_id")
+        .limit(100)
+        .drop("_pri")
+    )

@@ -230,3 +230,10 @@ def test_rank_topn_gets_window_group_limit(spark, sf_dir):
     this forwards ≤k rows per (partition, key) instead of every row."""
     p = _plan(spark, sf_dir, "q_win_rank_topn")
     assert "WindowGroupLimit" in p, p
+
+
+def test_reservoir_sample_is_take_ordered(spark, sf_dir):
+    """Fixed-size hash-priority sampling must plan as TakeOrdered
+    (per-partition bottom-k + driver merge), never a global Sort."""
+    p = _plan(spark, sf_dir, "q_sample_reservoir")
+    assert "TakeOrderedAndProject" in p, p
