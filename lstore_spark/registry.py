@@ -109,6 +109,15 @@ HEAVY_KEYS: frozenset = frozenset({
     "q_llm_dedup_jaccard_ngram", "q_llm_dedup_clusters_portable",
 })
 
+# Keys first registered in round 4: locally verified (sf0.01 + ~sf1) but
+# never in any driver sweep — they queue BEHIND the older never-checked
+# families (whole LLM + streaming backlog from rounds 1-3) so the
+# longest-starved evidence lands first.
+ROUND4_NEW: frozenset = frozenset({
+    "q_llm_dedup_clusters_portable", "q_llm_text_pack", "q_llm_corpus_clean",
+    "q_llm_emb_pq_encode", "q_ts_ohlc", "q_sample_reservoir",
+})
+
 
 def sweep_order(keys=None) -> list[str]:
     """Registry keys in driver-sweep priority order (stable within tiers)."""
@@ -117,13 +126,20 @@ def sweep_order(keys=None) -> list[str]:
     def tier(k: str) -> tuple[int, int]:
         heavy = 1 if k in HEAVY_KEYS else 0
         if k in SLOW_KEYS:
-            return (5, heavy)
+            return (6, heavy)
         if k in DRIVER_CHECKED and k not in DRIVER_GREEN:
             return (0, heavy)
         if k in DRIVER_GREEN:
-            return (4, heavy)
-        if k not in ORACLE:
+            return (5, heavy)
+        if k == "q_llm_dedup_embcos":
+            # the single most expensive oracle (~5-13 s all-pairs DuckDB
+            # side): queues behind the whole streaming tier so it can't
+            # starve several cheap keys under a time-based budget.
+            return (3, 0)
+        if k in ROUND4_NEW:
             return (3, heavy)
+        if k not in ORACLE:
+            return (4, heavy)
         if k.startswith("q_stream_") or k.startswith("q_source_stream"):
             return (2, heavy)
         return (1, heavy)
