@@ -981,3 +981,45 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("_pri")
     )
+
+
+@query(
+    "q_evt_attribution",
+    oracle="""
+WITH tl AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         MAX(CASE WHEN event_type = 'view' THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_id
+  FROM events
+)
+SELECT event_id AS purchase_id, user_id, value, last_view_id
+FROM tl WHERE event_type = 'purchase'
+""",
+)
+def q_evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent PRECEDING view.  One pass over the user timeline — a running
+    conditional MAX over (ts, event_id) order — then filter to
+    purchases; no self-join, no row multiplication (the same
+    timeline-window shape as the large×large as-of join).
+
+    The running id MAX doubles as "latest view" because event_id is the
+    log offset: monotone with (ts, event_id) order (FIXTURES.md), so
+    max prior view id ≡ most recent prior view.
+
+    Scale: window partitioned by user_id (high cardinality) — one
+    shuffle of the slim (user, ts, id, type, value) projection."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("event_id"))).over(w)
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type", "value",
+                  last_view.alias("last_view_id"))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                "user_id", "value", "last_view_id")
+    )
