@@ -431,3 +431,113 @@ def q_llm_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(array_sort(collect_list(struct(m, code))), "
                    "s -> CAST(s.code AS STRING))"), ",").alias("pq_code"))
     )
+
+
+@query(
+    "q_llm_emb_pq_adc",
+    oracle="""
+WITH lab AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i,
+         CAST(CAST(SUM(CAST(v AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(v) AS c
+  FROM lab GROUP BY label, i
+),
+vx AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+d AS (
+  SELECT vx.vec_id, cent.label, CAST(floor(vx.i / 8.0) AS INT) AS m,
+         CAST(CAST(SUM(CAST((vx.x - cent.c) * (vx.x - cent.c)
+                            AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS d
+  FROM vx JOIN cent ON vx.i = cent.i
+  GROUP BY vx.vec_id, cent.label, CAST(floor(vx.i / 8.0) AS INT)
+),
+codes AS (  -- corpus PQ codes: argmin centroid per (vector, subspace)
+  SELECT vec_id, m, label AS code
+  FROM (SELECT vec_id, m, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, label) AS rn
+        FROM d WHERE vec_id >= 10) WHERE rn = 1
+),
+-- ADC: query's exact distance to each centroid per subspace (the
+-- lookup table), joined to corpus codes and summed over subspaces.
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(CAST(SUM(CAST(d.d AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           AS adc_dist
+  FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10) q
+  JOIN d ON d.vec_id = q.vec_id
+  JOIN codes c ON c.m = d.m AND c.code = d.label
+  GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, cand_id, adc_dist,
+       CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT query_id, cand_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, cand_id) AS rnk
+  FROM adc
+) WHERE rnk <= 5
+""",
+)
+def q_llm_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (ADC), completing the PQ story of
+    q_llm_emb_pq_encode: queries keep full precision, the corpus is
+    represented ONLY by its M=8 sub-codes, and distance(query, cand) =
+    Σ_m LUT_q[m][code_m] where the lookup table holds the query's exact
+    distance to every sub-centroid.  Approximate in value (quantization
+    error) yet fully deterministic — so unlike most ANN operators it is
+    hash-grade oracle-checkable end-to-end.
+
+    Scale: the LUT is |queries|·M·n_lists rows → broadcasts; the corpus
+    side carries only (vec_id, m, code) — the 32×-compressed
+    representation — and never touches raw vectors after encode.  Top-k
+    via the same (dist, cand_id) total order as the exact searches."""
+    em = load_table(spark, sf_dir, "embeddings")
+    lab = em.select("label", F.posexplode("embedding").alias("i", "v")) \
+            .select("label", "i", F.col("v").cast("double").alias("v"))
+    cent = lab.groupBy("label", "i").agg(
+        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count("v")).alias("c"))
+    vx = em.select("vec_id", F.posexplode("embedding").alias("i", "x")) \
+           .select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    sq = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+    d = (
+        vx.join(F.broadcast(cent), "i")
+        .select("vec_id", "label",
+                F.floor(F.col("i") / 8.0).cast("int").alias("m"),
+                sq.alias("sq"))
+        .groupBy("vec_id", "label", "m")
+        .agg(F.sum(F.col("sq").cast(DEC)).cast("double").alias("d"))
+    )
+    codes = (
+        d.filter(F.col("vec_id") >= 10)
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "label")).alias("best"))
+        .select(F.col("vec_id").alias("cand_id"), "m",
+                F.col("best.label").alias("code"))
+    )
+    lut = (d.filter(F.col("vec_id") < 10)
+           .select(F.col("vec_id").alias("query_id"), "m",
+                   F.col("label").alias("code"), "d"))
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum(F.col("d").cast(DEC)).cast("double").alias("adc_dist"))
+        .select("query_id", F.col("cand_id"),
+                F.col("adc_dist").alias("cos_sim"))  # reuse topk contract
+    )
+    from .similarity import partitioned_topk
+    top = partitioned_topk(
+        scored.select("query_id", "cand_id",
+                      (-F.col("cos_sim")).alias("cos_sim")),
+        "query_id", 5)
+    return top.select("query_id", "cand_id",
+                      (-F.col("cos_sim")).alias("adc_dist"),
+                      F.col("rank").cast("long").alias("rank"))
