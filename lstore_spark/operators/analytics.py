@@ -1023,3 +1023,64 @@ def q_evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_id").alias("purchase_id"),
                 "user_id", "value", "last_view_id")
     )
+
+
+@query(
+    "q_agg_linreg_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         SUM(CAST(value AS DECIMAL(30,8))) AS y
+  FROM events GROUP BY 1, 2
+),
+comp AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM comp
+""",
+)
+def q_agg_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily volume (least-squares slope and
+    intercept over day index) — the regr_slope/regr_intercept family,
+    built from mergeable moments (n, Σx, Σy, Σxy, Σx²) so it computes
+    in one partial-combinable aggregate pass per level.  y-moments
+    accumulate in exact decimal (order-independent); the closed-form
+    slope/intercept is then identical double arithmetic in both
+    engines, rounded once.
+
+    Scale: moments are the textbook distributive-aggregate trick — at
+    100 TB the daily layer and the moment layer both partial-combine;
+    nothing holds more than a few values per group."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"),
+                       F.lit("2024-01-01").cast("date")).alias("x"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("y"))
+    )
+    comp = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(DEC) * F.col("y")).cast("double").alias("sxy"),
+    )
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return comp.select(
+        "event_type", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"))
