@@ -227,3 +227,47 @@ def test_lstore_tail_producer_consumer_roundtrip(spark, tmp_path):
         assert q.lastProgress["batchId"] >= 1
     finally:
         q.stop()
+
+
+def test_stream_agg_on_rocksdb_state_store(spark, sf_dir):
+    """The 100 TB state-store path: the same windowed streaming aggregate
+    must run (and match batch) on the RocksDB state store provider —
+    the provider used in production when keyed state outgrows the
+    default in-memory HDFS-backed store.  Provider is set per-test and
+    restored; state formats are checkpoint-scoped so the switch is
+    safe."""
+    from lstore_spark.streaming.events import (
+        _events_stream, run_available_now)
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        agg = (
+            _events_stream(spark, sf_dir)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        out = run_available_now(agg, "rocksdb_tumbling_sink",
+                                mode="complete")
+        got = {(r.ws, r.n) for r in out.collect()}
+        from lstore_spark.catalog import load_table
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour")
+                     .alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        want = {(r.ws, r.n) for r in batch.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
