@@ -341,3 +341,40 @@ def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).withColumn("val", F.col("val").cast("double"))
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       COUNT(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                  THEN NULL ELSE 1 END) AS n_missing_present
+FROM events GROUP BY event_type
+""",
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: ``parse_json``
+    once into the binary variant encoding, then typed ``variant_get``
+    path extraction — the modern replacement for repeated
+    ``get_json_object`` string re-parsing (each of which re-tokenizes
+    the JSON text; variant parses once and extracts by offset).  The
+    DuckDB oracle reads the same paths with its JSON functions.
+
+    Scale: at 100 TB you'd persist the variant column ("shredded" into
+    parquet by the writer) so path access is columnar; here the parse
+    happens in the scan projection — still one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.max("k").alias("max_k"),
+             F.count("m").alias("n_missing_present"))
+    )
