@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, table_rows
+from ..numerics import DEC
 from ..registry import query
 from .hashing import sql_md5_long
 
@@ -536,3 +537,57 @@ def q_llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("n_tok") >= _CLEAN_MIN_TOK))
         .select("doc_id", "lang", "source", "n_tok")
     )
+
+
+@query(
+    "q_llm_text_perplexity",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest({_DUCK_TOKENS}) AS t(tok)
+),
+uni AS (
+  SELECT term, COUNT(*) AS tf FROM tok GROUP BY term
+),
+tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n FROM uni),
+nll AS (
+  SELECT tok.doc_id,
+         COUNT(*) AS n_tok,
+         CAST(CAST(SUM(CAST(-ln(uni.tf / tot.n) AS DECIMAL(30,8)))
+              AS VARCHAR) AS DOUBLE) AS sum_nll
+  FROM tok JOIN uni USING (term) CROSS JOIN tot
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, n_tok, ROUND(sum_nll / n_tok, 6) AS avg_nll
+FROM nll
+""",
+)
+def q_llm_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy quality score (the perplexity-filter proxy
+    every pretraining pipeline runs): per-document mean negative log
+    probability under the corpus's own unigram LM — high avg_nll ⇒
+    unusual token distribution ⇒ candidate for filtering.  (A real KenLM
+    scorer slots into the same join-against-broadcast-LM shape.)
+
+    Parity: per-token -ln(p) is identical double arithmetic on identical
+    inputs; the per-doc sum accumulates in exact decimal (order-
+    independent); one ROUND at the end.
+
+    Scale: unigram table aggregates small (vocab-sized) and broadcasts;
+    the doc-side explode feeds one partial-combinable aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = uni.agg(F.sum("tf").cast("double").alias("n"))
+    nll = (
+        tok.join(F.broadcast(uni), "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id",
+                (-F.log(F.col("tf") / F.col("n"))).cast(DEC).alias("t"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"),
+             F.sum("t").cast("double").alias("sum_nll"))
+    )
+    return nll.select(
+        "doc_id", "n_tok",
+        F.round(F.col("sum_nll") / F.col("n_tok"), 6).alias("avg_nll"))
