@@ -1084,3 +1084,82 @@ def q_agg_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n",
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"))
+
+
+_AB_HASH = sql_md5_long("concat('exp1:', CAST(user_id AS {s}))", 8)
+
+
+@query(
+    "q_evt_ab_test",
+    oracle=f"""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN {_AB_HASH.format(s='VARCHAR')} % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1, 2
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_conv
+  FROM assigned GROUP BY arm
+),
+wide AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN n_users END) AS na,
+         MAX(CASE WHEN arm = 'A' THEN n_conv END) AS xa,
+         MAX(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+         MAX(CASE WHEN arm = 'B' THEN n_conv END) AS xb
+  FROM arms
+)
+SELECT na, xa, nb, xb,
+       ROUND(CAST(xa AS DOUBLE) / na, 6) AS rate_a,
+       ROUND(CAST(xb AS DOUBLE) / nb, 6) AS rate_b,
+       ROUND((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+             / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z_score
+FROM wide
+""",
+)
+def q_evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically bucketed into
+    arms by salted portable hash (the industry-standard stateless
+    assignment — stable across sessions, reproducible for re-analysis),
+    per-arm conversion = any high-value purchase (value > 90 — the
+    fixture logs a purchase for every user, so plain purchase rate is
+    degenerate p=1), pooled two-proportion z-score.
+    The identical hash arithmetic runs in DuckDB, so arm assignment,
+    rates, and the z statistic are all hash-verified.
+
+    Scale: one grouped pass per user (partial-combined MAX), a 2-row
+    arm aggregate, and scalar math — experiment readouts stay this
+    shape at any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(F.expr(_AB_HASH.format(s="STRING")) % 2 == 0, "A") \
+           .otherwise("B")
+    assigned = (
+        ev.select("user_id", arm.alias("arm"),
+                  ((F.col("event_type") == "purchase")
+                   & (F.col("value") > 90)).cast("int").alias("c"))
+        .groupBy("user_id", "arm")
+        .agg(F.max("c").alias("converted"))
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_conv"))
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_conv"))).alias("xa"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_conv"))).alias("xb"))
+    ra = F.col("xa").cast("double") / F.col("na")
+    rb = F.col("xb").cast("double") / F.col("nb")
+    p = (F.col("xa") + F.col("xb")).cast("double") / (F.col("na") + F.col("nb"))
+    z = (ra - rb) / F.sqrt(p * (1 - p)
+                           * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    return wide.select(
+        "na", "xa", "nb", "xb",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"))

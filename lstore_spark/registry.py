@@ -117,7 +117,7 @@ ROUND4_NEW: frozenset = frozenset({
     "q_llm_dedup_clusters_portable", "q_llm_text_pack", "q_llm_corpus_clean",
     "q_llm_emb_pq_encode", "q_llm_emb_pq_adc", "q_ts_ohlc",
     "q_sample_reservoir", "q_evt_attribution", "q_agg_linreg_trend",
-    "q_fn_variant", "q_llm_text_perplexity",
+    "q_fn_variant", "q_llm_text_perplexity", "q_evt_ab_test",
 })
 
 
