@@ -378,6 +378,34 @@ def q_llm_dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pairwise_editdist(docs: DataFrame, candidates: DataFrame,
+                      prefix_len: int = 40) -> DataFrame:
+    """Exact Levenshtein re-rank over a CANDIDATE-PAIR set (VERDICT r4
+    item 5): ``docs`` is (doc_id, text), ``candidates`` is (id_a, id_b) —
+    typically the output of :func:`lsh_candidate_pairs`.  Edit distance
+    is O(len²) per pair, so at 100 TB it must only ever run behind
+    candidate pruning; taking the pair set as input makes running it
+    unbounded impossible by construction.  Two equi-joins attach the
+    texts (broadcast-eligible when the candidate set is small — the
+    normal case after LSH); the DP itself is Spark's builtin
+    ``levenshtein`` (JVM-side)."""
+    s = docs.select("doc_id", F.substring("text", 1, prefix_len).alias("prefix"))
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    dist = F.levenshtein("pa", "pb")
+    return (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", dist.alias("edit_dist"),
+            F.round(
+                1.0 - dist / F.greatest(F.length("pa"), F.length("pb"), F.lit(1)),
+                6).alias("edit_sim"),
+        )
+    )
+
+
 @query(
     "q_llm_dedup_editdist",
     oracle="""
@@ -393,28 +421,21 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 """,
 )
 def q_llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise Levenshtein distance on a bounded doc slice (40-char
-    prefixes): the character-level exact verifier that runs BEHIND
-    LSH/minhash candidate pruning for fuzzy dedup — edit distance is
-    O(len²) per pair, so at 100 TB it only ever sees candidate pairs,
-    never the corpus cross product (the bounded slice here mirrors
-    that).  Classic DP semantics, identical in both engines."""
-    docs = (load_table(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 30)
-            .select("doc_id", F.substring("text", 1, 40).alias("prefix")))
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
-    b = docs.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
-    dist = F.levenshtein("pa", "pb")
-    return (
-        a.crossJoin(b)
+    """Bounded exhibit of :func:`pairwise_editdist` — the character-level
+    exact verifier that runs BEHIND LSH/minhash candidate pruning for
+    fuzzy dedup.  Here the candidate set is all pairs of a 30-doc slice
+    (40-char prefixes) so the DuckDB oracle can enumerate the same pairs;
+    the LSH-candidates → editdist re-rank composition is exercised in
+    tests/test_llm.py.  Classic DP semantics, identical in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    ids = docs.select("doc_id")
+    cands = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", dist.alias("edit_dist"),
-            F.round(
-                1.0 - dist / F.greatest(F.length("pa"), F.length("pb"), F.lit(1)),
-                6).alias("edit_sim"),
-        )
     )
+    return pairwise_editdist(docs.select("doc_id", "text"), cands)
 
 
 def dedup_clusters(doc_ids: DataFrame, pairs: DataFrame,

@@ -121,7 +121,7 @@ _LC_HASH = sql_md5_long("concat('lc:', CAST(user_id AS {s}))", 8)
     oracle=f"""
 SELECT event_type,
        COUNT(DISTINCT {_LC_HASH.format(s='VARCHAR')} % {_LC_M}) AS sketch_buckets,
-       CAST(ROUND(-{_LC_M} * LN(1.0 - COUNT(DISTINCT {_LC_HASH.format(s='VARCHAR')} % {_LC_M})
+       CAST(ROUND(-{_LC_M} * LN(1.0 - LEAST(COUNT(DISTINCT {_LC_HASH.format(s='VARCHAR')} % {_LC_M}), {_LC_M - 1})
             / CAST({_LC_M} AS DOUBLE))) AS BIGINT) AS approx_users,
        COUNT(DISTINCT user_id) AS exact_users
 FROM events GROUP BY event_type
@@ -135,11 +135,15 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — same contract as HLL, which Spark's native
     ``approx_count_distinct`` provides at 100 TB (kept in pytest; this
     key uses the portable-hash sketch so the DuckDB oracle can verify
-    the identical estimate hash-exactly, VERDICT r2 item 5)."""
+    the identical estimate hash-exactly, VERDICT r2 item 5).  d is
+    clamped to m-1 in BOTH engines (ADVICE r4): at full saturation
+    ln(0) would otherwise crash under ANSI mode instead of degrading
+    deterministically to the sketch's max estimate."""
     ev = load_table(spark, sf_dir, "events")
     h = F.expr(_LC_HASH.format(s="STRING")) % _LC_M
     d = F.countDistinct(h)
-    est = F.round(-_LC_M * F.log(F.lit(1.0) - d / float(_LC_M)))
+    d_c = F.least(d, F.lit(_LC_M - 1))
+    est = F.round(-_LC_M * F.log(F.lit(1.0) - d_c / float(_LC_M)))
     return ev.groupBy("event_type").agg(
         d.alias("sketch_buckets"),
         est.cast("bigint").alias("approx_users"),

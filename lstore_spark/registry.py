@@ -48,22 +48,37 @@ def load_all() -> None:
 # dict order under a ~50-key budget, so ordering IS evidence strategy.
 # VERDICT r2's top finding: a hand-frozen round-1 verified set meant rounds
 # 2 and 3 re-verified the same 50 keys and the LLM/streaming families never
-# got driver signal.  The verified set is therefore now built from every
-# CORRECTNESS_r*.json on disk at import time — no more staleness:
-#   tier 0: keys whose LATEST driver check failed (regressions to re-prove)
-#   tier 1: never-driver-checked batch keys (cheapest new evidence first)
+# got driver signal.  VERDICT r4's top finding: never-checked keys parked in
+# the slow tier (behind every green) could never earn evidence at all.  The
+# rule is therefore: EVERY never-driver-checked key sorts before every green
+# key — the never-checked population (~30) fits the 50-key budget with room
+# for ~20 green re-checks.  Tiers (built from every CORRECTNESS_r*.json on
+# disk at import time — no staleness):
+#   tier 0: keys whose LATEST oracle-grade driver check failed (regressions)
+#   tier 1: never-driver-checked batch keys (cheapest new evidence first;
+#           expensive-oracle keys sort after the cheap ones within the tier)
 #   tier 2: never-driver-checked ORACLE-BACKED streaming keys (~1-2 s of
 #           micro-batch setup each, but hash-grade evidence)
-#   tier 3: never-driver-checked rows-only keys (weakest evidence class)
-#   tier 4: keys already green in their latest driver check
-#   tier 5: slow side-effect keys (tempdir writes, iterative k-means) —
-#           budget truncation here costs the least evidence.
+#   tier 3: never-driver-checked keys first registered THIS round — they
+#           queue behind the longer-starved older families
+#   tier 4: never-driver-checked rows-only keys (weakest evidence class;
+#           a key whose latest driver entry is ``err: no_oracle`` counts as
+#           never-checked, NOT as a regression — it can never hash-match)
+#   tier 5: never-driver-checked slow side-effect keys (tempdir writes,
+#           iterative k-means) — still ahead of every green
+#   tier 6: keys already green in their latest driver check (re-green pool)
+#   tier 7: green slow side-effect keys — budget truncation here costs
+#           the least evidence.
 
 
 def _driver_evidence() -> tuple[frozenset, frozenset]:
     """(green, checked) from all CORRECTNESS_r*.json; latest round wins
-    per key.  A key counts green only on a full rows+hash match — the
-    rows-only ``err: no_oracle`` keys stay in the re-check pool."""
+    per key.  A key counts green only on a full rows+hash match.  Entries
+    with no oracle verdict (``err: no_oracle`` / ``rows_match`` null) are
+    rows-only evidence: they can never be green, so counting them as
+    "checked but not green" would pin them to the regression tier forever
+    (ADVICE r4) — they are treated as unchecked and route to the
+    rows-only tier instead."""
     import glob
     import json
     import os
@@ -77,8 +92,12 @@ def _driver_evidence() -> tuple[frozenset, frozenset]:
         except Exception:
             continue
         for k, v in rows.items():
-            if isinstance(v, dict):
-                latest[k] = bool(v.get("rows_match") and v.get("hash_match"))
+            if not isinstance(v, dict):
+                continue
+            if v.get("err") == "no_oracle" or v.get("rows_match") is None:
+                latest.pop(k, None)  # rows-only: no oracle verdict exists
+                continue
+            latest[k] = bool(v.get("rows_match") and v.get("hash_match"))
     return (frozenset(k for k, ok in latest.items() if ok),
             frozenset(latest))
 
@@ -90,10 +109,13 @@ DRIVER_GREEN, DRIVER_CHECKED = _driver_evidence()
 SLOW_KEYS: tuple[str, ...] = (
     "q_sink_parquet",
     "q_source_lstore_log",
+    "q_sink_lstore_log",
     "q_source_partition_prune",
     "q_source_bucketed_join",
     "q_maint_retention_purge",
+    "q_maint_compact_segments",
     "q_stream_foreachbatch_sink",
+    "q_stream_follow",
     "q_llm_multimodal_features",
     "q_llm_emb_kmeans",
 )
@@ -109,39 +131,37 @@ HEAVY_KEYS: frozenset = frozenset({
     "q_llm_dedup_jaccard_ngram", "q_llm_dedup_clusters_portable",
 })
 
-# Keys first registered in round 4: locally verified (sf0.01 + ~sf1) but
-# never in any driver sweep — they queue BEHIND the older never-checked
-# families (whole LLM + streaming backlog from rounds 1-3) so the
-# longest-starved evidence lands first.
-ROUND4_NEW: frozenset = frozenset({
-    "q_llm_dedup_clusters_portable", "q_llm_text_pack", "q_llm_corpus_clean",
-    "q_llm_emb_pq_encode", "q_llm_emb_pq_adc", "q_ts_ohlc",
-    "q_sample_reservoir", "q_evt_attribution", "q_agg_linreg_trend",
-    "q_fn_variant", "q_llm_text_perplexity", "q_evt_ab_test",
+# Keys first registered in round 5: locally verified but never in any
+# driver sweep — they queue BEHIND the older never-checked families so the
+# longest-starved evidence lands first (still ahead of every green key).
+NEW_KEYS: frozenset = frozenset({
+    "q_sink_lstore_log", "q_maint_compact_segments", "q_stream_follow",
 })
 
 
 def sweep_order(keys=None) -> list[str]:
-    """Registry keys in driver-sweep priority order (stable within tiers)."""
+    """Registry keys in driver-sweep priority order (stable within tiers);
+    tier semantics documented in the block comment above."""
     keys = list(QUERIES if keys is None else keys)
 
     def tier(k: str) -> tuple[int, int]:
         heavy = 1 if k in HEAVY_KEYS else 0
-        if k in SLOW_KEYS:
-            return (6, heavy)
         if k in DRIVER_CHECKED and k not in DRIVER_GREEN:
             return (0, heavy)
         if k in DRIVER_GREEN:
+            return (7, heavy) if k in SLOW_KEYS else (6, heavy)
+        # --- never driver-checked from here down: all before any green ---
+        if k in SLOW_KEYS:
             return (5, heavy)
+        if k not in ORACLE:
+            return (4, heavy)
+        if k in NEW_KEYS:
+            return (3, heavy)
         if k == "q_llm_dedup_embcos":
             # the single most expensive oracle (~5-13 s all-pairs DuckDB
             # side): queues behind the whole streaming tier so it can't
             # starve several cheap keys under a time-based budget.
-            return (3, 0)
-        if k in ROUND4_NEW:
-            return (3, heavy)
-        if k not in ORACLE:
-            return (4, heavy)
+            return (2, 2)
         if k.startswith("q_stream_") or k.startswith("q_source_stream"):
             return (2, heavy)
         return (1, heavy)

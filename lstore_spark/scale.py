@@ -115,6 +115,60 @@ def compact_partition(spark: SparkSession, path: str, day: str,
     return len([f for f in os.listdir(part) if f.endswith(".parquet")])
 
 
+def plan_compaction(path: str, target_bytes: int = 128 << 20) -> dict[str, int]:
+    """Bin-packing plan for a date-partitioned store: per day-partition,
+    the target file count = ceil(bytes / target_bytes) (never 0).  Pure
+    metadata pass — a directory listing, O(#partitions) driver-side work;
+    at 100 TB this reads the table manifest/catalog, never data."""
+    import math
+
+    base = path.removeprefix("file:")
+    plan: dict[str, int] = {}
+    for entry in sorted(os.listdir(base)):
+        if not entry.startswith("day="):
+            continue
+        pdir = os.path.join(base, entry)
+        size = sum(os.path.getsize(os.path.join(pdir, f))
+                   for f in os.listdir(pdir) if f.endswith(".parquet"))
+        plan[entry[4:]] = max(1, math.ceil(size / target_bytes))
+    return plan
+
+
+def compact_store(spark: SparkSession, path: str,
+                  target_bytes: int = 128 << 20,
+                  out: str | None = None) -> tuple[str, dict[str, int]]:
+    """OPTIMIZE-style whole-store compaction (the lstore indexer's
+    raw→indexed rewrite, VERDICT r4 item 4): bin-pack every day
+    partition's small files into ~``target_bytes`` outputs in ONE shuffle
+    job — unlike :func:`compact_partition`, cost does not grow a Spark
+    job per partition.
+
+    Mechanics: the plan above fixes a per-day target count n_d; each row
+    gets a deterministic salt in [0, n_d) (xxhash64 of event_id — stable
+    under task retry), and one ``repartition(Σn_d × 2, day, salt)``
+    shuffle routes each output file's rows to exactly one writer task
+    (the ×2 headroom keeps independent (day, salt) cells from colliding
+    into the same task and merging files past the size target).  Files
+    are ts-sorted so row-group min/max stats stay tight after the
+    rewrite.  Returns ``(out_dir, plan)``."""
+    plan = plan_compaction(path, target_bytes)
+    out = out or path.rstrip("/") + "_compacted"
+    df = spark.read.parquet(path)
+    pairs = [x for kv in plan.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    n_tgt = F.create_map(*pairs)[F.col("day").cast("string")]
+    total = sum(plan.values())
+    (
+        df.withColumn("__salt", F.pmod(F.xxhash64("event_id"), n_tgt))
+        .repartition(max(2 * total, 1), F.col("day"), F.col("__salt"))
+        .drop("__salt")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    return out, plan
+
+
 def purge_before(spark: SparkSession, path: str, cutoff_day: str) -> int:
     """Retention: drop event partitions older than ``cutoff_day`` — the
     lstore remover (expired head segments are deleted whole; SURVEY.md

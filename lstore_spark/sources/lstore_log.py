@@ -55,6 +55,75 @@ def write_segment(path: str, records: list[tuple[int, list[int], list[bytes]]]) 
                 f.write(b)
 
 
+def write_segments(df: DataFrame, seg_dir: str) -> None:
+    """Distributed segment sink (VERDICT r4 item 2): each task writes ONE
+    ``.seg`` file for its partition — the write unit matches the storage
+    unit exactly like the read path, and NO row ever moves through the
+    driver.  ``df`` must have columns (offset bigint, ints array<bigint>,
+    blobs array<binary>).
+
+    Task-retry safety: each attempt writes ``.part-<pid>.seg.tmp-<task
+    attempt>`` then atomically renames to ``part-<pid>.seg`` — a retried
+    task republishes the same partition id, so the last rename wins and
+    the store never exposes a torn file (the lstore appender's
+    tmp+rename publish discipline).  On a real cluster ``seg_dir`` is a
+    shared filesystem / object store mount; locally it's tmpfs.
+
+    The closure is self-contained (stdlib only) so it pickles by value —
+    no worker-side package import needed."""
+
+    def _write_partition(rows) -> None:
+        import os as _os
+        import struct as _struct
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid, attempt = tc.partitionId(), tc.taskAttemptId()
+        tmp = _os.path.join(seg_dir, f".part-{pid:05d}.seg.tmp-{attempt}")
+        wrote = False
+        with open(tmp, "wb") as f:
+            for r in rows:
+                wrote = True
+                ints, blobs = list(r[1]), list(r[2])
+                f.write(_struct.pack("<qi", r[0], len(ints)))
+                for v in ints:
+                    f.write(_struct.pack("<q", v))
+                f.write(_struct.pack("<i", len(blobs)))
+                for b in blobs:
+                    f.write(_struct.pack("<i", len(b)))
+                    f.write(bytes(b))
+        if wrote:
+            _os.replace(tmp, _os.path.join(seg_dir, f"part-{pid:05d}.seg"))
+        else:
+            _os.remove(tmp)  # empty partition → no segment file
+
+    df.select("offset", "ints", "blobs").foreachPartition(_write_partition)
+
+
+def events_as_segment_rows(ev: DataFrame) -> DataFrame:
+    """Shape an events slice into the segment record layout:
+    ints=[event_id, ts_us, user_id], blobs=[event_type] — pure projection,
+    stays JVM-side until the sink's Arrow hop."""
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        F.col("event_id").alias("offset"),
+        F.array(F.col("event_id"), ts_us, F.col("user_id")).alias("ints"),
+        F.array(F.encode(F.col("event_type"), "UTF-8")).alias("blobs"),
+    )
+
+
+def segments_as_events(raw: DataFrame) -> DataFrame:
+    """Inverse of :func:`events_as_segment_rows`: re-type segment records
+    to named event columns."""
+    return raw.select(
+        F.col("ints")[0].alias("event_id"),
+        F.timestamp_micros(F.col("ints")[1]).cast("timestamp_ntz").alias("ts"),
+        F.col("ints")[2].alias("user_id"),
+        F.col("blobs")[0].cast("string").alias("event_type"),
+    )
+
+
 def read_segment_file(path: str):
     with open(path, "rb") as f:
         data = f.read()
@@ -181,29 +250,50 @@ FROM events WHERE event_id < 2000
 )
 def q_source_lstore_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip through the reference's storage model: an event slice is
-    written as TWO segment files (ints=[event_id, ts_us, user_id],
-    blobs=[event_type]), read back via the custom DataSource in parallel,
-    and re-typed to named columns.  Oracle compares against the original
-    parquet — codec + source fidelity end-to-end."""
+    written as segment files by the DISTRIBUTED sink (one ``.seg`` per
+    partition, executor-side — no driver collect; VERDICT r4 item 2),
+    read back via the custom DataSource in parallel, and re-typed to
+    named columns.  Oracle compares against the original parquet — codec
+    + sink + source fidelity end-to-end."""
     ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("event_id") < 2000)
-          .select("event_id",
-                  F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-                  "user_id", "event_type"))
-    rows = ev.collect()  # bounded slice: segment-writer rig, not a data path
+          .filter(F.col("event_id") < 2000))
     seg_dir = tempfile.mkdtemp(prefix="lstore_segments_")
-    half = len(rows) // 2
-    for i, chunk in enumerate((rows[:half], rows[half:])):
-        write_segment(
-            os.path.join(seg_dir, f"{i:05d}.seg"),
-            [(r.event_id, [r.event_id, r.ts_us, r.user_id],
-              [r.event_type.encode()]) for r in chunk],
-        )
+    write_segments(events_as_segment_rows(ev).repartition(2, "offset"), seg_dir)
     register(spark)
     raw = spark.read.format("lstore_log").option("path", seg_dir).load()
-    return raw.select(
-        F.col("ints")[0].alias("event_id"),
-        F.timestamp_micros(F.col("ints")[1]).cast("timestamp_ntz").alias("ts"),
-        F.col("ints")[2].alias("user_id"),
-        F.col("blobs")[0].cast("string").alias("event_type"),
+    return segments_as_events(raw)
+
+
+@query(
+    "q_sink_lstore_log",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user,
+       CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us
+FROM events
+GROUP BY event_type
+""",
+)
+def q_sink_lstore_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table segment sink round-trip: EVERY event row flows through
+    the distributed writer (one segment per partition, executor-side),
+    back through the parallel DataSource read, then into a per-type
+    aggregate whose oracle recomputes from the original parquet — every
+    field of every record must survive the binary codec for the sums to
+    hash-match.  This is the lstore write path (writer.go [UNVERIFIED:
+    pub], SURVEY.md §1.1) as a real sink: at 100 TB the same shape, one
+    appender task per partition against a shared store, no driver hop."""
+    ev = load_table(spark, sf_dir, "events")
+    seg_dir = tempfile.mkdtemp(prefix="lstore_sink_")
+    write_segments(events_as_segment_rows(ev).repartition(8, "offset"), seg_dir)
+    register(spark)
+    raw = spark.read.format("lstore_log").option("path", seg_dir).load()
+    back = segments_as_events(raw)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum("user_id").alias("sum_user"),
+        F.sum(F.unix_micros(F.col("ts").cast("timestamp"))).alias("sum_ts_us"),
     )

@@ -193,6 +193,46 @@ def q_source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_maint_compact_segments",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user
+FROM events
+GROUP BY CAST(ts AS DATE)
+""",
+)
+def q_maint_compact_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lstore indexer's raw→indexed segment
+    rewrite (indexer.go [UNVERIFIED: pub]) as an OPTIMIZE-style
+    bin-packing pass: events land day-partitioned from 8 concurrent
+    writer tasks (8 small files per day — the many-small-appends state
+    every streaming ingest produces), then ``compact_store`` bin-packs
+    each day to ~128 MiB targets in ONE shuffle job.  The oracle
+    recomputes per-day aggregates from the raw table, so the comparison
+    proves the rewrite moved every row and lost none; pytest additionally
+    asserts the file count collapses.  At 100 TB the identical plan:
+    listing is O(#partitions) metadata, the rewrite is one salted
+    shuffle sized by the bin-pack plan."""
+    from ..scale import compact_store
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.col("ts").cast("date").alias("day"))
+    store = tempfile.mkdtemp(prefix="lstore_spark_compact_")
+    (ev.repartition(8)
+       .write.mode("overwrite")
+       .partitionBy("day")
+       .parquet(store))
+    out, _plan = compact_store(spark, store)
+    back = spark.read.parquet(out)
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum("user_id").alias("sum_user"))
+
+
+@query(
     "q_maint_retention_purge",
     oracle="""
 SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,

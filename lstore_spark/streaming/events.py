@@ -293,6 +293,83 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_follow",
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM events WHERE event_id < 900
+""",
+)
+def q_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-lived tail-follow (VERDICT r4 item 3) — lstore's blocking
+    ``SearchForward`` consumer made literal: a ``processingTime``-
+    triggered stream follows the segment store while a producer appends
+    live.  Three event slices are staged as segment files by the
+    distributed sink; segment 1 is published before the stream starts and
+    segments 2 and 3 are published only AFTER the consumer's cursor has
+    visibly passed the previous one, so the data necessarily spans ≥3
+    micro-batches (no availableNow drain).  Each publish is one atomic
+    rename — a reader never sees a torn segment, and because the log is
+    append-only with a monotone offset cursor, restarts/retries can't
+    lose or duplicate rows.  The final sink contents equal the full
+    slice, which is exactly what the oracle checks."""
+    import os
+    import time
+
+    from ..sources.lstore_log import (events_as_segment_rows, register,
+                                      write_segments)
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 900)
+          .select("event_id", "ts", "user_id", "event_type"))
+    lt = lambda n: F.sum((F.col("event_id") < n).cast("long"))  # noqa: E731
+    cum = ev.agg(lt(300), lt(600), F.count(F.lit(1))).first()
+
+    root = tempfile.mkdtemp(prefix="lstore_follow_")
+    live = os.path.join(root, "live")
+    os.makedirs(live)
+    for i, (lo, hi) in enumerate(((0, 300), (300, 600), (600, 900))):
+        sdir = os.path.join(root, f"stage{i}")
+        os.makedirs(sdir)
+        batch = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        # repartition(1): one segment per append so publish is ONE atomic
+        # rename — a multi-file publish could let the cursor pass offsets
+        # still sitting in an unpublished sibling file.
+        write_segments(events_as_segment_rows(batch).repartition(1), sdir)
+
+    def publish(i: int) -> None:
+        os.rename(os.path.join(root, f"stage{i}", "part-00000.seg"),
+                  os.path.join(live, f"b{i}.seg"))
+
+    publish(0)
+    register(spark)
+    raw = spark.readStream.format("lstore_log").option("path", live).load()
+    stream = raw.select(
+        F.col("ints")[0].alias("event_id"),
+        F.col("ints")[2].alias("user_id"),
+        F.col("blobs")[0].cast("string").alias("event_type"),
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("q_stream_follow_sink")
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    sink = spark.table("q_stream_follow_sink")
+    next_stage, deadline = 1, time.time() + 120
+    while time.time() < deadline:
+        n = sink.count()
+        if next_stage < 3 and n >= cum[next_stage - 1]:
+            publish(next_stage)
+            next_stage += 1
+        elif n >= cum[2]:
+            break
+        time.sleep(0.2)
+    q.stop()
+    return spark.table("q_stream_follow_sink")
+
+
 @query("q_stream_foreachbatch_sink")  # rows-only (sink side effect)
 def q_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch sink: stream → tumbling-hour aggregate → foreachBatch

@@ -201,3 +201,28 @@ def test_kmeans_invariants(spark, sf_dir):
     clusters = set(a.values())
     assert 1 < len(clusters) <= 8
     assert clusters <= set(range(8))
+
+
+def test_editdist_over_lsh_candidates(spark, sf_dir):
+    """VERDICT r4 item 5: the exact Levenshtein verifier consumes a
+    candidate-pair DataFrame — wire LSH candidates (with a planted
+    near-dup) straight into pairwise_editdist and assert the planted
+    pair re-ranks to the top with near-1 similarity."""
+    from lstore_spark.llm.dedup import lsh_candidate_pairs, pairwise_editdist
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    base = docs.select("doc_id", "text").collect()
+    words = base[0].text.split()
+    words[len(words) // 2] = "PLANTEDEDIT"
+    aug = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame([(10_000 + base[0].doc_id, " ".join(words))],
+                              ["doc_id", "text"]))
+
+    cands = lsh_candidate_pairs(minhash_signatures(aug))
+    n_cands = cands.count()
+    ranked = pairwise_editdist(aug, cands, prefix_len=80)
+    assert ranked.count() == n_cands, "one exact score per candidate pair"
+    top = ranked.orderBy(F.desc("edit_sim")).first()
+    assert top is not None
+    assert (top.id_a, top.id_b) == (base[0].doc_id, 10_000 + base[0].doc_id)
+    assert top.edit_sim > 0.8

@@ -1,0 +1,106 @@
+"""Distributed lstore-segment sink + live tail-follow (VERDICT r4 items
+2 and 3): the write path must be executor-side (no driver collect), the
+publish must be atomic, and a processingTime consumer must see live
+appends exactly once across ≥3 micro-batches."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+
+def test_write_segments_distributed_roundtrip(spark, tmp_path):
+    """Every partition becomes one segment file written by its own task;
+    empty partitions write nothing; no tmp files survive; the parallel
+    read returns exactly the written records."""
+    from lstore_spark.sources.lstore_log import register, write_segments
+
+    df = (
+        spark.range(500)
+        .select(
+            F.col("id").alias("offset"),
+            F.array(F.col("id"), F.col("id") * 2).alias("ints"),
+            F.array(F.encode(F.col("id").cast("string"), "UTF-8")).alias("blobs"),
+        )
+        .repartition(16, "offset")
+    )
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    write_segments(df, str(seg))
+
+    names = os.listdir(seg)
+    assert 0 < len([f for f in names if f.endswith(".seg")]) <= 16
+    assert not any(f.startswith(".") for f in names), "torn tmp file published"
+
+    register(spark)
+    back = spark.read.format("lstore_log").option("path", str(seg)).load()
+    rows = back.select("offset", "ints", "blobs").collect()
+    assert sorted(r.offset for r in rows) == list(range(500))
+    by_off = {r.offset: r for r in rows}
+    assert by_off[7].ints == [7, 14]
+    assert bytes(by_off[7].blobs[0]) == b"7"
+
+
+def test_sink_source_roundtrip_no_collect(spark, sf_dir):
+    """q_source_lstore_log's writer is the distributed sink now — the
+    round-trip must still reproduce the original event slice exactly."""
+    from lstore_spark.catalog import load_table
+    from lstore_spark.registry import QUERIES
+
+    got = QUERIES["q_source_lstore_log"](spark, sf_dir)
+    want = (load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 2000)
+            .select("event_id", "user_id", "event_type"))
+    g = sorted(map(tuple, got.select("event_id", "user_id", "event_type").collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+
+
+def test_stream_follow_multibatch_exactly_once(spark, tmp_path):
+    """lstore's blocking SearchForward: a processingTime consumer follows
+    the store while a producer appends; the appended records must arrive
+    across ≥3 distinct micro-batches with no loss and no duplicates
+    (the stream offset IS the store's monotone row offset)."""
+    from lstore_spark.sources.lstore_log import register, write_segment
+
+    live = tmp_path / "live"
+    live.mkdir()
+    register(spark)
+    write_segment(str(live / "b0.seg"),
+                  [(i, [i], [b"x"]) for i in range(100)])
+
+    q = (
+        spark.readStream.format("lstore_log")
+        .option("path", str(live))
+        .load()
+        .writeStream.format("memory")
+        .queryName("follow_t")
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        published, deadline = 1, time.time() + 90
+        while time.time() < deadline:
+            n = spark.table("follow_t").count()
+            if published < 3 and n >= published * 100:
+                # publish only after the consumer's cursor passed the
+                # previous append → forces a later micro-batch
+                write_segment(
+                    str(live / f"b{published}.seg"),
+                    [(i, [i], [b"x"])
+                     for i in range(100 * published, 100 * (published + 1))])
+                published += 1
+            elif n >= 300:
+                break
+            time.sleep(0.1)
+        offsets = [r.offset
+                   for r in spark.table("follow_t").select("offset").collect()]
+        assert len(offsets) == 300, "lost rows across the cursor"
+        assert len(set(offsets)) == 300, "replayed rows (not exactly-once)"
+        busy = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(busy) >= 3, "appends did not span 3 micro-batches"
+    finally:
+        q.stop()

@@ -199,3 +199,33 @@ def test_minhash_lsh_scale_recall(spark):
     caught = pairs.filter(
         F.col("id_b") - F.col("id_a") == 100_000_000).count()
     assert caught >= 90, f"planted near-dup recall {caught}/100"
+
+
+def test_compact_store_binpacks_and_preserves(spark, sf_dir):
+    """compact_store (the OPTIMIZE-style whole-store rewrite) must collapse
+    the many-small-appends state (8 writer tasks per day) to the planned
+    per-day file counts in one job, without changing the data."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.col("ts").cast("date").alias("day"))
+    store = tempfile.mkdtemp(prefix="lstore_compact_t_")
+    ev.repartition(8).write.mode("overwrite").partitionBy("day").parquet(store)
+
+    def files_per_day(path):
+        return {
+            d: len([f for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet")])
+            for d in os.listdir(path) if d.startswith("day=")
+        }
+
+    before = files_per_day(store)
+    assert before and all(n == 8 for n in before.values())
+    out, plan = scale.compact_store(spark, store)
+    after = files_per_day(out)
+    assert set(after) == set(before)
+    # sf0.01 partitions are far below 128 MiB: plan = 1 file per day, and
+    # the salted rewrite must actually hit the plan
+    assert all(plan[d.split("=", 1)[1]] == 1 for d in after)
+    assert all(n == 1 for n in after.values())
+    a = spark.read.parquet(store).select("event_id", "user_id")
+    b = spark.read.parquet(out).select("event_id", "user_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
