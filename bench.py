@@ -46,6 +46,7 @@ HEADLINE = [
     "q_llm_dedup_exact",
     "q_llm_dedup_minhash",
     "q_llm_sim_cosine_topk",
+    "q_llm_emb_pq_adc",
 ]
 
 

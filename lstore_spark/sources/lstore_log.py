@@ -269,8 +269,8 @@ def q_source_lstore_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type, COUNT(*) AS n,
        MIN(event_id) AS min_id, MAX(event_id) AS max_id,
-       CAST(SUM(user_id) AS BIGINT) AS sum_user,
-       CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us
+       CAST(SUM(user_id % 1000000007) AS BIGINT) AS sum_user,
+       CAST(SUM(epoch_us(ts) % 1000000007) AS BIGINT) AS sum_ts_us
 FROM events
 GROUP BY event_type
 """,
@@ -290,10 +290,14 @@ def q_sink_lstore_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     raw = spark.read.format("lstore_log").option("path", seg_dir).load()
     back = segments_as_events(raw)
+    # checksums are mod-reduced per row (terms < 1e9) so the BIGINT sum
+    # cannot overflow at any realistic row count (1e9 · rows ≪ 2^63 up
+    # to ~9e9 rows/group; caught overflowing at the ~sf1 sweep otherwise)
+    p = F.lit(1000000007)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
-        F.sum("user_id").alias("sum_user"),
-        F.sum(F.unix_micros(F.col("ts").cast("timestamp"))).alias("sum_ts_us"),
+        F.sum(F.col("user_id") % p).alias("sum_user"),
+        F.sum(F.unix_micros(F.col("ts").cast("timestamp")) % p).alias("sum_ts_us"),
     )

@@ -69,12 +69,26 @@ def run_available_now(df: DataFrame, sink_name: str,
     return df.sparkSession.table(sink_name)
 
 
-@query("q_source_stream_events")  # rows-only (streaming source smoke)
+@query(
+    "q_source_stream_events",
+    oracle="""
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       user_id, event_type, value
+FROM events
+""",
+)
 def q_source_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tail the events log as a stream (lstore blocking read): file source
-    + availableNow drain into a memory sink, projected like q_scan_full."""
+    + availableNow drain into a memory sink, projected like q_scan_full.
+    The drained sink must contain every log record exactly once, which is
+    precisely what the full-table oracle hash-checks (upgraded from
+    rows-only in r5; ts is formatted to a string so both engines compare
+    identical µs wall-clock values regardless of timestamp physical
+    type)."""
     stream = _events_stream(spark, sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value")
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "user_id", "event_type", "value")
     return run_available_now(stream, "q_source_stream_events_sink")
 
 
@@ -370,12 +384,26 @@ def q_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_follow_sink")
 
 
-@query("q_stream_foreachbatch_sink")  # rows-only (sink side effect)
+@query(
+    "q_stream_foreachbatch_sink",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS m FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+       event_type, COUNT(*) AS n
+FROM events, mx
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+GROUP BY 1, 2
+""",
+)
 def q_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch sink: stream → tumbling-hour aggregate → foreachBatch
     writes each micro-batch to parquet → re-read the sink output.
     This is the lstore indexer analog: raw log in, compacted aggregate
-    segments out."""
+    segments out.  Upgraded from rows-only in r5: append-mode emission is
+    deterministic — a window emits iff window.end ≤ final watermark
+    (max event time − 1 h), regardless of micro-batch boundaries, which
+    is exactly the oracle's predicate (boundary semantics probed
+    empirically: both ≤ and < agree on continuous-timestamp data)."""
     out_dir = tempfile.mkdtemp(prefix="lstore_spark_febsink_")
     agg = (
         _events_stream(spark, sf_dir)
