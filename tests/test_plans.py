@@ -237,3 +237,47 @@ def test_reservoir_sample_is_take_ordered(spark, sf_dir):
     (per-partition bottom-k + driver merge), never a global Sort."""
     p = _plan(spark, sf_dir, "q_sample_reservoir")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_pq_adc_corpus_never_exploded(spark, sf_dir):
+    """r5 PQ-ADC rework: all sub-distances are row-local HOFs against ONE
+    broadcast codebook row.  The only Generate (explode) in the plan is
+    the tiny centroid-training branch; the corpus path must carry none —
+    at 100 TB the old shape shuffled a 1024x-exploded corpus."""
+    p = _plan(spark, sf_dir, "q_llm_emb_pq_adc")
+    # embedding explodes exist only in the centroid-training branch,
+    # which appears twice (codes side + broadcast LUT side — Spark does
+    # no CSE across branches); a corpus-side explode would add more.
+    # (partitioned_topk's posexplode of the 50 collected top-k arrays is
+    # excluded: it generates over _topk, not embedding.)
+    assert p.count("Generate posexplode(embedding") <= 2, p
+    # No corpus-cardinality hash exchange: only centroid-agg partials and
+    # the 50-row top-k shuffle remain.
+    assert "SortMergeJoin" not in p, p
+
+
+def test_compact_store_single_pass_plan(spark, sf_dir, tmp_path):
+    """compact_store must rewrite the whole store in ONE salted shuffle:
+    exactly one round-robin/hash repartition Exchange over the data, no
+    per-partition driver loop (cost O(1) Spark jobs, not O(partitions))."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lstore_spark import scale
+    from lstore_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.col("ts").cast("date").alias("day"))
+    store = str(tmp_path / "store")
+    ev.repartition(4).write.partitionBy("day").parquet(store)
+    plan = scale.plan_compaction(store)
+    pairs = [x for kv in plan.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    n_tgt = F.create_map(*pairs)[F.col("day").cast("string")]
+    df = (spark.read.parquet(store)
+          .withColumn("__salt", F.pmod(F.xxhash64("event_id"), n_tgt))
+          .repartition(max(2 * sum(plan.values()), 1),
+                       F.col("day"), F.col("__salt"))
+          .drop("__salt"))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1, p
