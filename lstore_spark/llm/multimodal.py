@@ -50,6 +50,51 @@ def q_llm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_source_binaryfile",
+    oracle="""
+SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes, md5(text) AS blob_hex
+FROM documents
+""",
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native multimodal ingest source: a directory of opaque
+    media files read via ``format("binaryFile")`` — the production path
+    for image/audio corpora at 100 TB (one row per file: path, length,
+    content; Spark packs small files into partitions by
+    ``maxPartitionBytes`` and pushes path/length filters into the
+    listing).  Each document's deterministic 16-byte stand-in blob (md5
+    of its text — same stub as q_llm_multimodal_features) is written as
+    its own file by an executor-side ``foreachPartition`` writer
+    (tmp+rename publish, no driver hop), then the directory is read
+    back and every blob is fingerprinted.  The oracle recomputes the
+    fingerprints from the source table, proving file-sink → binaryFile
+    → content fidelity end-to-end."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.md5("text")).alias("media"))
+    out = tempfile.mkdtemp(prefix="lstore_media_")
+
+    def write_blobs(rows) -> None:
+        import os as _os
+        for r in rows:
+            tmp = _os.path.join(out, f".{r.doc_id}.bin.tmp")
+            with open(tmp, "wb") as f:
+                f.write(bytes(r.media))
+            _os.replace(tmp, _os.path.join(out, f"{r.doc_id}.bin"))
+
+    docs.foreachPartition(write_blobs)
+    raw = spark.read.format("binaryFile").load(out)
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.lower(F.hex("content")).alias("blob_hex"),
+    )
+
+
+@query(
     "q_llm_langdist_pivot",
     oracle="""
 SELECT lang,

@@ -114,6 +114,7 @@ SLOW_KEYS: tuple[str, ...] = (
     "q_source_bucketed_join",
     "q_maint_retention_purge",
     "q_maint_compact_segments",
+    "q_source_binaryfile",
     "q_stream_foreachbatch_sink",
     "q_stream_follow",
     "q_llm_multimodal_features",
@@ -136,6 +137,7 @@ HEAVY_KEYS: frozenset = frozenset({
 # longest-starved evidence lands first (still ahead of every green key).
 NEW_KEYS: frozenset = frozenset({
     "q_sink_lstore_log", "q_maint_compact_segments", "q_stream_follow",
+    "q_source_binaryfile",
 })
 
 
