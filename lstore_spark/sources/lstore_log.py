@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 from ..catalog import load_table
@@ -161,7 +161,7 @@ class LstoreLogDataSource(DataSource):
     def reader(self, schema) -> "LstoreLogReader":
         return LstoreLogReader(self.options)
 
-    def simpleStreamReader(self, schema) -> "LstoreLogStreamReader":
+    def streamReader(self, schema) -> "LstoreLogStreamReader":
         return LstoreLogStreamReader(self.options)
 
 
@@ -182,40 +182,42 @@ class LstoreLogReader(DataSourceReader):
             yield (offset, ints, blobs)
 
 
-class LstoreLogStreamReader(SimpleDataSourceStreamReader):
+class LstoreLogStreamReader(DataSourceStreamReader):
     """Streaming tail over a segment directory — the lstore consumer
-    model made literal: the stream's offset IS the store's row offset
-    (monotone int64 cursor, SURVEY.md §1.1), and each micro-batch is
-    "every record appended past my cursor", lstore's blocking tail read.
+    model made literal, in its SCALABLE form (upgraded r5 from a
+    SimpleDataSourceStreamReader, which funnels every record through the
+    driver): the driver does only O(#segments) metadata work and the
+    executors read the bytes.
 
-    A producer appends segment files; ``read(start)`` scans past the
-    cursor and advances it; ``readBetweenOffsets`` replays a committed
-    range deterministically after restart (offsets are stable because
-    the log is append-only)."""
+    Offset = the set of sealed segment files consumed so far (segments
+    are write-once: the sink publishes them by atomic rename and never
+    appends to a published file, so "new since my cursor" is exactly the
+    filename-set difference — lstore's sealed-segment tail).  Each
+    micro-batch plans ONE InputPartition per new segment, read in
+    parallel on executors; restart replay is deterministic because
+    ``partitions(start, end)`` is a pure function of the two offsets."""
 
     def __init__(self, options):
         self.path = options.get("path")
 
     def initialOffset(self) -> dict:
-        return {"offset": -1}
+        return {"files": []}
 
-    def _records_after(self, lo: int, hi: int | None = None):
-        for fn in sorted(os.listdir(self.path)):
-            if not fn.endswith(".seg"):
-                continue
-            for offset, ints, blobs in read_segment_file(
-                    os.path.join(self.path, fn)):
-                if offset > lo and (hi is None or offset <= hi):
-                    yield offset, ints, blobs
+    def _list_segments(self) -> list:
+        return sorted(f for f in os.listdir(self.path) if f.endswith(".seg"))
 
-    def read(self, start: dict):
-        lo = start["offset"]
-        rows = list(self._records_after(lo))
-        hi = max((r[0] for r in rows), default=lo)
-        return iter(rows), {"offset": hi}
+    def latestOffset(self) -> dict:
+        return {"files": self._list_segments()}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._records_after(start["offset"], end["offset"]))
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return [InputPartition(os.path.join(self.path, f)) for f in new]
+
+    def read(self, partition):
+        yield from read_segment_file(partition.value)
+
+    def commit(self, end: dict) -> None:
+        pass  # the store is the source of truth; nothing to acknowledge
 
 
 def _package_zip() -> str:

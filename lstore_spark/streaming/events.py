@@ -323,10 +323,10 @@ def q_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments 2 and 3 are published only AFTER the consumer's cursor has
     visibly passed the previous one, so the data necessarily spans ≥3
     micro-batches (no availableNow drain).  Each publish is one atomic
-    rename — a reader never sees a torn segment, and because the log is
-    append-only with a monotone offset cursor, restarts/retries can't
-    lose or duplicate rows.  The final sink contents equal the full
-    slice, which is exactly what the oracle checks."""
+    rename — a reader never sees a torn segment, and because the stream
+    offset is the sealed-segment set (write-once files), restarts and
+    retries can't lose or duplicate rows.  The final sink contents equal
+    the full slice, which is exactly what the oracle checks."""
     import os
     import time
 
@@ -346,9 +346,9 @@ def q_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdir = os.path.join(root, f"stage{i}")
         os.makedirs(sdir)
         batch = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
-        # repartition(1): one segment per append so publish is ONE atomic
-        # rename — a multi-file publish could let the cursor pass offsets
-        # still sitting in an unpublished sibling file.
+        # repartition(1): one segment per append so each publish is ONE
+        # atomic rename — the consumption gate below then maps cleanly
+        # to "previous segment fully consumed".
         write_segments(events_as_segment_rows(batch).repartition(1), sdir)
 
     def publish(i: int) -> None:
