@@ -104,3 +104,41 @@ def test_stream_follow_multibatch_exactly_once(spark, tmp_path):
         assert len(busy) >= 3, "appends did not span 3 micro-batches"
     finally:
         q.stop()
+
+
+def test_segment_codec_roundtrip_property():
+    """Property test of the binary segment codec alone (no Spark): any
+    record list — empty blob lists, zero-length blobs, negative/extreme
+    int64s — must survive write_segment → read_segment_file exactly.
+    The distributed sink writes this same framing from executors, so a
+    codec asymmetry here would corrupt every segment key."""
+    import os
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lstore_spark.sources.lstore_log import (read_segment_file,
+                                                 write_segment)
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    record = st.tuples(
+        st.integers(min_value=0, max_value=2**62),           # offset
+        st.lists(i64, max_size=6),                           # ints
+        st.lists(st.binary(max_size=32), max_size=4),        # blobs
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(records=st.lists(record, max_size=8))
+    def check(records):
+        fd, path = tempfile.mkstemp(suffix=".seg")
+        os.close(fd)
+        try:
+            write_segment(path, records)
+            back = [(o, ints, blobs)
+                    for o, ints, blobs in read_segment_file(path)]
+            assert back == [(o, list(i), list(b)) for o, i, b in records]
+        finally:
+            os.remove(path)
+
+    check()
