@@ -235,10 +235,14 @@ def q_maint_compact_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_maint_retention_purge",
     oracle="""
+WITH b AS (
+  SELECT LEAST(MIN(CAST(ts AS DATE)) + 14, MAX(CAST(ts AS DATE))) AS cutoff
+  FROM events
+)
 SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
        MIN(event_id) AS min_id, MAX(event_id) AS max_id
-FROM events
-WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+FROM events, b
+WHERE CAST(ts AS DATE) >= b.cutoff
 GROUP BY CAST(ts AS DATE)
 """,
 )
@@ -251,12 +255,21 @@ def q_maint_retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving table is read back.  The oracle recomputes the kept
     window from the raw table, proving the purge removed exactly the
     expired days.  At 100 TB this is `ALTER TABLE ... DROP PARTITION`
-    against a catalog; here the same semantics via the filesystem."""
+    against a catalog; here the same semantics via the filesystem.
+
+    The 14-day retention cutoff is DATA-RELATIVE (min day + 14, capped
+    at max day so ≥1 partition always survives): fixture regeneration
+    has already drifted once (the r3 ts-encoding switch), and an
+    absolute date literal would crash the re-read — an empty partition
+    root has no schema to infer — if the generator ever shifted the
+    event date domain."""
+    import datetime
     import shutil
 
-    cutoff = "2024-01-15"
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("date").alias("day"))
+    lo, hi = ev.agg(F.min("day"), F.max("day")).first()
+    cutoff = min(lo + datetime.timedelta(days=14), hi).isoformat()
     out = tempfile.mkdtemp(prefix="lstore_spark_retain_")
     (ev.repartition("day")
        .write.mode("overwrite")

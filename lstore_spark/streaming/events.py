@@ -352,8 +352,9 @@ def q_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_segments(events_as_segment_rows(batch).repartition(1), sdir)
 
     def publish(i: int) -> None:
-        os.rename(os.path.join(root, f"stage{i}", "part-00000.seg"),
-                  os.path.join(live, f"b{i}.seg"))
+        src = os.path.join(root, f"stage{i}", "part-00000.seg")
+        if os.path.exists(src):  # an empty slice writes no segment —
+            os.rename(src, os.path.join(live, f"b{i}.seg"))  # skip, don't crash
 
     publish(0)
     register(spark)
