@@ -42,6 +42,38 @@ SCHEMA_DDL = "offset bigint, ints array<bigint>, blobs array<binary>"
 # ------------------------------------------------------------ writer (test rig)
 
 
+# Sealed segments end with a stats trailer framed as a record with the
+# sentinel offset -1 (real offsets are ≥ 0): ints = [min_offset,
+# max_offset], no blobs — 32 bytes.  Readers skip sentinel records, so
+# legacy files without a trailer parse unchanged; ``segment_stats``
+# reads the trailer with one tail seek, never scanning the file.  This
+# is the lstore indexed-segment summary (min/max block skipping,
+# SURVEY.md §1.1/§4.2) for the segment store itself.
+_TRAILER_LEN = 32
+
+
+def _pack_trailer(lo: int, hi: int) -> bytes:
+    return (struct.pack("<qi", -1, 2) + struct.pack("<qq", lo, hi)
+            + struct.pack("<i", 0))
+
+
+def segment_stats(path: str) -> tuple[int, int] | None:
+    """(min_offset, max_offset) from a sealed segment's trailer via one
+    tail read, or None for legacy/unsealed files (caller must scan)."""
+    size = os.path.getsize(path)
+    if size < _TRAILER_LEN:
+        return None
+    with open(path, "rb") as f:
+        f.seek(size - _TRAILER_LEN)
+        tail = f.read(_TRAILER_LEN)
+    off, n_ints = struct.unpack_from("<qi", tail, 0)
+    (n_blobs,) = struct.unpack_from("<i", tail, 28)
+    if off != -1 or n_ints != 2 or n_blobs != 0:
+        return None
+    lo, hi = struct.unpack_from("<qq", tail, 12)
+    return lo, hi
+
+
 def write_segment(path: str, records: list[tuple[int, list[int], list[bytes]]]) -> None:
     """Append-only segment writer (the lstore write path analog)."""
     with open(path, "wb") as f:
@@ -53,6 +85,9 @@ def write_segment(path: str, records: list[tuple[int, list[int], list[bytes]]]) 
             for b in blobs:
                 f.write(struct.pack("<i", len(b)))
                 f.write(b)
+        offs = [r[0] for r in records]
+        if offs:
+            f.write(_pack_trailer(min(offs), max(offs)))
 
 
 def write_segments(df: DataFrame, seg_dir: str) -> None:
@@ -81,19 +116,25 @@ def write_segments(df: DataFrame, seg_dir: str) -> None:
         tc = TaskContext.get()
         pid, attempt = tc.partitionId(), tc.taskAttemptId()
         tmp = _os.path.join(seg_dir, f".part-{pid:05d}.seg.tmp-{attempt}")
-        wrote = False
+        lo = hi = None
         with open(tmp, "wb") as f:
             for r in rows:
-                wrote = True
+                off = r[0]
+                lo = off if lo is None else min(lo, off)
+                hi = off if hi is None else max(hi, off)
                 ints, blobs = list(r[1]), list(r[2])
-                f.write(_struct.pack("<qi", r[0], len(ints)))
+                f.write(_struct.pack("<qi", off, len(ints)))
                 for v in ints:
                     f.write(_struct.pack("<q", v))
                 f.write(_struct.pack("<i", len(blobs)))
                 for b in blobs:
                     f.write(_struct.pack("<i", len(b)))
                     f.write(bytes(b))
-        if wrote:
+            if lo is not None:  # seal with the min/max stats trailer
+                f.write(_struct.pack("<qi", -1, 2)
+                        + _struct.pack("<qq", lo, hi)
+                        + _struct.pack("<i", 0))
+        if lo is not None:
             _os.replace(tmp, _os.path.join(seg_dir, f"part-{pid:05d}.seg"))
         else:
             _os.remove(tmp)  # empty partition → no segment file
@@ -141,7 +182,8 @@ def read_segment_file(path: str):
             pos += 4
             blobs.append(bytes(data[pos: pos + blen]))
             pos += blen
-        yield offset, ints, blobs
+        if offset >= 0:  # negative offset = stats trailer, not data
+            yield offset, ints, blobs
 
 
 # ------------------------------------------------------------ the DataSource
@@ -159,6 +201,8 @@ class LstoreLogDataSource(DataSource):
         return SCHEMA_DDL
 
     def reader(self, schema) -> "LstoreLogReader":
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return LstoreLogPushdownReader(self.options)
         return LstoreLogReader(self.options)
 
     def streamReader(self, schema) -> "LstoreLogStreamReader":
@@ -168,6 +212,16 @@ class LstoreLogDataSource(DataSource):
 class LstoreLogReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
+        self._lo = None  # offset >= _lo (from pushed filters)
+        self._hi = None  # offset <= _hi
+
+    def _keep(self, path: str) -> bool:
+        stats = segment_stats(path)
+        if stats is None:
+            return True  # unsealed/legacy segment: must scan
+        lo, hi = stats
+        return not ((self._lo is not None and hi < self._lo)
+                    or (self._hi is not None and lo > self._hi))
 
     def partitions(self):
         files = sorted(
@@ -175,11 +229,54 @@ class LstoreLogReader(DataSourceReader):
             for f in os.listdir(self.path)
             if f.endswith(".seg")
         )
-        return [InputPartition(f) for f in files]
+        return [InputPartition(f) for f in files if self._keep(f)]
 
     def read(self, partition):
         for offset, ints, blobs in read_segment_file(partition.value):
             yield (offset, ints, blobs)
+
+
+class LstoreLogPushdownReader(LstoreLogReader):
+    """Reader variant with lstore-style segment skipping: offset-range
+    predicates prune whole segment files at PLANNING time against the
+    sealed trailer stats (one tail seek per file — the segment-index
+    read), before any executor touches data.  All filters are returned
+    to Spark unhandled, so exact row filtering still happens above the
+    scan — the pushdown is pure I/O elimination, exactly like parquet
+    row-group min/max skipping.
+
+    Selected via ``.option("pushdown", "true")``: Spark refuses a
+    reader that merely *implements* ``pushFilters`` unless
+    ``spark.sql.python.filterPushdown.enabled`` is set, and that conf
+    can't be assumed in an arbitrary caller's session (the driver runs
+    a plain one) — so the base reader stays pushdown-free and callers
+    opt in to both together."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (EqualTo, GreaterThan,
+                                            GreaterThanOrEqual, LessThan,
+                                            LessThanOrEqual)
+
+        def tighten(lo=None, hi=None):
+            if lo is not None:
+                self._lo = lo if self._lo is None else max(self._lo, lo)
+            if hi is not None:
+                self._hi = hi if self._hi is None else min(self._hi, hi)
+
+        for f in filters:
+            if getattr(f, "attribute", None) == ("offset",) \
+                    and isinstance(getattr(f, "value", None), int):
+                if isinstance(f, GreaterThanOrEqual):
+                    tighten(lo=f.value)
+                elif isinstance(f, GreaterThan):
+                    tighten(lo=f.value + 1)
+                elif isinstance(f, LessThanOrEqual):
+                    tighten(hi=f.value)
+                elif isinstance(f, LessThan):
+                    tighten(hi=f.value - 1)
+                elif isinstance(f, EqualTo):
+                    tighten(lo=f.value, hi=f.value)
+        return filters  # nothing claimed: Spark re-applies every filter
 
 
 class LstoreLogStreamReader(DataSourceStreamReader):
@@ -260,7 +357,13 @@ def q_source_lstore_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("event_id") < 2000))
     seg_dir = tempfile.mkdtemp(prefix="lstore_segments_")
-    write_segments(events_as_segment_rows(ev).repartition(2, "offset"), seg_dir)
+    # range-partitioned + offset-sorted: segments carry disjoint offset
+    # ranges exactly like lstore's log, so the sealed min/max trailers
+    # make offset predicates prune whole files (tests/test_lstore_sink.py)
+    shaped = (events_as_segment_rows(ev)
+              .repartitionByRange(2, "offset")
+              .sortWithinPartitions("offset"))
+    write_segments(shaped, seg_dir)
     register(spark)
     raw = spark.read.format("lstore_log").option("path", seg_dir).load()
     return segments_as_events(raw)

@@ -142,3 +142,44 @@ def test_segment_codec_roundtrip_property():
             os.remove(path)
 
     check()
+
+
+def test_segment_stats_and_file_skipping(spark, tmp_path):
+    """lstore's indexed-segment min/max skipping: sealed trailers answer
+    (min, max) with one tail seek, and offset predicates prune whole
+    segment files at planning time — no executor reads a file whose
+    range can't match.  Exact filtering still happens above the scan
+    (all filters are returned to Spark unhandled)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from lstore_spark.sources.lstore_log import (LstoreLogPushdownReader,
+                                                 register, segment_stats,
+                                                 write_segment)
+
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    for i in range(4):
+        write_segment(str(seg / f"{i:05d}.seg"),
+                      [(o, [o], [b""]) for o in range(i * 100, (i + 1) * 100)])
+    assert segment_stats(str(seg / "00002.seg")) == (200, 299)
+
+    r = LstoreLogPushdownReader({"path": str(seg)})
+    r.pushFilters([GreaterThanOrEqual(("offset",), 250)])
+    assert len(r.partitions()) == 2, "files 0 and 1 must be pruned"
+
+    # end-to-end through Spark: pushdown active, results still exact
+    register(spark)
+    key = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = (spark.read.format("lstore_log")
+              .option("path", str(seg)).option("pushdown", "true").load()
+              .filter(F.col("offset") >= 250))
+        assert sorted(row.offset for row in df.select("offset").collect()) \
+            == list(range(250, 400))
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
