@@ -110,6 +110,7 @@ SLOW_KEYS: tuple[str, ...] = (
     "q_sink_parquet",
     "q_source_lstore_log",
     "q_sink_lstore_log",
+    "q_scan_log_from_offset",
     "q_source_partition_prune",
     "q_source_bucketed_join",
     "q_maint_retention_purge",
@@ -137,7 +138,7 @@ HEAVY_KEYS: frozenset = frozenset({
 # longest-starved evidence lands first (still ahead of every green key).
 NEW_KEYS: frozenset = frozenset({
     "q_sink_lstore_log", "q_maint_compact_segments", "q_stream_follow",
-    "q_source_binaryfile",
+    "q_source_binaryfile", "q_scan_log_from_offset",
 })
 
 

@@ -370,6 +370,41 @@ def q_source_lstore_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_log_from_offset",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+WHERE event_id >= 5000 AND event_id < 9000
+""",
+)
+def q_scan_log_from_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lstore's core read — scan from an offset cursor — against the
+    segment store ITSELF, with segment skipping end-to-end: the full
+    event log lands as 8 range-partitioned sealed segments (disjoint
+    offset ranges + min/max trailers), and the offset-window read uses
+    the pushdown reader so files whose range can't match are pruned at
+    planning time (pytest asserts the plan-time file count; the oracle
+    proves the skipped files contained nothing the query needed).  At
+    100 TB this is the whole point of the segment index: a tail-window
+    consumer touches O(window), not O(log)."""
+    ev = load_table(spark, sf_dir, "events")
+    seg_dir = tempfile.mkdtemp(prefix="lstore_scan_")
+    shaped = (events_as_segment_rows(ev)
+              .repartitionByRange(8, "offset")
+              .sortWithinPartitions("offset"))
+    write_segments(shaped, seg_dir)
+    register(spark)
+    # Pushdown needs the session conf AND the reader option (see
+    # LstoreLogPushdownReader); the conf must stay set through execution
+    # (plans materialize lazily), and it only affects sources that
+    # implement pushFilters — ours, opt-in.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    raw = (spark.read.format("lstore_log")
+           .option("path", seg_dir).option("pushdown", "true").load()
+           .filter((F.col("offset") >= 5000) & (F.col("offset") < 9000)))
+    return segments_as_events(raw).select("event_id", "user_id", "event_type")
+
+
+@query(
     "q_sink_lstore_log",
     oracle="""
 SELECT event_type, COUNT(*) AS n,

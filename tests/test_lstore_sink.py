@@ -183,3 +183,33 @@ def test_segment_stats_and_file_skipping(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_scan_log_from_offset_prunes_segments(spark, sf_dir):
+    """The q_scan_log_from_offset shape must actually skip files: 8
+    range-partitioned sealed segments, an offset window covering ~40% of
+    the range, and the pushdown reader planning strictly fewer than 8
+    partitions while the result matches the raw table exactly."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.registry import QUERIES
+    from lstore_spark.sources.lstore_log import LstoreLogPushdownReader
+
+    got = QUERIES["q_scan_log_from_offset"](spark, sf_dir)
+    want = (load_table(spark, sf_dir, "events")
+            .filter((F.col("event_id") >= 5000) & (F.col("event_id") < 9000))
+            .select("event_id", "user_id", "event_type"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # reproduce the store to probe planning directly
+    import glob
+    import os
+    stores = sorted(glob.glob("/tmp/lstore_scan_*"), key=os.path.getmtime)
+    r = LstoreLogPushdownReader({"path": stores[-1]})
+    n_all = len(r.partitions())
+    r.pushFilters([GreaterThanOrEqual(("offset",), 5000),
+                   LessThan(("offset",), 9000)])
+    n_pruned = len(r.partitions())
+    assert n_all == 8
+    assert 0 < n_pruned < n_all, f"no pruning: {n_pruned}/{n_all}"
