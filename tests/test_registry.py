@@ -1,0 +1,54 @@
+"""Evidence-strategy invariants.  The driver's CORRECTNESS sweep checks
+the FIRST ~50 keys of ``queries()`` dict order, so ``sweep_order`` IS the
+evidence plan — these tests fail loudly if a future change would silently
+starve keys of driver evidence (the exact failure modes of rounds 2-4)."""
+
+from __future__ import annotations
+
+from lstore_spark import registry
+
+registry.load_all()
+
+SWEEP_BUDGET = 50
+
+
+def test_every_key_has_callable_and_oracle_is_subset():
+    assert registry.QUERIES, "registry must not be empty"
+    assert set(registry.ORACLE) <= set(registry.QUERIES)
+    for fn in registry.QUERIES.values():
+        assert callable(fn)
+
+
+def test_never_checked_keys_fit_the_sweep_budget():
+    """Every key without driver evidence must sit inside the first 50 of
+    sweep_order — otherwise it can NEVER earn a CORRECTNESS row.  If this
+    fails, either cut keys or accept that the excess stays unevidenced
+    (and say so in SURVEY.md)."""
+    order = registry.sweep_order()
+    never = [k for k in registry.QUERIES if k not in registry.DRIVER_CHECKED]
+    first = set(order[:SWEEP_BUDGET])
+    missing = [k for k in never if k not in first]
+    assert not missing, f"never-driver-checked keys outside budget: {missing}"
+
+
+def test_never_checked_sort_before_greens():
+    """VERDICT r4's top finding, kept as an executable rule: no green key
+    may precede any never-checked key in the sweep."""
+    order = registry.sweep_order()
+    seen_green = False
+    for k in order:
+        if k in registry.DRIVER_GREEN:
+            seen_green = True
+        elif k not in registry.DRIVER_CHECKED and seen_green:
+            raise AssertionError(
+                f"never-checked key {k} sorts after a green key")
+
+
+def test_regressions_sort_first():
+    """A key whose latest oracle-grade driver check failed must lead the
+    sweep (re-prove fixes before anything else)."""
+    order = registry.sweep_order()
+    failed = [k for k in registry.DRIVER_CHECKED
+              if k not in registry.DRIVER_GREEN]
+    for k in failed:
+        assert order.index(k) < len(failed) + 5, f"regression {k} buried"
