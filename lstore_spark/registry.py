@@ -138,7 +138,7 @@ HEAVY_KEYS: frozenset = frozenset({
 # longest-starved evidence lands first (still ahead of every green key).
 NEW_KEYS: frozenset = frozenset({
     "q_sink_lstore_log", "q_maint_compact_segments", "q_stream_follow",
-    "q_source_binaryfile", "q_scan_log_from_offset",
+    "q_source_binaryfile", "q_scan_log_from_offset", "q_stream_static_join",
 })
 
 

@@ -440,3 +440,33 @@ def q_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n", LongType()),
         ])
     ).parquet(out_dir)
+
+
+@query(
+    "q_stream_static_join",
+    oracle=f"""
+SELECT c.c_mktsegment, COUNT(*) AS n, {sql_dsum('e.value', 'sum_value')}
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the most common production streaming
+    shape: a live event stream joined to a slowly-changing dimension
+    (customer), then aggregated by a dimension attribute.  The static
+    side is broadcast, so the stream NEVER shuffles for the join — at
+    100 TB/day of events the per-micro-batch cost stays map-side; the
+    only shuffle is the 5-group aggregate.  Batch twin registered here
+    (identical plan semantics: stream-static inner joins are stateless);
+    the true readStream form is asserted equal in
+    tests/test_streaming.py::test_stream_static_join_equals_batch."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "sum_value"))
+    )

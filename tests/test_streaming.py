@@ -271,3 +271,26 @@ def test_stream_agg_on_rocksdb_state_store(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment: readStream events joined to the
+    static customer dim then aggregated (complete mode) must equal the
+    batch twin.  Stream-static inner joins are stateless — no watermark
+    needed on the join itself."""
+    from lstore_spark.catalog import load_table
+
+    batch = QUERIES["q_stream_static_join"](spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    src = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase")
+    enriched = (
+        src.join(F.broadcast(cust), src.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+             .alias("sum_value"))
+    )
+    out = run_available_now(enriched, "t_static_join", mode="complete")
+    assert _rows(out) == _rows(batch)
