@@ -281,3 +281,12 @@ def test_compact_store_single_pass_plan(spark, sf_dir, tmp_path):
           .drop("__salt"))
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_stream_static_join_broadcasts_dim(spark, sf_dir):
+    """The stream-static enrichment must broadcast the customer dim so
+    the (unbounded) event side never shuffles for the join; the only
+    Exchange in the plan belongs to the 5-group aggregate."""
+    p = _plan(spark, sf_dir, "q_stream_static_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
