@@ -517,6 +517,14 @@ def q_llm_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("label", F.expr("transform(ic, s -> s.c)").alias("cvec")))
     cmat = cb.agg(F.array_sort(F.collect_list(F.struct("label", "cvec")))
                   .alias("cb"))
+    # Materialize the one-row codebook ONCE (lineage cut, same pattern as
+    # kmeans above): it feeds TWO broadcast branches (corpus codes + query
+    # LUT) and Spark does no exchange reuse across independent broadcast
+    # subtrees, so without this the centroid-training aggregate chain
+    # executes once per branch (measured ~0.9 s of the key's 3.6 s at
+    # sf0.1).  At 100 TB the codebook is trained on a sample and is always
+    # tiny — materializing it is the canonical PQ design.
+    cmat = cmat.localCheckpoint()
 
     m_, d_ = _PQ_M, _PQ_D
     # per-row LUT: dists[m][p] = struct(d, label) for the p-th label,

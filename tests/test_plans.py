@@ -245,12 +245,12 @@ def test_pq_adc_corpus_never_exploded(spark, sf_dir):
     the tiny centroid-training branch; the corpus path must carry none —
     at 100 TB the old shape shuffled a 1024x-exploded corpus."""
     p = _plan(spark, sf_dir, "q_llm_emb_pq_adc")
-    # embedding explodes exist only in the centroid-training branch,
-    # which appears twice (codes side + broadcast LUT side — Spark does
-    # no CSE across branches); a corpus-side explode would add more.
-    # (partitioned_topk's posexplode of the 50 collected top-k arrays is
-    # excluded: it generates over _topk, not embedding.)
-    assert p.count("Generate posexplode(embedding") <= 2, p
+    # The centroid-training branch (the only legitimate embedding explode)
+    # is materialized once via localCheckpoint, so the final plan must
+    # carry NO embedding explode at all — a corpus-side explode would
+    # reintroduce the 1024x blowup.  (partitioned_topk's posexplode of
+    # the 50 collected top-k arrays generates over _topk, not embedding.)
+    assert p.count("Generate posexplode(embedding") == 0, p
     # No corpus-cardinality hash exchange: only centroid-agg partials and
     # the 50-row top-k shuffle remain.
     assert "SortMergeJoin" not in p, p
