@@ -116,6 +116,7 @@ SLOW_KEYS: tuple[str, ...] = (
     "q_maint_retention_purge",
     "q_maint_compact_segments",
     "q_source_binaryfile",
+    "q_source_schema_evolution",
     "q_stream_foreachbatch_sink",
     "q_stream_follow",
     "q_llm_multimodal_features",
@@ -139,6 +140,7 @@ HEAVY_KEYS: frozenset = frozenset({
 NEW_KEYS: frozenset = frozenset({
     "q_sink_lstore_log", "q_maint_compact_segments", "q_stream_follow",
     "q_source_binaryfile", "q_scan_log_from_offset", "q_stream_static_join",
+    "q_source_schema_evolution",
 })
 
 

@@ -285,3 +285,38 @@ def q_maint_retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"))
+
+
+@query(
+    "q_source_schema_evolution",
+    oracle="""
+SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS event_type
+FROM events WHERE event_id < 500
+UNION ALL
+SELECT event_id, user_id, value, event_type
+FROM events WHERE event_id >= 500 AND event_id < 1000
+""",
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the segment store: old segments were written
+    before a column existed (lstore's positional rows make adding a slot
+    an append-only schema change; the parquet analog is mergeSchema).
+    Segment A (event_id < 500) is written WITHOUT event_type; segment B
+    (500 ≤ event_id < 1000) adds it.  Reading the store with
+    ``mergeSchema=true`` unions the footers into the widest schema and
+    back-fills NULL for the old files — exactly the oracle's UNION ALL
+    with a typed NULL.  At 100 TB schema merge happens on footer
+    metadata only (no data rewrite), which is why it is THE evolution
+    mechanism for append-only stores."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="lstore_spark_evo_")
+    (ev.filter(F.col("event_id") < 500)
+     .select("event_id", "user_id", "value")
+     .write.mode("append").parquet(out))
+    (ev.filter((F.col("event_id") >= 500) & (F.col("event_id") < 1000))
+     .select("event_id", "user_id", "value", "event_type")
+     .write.mode("append").parquet(out))
+    return (
+        spark.read.option("mergeSchema", "true").parquet(out)
+        .select("event_id", "user_id", "value", "event_type")
+    )
