@@ -195,7 +195,13 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signatures in one scan (no shuffle — pure projection); banding
     join is equi on (band, bucket) — O(candidates), never all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    # Materialize signatures ONCE (the canonical production shape: sigs
+    # are computed once and stored).  They feed three plan branches
+    # (both sides of the banding self-join + the final doc roster) and
+    # Spark does no CSE across branches, so without this the token-hash
+    # projection ran 3× over the corpus — measured 1.8 s → 1.1 s at
+    # sf0.1.  ~80 B/doc of executor storage, linear in the corpus.
+    sig = minhash_signatures(docs).localCheckpoint()
     pairs = lsh_candidate_pairs(sig)
     # explode, not union-of-two-projections: Spark does no CSE across
     # union branches, so the union form executed the entire banding join
