@@ -290,3 +290,30 @@ def test_stream_static_join_broadcasts_dim(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_stream_static_join")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_dedup_exact_single_exchange(spark, sf_dir):
+    """Exact dedup is a 2-phase aggregate on 16-byte md5 keys: one
+    partial (map-side) + one final agg around a single hash Exchange —
+    the corpus shuffles only the compressed (hash, partial) rows."""
+    p = _plan(spark, sf_dir, "q_llm_dedup_exact")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "partial_" in p, p  # map-side combine present
+
+
+def test_tfidf_joins_broadcast_only(spark, sf_dir):
+    """TF-IDF joins term DF stats to per-doc TF rows: the DF relation is
+    vocabulary-sized (small), so it must broadcast — at 100 TB the
+    doc-term side streams with no shuffle for the join."""
+    p = _plan(spark, sf_dir, "q_llm_text_tfidf")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_stream_stream_join_is_equi_carried(spark, sf_dir):
+    """The purchase↔view attribution join must ride its user_id equi key
+    (hash/broadcast join with the time band as residual filter), never a
+    cartesian or nested-loop product."""
+    p = _plan(spark, sf_dir, "q_stream_stream_join")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
