@@ -41,6 +41,13 @@ _RUNTIME_CONFS = {
     # lstore's indexed-segment block skipping (SURVEY.md §4.2).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Shuffle width: AQE coalesces batch plans at runtime, but STREAMING
+    # state shuffles have no AQE — an externally-created session at the
+    # stock 200 partitions spins 200 state-store tasks per micro-batch
+    # (measured 14.2 s → 2.1 s for the applyInPandasWithState key on the
+    # driver's plain session).  Sized to cores here; a real cluster
+    # overrides via SPARK_GRAFT_SHUFFLE to ~2-3× total cores.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
 }
 
 
