@@ -115,6 +115,7 @@ SLOW_KEYS: tuple[str, ...] = (
     "q_source_bucketed_join",
     "q_maint_retention_purge",
     "q_maint_compact_segments",
+    "q_maint_zorder_cluster",
     "q_source_binaryfile",
     "q_source_schema_evolution",
     "q_stream_foreachbatch_sink",
@@ -140,7 +141,7 @@ HEAVY_KEYS: frozenset = frozenset({
 NEW_KEYS: frozenset = frozenset({
     "q_sink_lstore_log", "q_maint_compact_segments", "q_stream_follow",
     "q_source_binaryfile", "q_scan_log_from_offset", "q_stream_static_join",
-    "q_source_schema_evolution",
+    "q_source_schema_evolution", "q_maint_zorder_cluster",
 })
 
 

@@ -320,3 +320,51 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.option("mergeSchema", "true").parquet(out)
         .select("event_id", "user_id", "value", "event_type")
     )
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton (Z-order) key: bit-interleave two non-negative ints so that
+    a range-partition + sort on the single key clusters BOTH dimensions
+    simultaneously — every output file then carries a tight min/max span
+    on each column, and a predicate on EITHER dimension skips most files
+    (row groups) via ordinary parquet stats.  Pure JVM integer ALU via a
+    HOF fold — no UDF, no shuffle beyond the range partitioner's."""
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc"
+        f" + shiftleft((shiftright({a}, i) & 1), 2 * i)"
+        f" + shiftleft((shiftright({b}, i) & 1), 2 * i + 1))")
+
+
+@query(
+    "q_maint_zorder_cluster",
+    oracle="""
+SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS vq
+FROM events
+""",
+)
+def q_maint_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER analog: rewrite the event store clustered on the
+    Morton interleave of (user_id, floor(value)) — range-partition on the
+    z-key into a bounded file count, sort within files, write, read back.
+    The oracle is the identity content check (clustering must never
+    change the data); the *layout* property — every file simultaneously
+    tight on BOTH dimensions, so either-dimension predicates skip ~all
+    other files — is asserted from the parquet footers in
+    tests/test_plans.py::test_zorder_files_tight_on_both_dims.
+
+    Scale: one repartitionByRange (sampled range bounds) + local sort —
+    the same single-shuffle cost as any sorted rewrite; no dimension
+    table, no join.  This is the standard lakehouse answer when queries
+    filter on two orthogonal columns and hive-partitioning on either one
+    alone would leave the other unskippable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor("value").cast("long").alias("vq"))
+    out = tempfile.mkdtemp(prefix="lstore_spark_zorder_")
+    (
+        ev.withColumn("_z", zorder_key("user_id", "vq"))
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .write.mode("overwrite").parquet(out)
+    )
+    return spark.read.parquet(out).select("event_id", "user_id", "vq")

@@ -317,3 +317,51 @@ def test_stream_stream_join_is_equi_carried(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_stream_stream_join")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_zorder_files_tight_on_both_dims(spark, sf_dir, tmp_path):
+    """The z-order rewrite's layout contract: after clustering on the
+    Morton key, a single-dimension predicate on EITHER column must be
+    able to skip most files via footer min/max stats — the property a
+    single-column sort cannot provide for the second column.  Asserted
+    directly from the parquet footers (what row-group skipping reads)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.sources.sinks import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.floor("value").cast("long").alias("vq"))
+    out = str(tmp_path / "zorder")
+    (ev.withColumn("_z", zorder_key("user_id", "vq"))
+     .repartitionByRange(8, "_z").sortWithinPartitions("_z")
+     .write.mode("overwrite").parquet(out))
+
+    spans = []  # per file: (umin, umax, vmin, vmax)
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        md = pq.read_metadata(f)
+        stats = {"user_id": [], "vq": []}
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema in stats:
+                    stats[c.path_in_schema].append(
+                        (c.statistics.min, c.statistics.max))
+        spans.append((min(a for a, _ in stats["user_id"]),
+                      max(b for _, b in stats["user_id"]),
+                      min(a for a, _ in stats["vq"]),
+                      max(b for _, b in stats["vq"])))
+    assert len(spans) == 8
+
+    # high-tail predicates on each dimension independently; a file is
+    # skipped when its [min,max] interval misses the predicate range.
+    # (Range boundaries come from sampling, so assert a conservative
+    # floor, not the exact observed 6-7/8.)
+    vq_skip = sum(1 for _, _, vmin, vmax in spans if vmax < 200 or vmin > 490)
+    u_skip = sum(1 for umin, umax, _, _ in spans if umax < 140 or umin > 149)
+    assert vq_skip >= 4, spans
+    assert u_skip >= 4, spans
