@@ -321,7 +321,13 @@ def _package_zip() -> str:
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     repo = os.path.dirname(pkg_root)
     zpath = os.path.join(tempfile.gettempdir(), "lstore_spark_pkg.zip")
-    with zipfile.ZipFile(zpath, "w") as z:
+    # build under a unique name, publish by atomic rename: concurrent
+    # sessions (driver sweep + bench) may call register() at once, and a
+    # half-written zip must never be visible under the shared path —
+    # same tmp+rename discipline as the segment sink.
+    fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w") as z:
         for dirpath, _dirnames, filenames in os.walk(pkg_root):
             if "__pycache__" in dirpath:
                 continue
@@ -329,6 +335,7 @@ def _package_zip() -> str:
                 if fn.endswith(".py"):
                     full = os.path.join(dirpath, fn)
                     z.write(full, os.path.relpath(full, repo))
+    os.replace(tmp, zpath)
     return zpath
 
 
