@@ -45,3 +45,28 @@ def test_partitioned_topk_equals_window_reference(spark, rows, k):
                 for r in ref.collect()}
 
     assert got_rows == ref_rows
+
+
+def _morton_ref(a: int, b: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=st.lists(st.tuples(st.integers(min_value=0, max_value=65535),
+                                st.integers(min_value=0, max_value=65535)),
+                      min_size=1, max_size=30))
+def test_zorder_key_matches_python_reference(spark, pairs):
+    """The JVM-side Morton fold must agree bit-for-bit with the textbook
+    interleave — the clustering rewrite's correctness rests on it."""
+    from lstore_spark.sources.sinks import zorder_key
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {(r.a, r.b): r.z
+           for r in df.select("a", "b", zorder_key("a", "b").alias("z")).collect()}
+    for a, b in pairs:
+        assert got[(a, b)] == _morton_ref(a, b)
