@@ -111,6 +111,7 @@ SLOW_KEYS: tuple[str, ...] = (
     "q_source_lstore_log",
     "q_sink_lstore_log",
     "q_scan_log_from_offset",
+    "q_scan_log_by_type",
     "q_source_partition_prune",
     "q_source_bucketed_join",
     "q_maint_retention_purge",
@@ -142,6 +143,7 @@ NEW_KEYS: frozenset = frozenset({
     "q_sink_lstore_log", "q_maint_compact_segments", "q_stream_follow",
     "q_source_binaryfile", "q_scan_log_from_offset", "q_stream_static_join",
     "q_source_schema_evolution", "q_maint_zorder_cluster",
+    "q_scan_log_by_type",
 })
 
 

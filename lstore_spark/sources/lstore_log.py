@@ -36,7 +36,49 @@ from pyspark.sql.datasource import (
 from ..catalog import load_table
 from ..registry import query
 
-SCHEMA_DDL = "offset bigint, ints array<bigint>, blobs array<binary>"
+SCHEMA_DDL = "offset bigint, ints array<bigint>, blobs array<binary>, key string"
+
+# Segment sidecar index (`part-xxxxx.idx`, JSON): the lstore *indexed
+# segment* made explicit — the background indexer's per-segment blob
+# summary lives NEXT TO the sealed segment, not inside it (indexer.go
+# [UNVERIFIED: pub] builds separate index structures the same way).  It
+# holds the distinct decoded blobs[0] values ("keys") when their count
+# is ≤ _IDX_MAX_KEYS; a too-diverse or undecodable segment records
+# keys=null and is never pruned.  The reader consults it at PLANNING
+# time for key-equality predicates — the pbloom blob-filter skip.
+_IDX_MAX_KEYS = 64
+
+
+def _idx_path(seg_path: str) -> str:
+    return seg_path[: -len(".seg")] + ".idx"
+
+
+def segment_keys(seg_path: str) -> list | None:
+    """Distinct blobs[0] values of a sealed segment from its sidecar
+    index, or None when no sidecar exists / the key set was too large
+    (caller must scan)."""
+    import json
+    try:
+        with open(_idx_path(seg_path)) as fh:
+            return json.load(fh).get("keys")
+    except (OSError, ValueError):
+        return None
+
+
+def _keyset(values) -> list | None:
+    """Sorted distinct decoded keys, or None if oversized/undecodable."""
+    try:
+        ks = {(v if isinstance(v, str) else bytes(v).decode("utf-8"))
+              for v in values}
+    except (UnicodeDecodeError, TypeError):
+        return None
+    return sorted(ks) if len(ks) <= _IDX_MAX_KEYS else None
+
+
+def _write_idx(seg_tmp_or_final: str, keys: list | None) -> None:
+    import json
+    with open(_idx_path(seg_tmp_or_final), "w") as fh:
+        json.dump({"keys": keys}, fh)
 
 
 # ------------------------------------------------------------ writer (test rig)
@@ -88,6 +130,8 @@ def write_segment(path: str, records: list[tuple[int, list[int], list[bytes]]]) 
         offs = [r[0] for r in records]
         if offs:
             f.write(_pack_trailer(min(offs), max(offs)))
+    if records:
+        _write_idx(path, _keyset(r[2][0] for r in records if r[2]))
 
 
 def write_segments(df: DataFrame, seg_dir: str) -> None:
@@ -113,16 +157,26 @@ def write_segments(df: DataFrame, seg_dir: str) -> None:
 
         from pyspark import TaskContext
 
+        import json as _json
+
         tc = TaskContext.get()
         pid, attempt = tc.partitionId(), tc.taskAttemptId()
         tmp = _os.path.join(seg_dir, f".part-{pid:05d}.seg.tmp-{attempt}")
         lo = hi = None
+        keys, keys_ok = set(), True
         with open(tmp, "wb") as f:
             for r in rows:
                 off = r[0]
                 lo = off if lo is None else min(lo, off)
                 hi = off if hi is None else max(hi, off)
                 ints, blobs = list(r[1]), list(r[2])
+                if keys_ok and blobs:
+                    try:
+                        keys.add(bytes(blobs[0]).decode("utf-8"))
+                    except UnicodeDecodeError:
+                        keys_ok = False
+                    if len(keys) > 64:  # _IDX_MAX_KEYS (closure-local)
+                        keys_ok = False
                 f.write(_struct.pack("<qi", off, len(ints)))
                 for v in ints:
                     f.write(_struct.pack("<q", v))
@@ -135,7 +189,13 @@ def write_segments(df: DataFrame, seg_dir: str) -> None:
                         + _struct.pack("<qq", lo, hi)
                         + _struct.pack("<i", 0))
         if lo is not None:
-            _os.replace(tmp, _os.path.join(seg_dir, f"part-{pid:05d}.seg"))
+            final = _os.path.join(seg_dir, f"part-{pid:05d}.seg")
+            # sidecar index first (its absence merely disables pruning),
+            # then the atomic segment publish — a reader can never see a
+            # segment whose index describes different data.
+            with open(final[:-4] + ".idx", "w") as ix:
+                _json.dump({"keys": sorted(keys) if keys_ok else None}, ix)
+            _os.replace(tmp, final)
         else:
             _os.remove(tmp)  # empty partition → no segment file
 
@@ -166,6 +226,9 @@ def segments_as_events(raw: DataFrame) -> DataFrame:
 
 
 def read_segment_file(path: str):
+    """Yield (offset, ints, blobs, key) records; ``key`` is blobs[0]
+    decoded as UTF-8 (None when absent/undecodable) — the top-level
+    column that makes blob-equality predicates pushable."""
     with open(path, "rb") as f:
         data = f.read()
     pos = 0
@@ -183,7 +246,11 @@ def read_segment_file(path: str):
             blobs.append(bytes(data[pos: pos + blen]))
             pos += blen
         if offset >= 0:  # negative offset = stats trailer, not data
-            yield offset, ints, blobs
+            try:
+                key = blobs[0].decode("utf-8") if blobs else None
+            except UnicodeDecodeError:
+                key = None
+            yield offset, ints, blobs, key
 
 
 # ------------------------------------------------------------ the DataSource
@@ -214,8 +281,13 @@ class LstoreLogReader(DataSourceReader):
         self.path = options.get("path")
         self._lo = None  # offset >= _lo (from pushed filters)
         self._hi = None  # offset <= _hi
+        self._key = None  # key == _key (from pushed filters)
 
     def _keep(self, path: str) -> bool:
+        if self._key is not None:
+            ks = segment_keys(path)
+            if ks is not None and self._key not in ks:
+                return False  # the pbloom skip: key provably absent
         stats = segment_stats(path)
         if stats is None:
             return True  # unsealed/legacy segment: must scan
@@ -232,8 +304,7 @@ class LstoreLogReader(DataSourceReader):
         return [InputPartition(f) for f in files if self._keep(f)]
 
     def read(self, partition):
-        for offset, ints, blobs in read_segment_file(partition.value):
-            yield (offset, ints, blobs)
+        yield from read_segment_file(partition.value)
 
 
 class LstoreLogPushdownReader(LstoreLogReader):
@@ -276,6 +347,12 @@ class LstoreLogPushdownReader(LstoreLogReader):
                     tighten(hi=f.value - 1)
                 elif isinstance(f, EqualTo):
                     tighten(lo=f.value, hi=f.value)
+            elif getattr(f, "attribute", None) == ("key",) \
+                    and isinstance(f, EqualTo) \
+                    and isinstance(getattr(f, "value", None), str):
+                # blob-equality skip against the sidecar key sets — the
+                # pbloom analog (conjunctive filters: any bound applies)
+                self._key = f.value
         return filters  # nothing claimed: Spark re-applies every filter
 
 
@@ -448,3 +525,37 @@ def q_sink_lstore_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("user_id") % p).alias("sum_user"),
         F.sum(F.unix_micros(F.col("ts").cast("timestamp")) % p).alias("sum_ts_us"),
     )
+
+
+@query(
+    "q_scan_log_by_type",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def q_scan_log_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lstore's blob-filtered search (pbloom skip) against the segment
+    store: the full event log lands as segments hash-clustered on the
+    blob key (each segment holds the 1-2 event types that hash to it;
+    the sink's sidecar index records each segment's key set), and the
+    ``key = 'purchase'`` read uses the pushdown reader so segments whose
+    index provably lacks the key are pruned at PLANNING time —
+    tests/test_lstore_sink.py asserts the plan-time file count drops.
+    The oracle proves the skipped files contained nothing the query
+    needed.  At 100 TB this is lstore's per-block blob bloom made
+    file-granular: a type-selective consumer touches O(matching
+    segments), not O(log)."""
+    ev = load_table(spark, sf_dir, "events")
+    seg_dir = tempfile.mkdtemp(prefix="lstore_bytype_")
+    shaped = events_as_segment_rows(ev).repartition(8, F.col("blobs")[0])
+    write_segments(shaped, seg_dir)
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    raw = (spark.read.format("lstore_log")
+           .option("path", seg_dir).option("pushdown", "true").load()
+           .filter(F.col("key") == "purchase"))
+    return raw.select(
+        F.col("ints")[0].alias("event_id"),
+        F.col("ints")[2].alias("user_id"),
+        F.col("key").alias("event_type"))

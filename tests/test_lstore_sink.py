@@ -136,10 +136,23 @@ def test_segment_codec_roundtrip_property():
         try:
             write_segment(path, records)
             back = [(o, ints, blobs)
-                    for o, ints, blobs in read_segment_file(path)]
+                    for o, ints, blobs, _key in read_segment_file(path)]
             assert back == [(o, list(i), list(b)) for o, i, b in records]
+            # the derived key column: blobs[0] decoded, None otherwise
+            for (_, _, blobs, key), (_, _, orig) in zip(
+                    read_segment_file(path), records):
+                if orig:
+                    try:
+                        assert key == bytes(orig[0]).decode("utf-8")
+                    except UnicodeDecodeError:
+                        assert key is None
+                else:
+                    assert key is None
         finally:
             os.remove(path)
+            idx = path[:-4] + ".idx"
+            if os.path.exists(idx):
+                os.remove(idx)
 
     check()
 
@@ -212,4 +225,72 @@ def test_scan_log_from_offset_prunes_segments(spark, sf_dir):
                    LessThan(("offset",), 9000)])
     n_pruned = len(r.partitions())
     assert n_all == 8
+    assert 0 < n_pruned < n_all, f"no pruning: {n_pruned}/{n_all}"
+
+
+def test_blob_key_sidecar_skips_segments(spark, tmp_path):
+    """The pbloom analog: segments hash-clustered on the blob key carry
+    sidecar key-set indexes, and a key-equality predicate prunes every
+    segment whose index provably lacks the key — at planning time,
+    before any executor reads bytes.  Legacy segments without a sidecar
+    must never be pruned."""
+    import os
+
+    from pyspark.sql.datasource import EqualTo
+
+    from lstore_spark.sources.lstore_log import (LstoreLogPushdownReader,
+                                                 segment_keys, write_segment)
+
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    types = ["click", "view", "purchase", "error"]
+    for i, t in enumerate(types):  # one key per segment
+        write_segment(str(seg / f"{i:05d}.seg"),
+                      [(i * 100 + j, [j], [t.encode()]) for j in range(50)])
+    # a legacy segment without a sidecar: candidate regardless of key
+    write_segment(str(seg / "99999.seg"),
+                  [(10_000 + j, [j], [b"click"]) for j in range(10)])
+    os.remove(str(seg / "99999.idx"))
+
+    assert segment_keys(str(seg / "00002.seg")) == ["purchase"]
+    r = LstoreLogPushdownReader({"path": str(seg)})
+    r.pushFilters([EqualTo(("key",), "purchase")])
+    kept = [os.path.basename(p.value) for p in r.partitions()]
+    assert kept == ["00002.seg", "99999.seg"], kept
+
+    # end-to-end: pruned plan, exact rows
+    from lstore_spark.sources.lstore_log import register
+    register(spark)
+    key = "spark.sql.python.filterPushdown.enabled"
+    spark.conf.set(key, "true")
+    df = (spark.read.format("lstore_log")
+          .option("path", str(seg)).option("pushdown", "true").load()
+          .filter(F.col("key") == "purchase"))
+    assert sorted(row.offset for row in df.select("offset").collect()) \
+        == list(range(200, 250))
+
+
+def test_scan_log_by_type_prunes_segments(spark, sf_dir):
+    """q_scan_log_by_type must plan strictly fewer than its 8 segments
+    for the single-type read, and match the raw table exactly."""
+    import glob
+    import os
+
+    from pyspark.sql.datasource import EqualTo
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.registry import QUERIES
+    from lstore_spark.sources.lstore_log import LstoreLogPushdownReader
+
+    got = QUERIES["q_scan_log_by_type"](spark, sf_dir)
+    want = (load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "event_type"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    stores = sorted(glob.glob("/tmp/lstore_bytype_*"), key=os.path.getmtime)
+    r = LstoreLogPushdownReader({"path": stores[-1]})
+    n_all = len(r.partitions())
+    r.pushFilters([EqualTo(("key",), "purchase")])
+    n_pruned = len(r.partitions())
     assert 0 < n_pruned < n_all, f"no pruning: {n_pruned}/{n_all}"
