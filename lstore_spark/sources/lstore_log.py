@@ -281,13 +281,13 @@ class LstoreLogReader(DataSourceReader):
         self.path = options.get("path")
         self._lo = None  # offset >= _lo (from pushed filters)
         self._hi = None  # offset <= _hi
-        self._key = None  # key == _key (from pushed filters)
+        self._keys = None  # key ∈ _keys (conjunctive; None = unconstrained)
 
     def _keep(self, path: str) -> bool:
-        if self._key is not None:
+        if self._keys is not None:
             ks = segment_keys(path)
-            if ks is not None and self._key not in ks:
-                return False  # the pbloom skip: key provably absent
+            if ks is not None and not self._keys.intersection(ks):
+                return False  # the pbloom skip: no wanted key present
         stats = segment_stats(path)
         if stats is None:
             return True  # unsealed/legacy segment: must scan
@@ -325,7 +325,7 @@ class LstoreLogPushdownReader(LstoreLogReader):
 
     def pushFilters(self, filters):
         from pyspark.sql.datasource import (EqualTo, GreaterThan,
-                                            GreaterThanOrEqual, LessThan,
+                                            GreaterThanOrEqual, In, LessThan,
                                             LessThanOrEqual)
 
         def tighten(lo=None, hi=None):
@@ -334,25 +334,38 @@ class LstoreLogPushdownReader(LstoreLogReader):
             if hi is not None:
                 self._hi = hi if self._hi is None else min(self._hi, hi)
 
+        def constrain_keys(wanted: set) -> None:
+            # conjunctive: intersect with any earlier key constraint
+            self._keys = wanted if self._keys is None \
+                else self._keys.intersection(wanted)
+
         for f in filters:
-            if getattr(f, "attribute", None) == ("offset",) \
-                    and isinstance(getattr(f, "value", None), int):
-                if isinstance(f, GreaterThanOrEqual):
-                    tighten(lo=f.value)
-                elif isinstance(f, GreaterThan):
-                    tighten(lo=f.value + 1)
-                elif isinstance(f, LessThanOrEqual):
-                    tighten(hi=f.value)
-                elif isinstance(f, LessThan):
-                    tighten(hi=f.value - 1)
-                elif isinstance(f, EqualTo):
-                    tighten(lo=f.value, hi=f.value)
-            elif getattr(f, "attribute", None) == ("key",) \
-                    and isinstance(f, EqualTo) \
-                    and isinstance(getattr(f, "value", None), str):
-                # blob-equality skip against the sidecar key sets — the
-                # pbloom analog (conjunctive filters: any bound applies)
-                self._key = f.value
+            if getattr(f, "attribute", None) == ("offset",):
+                v = getattr(f, "value", None)
+                if isinstance(f, GreaterThanOrEqual) and isinstance(v, int):
+                    tighten(lo=v)
+                elif isinstance(f, GreaterThan) and isinstance(v, int):
+                    tighten(lo=v + 1)
+                elif isinstance(f, LessThanOrEqual) and isinstance(v, int):
+                    tighten(hi=v)
+                elif isinstance(f, LessThan) and isinstance(v, int):
+                    tighten(hi=v - 1)
+                elif isinstance(f, EqualTo) and isinstance(v, int):
+                    tighten(lo=v, hi=v)
+                elif isinstance(f, In) and f.value \
+                        and all(isinstance(x, int) for x in f.value):
+                    # sound envelope: [min, max] of the IN list
+                    tighten(lo=min(f.value), hi=max(f.value))
+            elif getattr(f, "attribute", None) == ("key",):
+                # blob-membership skip against the sidecar key sets —
+                # the pbloom analog (conjunctive filters: every bound
+                # applies)
+                if isinstance(f, EqualTo) \
+                        and isinstance(getattr(f, "value", None), str):
+                    constrain_keys({f.value})
+                elif isinstance(f, In) and f.value \
+                        and all(isinstance(x, str) for x in f.value):
+                    constrain_keys(set(f.value))
         return filters  # nothing claimed: Spark re-applies every filter
 
 

@@ -294,3 +294,42 @@ def test_scan_log_by_type_prunes_segments(spark, sf_dir):
     r.pushFilters([EqualTo(("key",), "purchase")])
     n_pruned = len(r.partitions())
     assert 0 < n_pruned < n_all, f"no pruning: {n_pruned}/{n_all}"
+
+
+def test_pushdown_in_filters_prune(spark, tmp_path):
+    """IN-list predicates prune too: key IN (...) skips segments whose
+    sidecar key set intersects none of the wanted keys; offset IN (...)
+    prunes by the list's [min, max] envelope (sound: pruning may keep
+    gap files, never drops a matching one)."""
+    import os
+
+    from pyspark.sql.datasource import In
+
+    from lstore_spark.sources.lstore_log import (LstoreLogPushdownReader,
+                                                 write_segment)
+
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    for i, t in enumerate(["click", "view", "purchase", "error"]):
+        write_segment(str(seg / f"{i:05d}.seg"),
+                      [(i * 100 + j, [j], [t.encode()]) for j in range(50)])
+
+    r = LstoreLogPushdownReader({"path": str(seg)})
+    r.pushFilters([In(("key",), ("purchase", "error"))])
+    kept = sorted(os.path.basename(p.value) for p in r.partitions())
+    assert kept == ["00002.seg", "00003.seg"], kept
+
+    r2 = LstoreLogPushdownReader({"path": str(seg)})
+    r2.pushFilters([In(("offset",), (120, 130, 310))])
+    kept2 = sorted(os.path.basename(p.value) for p in r2.partitions())
+    assert kept2 == ["00001.seg", "00002.seg", "00003.seg"], kept2
+
+    # end-to-end: IN through Spark, exact rows back
+    from lstore_spark.sources.lstore_log import register
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (spark.read.format("lstore_log")
+          .option("path", str(seg)).option("pushdown", "true").load()
+          .filter(F.col("key").isin("purchase", "error")))
+    assert sorted(row.offset for row in df.select("offset").collect()) \
+        == list(range(200, 250)) + list(range(300, 350))
