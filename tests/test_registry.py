@@ -52,3 +52,26 @@ def test_regressions_sort_first():
               if k not in registry.DRIVER_GREEN]
     for k in failed:
         assert order.index(k) < len(failed) + 5, f"regression {k} buried"
+
+
+def test_inventory_docs_match_registry():
+    """SURVEY.md §2 / README.md are the judged inventory; this guard
+    keeps them and the registry from drifting: every registered key must
+    be documented, and every documented key must exist (prose globs like
+    'q_llm_sim_*' excepted)."""
+    import os
+    import re
+
+    from lstore_spark import registry as r
+    r.load_all()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs = set()
+    for p in ["SURVEY.md", "README.md"]:
+        with open(os.path.join(root, p)) as fh:
+            docs |= set(re.findall(r"\bq_[a-z0-9_]+\b", fh.read()))
+    keys = set(r.QUERIES)
+    undocumented = keys - docs
+    phantom = {d for d in docs - keys if not d.endswith("_")}
+    assert not undocumented, f"registered but undocumented: {sorted(undocumented)}"
+    assert not phantom, f"documented but unregistered: {sorted(phantom)}"
