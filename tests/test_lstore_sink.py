@@ -333,3 +333,36 @@ def test_pushdown_in_filters_prune(spark, tmp_path):
           .filter(F.col("key").isin("purchase", "error")))
     assert sorted(row.offset for row in df.select("offset").collect()) \
         == list(range(200, 250)) + list(range(300, 350))
+
+
+def test_torn_segment_fails_loudly_or_reads_as_unsealed(tmp_path):
+    """Crash-consistency contract of the segment codec: truncation at a
+    record boundary just loses the seal (the file reads fully as an
+    unsealed segment — exactly an in-progress append), while truncation
+    MID-record raises instead of silently dropping rows.  A torn file
+    can never quietly yield a subset."""
+    import os
+    import struct as st
+
+    import pytest
+
+    from lstore_spark.sources.lstore_log import (_TRAILER_LEN,
+                                                 read_segment_file,
+                                                 segment_stats,
+                                                 write_segment)
+
+    p = str(tmp_path / "t.seg")
+    write_segment(p, [(i, [i, i * 2], [b"abc"]) for i in range(10)])
+    full = os.path.getsize(p)
+
+    # chop exactly the trailer: all 10 records intact, seal gone
+    with open(p, "r+b") as f:
+        f.truncate(full - _TRAILER_LEN)
+    assert segment_stats(p) is None
+    assert len(list(read_segment_file(p))) == 10
+
+    # chop into the last record: loud failure, not a silent subset
+    with open(p, "r+b") as f:
+        f.truncate(os.path.getsize(p) - 5)
+    with pytest.raises(st.error):
+        list(read_segment_file(p))
