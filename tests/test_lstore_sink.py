@@ -366,3 +366,36 @@ def test_torn_segment_fails_loudly_or_reads_as_unsealed(tmp_path):
         f.truncate(os.path.getsize(p) - 5)
     with pytest.raises(st.error):
         list(read_segment_file(p))
+
+
+def test_sink_republish_is_idempotent(spark, tmp_path):
+    """Task-retry discipline end-to-end: writing the SAME partitioned
+    data into the store twice (a whole-stage retry, the worst case)
+    republishes every part-<pid>.seg by atomic rename — same file set,
+    same contents, no duplicates and no leftover tmp files."""
+    import glob
+    import hashlib
+    import os
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.sources.lstore_log import (events_as_segment_rows,
+                                                 write_segments)
+
+    sf_dir = os.environ.get("LSTORE_SPARK_TEST_SF", "/root/testdata/sf0.01")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 500))
+    shaped = (events_as_segment_rows(ev)
+              .repartitionByRange(3, "offset").sortWithinPartitions("offset"))
+    out = str(tmp_path / "segs")
+    os.makedirs(out)
+
+    def snapshot():
+        return {os.path.basename(p): hashlib.md5(open(p, "rb").read()).hexdigest()
+                for p in glob.glob(out + "/*.seg")}
+
+    write_segments(shaped, out)
+    first = snapshot()
+    write_segments(shaped, out)  # the "retry"
+    second = snapshot()
+    assert first == second and len(first) == 3
+    assert not glob.glob(out + "/.*tmp*"), "leaked tmp files"
