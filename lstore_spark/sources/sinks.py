@@ -368,3 +368,25 @@ def q_maint_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite").parquet(out)
     )
     return spark.read.parquet(out).select("event_id", "user_id", "vq")
+
+
+@query(
+    "q_source_xml_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_id < 1000
+""",
+)
+def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink+source round-trip (Spark 4's built-in xml format, rowTag
+    framing) under a declared schema — the enterprise-interchange path.
+    Doubles survive via the same shortest-repr text codec as CSV/JSON;
+    oracle compares against the original parquet."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 1000)
+          .select("event_id", "user_id", "event_type", "value"))
+    out = tempfile.mkdtemp(prefix="lstore_spark_xml_")
+    (ev.write.mode("overwrite").format("xml")
+       .option("rowTag", "event").save(out))
+    return (spark.read.schema(_RT_SCHEMA)
+            .format("xml").option("rowTag", "event").load(out))
