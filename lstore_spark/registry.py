@@ -120,6 +120,7 @@ SLOW_KEYS: tuple[str, ...] = (
     "q_source_binaryfile",
     "q_source_schema_evolution",
     "q_source_xml_roundtrip",
+    "q_source_text_roundtrip",
     "q_stream_foreachbatch_sink",
     "q_stream_follow",
     "q_llm_multimodal_features",
@@ -145,6 +146,7 @@ NEW_KEYS: frozenset = frozenset({
     "q_source_binaryfile", "q_scan_log_from_offset", "q_stream_static_join",
     "q_source_schema_evolution", "q_maint_zorder_cluster",
     "q_scan_log_by_type", "q_source_xml_roundtrip",
+    "q_source_text_roundtrip",
 })
 
 

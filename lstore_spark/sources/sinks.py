@@ -390,3 +390,21 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
        .option("rowTag", "event").save(out))
     return (spark.read.schema(_RT_SCHEMA)
             .format("xml").option("rowTag", "event").load(out))
+
+
+@query(
+    "q_source_text_roundtrip",
+    oracle="""
+SELECT text AS value FROM documents
+""",
+)
+def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-lines round-trip — the native shape of an LLM training
+    corpus on disk (one document per line): write the documents' text
+    through the text sink, read it back with the line source.  Document
+    identity is positional/absent by design; the oracle's multiset
+    compare proves no line is lost, duplicated, or altered."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    out = tempfile.mkdtemp(prefix="lstore_spark_text_")
+    docs.write.mode("overwrite").text(out)
+    return spark.read.text(out)
