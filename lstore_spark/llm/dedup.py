@@ -133,7 +133,8 @@ def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
 
 
 def lsh_candidate_pairs(sig: DataFrame,
-                        min_est_jaccard: float = 0.0) -> DataFrame:
+                        min_est_jaccard: float = 0.0,
+                        max_bucket_width: int | None = 64) -> DataFrame:
     """LSH banding over minhash signatures → (id_a, id_b, est_jaccard).
 
     The packed signature array rides THROUGH the banding self-join, so
@@ -150,7 +151,26 @@ def lsh_candidate_pairs(sig: DataFrame,
     collides in several bands is instead kept only on its FIRST
     colliding band — the joined band is by construction a colliding one,
     so each pair survives exactly once.  est_jaccard = fraction of
-    agreeing minhashes."""
+    agreeing minhashes.
+
+    Hot-bucket cap (VERDICT r5 #2): the banding self-join is O(f²) in
+    bucket width f, so one boilerplate mega-bucket (license headers,
+    templated pages — 10⁵ docs in a 100 TB corpus) would emit 10¹⁰
+    candidate pairs on its own.  Buckets wider than ``max_bucket_width``
+    are dropped before the self-join — standard production-LSH practice:
+    a mega-bucket is near-certainly boilerplate, which exact dedup
+    upstream already collapses, and every member still has b−1 other
+    bands to collide in.  The width count is a tiny map-side-combined
+    aggregate on the (band, bucket) keys; the hot list is broadcast and
+    anti-joined (localCheckpoint'ed — it feeds both self-join sides and
+    Spark does no CSE across broadcast branches).  Interaction with the
+    first-colliding-band dedup below: a pair whose FIRST colliding band
+    fell in a dropped bucket is dropped entirely (its later-band rows
+    fail the first-band filter) rather than retried on surviving bands —
+    deliberate: first-collision-inside-a-mega-bucket is itself a
+    boilerplate signal, and re-deriving "first SURVIVING band" would
+    reintroduce the per-pair shuffle the first-band trick exists to
+    avoid.  Pass ``None`` to disable (test/debug only)."""
     r, b, k = _MINHASH_R, _BANDS, _MINHASH_K
     # slice() is 1-based; hash(array) hashes the r-row band as one value.
     bands = F.expr(
@@ -158,6 +178,13 @@ def lsh_candidate_pairs(sig: DataFrame,
         f"bnd -> struct(bnd AS band, hash(slice(mhs, bnd * {r} + 1, {r})) AS bkt))")
     banded = (sig.select("doc_id", "mhs", F.explode(bands).alias("bb"))
               .select("doc_id", "mhs", "bb.band", "bb.bkt"))
+    if max_bucket_width is not None:
+        hot = (banded.groupBy("band", "bkt")
+               .agg(F.count(F.lit(1)).alias("bw"))
+               .filter(F.col("bw") > max_bucket_width)
+               .select("band", "bkt")
+               .localCheckpoint())
+        banded = banded.join(F.broadcast(hot), ["band", "bkt"], "left_anti")
 
     a = banded.select(F.col("doc_id").alias("id_a"),
                       F.col("mhs").alias("mhs_a"), "band", "bkt")

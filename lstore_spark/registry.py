@@ -69,23 +69,35 @@ def load_all() -> None:
 #   tier 6: keys already green in their latest driver check (re-green pool)
 #   tier 7: green slow side-effect keys — budget truncation here costs
 #           the least evidence.
+# Within the two green tiers keys sort ascending by the round of their
+# latest driver check (VERDICT r5 #1): the re-check budget is a rolling
+# freshness window over ALL greens instead of re-proving the same
+# insertion-order prefix every round — without this, 77 keys sat on
+# round-1/round-3-era evidence while ~20 early-registered keys were
+# re-checked five times.
 
 
-def _driver_evidence() -> tuple[frozenset, frozenset]:
-    """(green, checked) from all CORRECTNESS_r*.json; latest round wins
-    per key.  A key counts green only on a full rows+hash match.  Entries
-    with no oracle verdict (``err: no_oracle`` / ``rows_match`` null) are
-    rows-only evidence: they can never be green, so counting them as
-    "checked but not green" would pin them to the regression tier forever
-    (ADVICE r4) — they are treated as unchecked and route to the
-    rows-only tier instead."""
+def _driver_evidence() -> tuple[frozenset, frozenset, dict]:
+    """(green, checked, latest_round) from all CORRECTNESS_r*.json; latest
+    round wins per key.  A key counts green only on a full rows+hash match.
+    Entries with no oracle verdict (``err: no_oracle`` / ``rows_match``
+    null) are rows-only evidence: they can never be green, so counting them
+    as "checked but not green" would pin them to the regression tier
+    forever (ADVICE r4) — they are treated as unchecked and route to the
+    rows-only tier instead.  ``latest_round`` records the round number of
+    the key's most recent driver visit of ANY grade — the staleness key for
+    the green tiers' rolling re-check order."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, bool] = {}
+    latest_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -94,15 +106,17 @@ def _driver_evidence() -> tuple[frozenset, frozenset]:
         for k, v in rows.items():
             if not isinstance(v, dict):
                 continue
+            latest_round[k] = rnd
             if v.get("err") == "no_oracle" or v.get("rows_match") is None:
                 latest.pop(k, None)  # rows-only: no oracle verdict exists
                 continue
             latest[k] = bool(v.get("rows_match") and v.get("hash_match"))
     return (frozenset(k for k, ok in latest.items() if ok),
-            frozenset(latest))
+            frozenset(latest),
+            latest_round)
 
 
-DRIVER_GREEN, DRIVER_CHECKED = _driver_evidence()
+DRIVER_GREEN, DRIVER_CHECKED, DRIVER_LATEST_ROUND = _driver_evidence()
 
 # Side-effect-heavy keys (measured 1.5-2.5 s each at sf0.01; k-means ~14 s
 # of iterative actions): always last.
@@ -152,29 +166,33 @@ NEW_KEYS: frozenset = frozenset({
 
 def sweep_order(keys=None) -> list[str]:
     """Registry keys in driver-sweep priority order (stable within tiers);
-    tier semantics documented in the block comment above."""
+    tier semantics documented in the block comment above.  Green tiers
+    (6/7) additionally sort ascending by latest driver-checked round, so
+    the ~20 green re-check slots per sweep always go to the stalest
+    evidence first (rolling freshness over the whole green pool)."""
     keys = list(QUERIES if keys is None else keys)
 
-    def tier(k: str) -> tuple[int, int]:
+    def tier(k: str) -> tuple[int, int, int]:
         heavy = 1 if k in HEAVY_KEYS else 0
         if k in DRIVER_CHECKED and k not in DRIVER_GREEN:
-            return (0, heavy)
+            return (0, heavy, 0)
         if k in DRIVER_GREEN:
-            return (7, heavy) if k in SLOW_KEYS else (6, heavy)
+            stale = DRIVER_LATEST_ROUND.get(k, 0)
+            return (7, stale, heavy) if k in SLOW_KEYS else (6, stale, heavy)
         # --- never driver-checked from here down: all before any green ---
         if k in SLOW_KEYS:
-            return (5, heavy)
+            return (5, heavy, 0)
         if k not in ORACLE:
-            return (4, heavy)
+            return (4, heavy, 0)
         if k in NEW_KEYS:
-            return (3, heavy)
+            return (3, heavy, 0)
         if k == "q_llm_dedup_embcos":
             # the single most expensive oracle (~5-13 s all-pairs DuckDB
             # side): queues behind the whole streaming tier so it can't
             # starve several cheap keys under a time-based budget.
-            return (2, 2)
+            return (2, 2, 0)
         if k.startswith("q_stream_") or k.startswith("q_source_stream"):
-            return (2, heavy)
-        return (1, heavy)
+            return (2, heavy, 0)
+        return (1, heavy, 0)
 
     return sorted(keys, key=tier)  # sort is stable → insertion order kept
