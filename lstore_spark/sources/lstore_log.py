@@ -76,9 +76,15 @@ def _keyset(values) -> list | None:
 
 
 def _write_idx(seg_tmp_or_final: str, keys: list | None) -> None:
+    """Publish a sidecar index atomically (tmp+rename): a reader either
+    sees the complete new index or the previous state, never a torn
+    JSON file (ADVICE r5)."""
     import json
-    with open(_idx_path(seg_tmp_or_final), "w") as fh:
+    p = _idx_path(seg_tmp_or_final)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"keys": keys}, fh)
+    os.replace(tmp, p)
 
 
 # ------------------------------------------------------------ writer (test rig)
@@ -117,7 +123,18 @@ def segment_stats(path: str) -> tuple[int, int] | None:
 
 
 def write_segment(path: str, records: list[tuple[int, list[int], list[bytes]]]) -> None:
-    """Append-only segment writer (the lstore write path analog)."""
+    """Append-only segment writer (the lstore write path analog).
+
+    Index/segment publish ordering (ADVICE r5): any stale sidecar is
+    removed BEFORE the segment bytes change and the new sidecar is
+    published (atomically, tmp+rename) only AFTER — a reader racing a
+    republish sees at worst a segment with no index, which merely
+    disables pruning; it can never pair an index with a segment holding
+    different data (the pushdown reader would silently drop rows)."""
+    try:
+        os.remove(_idx_path(path))
+    except FileNotFoundError:
+        pass
     with open(path, "wb") as f:
         for offset, ints, blobs in records:
             f.write(struct.pack("<qi", offset, len(ints)))
@@ -151,6 +168,11 @@ def write_segments(df: DataFrame, seg_dir: str) -> None:
     The closure is self-contained (stdlib only) so it pickles by value —
     no worker-side package import needed."""
 
+    # capture the module constant into a local so the serialized closure
+    # and the test-rig writer always share one cap (ADVICE r5: a literal
+    # here would drift silently if _IDX_MAX_KEYS changed)
+    max_keys = _IDX_MAX_KEYS
+
     def _write_partition(rows) -> None:
         import os as _os
         import struct as _struct
@@ -173,9 +195,12 @@ def write_segments(df: DataFrame, seg_dir: str) -> None:
                 if keys_ok and blobs:
                     try:
                         keys.add(bytes(blobs[0]).decode("utf-8"))
-                    except UnicodeDecodeError:
+                    except (UnicodeDecodeError, TypeError):
+                        # TypeError: NULL blob element — degrade to
+                        # keys=null (no index) like _keyset, don't fail
+                        # the task (ADVICE r5)
                         keys_ok = False
-                    if len(keys) > 64:  # _IDX_MAX_KEYS (closure-local)
+                    if len(keys) > max_keys:
                         keys_ok = False
                 f.write(_struct.pack("<qi", off, len(ints)))
                 for v in ints:
@@ -190,12 +215,23 @@ def write_segments(df: DataFrame, seg_dir: str) -> None:
                         + _struct.pack("<i", 0))
         if lo is not None:
             final = _os.path.join(seg_dir, f"part-{pid:05d}.seg")
-            # sidecar index first (its absence merely disables pruning),
-            # then the atomic segment publish — a reader can never see a
-            # segment whose index describes different data.
-            with open(final[:-4] + ".idx", "w") as ix:
-                _json.dump({"keys": sorted(keys) if keys_ok else None}, ix)
+            idx = final[:-4] + ".idx"
+            # Publish ordering (ADVICE r5): drop any stale index BEFORE
+            # the segment rename, publish the fresh index (atomically,
+            # tmp+rename) only AFTER.  A reader racing a republish or a
+            # crash between the steps sees at worst a segment with no
+            # index — pruning disabled, rows intact; the old ordering
+            # (idx first) could pair a new index with the previous
+            # segment's data and silently prune live rows.
+            try:
+                _os.remove(idx)
+            except FileNotFoundError:
+                pass
             _os.replace(tmp, final)
+            idx_tmp = f"{idx}.tmp-{attempt}"
+            with open(idx_tmp, "w") as ix:
+                _json.dump({"keys": sorted(keys) if keys_ok else None}, ix)
+            _os.replace(idx_tmp, idx)
         else:
             _os.remove(tmp)  # empty partition → no segment file
 
@@ -243,6 +279,13 @@ def read_segment_file(path: str):
         for _ in range(n_blobs):
             (blen,) = struct.unpack_from("<i", data, pos)
             pos += 4
+            if blen < 0 or pos + blen > len(data):
+                # Torn mid-payload: the slice below would silently return
+                # fewer bytes and yield a corrupted blob (ADVICE r5) —
+                # fail loudly like the short-header unpack_from path does.
+                raise struct.error(
+                    f"torn segment {path}: blob of {blen} bytes at "
+                    f"offset {pos} overruns file of {len(data)} bytes")
             blobs.append(bytes(data[pos: pos + blen]))
             pos += blen
         if offset >= 0:  # negative offset = stats trailer, not data

@@ -328,11 +328,20 @@ def zorder_key(a, b, bits: int = 16):
     simultaneously — every output file then carries a tight min/max span
     on each column, and a predicate on EITHER dimension skips most files
     (row groups) via ordinary parquet stats.  Pure JVM integer ALU via a
-    HOF fold — no UDF, no shuffle beyond the range partitioner's."""
+    HOF fold — no UDF, no shuffle beyond the range partitioner's.
+
+    Inputs are masked to the low ``bits`` first (ADVICE r5): a negative
+    value would otherwise sign-extend through shiftright so every bit
+    contributes, and an over-range value's high bits silently collide —
+    content stays correct either way (the key only orders the rewrite)
+    but clustering quality would degrade.  The mask makes the key
+    well-defined on any long: out-of-domain values interleave their low
+    bits, which still clusters them coherently."""
+    mask = (1 << bits) - 1
     return F.expr(
         f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc"
-        f" + shiftleft((shiftright({a}, i) & 1), 2 * i)"
-        f" + shiftleft((shiftright({b}, i) & 1), 2 * i + 1))")
+        f" + shiftleft((shiftright(({a}) & {mask}, i) & 1), 2 * i)"
+        f" + shiftleft((shiftright(({b}) & {mask}, i) & 1), 2 * i + 1))")
 
 
 @query(

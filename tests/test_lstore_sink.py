@@ -367,6 +367,44 @@ def test_torn_segment_fails_loudly_or_reads_as_unsealed(tmp_path):
     with pytest.raises(st.error):
         list(read_segment_file(p))
 
+    # chop 1-3 bytes into the final blob's PAYLOAD (ADVICE r5): the
+    # length prefix is intact, so the old reader silently yielded a
+    # short/corrupted blob here — must raise like every other tear
+    for cut in (1, 2, 3):
+        p2 = str(tmp_path / f"t{cut}.seg")
+        write_segment(p2, [(i, [i, i * 2], [b"abc"]) for i in range(10)])
+        with open(p2, "r+b") as f:
+            f.truncate(os.path.getsize(p2) - _TRAILER_LEN - cut)
+        with pytest.raises(st.error):
+            list(read_segment_file(p2))
+
+
+def test_republish_never_pairs_new_index_with_old_segment(tmp_path):
+    """ADVICE r5: republishing a segment path with DIFFERENT content must
+    never leave an index describing data the segment beside it doesn't
+    hold (the pushdown reader would silently prune live rows).  The
+    writer drops the stale sidecar before touching segment bytes and
+    publishes the new sidecar only after, so at every observable point
+    the index is either absent (pruning disabled — sound) or matches."""
+    import os
+
+    from lstore_spark.sources.lstore_log import (_idx_path,
+                                                 read_segment_file,
+                                                 segment_keys,
+                                                 write_segment)
+
+    p = str(tmp_path / "r.seg")
+    write_segment(p, [(i, [i], [b"alpha"]) for i in range(5)])
+    assert segment_keys(p) == ["alpha"]
+    # republish with different keys: index must follow the data
+    write_segment(p, [(i, [i], [b"beta"]) for i in range(5)])
+    assert segment_keys(p) == ["beta"]
+    assert {r[3] for r in read_segment_file(p)} == {"beta"}
+    # crash simulation: segment republished but idx write never happened
+    # → reader must fall back to scanning, not prune on stale keys
+    os.remove(_idx_path(p))
+    assert segment_keys(p) is None  # absence = scan, never a wrong prune
+
 
 def test_sink_republish_is_idempotent(spark, tmp_path):
     """Task-retry discipline end-to-end: writing the SAME partitioned
