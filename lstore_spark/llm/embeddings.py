@@ -347,6 +347,58 @@ def q_llm_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("cos_sim", 6).alias("cos_sim"))
 
 
+@query(
+    "q_llm_emb_kmeans_portable",
+    oracle="""
+WITH seed AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ck, embedding
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+cent AS (
+  SELECT ck, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS c
+  FROM seed
+),
+vec AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT vec.vec_id, cent.ck,
+         ROUND(SUM(vec.v * cent.c)
+               / (sqrt(SUM(vec.v * vec.v)) * sqrt(SUM(cent.c * cent.c))),
+               6) AS cos_sim
+  FROM vec JOIN cent ON vec.i = cent.i
+  GROUP BY vec.vec_id, cent.ck
+),
+best AS (
+  SELECT vec_id, ck AS cluster, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, ck) AS rn
+  FROM pairs
+)
+SELECT vec_id, cluster, cos_sim FROM best WHERE rn = 1
+""",
+)
+def q_llm_emb_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-grade twin of ``q_llm_emb_kmeans`` (VERDICT r5 #6): the SAME
+    deterministic seeding (centroids = embeddings of the 8 lowest
+    vec_ids) and the SAME broadcast Lloyd assignment step, run for
+    exactly ONE iteration so the result is closed-form SQL — the oracle
+    certifies the seeding + assignment machinery the iterative rows-only
+    key loops over (the `_portable` discipline of dedup.py's minhash /
+    clusters twins).  Tie-break: lowest cluster id, both engines."""
+    from pyspark.sql import Window
+    em = load_table(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    cvecs = (em.orderBy("vec_id").limit(8)
+             .select((F.row_number().over(w) - 1).alias("ck"),
+                     F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                     .alias("cvec")))
+    return assign_nearest(em, cvecs, "ck").select("vec_id", "cluster", "cos_sim")
+
+
 _PQ_M, _PQ_D = 8, 8  # 8 subspaces × 8 dims = EMBEDDING_DIM
 
 

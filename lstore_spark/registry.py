@@ -152,15 +152,13 @@ HEAVY_KEYS: frozenset = frozenset({
     "q_llm_dedup_jaccard_ngram", "q_llm_dedup_clusters_portable",
 })
 
-# Keys first registered in round 5: locally verified but never in any
+# Keys first registered THIS round: locally verified but never in any
 # driver sweep — they queue BEHIND the older never-checked families so the
 # longest-starved evidence lands first (still ahead of every green key).
+# (The round-5 set all earned driver evidence in r5 and routes through the
+# checked tiers now.)
 NEW_KEYS: frozenset = frozenset({
-    "q_sink_lstore_log", "q_maint_compact_segments", "q_stream_follow",
-    "q_source_binaryfile", "q_scan_log_from_offset", "q_stream_static_join",
-    "q_source_schema_evolution", "q_maint_zorder_cluster",
-    "q_scan_log_by_type", "q_source_xml_roundtrip",
-    "q_source_text_roundtrip",
+    "q_llm_emb_kmeans_portable",
 })
 
 
