@@ -166,6 +166,78 @@ def test_stream_checkpoint_resume_no_reprocess(spark, sf_dir, tmp_path):
     assert total == 2 * n1, "restart must process exactly the new segment"
 
 
+def test_stream_kill_mid_batch_restart_exactly_once(spark, tmp_path):
+    """VERDICT r5 #5 — the lstore consumer-durability parity claim made
+    executable: kill the query in the worst-case window (sink output
+    written, checkpoint commit NOT yet recorded), restart from the same
+    checkpoint, and assert exactly-once output.
+
+    Mechanics: segment 1 drains and commits; segment 2's micro-batch
+    writes its parquet output and then the injected crash fires BEFORE
+    the commit log records the batch.  On restart Spark replays the SAME
+    batch id over the SAME offset range (both were WAL'd at batch
+    start), and the foreachBatch writer's overwrite-by-batch_id makes
+    the replay idempotent — the standard exactly-once foreachBatch
+    discipline.  No row lost, no row doubled."""
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from lstore_spark.sources.lstore_log import register, write_segment
+
+    register(spark)
+    live = tmp_path / "live"
+    live.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    crash_flag = str(tmp_path / "crash_once")
+
+    def publish(i: int, lo: int, hi: int) -> None:
+        write_segment(str(live / f"b{i}.seg"),
+                      [(o, [o, o * 10], [f"t{o % 3}".encode()])
+                       for o in range(lo, hi)])
+
+    def drain(expect_fail: bool = False) -> None:
+        stream = (spark.readStream.format("lstore_log")
+                  .option("path", str(live)).load()
+                  .select(F.col("offset").alias("event_id"), "key"))
+
+        def write_batch(df, bid):
+            df.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch={bid}"))
+            if os.path.exists(crash_flag):
+                os.remove(crash_flag)
+                raise RuntimeError(
+                    "injected crash: sink written, commit not recorded")
+
+        q = (stream.writeStream.foreachBatch(write_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if expect_fail:
+            with pytest.raises(StreamingQueryException):
+                q.awaitTermination()
+        else:
+            q.awaitTermination()
+
+    publish(0, 0, 100)
+    drain()                      # batch 0 commits normally
+    publish(1, 100, 250)
+    open(crash_flag, "w").close()
+    drain(expect_fail=True)      # batch 1: output written, then "crash"
+    drain()                      # restart: batch 1 replays idempotently
+
+    parts = sorted(os.listdir(out))
+    dfs = [spark.read.parquet(os.path.join(out, d)) for d in parts]
+    allr = dfs[0]
+    for d in dfs[1:]:
+        allr = allr.unionByName(d)
+    got = sorted(r.event_id for r in allr.collect())
+    assert got == list(range(250)), (
+        "exactly-once violated: loss or duplication across the restart")
+
+
 def test_stream_stateful_runagg(spark, sf_dir):
     """Stateful per-user running aggregate in the streaming engine
     (update-mode keyed aggregation — the applyInPandasWithState shape);
