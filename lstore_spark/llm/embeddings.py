@@ -603,23 +603,27 @@ def q_llm_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id",
                 F.expr("transform(cb, s -> struct(s.label AS label, "
                        "zip_with(xe, s.cvec, (a, b) -> a - b) AS dv))")
-                .alias("diffs"),
-                F.expr("transform(cb, s -> s.label)").alias("labels"))
-        .select("vec_id", dists.alias("dists"), "labels")
+                .alias("diffs"))
+        .select("vec_id", dists.alias("dists"))
     )
-    # corpus keeps ONLY its argmin code per subspace (the 32× compression)
+    # Corpus keeps ONLY its argmin code per subspace (the 32× compression)
+    # — stored as the 0-based POSITION in the (label-sorted) codebook, not
+    # the label value (VERDICT r5 #9): the codebook order is fixed, so the
+    # position identifies the centroid, and the ADC below becomes a direct
+    # lut[m][codes[m]] index instead of an O(k) array_position scan per
+    # subspace per (candidate × query) pair.  The one remaining
+    # array_position here runs once per CANDIDATE at encode time.
     codes = (base.filter(F.col("vec_id") >= 10)
              .select(F.col("vec_id").alias("cand_id"),
-                     F.expr("transform(dists, dm -> array_min(dm).label)")
+                     F.expr("transform(dists, dm -> "
+                            "array_position(dm, array_min(dm)) - 1)")
                      .alias("codes")))
     qlut = (base.filter(F.col("vec_id") < 10)
             .select(F.col("vec_id").alias("query_id"),
                     F.expr("transform(dists, dm -> transform(dm, s -> s.d))")
-                    .alias("lut"),
-                    "labels"))
+                    .alias("lut")))
     adc_terms = " + ".join(
-        f"CAST(lut[{m}][array_position(labels, codes[{m}]) - 1]"
-        f" AS DECIMAL(30,8))" for m in range(m_))
+        f"CAST(lut[{m}][codes[{m}]] AS DECIMAL(30,8))" for m in range(m_))
     adc = F.expr(f"CAST({adc_terms} AS DOUBLE)")
     scored = (codes.crossJoin(F.broadcast(qlut))
               .select("query_id", "cand_id", adc.alias("adc_dist")))
