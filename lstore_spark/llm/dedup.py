@@ -713,3 +713,56 @@ def q_llm_dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame
     return labels.select(
         "doc_id", "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_cluster_head"))
+
+
+_SUBSTR_W = 8  # rolling-window width in tokens (Lee et al. use 50 BPE
+# tokens at corpus scale; 8 fits the short synthetic fixtures while
+# exercising the identical plan shape)
+
+
+@query(
+    "q_llm_dedup_substring",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+),
+win AS (
+  SELECT doc_id,
+         array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + {_SUBSTR_W - 1}],
+                         ' ') AS span
+  FROM tok, range(1, 256) AS g(i) WHERE i <= len(ts) - {_SUBSTR_W - 1}
+)
+SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+FROM win GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1
+""",
+)
+def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection — the exact-substring dedup
+    of Lee et al., *Deduplicating Training Data Makes Language Models
+    Better* (2022), re-expressed as a rolling token-window group-by
+    instead of a suffix array: every w-token window of every document is
+    emitted and any span appearing in more than one document is reported
+    with its document- and occurrence-counts (the spans a pipeline then
+    cuts out of the training text).
+
+    Scale: one bounded explode (≤ L−w+1 windows per doc) and ONE shuffle
+    keyed on the span; the distinct-doc count partial-aggregates
+    map-side.  At 100 TB you key the shuffle on a 16-byte span hash
+    instead of the raw string (~6× narrower shuffle rows) and re-derive
+    the text from any surviving occurrence; the raw span is kept here so
+    the DuckDB oracle certifies values, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _SUBSTR_W
+    spans = F.expr(f"""
+        if(size(ts) >= {w},
+           transform(sequence(1, size(ts) - {w - 1}),
+                     i -> array_join(slice(ts, i, {w}), ' ')),
+           array())""")
+    return (
+        docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
+        .select("doc_id", F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -9,7 +9,7 @@ explode → aggregate, i.e. linear scans + keyed shuffles that scale to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, table_rows
@@ -591,3 +591,122 @@ def q_llm_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nll.select(
         "doc_id", "n_tok",
         F.round(F.col("sum_nll") / F.col("n_tok"), 6).alias("avg_nll"))
+
+
+@query(
+    "q_llm_text_repetition",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+),
+base AS (
+  SELECT doc_id, len(ts) AS n_tokens,
+         len(list_distinct(ts)) AS n_distinct
+  FROM tok
+),
+bg AS (
+  SELECT doc_id, ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS bg
+  FROM tok, range(1, 256) AS g(i) WHERE i <= len(ts) - 1
+),
+bgc AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg FROM bgc GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       ROUND(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS distinct_ratio,
+       ROUND(COALESCE(CAST(t.top_bg AS DOUBLE) / t.n_bg, 0.0), 6)
+         AS top_bigram_frac,
+       CAST(CAST(b.n_distinct AS DOUBLE) / b.n_tokens >= 0.3
+            AND COALESCE(CAST(t.top_bg AS DOUBLE) / t.n_bg, 0.0) <= 0.2
+            AS BIGINT) AS keep
+FROM base b LEFT JOIN top t USING (doc_id)
+""",
+)
+def q_llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al. 2021
+    §A1.1.2): distinct-token ratio and most-frequent-bigram fraction per
+    document, plus the keep verdict (distinct ≥ 0.3 and top-bigram
+    ≤ 0.2) — the standard templated/degenerate-text gate that runs
+    between exact dedup and model-based quality scoring.
+
+    Scale: the distinct-token count is a row-local ``array_distinct``
+    (no shuffle); the top-bigram count is explode → two-phase
+    (doc, bigram) aggregate — deliberately NOT a row-local
+    O(tokens²) count-within-array, which would blow up on 10⁵-token
+    documents.  Both paths are doc-keyed shuffles that partial-combine
+    map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
+        .select("doc_id",
+                F.size("ts").alias("n_tokens"),
+                F.size(F.array_distinct("ts")).alias("n_distinct"),
+                F.expr(_SPARK_BIGRAMS_TS).alias("bgs"))
+    )
+    top = (
+        base.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_bg"),
+                               F.sum("c").alias("n_bg"))
+    )
+    dr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    tbf = F.coalesce(F.col("top_bg").cast("double") / F.col("n_bg"),
+                     F.lit(0.0))
+    return (
+        base.select("doc_id", "n_tokens", "n_distinct")
+        .join(top, "doc_id", "left")
+        .select("doc_id", "n_tokens",
+                F.round(dr, 6).alias("distinct_ratio"),
+                F.round(tbf, 6).alias("top_bigram_frac"),
+                ((dr >= 0.3) & (tbf <= 0.2)).cast("bigint").alias("keep"))
+    )
+
+
+@query(
+    "q_llm_mix_sources",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, len({_DUCK_TOKENS}) AS n_tok FROM documents
+),
+s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+  FROM tok GROUP BY source
+)
+SELECT source, n_docs, sum_tokens,
+       ROUND(sqrt(CAST(sum_tokens AS DOUBLE))
+             / SUM(sqrt(CAST(sum_tokens AS DOUBLE))) OVER (), 6)
+         AS mix_weight,
+       CAST(trunc(sqrt(CAST(sum_tokens AS DOUBLE))
+                  / SUM(sqrt(CAST(sum_tokens AS DOUBLE))) OVER ()
+                  * SUM(n_docs) OVER ()) AS BIGINT) AS docs_budget
+FROM s
+""",
+)
+def q_llm_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: per-source token mass and the
+    sqrt-proportional sampling weight (the standard temperature-style
+    re-weighting, τ = 0.5, that upweights small sources without letting
+    one giant crawl dominate — e.g. multilingual sampling in mBERT/XLM-R
+    and domain mixing in Pile-style corpora), plus the doc budget each
+    source gets under that mixture.
+
+    Scale: one per-source aggregate (n_sources groups — tiny), then the
+    normalization runs as an unpartitioned window over the n_sources-row
+    relation: fine because that relation is dimension-sized by
+    construction; the corpus itself is touched exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (docs.select("source", F.size(F.expr(_SPARK_TOKENS)).alias("n_tok"))
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n_tok").alias("sum_tokens")))
+    w = Window.partitionBy()
+    rt = F.sqrt(F.col("sum_tokens").cast("double"))
+    weight = rt / F.sum(rt).over(w)
+    return s.select(
+        "source", "n_docs", "sum_tokens",
+        F.round(weight, 6).alias("mix_weight"),
+        (weight * F.sum("n_docs").over(w)).cast("bigint").alias("docs_budget"),
+    )

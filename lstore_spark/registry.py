@@ -158,7 +158,8 @@ HEAVY_KEYS: frozenset = frozenset({
 # (The round-5 set all earned driver evidence in r5 and routes through the
 # checked tiers now.)
 NEW_KEYS: frozenset = frozenset({
-    "q_llm_emb_kmeans_portable",
+    "q_llm_emb_kmeans_portable", "q_llm_dedup_substring",
+    "q_llm_text_repetition", "q_llm_mix_sources",
 })
 
 

@@ -1,0 +1,110 @@
+"""100× growth curve for the shuffle-dominant keys (VERDICT r5 #4).
+
+Runs ~15 shuffle-heavy queries at 1× (sf0.1), 10× (/tmp/sfbig) and 100×
+(/tmp/sf100x — 60M lineitem / 10M events / 500k docs / 200k vectors,
+built by `SFBIG_DIR=/tmp/sf100x SFBIG_REPLICAS=100 python
+scripts/make_sfbig.py`) and prints per-key wall seconds plus the
+10×→100× growth factor.  This is the closest local[32] gets to
+certifying the 100 TB scale claims: a key whose plan is
+linear-with-partitions should grow ≤~10× wall for 10× data (usually
+much less while fixed cost amortizes); anything super-linear in INPUT
+is a plan bug to chase.  Output growth is allowed where output grows
+(pair keys) — the numbers are printed next to the output row count so
+that distinction is visible.
+
+Method matches bench.py: noop-format write forces full compute with no
+driver-collect cost; one discarded warm-up per session.
+
+Replication note: the 100× corpus gives every document 99 EXACT
+replicas, so every LSH band bucket for replicated text has width 100 >
+the 64 hot-bucket cap — minhash at 100× therefore exercises the
+skew-cap path (bounded candidates, sub-quadratic wall), which is
+exactly the 100 TB boilerplate story.  Exact dedup still reports the
+replica groups.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lstore_spark.registry import QUERIES  # noqa: E402
+from lstore_spark.session import get_spark  # noqa: E402
+
+SCALES = [
+    ("1x", "/root/testdata/sf0.1"),
+    ("10x", os.environ.get("SFBIG_DIR", "/tmp/sfbig")),
+    ("100x", os.environ.get("SF100X_DIR", "/tmp/sf100x")),
+]
+
+KEYS = [
+    # joins / aggs / windows on lineitem+orders (the TPC-H-grain shuffles)
+    "q_agg_groupby_hash",
+    "q_agg_count_distinct",
+    "q_join_inner_hash",
+    "q_join_sort_merge",
+    "q_join_multiway_star",
+    "q_join_asof",
+    "q_win_running_sum",
+    "q_tpch_q3_shipping",
+    # events-grain session/window shuffles
+    "q_stream_session_window",
+    "q_evt_retention",
+    # LLM-pipeline shuffle-heavy
+    "q_llm_dedup_exact",
+    "q_llm_dedup_minhash",
+    "q_llm_dedup_clusters_portable",
+    "q_llm_text_tfidf",
+    "q_llm_sim_cosine_topk",
+    "q_llm_emb_pq_adc",
+]
+
+# Keys whose OUTPUT row count scales with input (pair/doc-grain results):
+# report rows so output-driven growth is distinguishable from plan bugs.
+COUNT_ROWS = {"q_llm_dedup_minhash", "q_llm_dedup_clusters_portable",
+              "q_llm_dedup_exact"}
+
+
+def run_once(spark, key: str, sf_dir: str) -> tuple[float, int | None]:
+    t0 = time.perf_counter()
+    df = QUERIES[key](spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    wall = time.perf_counter() - t0
+    rows = df.count() if key in COUNT_ROWS else None
+    return wall, rows
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    spark = get_spark("lstore-spark-scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    run_once(spark, "q_agg_groupby_hash", SCALES[0][1])  # warm-up, discarded
+    results: dict[str, dict] = {}
+    for key in KEYS:
+        if only and not any(s in key for s in only):
+            continue
+        results[key] = {}
+        for label, sf_dir in SCALES:
+            if not os.path.isdir(sf_dir):
+                print(f"-- {label} dir {sf_dir} missing, skipped",
+                      file=sys.stderr)
+                continue
+            wall, rows = run_once(spark, key, sf_dir)
+            results[key][label] = {"sec": round(wall, 2), "rows": rows}
+            print(f"{key:34s} {label:>5s} {wall:8.2f}s"
+                  + (f"  rows={rows}" if rows is not None else ""),
+                  file=sys.stderr, flush=True)
+    # growth factors
+    for key, r in results.items():
+        if "10x" in r and "100x" in r and r["10x"]["sec"] > 0:
+            r["growth_10_to_100"] = round(r["100x"]["sec"] / r["10x"]["sec"], 2)
+    print(json.dumps(results), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
