@@ -700,15 +700,24 @@ def q_llm_dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame
     row counts) against an engine that implements connected components a
     completely different way.  The LSH-edged twin stays rows-only
     (murmur3 signatures are engine-specific); multi-hop chain merging is
-    asserted on planted chains in tests/test_llm.py."""
+    asserted on planted chains in tests/test_llm.py.
+
+    Edge construction is a STAR, not a clique (100× sweep finding, r6):
+    a self-join on the hash emits C(f,2) edges per f-wide duplicate
+    group — the same O(f²) blowup as an LSH mega-bucket (the 100×
+    replicated corpus produced ~25M edges from 5k groups of 100).  Each
+    member instead points at its group's min doc_id: O(n) edges total,
+    component diameter ≤ 2 so label propagation converges in one
+    round + one confirmation — identical components, identical labels
+    (the root IS the min), and the recursive-CTE oracle agrees because
+    components are topology-independent."""
     docs = load_table(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
-    a = hashed.select(F.col("doc_id").alias("id_a"), "h")
-    b = hashed.select(F.col("doc_id").alias("id_b"), "h")
-    pairs = (a.join(b, "h")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b"))
+    roots = hashed.groupBy("h").agg(F.min("doc_id").alias("id_a"))
+    pairs = (hashed.join(roots, "h")
+             .filter(F.col("doc_id") != F.col("id_a"))
+             .select("id_a", F.col("doc_id").alias("id_b")))
     labels = dedup_clusters(docs.select("doc_id"), pairs)
     return labels.select(
         "doc_id", "cluster_id",
