@@ -173,3 +173,76 @@ def q_ts_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_events").alias("n_events"),
              F.sum("sum_dec").cast("double").alias("sum_value"))
     )
+
+
+# ------------------------------------------------- CDC extraction
+
+
+@query(
+    "q_cdc_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 89 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 5.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_op,
+       o.o_totalprice AS old_price,
+       n.o_totalprice AS new_price
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_totalprice <> n.o_totalprice
+   OR o.o_orderstatus <> n.o_orderstatus
+""",
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC *extraction* — the inverse of q_merge_upsert's CDC *apply*:
+    given two immutable snapshots of a keyed table, emit the minimal
+    change stream (insert / update / delete per key) that transforms one
+    into the other.  This is how an append-only store derives a change
+    feed from periodic snapshots when no transaction log exists.  The
+    two snapshot versions are derived deterministically from orders
+    itself (keys ≡ 0 mod 89 absent from the old snapshot = inserts;
+    keys ≡ 0 mod 97 absent from the new = deletes; open orders get a
+    +5.0 price bump = updates) so the DuckDB oracle reproduces them
+    exactly; unchanged keys are filtered out of the feed.
+
+    Scale: ONE full-outer sort-merge join on the primary key — both
+    snapshot scans project only (key, compared columns), so 100 TB
+    snapshots diff at the cost of shuffling their pruned projections.
+    Snapshots bucketed by PK (q_source_bucketed_join) make the diff
+    exchange-free; AQE handles the skewless high-cardinality key well."""
+    od = load_table(spark, sf_dir, "orders")
+    old = (od.filter(F.col("o_orderkey") % 89 != 0)
+           .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    new = (od.filter(F.col("o_orderkey") % 97 != 0)
+           .select("o_orderkey",
+                   F.when(F.col("o_orderstatus") == "O",
+                          F.col("o_totalprice") + 5.0)
+                   .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+                   "o_orderstatus"))
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    return (
+        j.filter(F.col("o.o_orderkey").isNull()
+                 | F.col("n.o_orderkey").isNull()
+                 | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+                 | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")))
+        .select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey"))
+            .alias("o_orderkey"),
+            F.when(F.col("o.o_orderkey").isNull(), "insert")
+            .when(F.col("n.o_orderkey").isNull(), "delete")
+            .otherwise("update").alias("change_op"),
+            F.col("o.o_totalprice").alias("old_price"),
+            F.col("n.o_totalprice").alias("new_price"))
+    )
