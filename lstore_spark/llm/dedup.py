@@ -607,6 +607,105 @@ def q_llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_llm_dedup_semantic",
+    oracle=f"""
+WITH seed AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ck, embedding
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+cent AS (
+  SELECT ck, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS c
+  FROM seed
+),
+vec AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cpairs AS (
+  SELECT vec.vec_id, cent.ck,
+         ROUND(SUM(vec.v * cent.c)
+               / (sqrt(SUM(vec.v * vec.v)) * sqrt(SUM(cent.c * cent.c))),
+               6) AS cos_sim
+  FROM vec JOIN cent ON vec.i = cent.i
+  GROUP BY vec.vec_id, cent.ck
+),
+asg AS (
+  SELECT vec_id, ck AS cluster
+  FROM (SELECT vec_id, ck,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, ck) AS rn
+        FROM cpairs) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM embeddings a JOIN asg sa ON a.vec_id = sa.vec_id
+  JOIN asg sb ON sb.cluster = sa.cluster
+  JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+  CROSS JOIN generate_series(1, 64) AS g(i)
+  GROUP BY a.vec_id, b.vec_id
+  HAVING ROUND(
+      SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+      / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+         * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+      6) >= {_TAU_EMB_NEAR_DUP}
+)
+SELECT asg.vec_id, asg.cluster, (dup.vec_id IS NULL) AS keep
+FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+""",
+)
+def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023, public
+    arXiv 2303.09540): cluster the embedding space with k-means, then
+    compare pairs ONLY within a cluster and drop every vector that has a
+    higher-similarity earlier twin — pruning semantically redundant
+    training data that exact/MinHash dedup (different surface text) never
+    sees.  Clustering uses the deterministic one-Lloyd-step assignment of
+    q_llm_emb_kmeans_portable (centroids = 8 lowest vec_ids) so the
+    whole pipeline — assignment, within-cluster cosine, greedy
+    keep-lowest-id — is closed-form SQL and hash-checkable; a trained
+    codebook drops in unchanged.
+
+    Scale: this is exactly why SemDeDup clusters first — pairwise cost
+    falls from O(n²) to O(Σ cᵢ²) bounded by cluster granularity (at
+    billion-vector scale k≈10⁵ clusters keeps cᵢ≈10⁴).  The self-join is
+    equi on cluster id (shuffle, never crossJoin); assignment broadcasts
+    centroids over one corpus scan (assign_nearest); a width cap on
+    pathological clusters composes the same way as lsh_candidate_pairs'
+    hot-bucket cap."""
+    from .embeddings import assign_nearest
+
+    em = load_table(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    cvecs = (em.orderBy("vec_id").limit(8)
+             .select((F.row_number().over(w) - 1).alias("ck"),
+                     F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                     .alias("cvec")))
+    asg = assign_nearest(em, cvecs, "ck").select("vec_id", "cluster")
+    # materialize (vec, cluster, embedding) once: it feeds both sides of
+    # the within-cluster self-join plus the output roster, and the
+    # assignment shuffle should not run three times (no CSE across
+    # branches — same rationale as the minhash signature checkpoint).
+    v = em.join(asg, "vec_id").select("vec_id", "cluster", "embedding") \
+          .localCheckpoint()
+    a = v.select("cluster", F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("a_emb"))
+    b = v.select("cluster", F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("b_emb"))
+    dup = (a.join(b, "cluster")
+           .filter(F.col("id_a") < F.col("id_b"))
+           .filter(cosine("a_emb", "b_emb") >= _TAU_EMB_NEAR_DUP)
+           .select(F.col("id_b").alias("vec_id"))
+           .distinct()
+           .withColumn("dup", F.lit(True)))
+    return (v.select("vec_id", "cluster")
+            .join(dup, "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.col("dup").isNull().alias("keep")))
+
+
+@query(
     "q_llm_text_contamination",
     oracle=f"""
 WITH tok AS (

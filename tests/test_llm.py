@@ -266,3 +266,27 @@ def test_editdist_over_lsh_candidates(spark, sf_dir):
     assert top is not None
     assert (top.id_a, top.id_b) == (base[0].doc_id, 10_000 + base[0].doc_id)
     assert top.edit_sim > 0.8
+
+
+def test_semantic_dedup_drops_planted_twins(spark, sf_dir, tmp_path):
+    """SemDeDup property: a vector with an identical earlier twin
+    (cos = 1.0 ≥ τ, same cluster by construction) must come back
+    keep=false, and its original must survive.  Runs the REGISTERED
+    query against a synthetic sf_dir whose embeddings table is the
+    fixture plus 5 planted twins — exercising load→assign→pair→verdict
+    end-to-end, not a helper in isolation."""
+    em = load_table(spark, sf_dir, "embeddings")
+    twins = (em.orderBy("vec_id").limit(5)
+             .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                     "embedding", "label"))
+    aug_dir = str(tmp_path / "sfsem")
+    em.unionByName(twins).coalesce(1).write.mode("overwrite") \
+      .parquet(f"{aug_dir}/embeddings.parquet")
+
+    res = QUERIES["q_llm_dedup_semantic"](spark, aug_dir)
+    verdict = {r["vec_id"]: r["keep"] for r in res.collect()}
+    originals = [r["vec_id"] for r in
+                 em.orderBy("vec_id").limit(5).select("vec_id").collect()]
+    for ov in originals:
+        assert verdict[ov + 1_000_000] is False, f"twin of {ov} kept"
+        assert verdict[ov] is True, f"original {ov} dropped"
