@@ -662,40 +662,58 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-similarity earlier twin — pruning semantically redundant
     training data that exact/MinHash dedup (different surface text) never
     sees.  Clustering uses the deterministic one-Lloyd-step assignment of
-    q_llm_emb_kmeans_portable (centroids = 8 lowest vec_ids) so the
+    q_llm_emb_kmeans_portable (centroids = the 8 lowest vec_ids) so the
     whole pipeline — assignment, within-cluster cosine, greedy
     keep-lowest-id — is closed-form SQL and hash-checkable; a trained
-    codebook drops in unchanged.
+    codebook drops in unchanged.  k is FIXED at 8 here because the
+    oracle twin must be static SQL; production uses ``semantic_dedup``
+    directly with k ∝ n (see its docstring and the 100× curve)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(em, n_clusters=8)
+
+
+def semantic_dedup(em: DataFrame, n_clusters: int,
+                   tau: float = _TAU_EMB_NEAR_DUP) -> DataFrame:
+    """The parameterized SemDeDup pipeline over an (vec_id, embedding)
+    DataFrame: deterministic seeding (centroids = embeddings of the
+    ``n_clusters`` lowest vec_ids), one Lloyd assignment, within-cluster
+    pairwise cosine, drop any vector with an earlier near-twin.
 
     Scale: this is exactly why SemDeDup clusters first — pairwise cost
-    falls from O(n²) to O(Σ cᵢ²) bounded by cluster granularity (at
-    billion-vector scale k≈10⁵ clusters keeps cᵢ≈10⁴).  The self-join is
-    equi on cluster id (shuffle, never crossJoin); assignment broadcasts
-    centroids over one corpus scan (assign_nearest); a width cap on
-    pathological clusters composes the same way as lsh_candidate_pairs'
-    hot-bucket cap."""
+    falls from O(n²) to O(Σ cᵢ²), and the caller keeps cᵢ bounded by
+    scaling ``n_clusters`` with n (k ≈ n/64 keeps mean cluster width
+    ~64 regardless of corpus size; at billion-vector scale k≈10⁷ tiny
+    centroids still broadcast).  The self-join is equi on cluster id
+    (shuffle, never crossJoin); assignment broadcasts centroids over one
+    corpus scan (assign_nearest); a width cap on pathological clusters
+    composes the same way as lsh_candidate_pairs' hot-bucket cap."""
     from .embeddings import assign_nearest
 
-    em = load_table(spark, sf_dir, "embeddings")
     w = Window.orderBy("vec_id")
-    cvecs = (em.orderBy("vec_id").limit(8)
+    cvecs = (em.orderBy("vec_id").limit(n_clusters)
              .select((F.row_number().over(w) - 1).alias("ck"),
                      F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
                      .alias("cvec")))
     asg = assign_nearest(em, cvecs, "ck").select("vec_id", "cluster")
-    # materialize (vec, cluster, embedding) once: it feeds both sides of
-    # the within-cluster self-join plus the output roster, and the
-    # assignment shuffle should not run three times (no CSE across
+    # materialize (vec, cluster, embedding, norm) once: it feeds both
+    # sides of the within-cluster self-join plus the output roster, and
+    # the assignment shuffle should not run three times (no CSE across
     # branches — same rationale as the minhash signature checkpoint).
-    v = em.join(asg, "vec_id").select("vec_id", "cluster", "embedding") \
-          .localCheckpoint()
+    # The norm rides along so the pairwise stage computes n norms, not
+    # 2·|pairs| (cosine_with_norms ≡ cosine arithmetically — the oracle
+    # still hash-matches).
+    from .similarity import _norm, cosine_with_norms
+    v = (em.join(asg, "vec_id")
+         .select("vec_id", "cluster", "embedding",
+                 _norm("embedding").alias("_n"))
+         .localCheckpoint())
     a = v.select("cluster", F.col("vec_id").alias("id_a"),
-                 F.col("embedding").alias("a_emb"))
+                 F.col("embedding").alias("a_emb"), F.col("_n").alias("na"))
     b = v.select("cluster", F.col("vec_id").alias("id_b"),
-                 F.col("embedding").alias("b_emb"))
+                 F.col("embedding").alias("b_emb"), F.col("_n").alias("nb"))
     dup = (a.join(b, "cluster")
            .filter(F.col("id_a") < F.col("id_b"))
-           .filter(cosine("a_emb", "b_emb") >= _TAU_EMB_NEAR_DUP)
+           .filter(cosine_with_norms("a_emb", "b_emb", "na", "nb") >= tau)
            .select(F.col("id_b").alias("vec_id"))
            .distinct()
            .withColumn("dup", F.lit(True)))

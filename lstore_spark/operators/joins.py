@@ -458,16 +458,32 @@ _BLOOM_BITS = 1 << 17   # 131,072 bits = 2,048 words = 16 KiB broadcast
 _BLOOM_SEEDS = (11, 23, 47)  # k = 3 hash functions via seeded xxhash64
 
 
-def bloom_bitmap(build: DataFrame, key: str) -> DataFrame:
+def bloom_bits_for(n_keys: int, fp_rate: float = 0.01) -> int:
+    """Bloom sizing rule: m = -n·ln(p)/ln(2)² bits, rounded up to a
+    power of two (so ``pmod`` stays a mask-friendly constant).  At the
+    default 1% FP that is ~9.6 bits/key — a 1-billion-key build side
+    (far past any broadcastable row count) needs a 1.2 GiB bitmap, which
+    still broadcasts; k is fixed at 3 below the optimum (m/n·ln2 ≈ 7)
+    because the probe-side cost is k hashes per row and the extra FP
+    percentage only costs exact-join work, not correctness."""
+    import math
+    m = int(-n_keys * math.log(fp_rate) / (math.log(2) ** 2))
+    return 1 << max(10, m.bit_length())
+
+
+def bloom_bitmap(build: DataFrame, key: str,
+                 mbits: int = _BLOOM_BITS) -> DataFrame:
     """ONE-row DataFrame holding a Bloom bitmap of ``build[key]`` as a
     map<word → 64-bit bits>: positions are ``pmod(xxhash64(key, seed),
     m)`` for k seeds, OR-combined per 64-bit word.  The aggregate is
     map-side combined (≤ m/64 groups), so building the filter costs one
     tiny shuffle regardless of build-side row count — the property that
     makes Bloom pruning usable when the build side is far too large to
-    broadcast as rows (its bitmap is 16 KiB; the rows might be 100 GB)."""
+    broadcast as rows (its bitmap is 16 KiB; the rows might be 100 GB).
+    Size ``mbits`` with ``bloom_bits_for`` when the build cardinality is
+    known; the default suits ~10⁴ keys at ≲1% FP."""
     pos = build.select(F.explode(F.array(*[
-        F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(_BLOOM_BITS))
+        F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(mbits))
         for s in _BLOOM_SEEDS])).alias("pos"))
     words = (pos
              .select(F.expr("pos DIV 64").alias("word"),
@@ -478,18 +494,20 @@ def bloom_bitmap(build: DataFrame, key: str) -> DataFrame:
         F.collect_list(F.struct("word", "bits"))).alias("bloom"))
 
 
-def bloom_prune(probe: DataFrame, key: str, bloom_row: DataFrame) -> DataFrame:
+def bloom_prune(probe: DataFrame, key: str, bloom_row: DataFrame,
+                mbits: int = _BLOOM_BITS) -> DataFrame:
     """Filter ``probe`` to rows whose ``key`` MAY be in the Bloom bitmap
     (false positives possible, false negatives impossible) — the
     runtime-filter / semi-join-reduction pattern: the 16 KiB bitmap is
     broadcast to every probe task and rows that cannot join are dropped
-    BEFORE the join shuffle, so the shuffle moves only plausible rows."""
+    BEFORE the join shuffle, so the shuffle moves only plausible rows.
+    ``mbits`` must match the value the bitmap was built with."""
     checks = []
     for s in _BLOOM_SEEDS:
         # seed literal must be INT to match bloom_bitmap's F.lit(seed):
         # xxhash64 folds the argument TYPE into the hash, so an INT seed
         # on one side and a BIGINT on the other yield disjoint positions.
-        p = f"pmod(xxhash64({key}, {s}), {_BLOOM_BITS}L)"
+        p = f"pmod(xxhash64({key}, {s}), {mbits}L)"
         checks.append(
             f"coalesce(shiftright(try_element_at(bloom, {p} DIV 64), "
             f"CAST({p} % 64 AS INT)) & 1, 0) = 1")

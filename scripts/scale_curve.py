@@ -61,7 +61,31 @@ KEYS = [
     "q_llm_text_tfidf",
     "q_llm_sim_cosine_topk",
     "q_llm_emb_pq_adc",
+    # round-6 additions
+    "q_join_bloom_prune",
+    "q_cdc_snapshot_diff",
+    "q_llm_dedup_semantic",
 ]
+
+
+def _semantic_adaptive(spark, sf_dir):
+    """The production SemDeDup path: k scales with corpus size — the
+    registered query's fixed k=8 exists only for the static oracle twin
+    and would go quadratic at 200k vectors.  k = √n balances the two
+    quadratic ends (assignment O(n·k) vs within-cluster pairwise
+    O(n²/k)) at O(n^1.5) total with brute-force assignment; at
+    billion-vector scale you break the n·k term instead by routing
+    through the IVF coarse quantizer (q_llm_emb_ivf_assign) before the
+    fine assignment."""
+    from lstore_spark.catalog import load_table, table_rows
+    from lstore_spark.llm.dedup import semantic_dedup
+    n = table_rows(sf_dir, "embeddings")
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"),
+                          n_clusters=max(8, int(n ** 0.5)))
+
+
+# key → callable(spark, sf_dir) overriding QUERIES[key] for this sweep
+OVERRIDES = {"q_llm_dedup_semantic": _semantic_adaptive}
 
 # Keys whose OUTPUT row count scales with input (pair/doc-grain results):
 # report rows so output-driven growth is distinguishable from plan bugs.
@@ -71,7 +95,7 @@ COUNT_ROWS = {"q_llm_dedup_minhash", "q_llm_dedup_clusters_portable",
 
 def run_once(spark, key: str, sf_dir: str) -> tuple[float, int | None]:
     t0 = time.perf_counter()
-    df = QUERIES[key](spark, sf_dir)
+    df = OVERRIDES.get(key, QUERIES[key])(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
     wall = time.perf_counter() - t0
     rows = df.count() if key in COUNT_ROWS else None
