@@ -214,6 +214,68 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dedup_oracle() -> str:
+    from ..llm.dedup import (_DUCK_SHINGLES_OR_WHOLE, _PORTABLE_MINHASH_K)
+    from ..llm.text import _DUCK_TOKENS
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(shs, s -> md5('{p}:' || s))) AS mh{p}"
+        for p in range(_PORTABLE_MINHASH_K))
+    sig_names = ", ".join(f"mh{p}" for p in range(_PORTABLE_MINHASH_K))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id, ({_DUCK_SHINGLES_OR_WHOLE}) AS shs FROM tok
+),
+sig AS (
+  SELECT doc_id, {sig_exprs} FROM sh
+)
+SELECT doc_id
+FROM (SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY {sig_names}
+                                ORDER BY doc_id) AS rn
+      FROM sig) WHERE rn = 1
+"""
+
+
+@query("q_stream_dedup_near", oracle=_near_dedup_oracle())
+def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate dedup, batch-expressible twin: keep the
+    first document per full portable-MinHash signature (identical 8-hash
+    signature ⇒ near-identical shingle set — the streaming-safe
+    equality-key reduction of near-dup detection, since band-join LSH
+    needs a self-join streams can't do).  The streaming form is the same
+    signature projection followed by ``dropDuplicates([mh0..mh7])`` with
+    the state bounded by a watermark — asserted batch≡stream in
+    tests/test_streaming.py.  Batch twin keeps the lowest doc_id
+    (ROW_NUMBER, deterministic — same discipline as q_stream_dedup_ids).
+
+    Scale: the signature is a pure projection (no shuffle — same shape
+    as minhash_signatures); the dedup is one exchange on the 8-hash
+    signature key.  Streaming state holds one row per distinct signature
+    inside the watermark horizon, not per document."""
+    from ..llm.dedup import _PORTABLE_MINHASH_K, _SPARK_SHINGLES_OR_WHOLE
+    from ..llm.text import _SPARK_TOKENS
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig_cols = [f"mh{p}" for p in range(_PORTABLE_MINHASH_K)]
+    sig = (
+        docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
+        .select("doc_id", F.expr(_SPARK_SHINGLES_OR_WHOLE).alias("shs"))
+        .select(
+            "doc_id",
+            *[F.expr(
+                f"array_min(transform(shs, s -> md5(concat('{p}:', s))))"
+              ).alias(f"mh{p}")
+              for p in range(_PORTABLE_MINHASH_K)],
+        )
+    )
+    w = Window.partitionBy(*sig_cols).orderBy("doc_id")
+    return (sig.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("doc_id"))
+
+
 @query(
     "q_stream_dedup_ids",
     oracle="""

@@ -366,3 +366,31 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
     )
     out = run_available_now(enriched, "t_static_join", mode="complete")
     assert _rows(out) == _rows(batch)
+
+
+def test_stream_dedup_near_equals_batch(spark, sf_dir):
+    """Streaming near-dup dedup: portable-MinHash signature projection +
+    dropDuplicates on the full signature must keep exactly the docs the
+    batch twin keeps (file source replays in doc_id order, so
+    first-seen == min doc_id)."""
+    from lstore_spark.catalog import SCHEMAS, path_of
+    from lstore_spark.llm.dedup import (_PORTABLE_MINHASH_K,
+                                        _SPARK_SHINGLES_OR_WHOLE)
+    from lstore_spark.llm.text import _SPARK_TOKENS
+
+    batch = QUERIES["q_stream_dedup_near"](spark, sf_dir)
+    sig_cols = [f"mh{p}" for p in range(_PORTABLE_MINHASH_K)]
+    docs = (spark.readStream.schema(SCHEMAS["documents"])
+            .parquet(path_of(sf_dir, "documents") + "*"))
+    stream = (
+        docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
+        .select("doc_id", F.expr(_SPARK_SHINGLES_OR_WHOLE).alias("shs"))
+        .select("doc_id",
+                *[F.expr(f"array_min(transform(shs, s -> "
+                         f"md5(concat('{p}:', s))))").alias(f"mh{p}")
+                  for p in range(_PORTABLE_MINHASH_K)])
+        .dropDuplicates(sig_cols)
+        .select("doc_id")
+    )
+    out = run_available_now(stream, "t_dedup_near_eq", mode="append")
+    assert _rows(out) == _rows(batch)
