@@ -673,7 +673,8 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semantic_dedup(em: DataFrame, n_clusters: int,
-                   tau: float = _TAU_EMB_NEAR_DUP) -> DataFrame:
+                   tau: float = _TAU_EMB_NEAR_DUP,
+                   hierarchical: bool = False) -> DataFrame:
     """The parameterized SemDeDup pipeline over an (vec_id, embedding)
     DataFrame: deterministic seeding (centroids = embeddings of the
     ``n_clusters`` lowest vec_ids), one Lloyd assignment, within-cluster
@@ -686,15 +687,25 @@ def semantic_dedup(em: DataFrame, n_clusters: int,
     centroids still broadcast).  The self-join is equi on cluster id
     (shuffle, never crossJoin); assignment broadcasts centroids over one
     corpus scan (assign_nearest); a width cap on pathological clusters
-    composes the same way as lsh_candidate_pairs' hot-bucket cap."""
-    from .embeddings import assign_nearest
+    composes the same way as lsh_candidate_pairs' hot-bucket cap.
+    ``hierarchical=True`` swaps in the IVF-routed assignment
+    (assign_nearest_hierarchical, O(n·√k) instead of O(n·k) cosines) —
+    the production setting once k grows with n; nprobe=1 cell borders
+    may shift a few assignments, so the oracle-checked key keeps the
+    exact form."""
+    from .embeddings import assign_nearest, assign_nearest_hierarchical
 
     w = Window.orderBy("vec_id")
     cvecs = (em.orderBy("vec_id").limit(n_clusters)
              .select((F.row_number().over(w) - 1).alias("ck"),
                      F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
                      .alias("cvec")))
-    asg = assign_nearest(em, cvecs, "ck").select("vec_id", "cluster")
+    if hierarchical:
+        cvecs = cvecs.localCheckpoint()  # feeds coarse book + fine book
+        asg = assign_nearest_hierarchical(em, cvecs, "ck", n_clusters) \
+            .select("vec_id", "cluster")
+    else:
+        asg = assign_nearest(em, cvecs, "ck").select("vec_id", "cluster")
     # materialize (vec, cluster, embedding, norm) once: it feeds both
     # sides of the within-cluster self-join plus the output roster, and
     # the assignment shuffle should not run three times (no CSE across

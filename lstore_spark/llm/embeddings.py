@@ -234,6 +234,63 @@ def assign_nearest(em: DataFrame, cvecs: DataFrame, key: str) -> DataFrame:
                        F.col("b.cos_sim").alias("cos_sim"))
 
 
+def assign_nearest_hierarchical(em: DataFrame, cvecs: DataFrame,
+                                key: str, n_fine: int) -> DataFrame:
+    """IVF-accelerated Lloyd assignment: route each vector through
+    c = √k coarse centroids (the first c fine centroids serve as the
+    coarse book), then exact-assign among only the fine centroids whose
+    own nearest coarse centroid matches — O(n·(c + k/c)) = O(n·√k)
+    cosines instead of O(n·k).  nprobe=1 semantics: a vector whose true
+    nearest fine centroid lives in a neighboring coarse cell gets its
+    best within-cell centroid instead — the standard IVF approximation,
+    acceptable wherever clusters are partitions rather than ground truth
+    (SemDeDup bucketing, sharding).  Exact uses (the oracle-checked
+    kmeans/semantic keys) stay on ``assign_nearest``.
+
+    Scale: brute-force assignment is the n·k wall when k must grow with
+    n (semantic dedup wants constant cluster WIDTH, so k ∝ n).  One
+    coarse level turns the optimal total semantic-dedup cost from
+    O(n^1.5) (k=√n) to O(n^4/3) (k=n^2/3); each further level
+    approaches O(n log n) — this function is the single recursion step."""
+    import math
+    c = max(1, math.isqrt(n_fine))
+    coarse = (cvecs.orderBy(key).limit(c)
+              .select(F.col(key).alias("_c2"), "cvec"))
+    # fine centroid → coarse cell (k × c pairs — tiny, broadcast-only)
+    f2c = (assign_nearest(
+        cvecs.select(F.col(key).alias("vec_id"), F.col("cvec").alias("embedding")),
+        coarse.select(F.col("_c2").alias(key), "cvec"), key)
+        .select(F.col("vec_id").alias(key), F.col("cluster").alias("_cell")))
+    fine = (cvecs.join(f2c, key)
+            .select(F.col(key).alias("_ck"), "cvec", "_cell",
+                    _norm("cvec").alias("_nc")))
+    # vector → coarse cell, carrying the embedding + norm through the one
+    # groupBy shuffle so no rejoin against the corpus is needed.
+    emn = (em.select("vec_id", "embedding")
+           .withColumn("_nv", _norm("embedding")))
+    coarse_n = (coarse.select(F.col("_c2"), "cvec")
+                .withColumn("_nc", _norm("cvec")))
+    v2c = (emn.crossJoin(F.broadcast(coarse_n))
+           .select("vec_id", "embedding", "_nv", "_c2",
+                   cosine_with_norms("embedding", "cvec", "_nv", "_nc")
+                   .alias("cos_sim"))
+           .groupBy("vec_id")
+           .agg(F.expr("max_by(_c2, struct(cos_sim, -_c2))").alias("_cell"),
+                F.first("embedding").alias("embedding"),
+                F.first("_nv").alias("_nv")))
+    # exact argmax among the cell's fine centroids (equi on cell,
+    # broadcast fine book): n · k/c candidate pairs.
+    cand = (v2c.join(F.broadcast(fine), "_cell")
+            .select("vec_id", "_ck",
+                    cosine_with_norms("embedding", "cvec", "_nv", "_nc")
+                    .alias("cos_sim")))
+    best = cand.groupBy("vec_id").agg(
+        F.expr("max_by(struct(_ck, cos_sim), struct(cos_sim, -_ck))")
+        .alias("b"))
+    return best.select("vec_id", F.col("b._ck").alias("cluster"),
+                       F.col("b.cos_sim").alias("cos_sim"))
+
+
 @query(
     "q_llm_emb_kmeans_update",
     oracle="""

@@ -474,14 +474,24 @@ def bloom_bits_for(n_keys: int, fp_rate: float = 0.01) -> int:
 def bloom_bitmap(build: DataFrame, key: str,
                  mbits: int = _BLOOM_BITS) -> DataFrame:
     """ONE-row DataFrame holding a Bloom bitmap of ``build[key]`` as a
-    map<word → 64-bit bits>: positions are ``pmod(xxhash64(key, seed),
-    m)`` for k seeds, OR-combined per 64-bit word.  The aggregate is
-    map-side combined (≤ m/64 groups), so building the filter costs one
-    tiny shuffle regardless of build-side row count — the property that
-    makes Bloom pruning usable when the build side is far too large to
-    broadcast as rows (its bitmap is 16 KiB; the rows might be 100 GB).
-    Size ``mbits`` with ``bloom_bits_for`` when the build cardinality is
-    known; the default suits ~10⁴ keys at ≲1% FP."""
+    DENSE array<long> indexed by word (mbits/64 elements): positions are
+    ``pmod(xxhash64(key, seed), m)`` for k seeds, OR-combined per 64-bit
+    word.  The aggregate is map-side combined (≤ m/64 groups), so
+    building the filter costs one tiny shuffle regardless of build-side
+    row count — the property that makes Bloom pruning usable when the
+    build side is far too large to broadcast as rows (its bitmap is
+    16 KiB–2 MB; the rows might be 100 GB).  Size ``mbits`` with
+    ``bloom_bits_for`` when the build cardinality is known.
+
+    Dense array, NOT map<word,bits>: Spark's ArrayBasedMapData has no
+    hash index — ``element_at(map, k)`` is a linear scan of the keys, so
+    a 262k-entry map probed 3× per row turned the 100× fixture's probe
+    into O(|probe|·|map|) (measured 126 s vs 27 s for the SATURATED tiny
+    map).  GetArrayItem on a dense array is O(1); the sparse→dense fill
+    is one left join against ``range(nwords)`` (word ids are dense by
+    construction, so index == word)."""
+    spark = build.sparkSession
+    nwords = mbits // 64
     pos = build.select(F.explode(F.array(*[
         F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(mbits))
         for s in _BLOOM_SEEDS])).alias("pos"))
@@ -490,8 +500,12 @@ def bloom_bitmap(build: DataFrame, key: str,
                      F.expr("shiftleft(CAST(1 AS BIGINT), "
                             "CAST(pos % 64 AS INT))").alias("bit"))
              .groupBy("word").agg(F.expr("bit_or(bit)").alias("bits")))
-    return words.agg(F.map_from_entries(
-        F.collect_list(F.struct("word", "bits"))).alias("bloom"))
+    dense = (spark.range(nwords).withColumnRenamed("id", "word")
+             .join(words, "word", "left")
+             .select("word", F.coalesce("bits", F.lit(0)).alias("bits")))
+    return dense.agg(F.expr(
+        "transform(array_sort(collect_list(struct(word, bits))), "
+        "s -> s.bits)").alias("bloom"))
 
 
 def bloom_prune(probe: DataFrame, key: str, bloom_row: DataFrame,
@@ -507,10 +521,12 @@ def bloom_prune(probe: DataFrame, key: str, bloom_row: DataFrame,
         # seed literal must be INT to match bloom_bitmap's F.lit(seed):
         # xxhash64 folds the argument TYPE into the hash, so an INT seed
         # on one side and a BIGINT on the other yield disjoint positions.
+        # bloom[idx] is GetArrayItem — O(1) on the dense array; the index
+        # is always in range (pmod < mbits), so ANSI mode never throws.
         p = f"pmod(xxhash64({key}, {s}), {mbits}L)"
         checks.append(
-            f"coalesce(shiftright(try_element_at(bloom, {p} DIV 64), "
-            f"CAST({p} % 64 AS INT)) & 1, 0) = 1")
+            f"(shiftright(bloom[CAST({p} DIV 64 AS INT)], "
+            f"CAST({p} % 64 AS INT)) & 1) = 1")
     return (probe.join(F.broadcast(bloom_row))
             .filter(F.expr(" AND ".join(checks)))
             .drop("bloom"))
@@ -546,14 +562,23 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     join a shuffle join even at test SF where the filtered build side
     would broadcast — the honest 100 TB plan (with a broadcastable build
     side you would skip Bloom entirely and broadcast the rows)."""
+    from ..catalog import table_rows
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount")
     od = (load_table(spark, sf_dir, "orders")
           .filter((F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
                   & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date")))
           .select("o_orderkey", "o_orderpriority"))
-    bloom = bloom_bitmap(od, "o_orderkey").localCheckpoint()
-    pruned = bloom_prune(li, "l_orderkey", bloom)
+    # Self-sizing from catalog stats (parquet footer count × the 3-month/
+    # ~6-year window ≈ 5% selectivity): a FIXED bitmap saturates once the
+    # build side outgrows it (measured on the 100× fixture: 600k keys
+    # into 2^17 bits sets every bit — zero pruning, pure overhead), while
+    # an oversized one wastes broadcast.  Sizing is an upper-bound guess;
+    # correctness never depends on it (FPs are removed by the exact join).
+    mbits = bloom_bits_for(max(1024, table_rows(sf_dir, "orders") // 20))
+    bloom = bloom_bitmap(od, "o_orderkey", mbits).localCheckpoint()
+    pruned = bloom_prune(li, "l_orderkey", bloom, mbits)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         pruned.hint("merge")

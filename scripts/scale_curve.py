@@ -71,17 +71,18 @@ KEYS = [
 def _semantic_adaptive(spark, sf_dir):
     """The production SemDeDup path: k scales with corpus size — the
     registered query's fixed k=8 exists only for the static oracle twin
-    and would go quadratic at 200k vectors.  k = √n balances the two
-    quadratic ends (assignment O(n·k) vs within-cluster pairwise
-    O(n²/k)) at O(n^1.5) total with brute-force assignment; at
-    billion-vector scale you break the n·k term instead by routing
-    through the IVF coarse quantizer (q_llm_emb_ivf_assign) before the
-    fine assignment."""
+    and would go quadratic at 200k vectors.  With the IVF-routed
+    hierarchical assignment (O(n·√k) cosines), total cost
+    n·√k + n²/k is minimized at k = n^(2/3): O(n^(4/3)) overall vs
+    O(n^1.5) for brute-force assignment at k=√n (measured 14.9× wall
+    for 10× data before this; each further routing level approaches
+    O(n log n))."""
     from lstore_spark.catalog import load_table, table_rows
     from lstore_spark.llm.dedup import semantic_dedup
     n = table_rows(sf_dir, "embeddings")
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"),
-                          n_clusters=max(8, int(n ** 0.5)))
+                          n_clusters=max(8, int(n ** (2.0 / 3.0))),
+                          hierarchical=True)
 
 
 # key → callable(spark, sf_dir) overriding QUERIES[key] for this sweep

@@ -290,3 +290,21 @@ def test_semantic_dedup_drops_planted_twins(spark, sf_dir, tmp_path):
     for ov in originals:
         assert verdict[ov + 1_000_000] is False, f"twin of {ov} kept"
         assert verdict[ov] is True, f"original {ov} dropped"
+
+
+def test_semantic_dedup_hierarchical_drops_identical_twins(spark, sf_dir):
+    """The IVF-routed assignment (nprobe=1) may shift borderline cluster
+    members, but identical vectors ALWAYS route identically — so the
+    SemDeDup guarantee that an exact twin is dropped survives the
+    hierarchical speedup."""
+    from lstore_spark.llm.dedup import semantic_dedup
+
+    em = load_table(spark, sf_dir, "embeddings")
+    twins = (em.orderBy("vec_id").limit(5)
+             .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                     "embedding", "label"))
+    aug = em.unionByName(twins).select("vec_id", "embedding")
+    res = semantic_dedup(aug, n_clusters=63, hierarchical=True)
+    verdict = {r["vec_id"]: r["keep"] for r in res.collect()}
+    for r in em.orderBy("vec_id").limit(5).select("vec_id").collect():
+        assert verdict[r["vec_id"] + 1_000_000] is False
