@@ -78,3 +78,25 @@ def test_cdc_feed_applied_to_old_reconstructs_new(spark, sf_dir):
 
     ops = {r["change_op"] for r in feed.select("change_op").distinct().collect()}
     assert ops <= {"insert", "update", "delete"} and "update" in ops
+
+
+def test_hierarchical_assignment_broadcast_only(spark, sf_dir):
+    """assign_nearest_hierarchical's 100 TB contract: the corpus is
+    never shuffled for a join — the coarse book and the fine book are
+    both broadcast, and the only exchanges are the two per-vector
+    groupBy aggregations.  No sort-merge join, no cartesian product."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql import Window
+    from lstore_spark.llm.embeddings import assign_nearest_hierarchical
+
+    em = load_table(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    cvecs = (em.orderBy("vec_id").limit(63)
+             .select((F2.row_number().over(w) - 1).alias("ck"),
+                     F2.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                     .alias("cvec")).localCheckpoint())
+    df = assign_nearest_hierarchical(em, cvecs, "ck", 63)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
