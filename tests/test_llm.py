@@ -274,10 +274,12 @@ def test_semantic_dedup_drops_planted_twins(spark, sf_dir, tmp_path):
     keep=false, and its original must survive.  Runs the REGISTERED
     query against a synthetic sf_dir whose embeddings table is the
     fixture plus 5 planted twins — exercising load→assign→pair→verdict
-    end-to-end, not a helper in isolation."""
+    end-to-end, not a helper in isolation.  Twin ids sit at +1000 so
+    they stay inside the registered query's oracle-feasibility slice
+    (vec_id < 2000)."""
     em = load_table(spark, sf_dir, "embeddings")
     twins = (em.orderBy("vec_id").limit(5)
-             .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+             .select((F.col("vec_id") + 1_000).alias("vec_id"),
                      "embedding", "label"))
     aug_dir = str(tmp_path / "sfsem")
     em.unionByName(twins).coalesce(1).write.mode("overwrite") \
@@ -288,7 +290,7 @@ def test_semantic_dedup_drops_planted_twins(spark, sf_dir, tmp_path):
     originals = [r["vec_id"] for r in
                  em.orderBy("vec_id").limit(5).select("vec_id").collect()]
     for ov in originals:
-        assert verdict[ov + 1_000_000] is False, f"twin of {ov} kept"
+        assert verdict[ov + 1_000] is False, f"twin of {ov} kept"
         assert verdict[ov] is True, f"original {ov} dropped"
 
 
