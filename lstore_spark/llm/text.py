@@ -296,6 +296,48 @@ def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARD_HASH_D = sql_md5_long("concat('shard:', CAST(doc_id AS VARCHAR))", 8)
+_SHARD_HASH_S = sql_md5_long("concat('shard:', CAST(doc_id AS STRING))", 8)
+_ORD_HASH_D = sql_md5_long("concat('ord:', CAST(doc_id AS VARCHAR))", 12)
+_ORD_HASH_S = sql_md5_long("concat('ord:', CAST(doc_id AS STRING))", 12)
+_N_SHARDS = 16
+
+
+@query(
+    "q_llm_corpus_shard",
+    oracle=f"""
+SELECT doc_id,
+       {_SHARD_HASH_D} % {_N_SHARDS} AS shard,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY {_SHARD_HASH_D} % {_N_SHARDS}
+            ORDER BY {_ORD_HASH_D}, doc_id) AS BIGINT) AS pos
+FROM documents
+""",
+)
+def q_llm_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment with a seeded global shuffle: every doc
+    gets a deterministic shard (salted portable hash mod n_shards) and a
+    within-shard position ordered by an INDEPENDENTLY-salted hash — the
+    "shuffle the corpus, then write fixed shards" step every epoch-zero
+    training pipeline runs.  Both hashes are stable across runs, engines
+    and retries, so shard contents and order never change under
+    recomputation (the q_llm_text_split discipline, second salt stream).
+
+    Scale: the shard assignment is a pure projection; the position
+    window funnels each shard into one task, which is BY DESIGN the
+    writer's parallelism — at 100 TB you pick n_shards so a shard is
+    ~1-4 GB (tens of thousands of tasks, each sorting one output file),
+    exactly what ``repartition(shard).sortWithinPartitions(ord)``
+    followed by a per-partition writer does; the 16 here matches the
+    fixture size."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.expr(_SHARD_HASH_S) % _N_SHARDS
+    w = Window.partitionBy(shard).orderBy(F.expr(_ORD_HASH_S), F.col("doc_id"))
+    return docs.select(
+        "doc_id", shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"))
+
+
 _SPLIT_HASH = sql_md5_long("concat('split:', CAST(doc_id AS VARCHAR))", 8)
 
 
