@@ -685,7 +685,8 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semantic_dedup(em: DataFrame, n_clusters: int,
                    tau: float = _TAU_EMB_NEAR_DUP,
-                   hierarchical: bool = False) -> DataFrame:
+                   hierarchical: bool = False,
+                   max_cluster_width: int | None = None) -> DataFrame:
     """The parameterized SemDeDup pipeline over an (vec_id, embedding)
     DataFrame: deterministic seeding (centroids = embeddings of the
     ``n_clusters`` lowest vec_ids), one Lloyd assignment, within-cluster
@@ -703,7 +704,16 @@ def semantic_dedup(em: DataFrame, n_clusters: int,
     (assign_nearest_hierarchical, O(n·√k) instead of O(n·k) cosines) —
     the production setting once k grows with n; nprobe=1 cell borders
     may shift a few assignments, so the oracle-checked key keeps the
-    exact form."""
+    exact form.
+
+    ``max_cluster_width`` is the semantic twin of lsh_candidate_pairs'
+    hot-bucket cap: a degenerate embedding region (boilerplate docs,
+    zero vectors, a dead cluster head) can swallow a macroscopic corpus
+    fraction and make its within-cluster pairwise O(w²) alone.  Clusters
+    wider than the cap SKIP pair generation — conservative direction:
+    their members are all kept (keep=true), never mis-dropped — and the
+    same width aggregate is one map-side-combined count on the cluster
+    key.  None (the oracle-checked key) disables the cap."""
     from .embeddings import assign_nearest, assign_nearest_hierarchical
 
     w = Window.orderBy("vec_id")
@@ -729,10 +739,19 @@ def semantic_dedup(em: DataFrame, n_clusters: int,
          .select("vec_id", "cluster", "embedding",
                  _norm("embedding").alias("_n"))
          .localCheckpoint())
-    a = v.select("cluster", F.col("vec_id").alias("id_a"),
-                 F.col("embedding").alias("a_emb"), F.col("_n").alias("na"))
-    b = v.select("cluster", F.col("vec_id").alias("id_b"),
-                 F.col("embedding").alias("b_emb"), F.col("_n").alias("nb"))
+    pairs_src = v
+    if max_cluster_width is not None:
+        wide = (v.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("cw"))
+                .filter(F.col("cw") > max_cluster_width)
+                .select("cluster").localCheckpoint())
+        pairs_src = v.join(F.broadcast(wide), "cluster", "left_anti")
+    a = pairs_src.select("cluster", F.col("vec_id").alias("id_a"),
+                         F.col("embedding").alias("a_emb"),
+                         F.col("_n").alias("na"))
+    b = pairs_src.select("cluster", F.col("vec_id").alias("id_b"),
+                         F.col("embedding").alias("b_emb"),
+                         F.col("_n").alias("nb"))
     dup = (a.join(b, "cluster")
            .filter(F.col("id_a") < F.col("id_b"))
            .filter(cosine_with_norms("a_emb", "b_emb", "na", "nb") >= tau)

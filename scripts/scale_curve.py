@@ -82,7 +82,8 @@ def _semantic_adaptive(spark, sf_dir):
     n = table_rows(sf_dir, "embeddings")
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"),
                           n_clusters=max(8, int(n ** (2.0 / 3.0))),
-                          hierarchical=True)
+                          hierarchical=True,
+                          max_cluster_width=1024)
 
 
 # key → callable(spark, sf_dir) overriding QUERIES[key] for this sweep

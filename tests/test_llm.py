@@ -310,3 +310,26 @@ def test_semantic_dedup_hierarchical_drops_identical_twins(spark, sf_dir):
     verdict = {r["vec_id"]: r["keep"] for r in res.collect()}
     for r in em.orderBy("vec_id").limit(5).select("vec_id").collect():
         assert verdict[r["vec_id"] + 1_000_000] is False
+
+
+def test_semantic_dedup_cluster_width_cap(spark, sf_dir):
+    """The semantic twin of the LSH hot-bucket cap: a degenerate
+    mega-cluster (200 planted identical vectors) SKIPS pair generation —
+    all its members survive (conservative direction, no quadratic
+    blowup) — while a planted twin in a normal-width cluster is still
+    dropped."""
+    from lstore_spark.llm.dedup import semantic_dedup
+
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v0 = em.orderBy("vec_id").limit(1)
+    mega = (v0.crossJoin(spark.range(200).select(
+        (F.col("id") + 10_000).alias("mega_id")))
+        .select(F.col("mega_id").alias("vec_id"), "embedding"))
+    twin1 = (em.filter(F.col("vec_id") == 1)
+             .select(F.lit(20_000).cast("long").alias("vec_id"), "embedding"))
+    aug = em.unionByName(mega).unionByName(twin1)
+    res = semantic_dedup(aug, n_clusters=63, max_cluster_width=64)
+    verdict = {r["vec_id"]: r["keep"] for r in res.collect()}
+    assert all(verdict[10_000 + i] for i in range(200)), "mega member dropped"
+    assert verdict[0] is True
+    assert verdict[20_000] is False, "normal-cluster twin kept"
