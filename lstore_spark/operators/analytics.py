@@ -292,6 +292,103 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ts_interpolate",
+    oracle="""
+WITH spine AS (
+  SELECT t.event_type, s.hour_b
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(
+      (SELECT date_trunc('hour', MIN(ts)) FROM events),
+      (SELECT date_trunc('hour', MAX(ts)) FROM events),
+      INTERVAL 1 HOUR)) AS hour_b) s
+),
+obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_b, MIN(value) AS v
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT s.event_type, s.hour_b, o.v
+  FROM spine s LEFT JOIN obs o
+    ON s.event_type = o.event_type AND s.hour_b = o.hour_b
+),
+w AS (
+  SELECT event_type, hour_b, v,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY hour_b
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN hour_b END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY hour_b
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY hour_b
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN hour_b END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY hour_b
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM j
+)
+SELECT event_type,
+       strftime(hour_b, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       v AS v_obs,
+       ROUND(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NULL OR nv IS NULL THEN COALESCE(pv, nv)
+         ELSE pv + (nv - pv) * (epoch(hour_b) - epoch(ph))
+                             / (epoch(nh) - epoch(ph))
+       END, 6) AS v_interp
+FROM w
+""",
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a gapfilled hourly grid — the third
+    classic gap policy alongside zero-fill (q_ts_gapfill) and LOCF
+    (q_ts_forward_fill), and the hypertable engines' `interpolate()`:
+    each missing hour gets the time-weighted blend of the nearest
+    observed values on either side; leading/trailing gaps take the one
+    neighbor that exists.  Per-hour observation is MIN(value) (raw
+    double, no aggregation-order float hazard); the lerp is identical
+    double arithmetic from identical inputs in both engines, ROUNDed at
+    6 as belt-and-braces.
+
+    Scale: windows partition by the series key (event_type here; any
+    high-cardinality tag in production) so each series interpolates
+    independently in one pass — two IGNORE NULLS running extremes, no
+    self-join against the observation table and nothing quadratic; the
+    spine stays generated-not-scanned (q_ts_gapfill discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = (ev.select("event_type").distinct()
+             .crossJoin(F.broadcast(bounds))
+             .select("event_type",
+                     F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
+                     .alias("hour_b")))
+    obs = (ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_b"))
+           .agg(F.min("value").alias("v")))
+    j = spine.join(obs, ["event_type", "hour_b"], "left")
+    w_prev = (Window.partitionBy("event_type").orderBy("hour_b")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy("event_type").orderBy("hour_b")
+              .rowsBetween(0, Window.unboundedFollowing))
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour_b"))
+    pv = F.last("v", ignorenulls=True).over(w_prev)
+    ph = F.last(obs_hour, ignorenulls=True).over(w_prev)
+    nv = F.first("v", ignorenulls=True).over(w_next)
+    nh = F.first(obs_hour, ignorenulls=True).over(w_next)
+    frac = ((F.unix_timestamp("hour_b") - F.unix_timestamp(ph))
+            / (F.unix_timestamp(nh) - F.unix_timestamp(ph)))
+    interp = (F.when(F.col("v").isNotNull(), F.col("v"))
+              .when(pv.isNull() | nv.isNull(), F.coalesce(pv, nv))
+              .otherwise(pv + (nv - pv) * frac))
+    return j.select(
+        "event_type",
+        F.date_format("hour_b", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.col("v").alias("v_obs"),
+        F.round(interp, 6).alias("v_interp"))
+
+
+@query(
     "q_evt_sessionize",
     oracle="""
 WITH marked AS (
