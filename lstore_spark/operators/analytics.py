@@ -828,6 +828,66 @@ def q_ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ts_counter_rate",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         SUM(event_id % 97) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) % 1000 AS counter
+  FROM events
+),
+d AS (
+  SELECT user_id, counter,
+         counter - LAG(counter) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS delta
+  FROM c
+)
+SELECT user_id,
+       COUNT(*) AS n_samples,
+       CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       CAST(SUM(CASE WHEN delta IS NULL THEN 0
+                     WHEN delta < 0 THEN counter
+                     ELSE delta END) AS BIGINT) AS total_increase
+FROM d GROUP BY user_id
+""",
+)
+def q_ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter increase with reset detection — the PromQL
+    ``increase()`` contract (public Prometheus semantics): a counter
+    sample lower than its predecessor means the counter reset to zero,
+    so the post-reset VALUE is the increase since the reset, while
+    normal samples contribute their delta.  The counter series is
+    derived deterministically from the fixture (per-user running sum of
+    ``event_id % 97``, wrapped mod 1000 so resets genuinely occur —
+    integer arithmetic end-to-end, so both engines agree exactly).
+
+    Scale: one window per series key (user_id — high cardinality, even
+    tasks) for the lag, then a partial-combined aggregate; counter state
+    is one value per series, the same shape every TSDB rate() engine
+    runs.  Wrap-vs-reset ambiguity is resolved the PromQL way (assume
+    restart at zero) — deliberately, since that is the documented public
+    contract being re-expressed."""
+    ev = load_table(spark, sf_dir, "events")
+    w_run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = ev.select(
+        "user_id", "ts", "event_id",
+        (F.sum(F.col("event_id") % 97).over(w_run) % 1000).alias("counter"))
+    d = c.select(
+        "user_id", "counter",
+        (F.col("counter") - F.lag("counter").over(w_lag)).alias("delta"))
+    inc = (F.when(F.col("delta").isNull(), F.lit(0))
+           .when(F.col("delta") < 0, F.col("counter"))
+           .otherwise(F.col("delta")))
+    return (d.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 F.sum((F.col("delta") < 0).cast("int")).cast("long")
+                 .alias("n_resets"),
+                 F.sum(inc).cast("long").alias("total_increase")))
+
+
+@query(
     "q_ts_pop_change",
     oracle="""
 WITH daily AS (
