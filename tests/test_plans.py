@@ -365,3 +365,19 @@ def test_zorder_files_tight_on_both_dims(spark, sf_dir, tmp_path):
     u_skip = sum(1 for umin, umax, _, _ in spans if umax < 140 or umin > 149)
     assert vq_skip >= 4, spans
     assert u_skip >= 4, spans
+
+
+@pytest.mark.parametrize("key,max_exchanges", [
+    ("q_ts_counter_rate", 1),    # window lag + running sum + final agg all
+                                 # reuse the single user_id exchange
+    ("q_llm_corpus_shard", 1),   # shard window is the only shuffle
+    ("q_stream_dedup_near", 1),  # signature projection shuffles once
+])
+def test_round6_single_exchange_shapes(spark, sf_dir, key, max_exchanges):
+    """Round-6 operators whose whole pipeline rides ONE keyed exchange:
+    Catalyst must keep reusing the same partitioning across the window
+    and the downstream aggregate — a second Exchange appearing here
+    means a plan regression that 100×'s the shuffle volume."""
+    p = _plan(spark, sf_dir, key)
+    assert p.count("Exchange") <= max_exchanges, p
+    assert "CartesianProduct" not in p
