@@ -56,13 +56,22 @@ def _idx_path(seg_path: str) -> str:
 def segment_keys(seg_path: str) -> list | None:
     """Distinct blobs[0] values of a sealed segment from its sidecar
     index, or None when no sidecar exists / the key set was too large
-    (caller must scan)."""
+    (caller must scan).  Shape-validated: anything but a list of
+    strings degrades to None — a corrupt-but-valid-JSON sidecar (e.g.
+    ``{"keys": "abc"}``) would otherwise iterate as characters inside
+    the pruning set-intersection and silently skip a live segment,
+    which is the one failure mode an INDEX is never allowed to cause
+    (absence only disables pruning; it must never redirect it)."""
     import json
     try:
         with open(_idx_path(seg_path)) as fh:
-            return json.load(fh).get("keys")
+            doc = json.load(fh)
     except (OSError, ValueError):
         return None
+    ks = doc.get("keys") if isinstance(doc, dict) else None
+    if not (isinstance(ks, list) and all(isinstance(k, str) for k in ks)):
+        return None
+    return ks
 
 
 def _keyset(values) -> list | None:

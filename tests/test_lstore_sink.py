@@ -478,3 +478,42 @@ def test_torn_segment_exhaustive_every_byte(tmp_path):
     # both outcomes must actually occur across the sweep (sanity that
     # the test exercises real boundaries, not one degenerate branch)
     assert outcomes["prefix"] > 0 and outcomes["raised"] > 0
+
+
+def test_corrupt_idx_never_misprunes(tmp_path):
+    """An index may only ever DISABLE pruning, never redirect it: every
+    byte-truncation of the sidecar JSON and every valid-JSON-but-wrong-
+    shape payload must make segment_keys return None (scan) or the true
+    key list — returning anything else (e.g. the characters of a string
+    "keys" value iterating inside the pruning set-intersection) would
+    silently skip a live segment."""
+    import json
+    import os
+
+    from lstore_spark.sources.lstore_log import (_idx_path, segment_keys,
+                                                 write_segment)
+
+    p = str(tmp_path / "s.seg")
+    write_segment(p, [(i, [i], [b"alpha" if i % 2 else b"beta"])
+                      for i in range(8)])
+    true_keys = segment_keys(p)
+    assert sorted(true_keys) == ["alpha", "beta"]
+
+    idx = _idx_path(p)
+    blob = open(idx, "rb").read()
+    for cut in range(len(blob)):
+        with open(idx, "wb") as f:
+            f.write(blob[:cut])
+        ks = segment_keys(p)
+        assert ks is None or sorted(ks) == ["alpha", "beta"], f"cut={cut}"
+
+    for bad in ['{"keys": "abc"}', '{"keys": 5}', '{"keys": [1, 2]}',
+                '{"keys": {"a": 1}}', '{}', 'null', '[]']:
+        with open(idx, "w") as f:
+            f.write(bad)
+        assert segment_keys(p) is None, f"payload={bad!r}"
+
+    # restore and confirm the true index still round-trips
+    with open(idx, "wb") as f:
+        f.write(blob)
+    assert sorted(segment_keys(p)) == ["alpha", "beta"]
