@@ -128,6 +128,12 @@ def segment_stats(path: str) -> tuple[int, int] | None:
     if off != -1 or n_ints != 2 or n_blobs != 0:
         return None
     lo, hi = struct.unpack_from("<qq", tail, 12)
+    # Stats may only DISABLE pruning, never redirect it (same contract
+    # as segment_keys): a corrupted tail that happens to pass the three
+    # sentinel checks but carries an inverted/negative range degrades to
+    # "unsealed — must scan" instead of skipping live rows.
+    if lo < 0 or lo > hi:
+        return None
     return lo, hi
 
 

@@ -517,3 +517,27 @@ def test_corrupt_idx_never_misprunes(tmp_path):
     with open(idx, "wb") as f:
         f.write(blob)
     assert sorted(segment_keys(p)) == ["alpha", "beta"]
+
+
+def test_corrupt_trailer_bounds_disable_pruning(tmp_path):
+    """segment_stats shares the segment_keys contract: a tail that
+    passes the sentinel framing but carries an inverted or negative
+    offset range must read as 'unsealed — scan' (None), not as a
+    pruning range that would skip live rows."""
+    import os
+    import struct as st
+
+    from lstore_spark.sources.lstore_log import (_TRAILER_LEN,
+                                                 segment_stats,
+                                                 write_segment)
+
+    p = str(tmp_path / "s.seg")
+    write_segment(p, [(i + 5, [i], [b"k"]) for i in range(4)])
+    assert segment_stats(p) == (5, 8)
+
+    size = os.path.getsize(p)
+    for lo, hi in [(8, 5), (-3, 10), (-2, -1)]:
+        with open(p, "r+b") as f:
+            f.seek(size - _TRAILER_LEN + 12)
+            f.write(st.pack("<qq", lo, hi))
+        assert segment_stats(p) is None, (lo, hi)
