@@ -828,6 +828,62 @@ def q_ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_evt_rfm",
+    oracle=f"""
+WITH mx AS (SELECT MAX(ts) AS now_ts FROM events),
+base AS (
+  SELECT user_id,
+         date_diff('day', MAX(ts), (SELECT now_ts FROM mx)) AS recency_days,
+         COUNT(*) AS frequency,
+         {sql_dsum('value', 'monetary')}
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary,
+       NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+       NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+       NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
+FROM base
+""",
+)
+def q_evt_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency (days since last
+    purchase, against the corpus max timestamp so the result is
+    reproducible), frequency, exact-decimal monetary sum, each scored
+    into NTILE(5) quintiles (5 = best; ties broken by user_id so both
+    engines bucket identically).
+
+    Scale: one partial-combined aggregate on user_id, then three global
+    NTILE windows over the AGGREGATED relation — one row per user, i.e.
+    the windows sort |users|, not |events| (the raw log never enters a
+    global sort).  At 10⁹ users replace exact NTILE with approximate
+    percentile cutpoints (approx_percentile on the aggregate, broadcast
+    the 4 cut values, bucket by comparison — the same result modulo
+    boundary ties, no global sort at all); the fixture-size exhibit
+    keeps exact NTILE for the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now_ts"))
+    base = (ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.max("ts").alias("last_ts"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 dsum(F.col("value"), "monetary"))
+            .crossJoin(F.broadcast(mx))
+            .select("user_id",
+                    F.datediff(F.col("now_ts"), F.col("last_ts"))
+                    .alias("recency_days"),
+                    "frequency", "monetary"))
+    return base.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(),
+                                       "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id"))
+        .alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "user_id"))
+        .alias("m_score"))
+
+
+@query(
     "q_ts_counter_rate",
     oracle="""
 WITH c AS (
