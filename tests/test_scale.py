@@ -229,3 +229,36 @@ def test_compact_store_binpacks_and_preserves(spark, sf_dir):
     a = spark.read.parquet(store).select("event_id", "user_id")
     b = spark.read.parquet(out).select("event_id", "user_id")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_rfm_approx_cutpoints_match_ntile_within_boundary(spark, sf_dir):
+    """The q_evt_rfm docstring's 10⁹-user scale path, executed: replace
+    each exact NTILE(5) with approx_percentile cutpoints (broadcast 4
+    values, bucket by comparison — no global sort) and assert every
+    user's quintile differs from the exact score by at most 1 (the
+    boundary-tie tolerance; interior assignments must agree)."""
+    from pyspark.sql import functions as F
+
+    from lstore_spark.registry import QUERIES
+
+    exact = QUERIES["q_evt_rfm"](spark, sf_dir).localCheckpoint()
+    cuts = exact.agg(*[
+        F.expr(f"approx_percentile({c}, array(0.2, 0.4, 0.6, 0.8), 10000)")
+        .alias(f"{c}_cuts") for c in ["frequency", "monetary"]])
+
+    def bucket(col, cuts_col):
+        # quintile = 1 + #cutpoints strictly below the value
+        return (F.lit(1)
+                + F.expr(f"size(filter({cuts_col}, c -> c < {col}))"))
+
+    approx = (exact.crossJoin(F.broadcast(cuts))
+              .select("user_id", "f_score", "m_score",
+                      bucket("frequency", "frequency_cuts").alias("f_ap"),
+                      bucket("monetary", "monetary_cuts").alias("m_ap")))
+    bad = approx.filter(
+        (F.abs(F.col("f_score") - F.col("f_ap")) > 1)
+        | (F.abs(F.col("m_score") - F.col("m_ap")) > 1)).count()
+    assert bad == 0
+    # and the approx path must actually spread users across buckets
+    n_f = approx.select("f_ap").distinct().count()
+    assert n_f >= 4
