@@ -452,6 +452,43 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("event_id", "user_id", "c_mktsegment", "value")
 
 
+@query(
+    "q_join_exists_flag",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       EXISTS (SELECT 1 FROM lineitem
+               WHERE l_orderkey = o_orderkey
+                 AND l_extendedprice > 80000) AS has_big_item
+FROM orders WHERE o_orderkey % 13 = 0
+""",
+)
+def q_join_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-flag ("mark") join: every probe row survives, annotated
+    with whether a match EXISTS — the shape correlated EXISTS/IN
+    predicates compile to when they feed further expressions rather
+    than a filter (semi/anti joins are its two projections).  Expressed
+    scale-first: the match side collapses to DISTINCT join keys BEFORE
+    the join, so the join output is exactly |probe| rows regardless of
+    match multiplicity (a naive left join + group-by would shuffle every
+    matching lineitem row and re-aggregate).
+
+    Scale: one partial-combined distinct on the filtered match side +
+    one equi join; with the probe filter pushed to the scan, both
+    inputs arrive pruned.  AQE picks broadcast when the distinct key
+    set is small — the common selective-EXISTS case."""
+    od = (load_table(spark, sf_dir, "orders")
+          .filter(F.col("o_orderkey") % 13 == 0)
+          .select("o_orderkey", "o_orderpriority"))
+    keys = (load_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_extendedprice") > 80000)
+            .select(F.col("l_orderkey").alias("o_orderkey"))
+            .distinct()
+            .withColumn("_hit", F.lit(True)))
+    return (od.join(keys, "o_orderkey", "left")
+            .select("o_orderkey", "o_orderpriority",
+                    F.coalesce("_hit", F.lit(False)).alias("has_big_item")))
+
+
 # ----------------------------------------------------- runtime bloom filter
 
 _BLOOM_BITS = 1 << 17   # 131,072 bits = 2,048 words = 16 KiB broadcast
