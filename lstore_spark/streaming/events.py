@@ -370,6 +370,52 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_left_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       CASE WHEN v.event_id IS NULL THEN NULL
+            ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts > p.ts - INTERVAL 1 HOUR
+""",
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join, batch twin: every purchase, with
+    its preceding-hour views where they exist and NULLs where none do —
+    the attribution query that must not drop unattributed conversions.
+    The outer side is what makes the STREAMING form hard: Spark can emit
+    the null-padded row only once the view-side watermark proves no
+    match can still arrive, so unmatched purchases inside the final
+    watermark horizon stay withheld at end-of-stream — the equivalence
+    test (tests/test_streaming.py) therefore compares the watermark-safe
+    prefix, the same discipline q_stream_foreachbatch_sink documents.
+
+    Scale: identical state shape to the inner form (equi key user_id +
+    time-range bound ⇒ state eviction), plus a per-row "matched" bit the
+    state store keeps to decide null emission — no extra shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
+    v = (ev.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_id"),
+                 F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        p.join(v, (F.col("p_user") == F.col("v_user"))
+               & (F.col("v_ts") <= F.col("p_ts"))
+               & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+               "left")
+        .select("purchase_id", "view_id", F.col("p_user").alias("user_id"),
+                F.when(F.col("view_id").isNull(), F.lit(None))
+                .otherwise(us("p_ts") - us("v_ts")).alias("gap_us"))
+    )
+
+
+@query(
     "q_stream_follow",
     oracle="""
 SELECT event_id, user_id, event_type

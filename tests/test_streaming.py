@@ -394,3 +394,56 @@ def test_stream_dedup_near_equals_batch(spark, sf_dir):
     )
     out = run_available_now(stream, "t_dedup_near_eq", mode="append")
     assert _rows(out) == _rows(batch)
+
+
+def test_stream_stream_left_join_matches_batch_below_watermark(spark, sf_dir):
+    """LEFT OUTER two-stream join: matched rows must equal the batch
+    twin exactly; null-padded (unmatched) rows must equal the batch
+    twin for every purchase at least one watermark delay BEFORE the
+    stream's end — Spark can only prove 'no view will arrive' once the
+    view-side watermark passes the purchase's window, so unmatched
+    purchases inside the final horizon are legitimately withheld
+    (the q_stream_foreachbatch_sink emission discipline)."""
+    from lstore_spark.catalog import load_table
+
+    batch = QUERIES["q_stream_stream_left_join"](spark, sf_dir)
+    src = _events_stream(spark, sf_dir)
+    p = (src.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", "2 hours"))
+    v = (src.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_id"),
+                 F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+         .withWatermark("v_ts", "2 hours"))
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    joined = (
+        p.join(v, (F.col("p_user") == F.col("v_user"))
+               & (F.col("v_ts") <= F.col("p_ts"))
+               & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+               "leftOuter")
+        .select("purchase_id", "view_id", F.col("p_user").alias("user_id"),
+                F.when(F.col("view_id").isNull(), F.lit(None))
+                .otherwise(us("p_ts") - us("v_ts")).alias("gap_us"))
+    )
+    out = run_available_now(joined, "t_ss_left_join", mode="append")
+
+    # matched rows: exact equality (inner-join subset semantics)
+    assert (_rows(out.filter(F.col("view_id").isNotNull()))
+            == _rows(batch.filter(F.col("view_id").isNotNull())))
+
+    # unmatched rows: equality on the watermark-safe prefix (purchases
+    # older than max event time - delay - join window)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff_row = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 3 HOURS")).alias("c")).collect()[0]
+    safe_ids = {r["purchase_id"] for r in
+                ev.filter((F.col("event_type") == "purchase")
+                          & (F.col("ts") <= cutoff_row["c"]))
+                .select(F.col("event_id").alias("purchase_id")).collect()}
+    got_null = {r["purchase_id"] for r in
+                out.filter(F.col("view_id").isNull()).collect()}
+    want_null = {r["purchase_id"] for r in
+                 batch.filter(F.col("view_id").isNull()).collect()}
+    assert got_null & safe_ids == want_null & safe_ids
+    assert want_null & safe_ids, "test vacuous: no safe unmatched purchases"
