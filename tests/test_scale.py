@@ -262,3 +262,30 @@ def test_rfm_approx_cutpoints_match_ntile_within_boundary(spark, sf_dir):
     # and the approx path must actually spread users across buckets
     n_f = approx.select("f_ap").distinct().count()
     assert n_f >= 4
+
+
+def test_hll_sketch_partial_merge_equals_single_pass(spark, sf_dir):
+    """Mergeable COUNT DISTINCT — the q_ts_rollup_merge pattern for the
+    one aggregate plain partials can't re-aggregate: per-day DataSketches
+    HLL sketches union-merged to a total must (a) give EXACTLY the same
+    estimate as one single-pass sketch over all rows (same algorithm,
+    same hashes — merge order cannot matter), and (b) land within 2% of
+    the true distinct count.  At 100 TB this is how a daily rollup keeps
+    a mergeable distinct-users column without ever rescanning history."""
+    from pyspark.sql import functions as F
+
+    from lstore_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("hll_events")
+    merged = spark.sql("""
+        SELECT hll_sketch_estimate(hll_union_agg(s)) AS est
+        FROM (SELECT CAST(ts AS DATE) AS day,
+                     hll_sketch_agg(user_id) AS s
+              FROM hll_events GROUP BY 1)""").collect()[0]["est"]
+    single = spark.sql(
+        "SELECT hll_sketch_estimate(hll_sketch_agg(user_id)) AS est "
+        "FROM hll_events").collect()[0]["est"]
+    exact = ev.select("user_id").distinct().count()
+    assert merged == single
+    assert abs(merged - exact) / exact <= 0.02
