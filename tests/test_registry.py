@@ -93,3 +93,26 @@ def test_cli_sql_and_key_paths(spark, sf_dir):
     assert got > 0
     # --list output == registry keys (main's listing is sorted(QUERIES))
     assert sorted(registry.QUERIES) == sorted(set(registry.QUERIES))
+
+
+def test_observed_metrics_ride_the_single_action(spark, sf_dir):
+    """metrics.observed: the audit numbers must (a) be produced by the
+    ONE action the caller runs, and (b) match an independent recount —
+    the free-row-count-audit discipline for 100 TB cleaning stages."""
+    from pyspark.sql import functions as F
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.metrics import observed
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    df, obs = observed(
+        ev, "audit",
+        n=F.count(F.lit(1)),
+        n_purchase=F.sum((F.col("event_type") == "purchase").cast("long")),
+        max_value=F.max("value"))
+    df.write.mode("overwrite").format("noop").save()  # the one action
+    got = obs.get
+    assert got["n"] == ev.count()
+    assert got["n_purchase"] == ev.filter(
+        F.col("event_type") == "purchase").count()
+    assert got["max_value"] == ev.agg(F.max("value")).collect()[0][0]
