@@ -23,6 +23,7 @@ import os
 import struct
 import tempfile
 import zipfile
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,7 +31,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from ..catalog import load_table
@@ -332,6 +336,165 @@ class LstoreLogDataSource(DataSource):
 
     def streamReader(self, schema) -> "LstoreLogStreamReader":
         return LstoreLogStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "LstoreLogWriter":
+        return LstoreLogWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "LstoreLogStreamWriter":
+        return LstoreLogStreamWriter(self.options)
+
+
+@dataclass
+class _SegStaged(WriterCommitMessage):
+    """(staged seg path, staged idx path, final seg path) — executors
+    stage, the driver publishes at commit."""
+    tmp_seg: str
+    tmp_idx: str
+    final_seg: str
+
+
+def _stage_partition(seg_dir: str, basename: str, iterator):
+    """Executor side of the two-phase segment write: serialize this
+    partition's rows into `.stage-…` files (segment + sidecar index
+    content, both invisible to readers — only `*.seg` names are listed)
+    and report them for the driver's atomic publish.  Rows must carry
+    (offset bigint, ints array<bigint>, blobs array<binary>)."""
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    attempt = tc.taskAttemptId()
+    tmp_seg = os.path.join(seg_dir, f".stage-{basename}.seg.{attempt}")
+    tmp_idx = os.path.join(seg_dir, f".stage-{basename}.idx.{attempt}")
+    lo = hi = None
+    keys, keys_ok = set(), True
+    n = 0
+    with open(tmp_seg, "wb") as f:
+        for r in iterator:
+            off, ints, blobs = r[0], list(r[1]), list(r[2])
+            lo = off if lo is None else min(lo, off)
+            hi = off if hi is None else max(hi, off)
+            if keys_ok and blobs:
+                try:
+                    keys.add(bytes(blobs[0]).decode("utf-8"))
+                except (UnicodeDecodeError, TypeError):
+                    keys_ok = False
+                if len(keys) > _IDX_MAX_KEYS:
+                    keys_ok = False
+            f.write(struct.pack("<qi", off, len(ints)))
+            for v in ints:
+                f.write(struct.pack("<q", v))
+            f.write(struct.pack("<i", len(blobs)))
+            for b in blobs:
+                bb = bytes(b)
+                f.write(struct.pack("<i", len(bb)))
+                f.write(bb)
+            n += 1
+        if lo is not None:
+            f.write(_pack_trailer(lo, hi))
+    if lo is None:  # empty partition → nothing to publish
+        os.remove(tmp_seg)
+        return _SegStaged(tmp_seg="", tmp_idx="", final_seg="")
+    import json
+    with open(tmp_idx, "w") as ix:
+        json.dump({"keys": sorted(keys) if keys_ok else None}, ix)
+    return _SegStaged(
+        tmp_seg=tmp_seg, tmp_idx=tmp_idx,
+        final_seg=os.path.join(seg_dir, f"part-{basename}.seg"))
+
+
+def _publish(messages) -> None:
+    """Driver side: atomically publish every staged segment.  Per
+    segment the ADVICE-r5 ordering holds (stale idx removed before the
+    segment bytes appear, fresh idx renamed in only after), and because
+    nothing is renamed until EVERY task has staged, a failed job leaves
+    zero new `*.seg` files — job-level atomicity the task-publishing
+    ``write_segments`` path cannot give."""
+    for m in messages:
+        if not m or not m.final_seg:
+            continue
+        idx = m.final_seg[:-4] + ".idx"
+        try:
+            os.remove(idx)
+        except FileNotFoundError:
+            pass
+        os.replace(m.tmp_seg, m.final_seg)
+        os.replace(m.tmp_idx, idx)
+
+
+def _abort(messages) -> None:
+    for m in messages or []:
+        for p in [getattr(m, "tmp_seg", ""), getattr(m, "tmp_idx", "")]:
+            if p:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+
+
+class LstoreLogWriter(DataSourceWriter):
+    """``df.write.format("lstore_log").option("path", dir).save()`` —
+    the batch write surface of the source, two-phase: executors stage
+    one segment per partition, the driver publishes all-or-nothing at
+    job commit.  ``overwrite`` clears previously-published segments at
+    commit time (after staging succeeded), so even overwrite never
+    destroys data on a failed job."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        self.overwrite = overwrite
+        if not self.path:
+            raise ValueError("lstore_log writer requires .option('path', dir)")
+
+    def write(self, iterator) -> _SegStaged:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        return _stage_partition(self.path, f"{pid:05d}", iterator)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".seg") or f.endswith(".idx"):
+                    os.remove(os.path.join(self.path, f))
+        _publish(messages)
+
+    def abort(self, messages) -> None:
+        _abort(messages)
+
+
+class LstoreLogStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("lstore_log")`` — segments named by
+    (epoch, partition), so a replayed micro-batch republishes byte-
+    identical files over itself via atomic rename: exactly-once output
+    without a commit log, the same write-once-segment argument as
+    q_stream_follow's source side."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "lstore_log stream writer requires .option('path', dir)")
+
+    def write(self, iterator) -> _SegStaged:
+        from pyspark import TaskContext
+        tc = TaskContext.get()
+        # partitionId is batch-scoped; the epoch/batch id arrives in
+        # commit — stage under a task-unique name, publish under the
+        # batch-qualified name chosen at commit time.
+        return _stage_partition(self.path,
+                                f"b-{tc.partitionId():05d}", iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m and m.final_seg:
+                # qualify the final name with the batch id so replays
+                # overwrite themselves and never collide across batches
+                base = os.path.basename(m.final_seg)
+                m.final_seg = os.path.join(
+                    self.path, f"part-{batchId:06d}-{base[len('part-'):]}")
+        _publish(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort(messages)
 
 
 class LstoreLogReader(DataSourceReader):

@@ -541,3 +541,104 @@ def test_corrupt_trailer_bounds_disable_pruning(tmp_path):
             f.seek(size - _TRAILER_LEN + 12)
             f.write(st.pack("<qq", lo, hi))
         assert segment_stats(p) is None, (lo, hi)
+
+
+def _seg_files(d):
+    import os
+    return sorted(f for f in os.listdir(d) if f.endswith(".seg"))
+
+
+def test_native_writer_roundtrip_and_overwrite(spark, sf_dir, tmp_path):
+    """df.write.format("lstore_log"): exact binary round-trip through
+    the native writer, and overwrite replaces prior segments only at
+    commit (append then overwrite-with-subset leaves exactly the
+    subset)."""
+    from pyspark.sql import functions as F
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.sources.lstore_log import (events_as_segment_rows,
+                                                 register,
+                                                 segments_as_events)
+
+    register(spark)
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    d = str(tmp_path / "store")
+    import os
+    os.makedirs(d)
+    rows = events_as_segment_rows(ev).repartition(4, "offset")
+    rows.write.format("lstore_log").option("path", d).mode("append").save()
+    back = segments_as_events(
+        spark.read.format("lstore_log").option("path", d).load())
+    assert back.count() == 500
+    assert back.select("event_id").exceptAll(
+        ev.select("event_id")).count() == 0
+
+    half = events_as_segment_rows(ev.filter(F.col("event_id") % 2 == 0)) \
+        .repartition(2, "offset")
+    half.write.format("lstore_log").option("path", d).mode("overwrite").save()
+    back2 = segments_as_events(
+        spark.read.format("lstore_log").option("path", d).load())
+    assert back2.count() == ev.filter(F.col("event_id") % 2 == 0).count()
+    assert len(_seg_files(d)) == 2
+
+
+def test_native_writer_failed_job_publishes_nothing(spark, sf_dir, tmp_path):
+    """Job-level atomicity (what the two-phase commit buys over the
+    task-publishing write_segments path): a job with one failing
+    partition must leave ZERO new .seg files — not a partial store."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.sources.lstore_log import (events_as_segment_rows,
+                                                 register)
+
+    register(spark)
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+
+    @F.udf(returnType=LongType())
+    def boom(off):
+        if off is not None and off % 997 == 13:
+            raise RuntimeError("planted task failure")
+        return off
+
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    rows = (events_as_segment_rows(ev)
+            .withColumn("offset", boom(F.col("offset")))
+            .repartition(4, "offset"))
+    with pytest.raises(Exception):
+        rows.write.format("lstore_log").option("path", d) \
+            .mode("append").save()
+    assert _seg_files(d) == [], "failed job published segments"
+
+
+def test_native_stream_writer_exactly_once_on_restart(spark, sf_dir, tmp_path):
+    """writeStream.format("lstore_log"): drain, then restart from the
+    SAME checkpoint — already-committed batches must not duplicate
+    (batch-qualified names + atomic rename = idempotent replay)."""
+    from lstore_spark.catalog import load_table
+    from lstore_spark.sources.lstore_log import (events_as_segment_rows,
+                                                 register,
+                                                 segments_as_events)
+    from lstore_spark.streaming.events import _events_stream
+
+    register(spark)
+    d, cp = str(tmp_path / "store"), str(tmp_path / "cp")
+    import os
+    os.makedirs(d)
+    for _ in range(2):  # second run restarts from the same checkpoint
+        q = (events_as_segment_rows(_events_stream(spark, sf_dir))
+             .writeStream.format("lstore_log").option("path", d)
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    back = segments_as_events(
+        spark.read.format("lstore_log").option("path", d).load())
+    ev = load_table(spark, sf_dir, "events")
+    assert back.count() == ev.count()
+    assert back.select("event_id").exceptAll(
+        ev.select("event_id")).count() == 0
