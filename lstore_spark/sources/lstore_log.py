@@ -762,6 +762,43 @@ def q_sink_lstore_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sink_lstore_native",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+       CAST(SUM(user_id % 1000000007) AS BIGINT) AS sum_user,
+       CAST(SUM(epoch_us(ts) % 1000000007) AS BIGINT) AS sum_ts_us
+FROM events
+GROUP BY event_type
+""",
+)
+def q_sink_lstore_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_sink_lstore_log round-trip through the NATIVE write
+    surface: ``df.write.format("lstore_log")`` — the DataSourceWriter's
+    two-phase commit (executors stage one segment per partition, the
+    driver publishes all-or-nothing; tests/test_lstore_sink.py proves a
+    failed job publishes zero segments).  Same checksum oracle as the
+    manual-sink twin, so hash-green here certifies the writer-path codec
+    byte-for-byte under driver conditions too."""
+    ev = load_table(spark, sf_dir, "events")
+    seg_dir = tempfile.mkdtemp(prefix="lstore_native_sink_")
+    register(spark)
+    (events_as_segment_rows(ev).repartition(8, "offset")
+     .write.format("lstore_log").option("path", seg_dir)
+     .mode("append").save())
+    back = segments_as_events(
+        spark.read.format("lstore_log").option("path", seg_dir).load())
+    p = F.lit(1000000007)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum(F.col("user_id") % p).alias("sum_user"),
+        F.sum(F.unix_micros(F.col("ts").cast("timestamp")) % p).alias("sum_ts_us"),
+    )
+
+
+@query(
     "q_scan_log_by_type",
     oracle="""
 SELECT event_id, user_id, event_type FROM events
