@@ -752,3 +752,66 @@ def q_llm_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(weight, 6).alias("mix_weight"),
         (weight * F.sum("n_docs").over(w)).cast("bigint").alias("docs_budget"),
     )
+
+
+@query(
+    "q_llm_pipeline_e2e",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, md5(lower(trim(text))) AS h,
+         len({_DUCK_TOKENS}) AS n_tok
+  FROM documents
+),
+clean AS (
+  SELECT doc_id, n_tok
+  FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS head_id FROM feat)
+  WHERE doc_id = head_id AND n_tok >= {_CLEAN_MIN_TOK}
+),
+routed AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN {_SPLIT_HASH} % 1000 < 900 THEN 'train'
+              WHEN {_SPLIT_HASH} % 1000 < 950 THEN 'val'
+              ELSE 'test' END AS split,
+         {_SHARD_HASH_D} % {_N_SHARDS} AS shard
+  FROM clean
+)
+SELECT split, shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+FROM routed GROUP BY split, shard
+""",
+)
+def q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE composed, oracle-checked
+    query — the "a user ships this" exhibit: exact-dedup + quality floor
+    (q_llm_corpus_clean) → deterministic train/val/test routing
+    (q_llm_text_split) → seeded shard assignment (q_llm_corpus_shard) →
+    per-(split, shard) doc and token accounting.  Every stage reuses the
+    exact machinery of its standalone key, so the composition's
+    hash-match certifies that the pieces COMPOSE — filters don't reorder
+    around the dedup window, hashes don't collide across salt streams.
+
+    Scale: one 16-byte-hash shuffle (dedup) then pure projections until
+    the final tiny aggregate — the whole pipeline touches the corpus
+    twice (scan + dedup shuffle), which is the minimum any dedup-bearing
+    pipeline can do; near-dup and contamination stages chain in front of
+    the same keep-filter without changing the shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+        F.size(tokens_col()).alias("n_tok"))
+    heads = feat.groupBy("h").agg(F.min("doc_id").alias("head_id"))
+    clean = (feat.join(heads, "h")
+             .filter((F.col("doc_id") == F.col("head_id"))
+                     & (F.col("n_tok") >= _CLEAN_MIN_TOK))
+             .select("doc_id", "n_tok"))
+    hs = F.expr(sql_md5_long(
+        "concat('split:', CAST(doc_id AS STRING))", 8)) % 1000
+    routed = clean.select(
+        "doc_id", "n_tok",
+        F.when(hs < 900, "train").when(hs < 950, "val")
+        .otherwise("test").alias("split"),
+        (F.expr(_SHARD_HASH_S) % _N_SHARDS).alias("shard"))
+    return (routed.groupBy("split", "shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("sum_tokens")))
