@@ -830,3 +830,77 @@ def q_scan_log_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ints")[0].alias("event_id"),
         F.col("ints")[2].alias("user_id"),
         F.col("key").alias("event_type"))
+
+
+def vacuum_store(seg_dir: str, min_age_s: float = 0.0) -> dict:
+    """Garbage-collect a segment store: remove (a) orphaned staging
+    files (``.stage-*`` / ``*.tmp-*`` left by failed or aborted jobs —
+    invisible to readers, but they accumulate) and (b) orphaned sidecar
+    indexes whose segment no longer exists (retention/compaction removed
+    the ``.seg``; a keyless leftover ``.idx`` is harmless to correctness
+    — the reader pairs indexes BY segment name — but it is dead weight).
+    Files younger than ``min_age_s`` are kept: an in-flight job's stage
+    files look identical to orphans, and age is the only safe
+    discriminator without a job registry (the VACUUM retention-window
+    rule).  Live ``*.seg`` files are NEVER touched — vacuum is a no-op
+    on data by construction.  Returns {"staged": n, "orphan_idx": n}."""
+    import time
+    now = time.time()
+    removed = {"staged": 0, "orphan_idx": 0}
+    names = set(os.listdir(seg_dir))
+    for f in sorted(names):
+        p = os.path.join(seg_dir, f)
+        is_stage = f.startswith(".stage-") or ".tmp-" in f
+        is_orphan_idx = (f.endswith(".idx")
+                         and f[:-len(".idx")] + ".seg" not in names)
+        if not (is_stage or is_orphan_idx):
+            continue
+        try:
+            if now - os.path.getmtime(p) < min_age_s:
+                continue
+            os.remove(p)
+        except FileNotFoundError:
+            continue
+        removed["staged" if is_stage else "orphan_idx"] += 1
+    return removed
+
+
+@query(
+    "q_maint_vacuum_store",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events
+GROUP BY event_type
+""",
+)
+def q_maint_vacuum_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM as an operator: build a store through the native writer,
+    plant the debris a real deployment accumulates (an aborted job's
+    staging files + a sidecar orphaned by segment removal... re-created
+    here directly), vacuum, and read the store back — the oracle
+    recomputes from the original parquet, so hash-green means vacuum
+    removed every orphan WITHOUT touching a byte of live data.
+
+    Scale: vacuum is O(#files) driver-side metadata work (one listdir +
+    stat per candidate), the same cost class as the streaming tail's
+    planning step; data files are never read."""
+    ev = load_table(spark, sf_dir, "events")
+    seg_dir = tempfile.mkdtemp(prefix="lstore_vacuum_")
+    register(spark)
+    (events_as_segment_rows(ev).repartition(4, "offset")
+     .write.format("lstore_log").option("path", seg_dir)
+     .mode("append").save())
+    # plant debris: an "aborted job" staging pair + an orphan index
+    for junk in [".stage-b-00009.seg.77", ".stage-b-00009.idx.77",
+                 "part-99999.idx"]:
+        with open(os.path.join(seg_dir, junk), "w") as f:
+            f.write("{}")
+    removed = vacuum_store(seg_dir)
+    assert removed == {"staged": 2, "orphan_idx": 1}, removed
+    back = segments_as_events(
+        spark.read.format("lstore_log").option("path", seg_dir).load())
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"))
