@@ -65,6 +65,10 @@ KEYS = [
     "q_join_bloom_prune",
     "q_cdc_snapshot_diff",
     "q_llm_dedup_semantic",
+    "q_ts_counter_rate",
+    "q_ts_interpolate",
+    "q_evt_rfm",
+    "q_llm_pipeline_e2e",
 ]
 
 
