@@ -116,3 +116,19 @@ def test_observed_metrics_ride_the_single_action(spark, sf_dir):
     assert got["n_purchase"] == ev.filter(
         F.col("event_type") == "purchase").count()
     assert got["max_value"] == ev.agg(F.max("value")).collect()[0][0]
+
+
+def test_keys_catalog_current():
+    """KEYS.md is generated; this guard fails if the registry grew
+    without regenerating it (python scripts/key_catalog.py)."""
+    import os
+    import re
+
+    from lstore_spark import registry
+    registry.load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "KEYS.md")) as fh:
+        documented = set(re.findall(r"^\| (q_[a-z0-9_]+) \|", fh.read(),
+                                    re.MULTILINE))
+    assert documented == set(registry.QUERIES), (
+        "KEYS.md stale — run: python scripts/key_catalog.py")
