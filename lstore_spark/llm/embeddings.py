@@ -703,3 +703,53 @@ def q_llm_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("query_id", "cand_id",
                       (-F.col("cos_sim")).alias("adc_dist"),
                       F.col("rank").cast("long").alias("rank"))
+
+
+_BQ_PACK_S = """
+    aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+              (acc, i) -> acc + IF(element_at(xe, i + {base} + 1) > 0,
+                                   shiftleft(CAST(1 AS BIGINT), i),
+                                   CAST(0 AS BIGINT)))"""
+
+
+@query(
+    "q_llm_emb_binarize",
+    oracle="""
+WITH vx AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN i <= 32 AND v > 0
+                     THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)
+            AS BIGINT) AS w1,
+       CAST(SUM(CASE WHEN i > 32 AND v > 0
+                     THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END)
+            AS BIGINT) AS w2,
+       CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bits
+FROM vx GROUP BY vec_id
+""",
+)
+def q_llm_emb_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization: each 64-dim float vector packs into TWO
+    sign-bit words (64 floats → 16 bytes, 16× compression) — the 1-bit
+    BQ representation modern vector stores rank with before exact
+    re-scoring.  Two 32-bit halves in BIGINTs rather than one 64-bit
+    word: bit 63 would need shiftleft(1L, 63), whose signed wrap Spark
+    permits but DuckDB rejects as overflow — the split keeps the packing
+    portable and overflow-free in both engines.  Integer output ⇒
+    hash-exact with no float discipline at all.
+
+    Scale: pure projection via one aggregate() HOF per word — no
+    shuffle, no explode; the packed table is what ships to the ANN
+    stage (q_llm_sim_hamming_topk)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    xe = em.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("xe"))
+    w1 = F.expr(_BQ_PACK_S.format(base=0))
+    w2 = F.expr(_BQ_PACK_S.format(base=32))
+    nb = F.expr("CAST(size(filter(xe, v -> v > 0)) AS BIGINT)")
+    return xe.select("vec_id", w1.alias("w1"), w2.alias("w2"),
+                     nb.alias("n_bits"))

@@ -433,3 +433,78 @@ def q_llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partitioned_topk(scored, "query_id", k).select(
         "query_id", "cand_id", "cos_sim", "rank")
+
+
+@query(
+    "q_llm_sim_hamming_topk",
+    oracle="""
+WITH vx AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+packed AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN i <= 32 AND v > 0
+                       THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)
+              AS BIGINT) AS w1,
+         CAST(SUM(CASE WHEN i > 32 AND v > 0
+                       THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END)
+              AS BIGINT) AS w2
+  FROM vx GROUP BY vec_id
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(bit_count(xor(q.w1, c.w1))
+              + bit_count(xor(q.w2, c.w2)) AS BIGINT) AS hamming
+  FROM packed q JOIN packed c
+    ON q.vec_id < 10 AND c.vec_id >= 10
+)
+SELECT query_id, cand_id, hamming, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT query_id, cand_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY hamming, cand_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+""",
+)
+def q_llm_sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest neighbors in HAMMING space over the 1-bit packed
+    vectors of q_llm_emb_binarize — the binary-quantization first-pass
+    ranking modern vector stores run before exact re-scoring: distance
+    is two XORs + two popcounts per candidate (vs 64 multiply-adds for
+    cosine), and the whole computation is integer-exact, so unlike every
+    float ANN this one is hash-grade end-to-end with no rounding
+    discipline.
+
+    Scale: the query side (packed, 16 B/row) BROADCASTS; the corpus is
+    scanned once, packed on the fly (projection, no shuffle) and never
+    exploded; the finish is the same two-stage partitioned_topk as the
+    exact cosine search — corpus-shuffle-free, the billion-vector
+    shape.  Tie-break (hamming, cand_id), both engines."""
+    from ..catalog import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    from .embeddings import _BQ_PACK_S
+    packed = (em.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("xe"))
+        .select("vec_id",
+                F.expr(_BQ_PACK_S.format(base=0)).alias("w1"),
+                F.expr(_BQ_PACK_S.format(base=32)).alias("w2")))
+    q = (packed.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("w1").alias("qw1"), F.col("w2").alias("qw2")))
+    c = (packed.filter(F.col("vec_id") >= 10)
+         .select(F.col("vec_id").alias("cand_id"), "w1", "w2"))
+    hamming = (F.expr("bit_count(qw1 ^ w1) + bit_count(qw2 ^ w2)")
+               .cast("long"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .select("query_id", "cand_id", hamming.alias("hamming")))
+    top = partitioned_topk(
+        scored.select("query_id", "cand_id",
+                      (-F.col("hamming")).alias("cos_sim")),
+        "query_id", 5)
+    return top.select("query_id", "cand_id",
+                      (-F.col("cos_sim")).cast("long").alias("hamming"),
+                      F.col("rank").cast("long").alias("rank"))
