@@ -333,3 +333,19 @@ def test_semantic_dedup_cluster_width_cap(spark, sf_dir):
     assert all(verdict[10_000 + i] for i in range(200)), "mega member dropped"
     assert verdict[0] is True
     assert verdict[20_000] is False, "normal-cluster twin kept"
+
+
+def test_hamming_bq_recall_vs_bruteforce(spark, sf_dir):
+    """Binary-quantized (1-bit) ranking must carry real angular signal:
+    fraction of exact cosine-top-3 pairs recovered inside hamming-top-5
+    measured 0.30 on the fixture's random unit vectors (the hardest
+    case — blind sampling scores ~0.03); floor at half the measurement.
+    Production BQ re-scores the hamming shortlist with exact cosine,
+    so recall-of-shortlist is the right metric."""
+    exact = {(r.query_id, r.cand_id)
+             for r in QUERIES["q_llm_sim_cosine_topk"](spark, sf_dir).collect()
+             if r.rank <= 3}
+    ham = {(r.query_id, r.cand_id)
+           for r in QUERIES["q_llm_sim_hamming_topk"](spark, sf_dir).collect()}
+    recall = len(exact & ham) / max(len(exact), 1)
+    assert recall >= 0.15, f"BQ recall {recall:.2f} below floor"
