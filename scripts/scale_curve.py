@@ -69,6 +69,7 @@ KEYS = [
     "q_ts_interpolate",
     "q_evt_rfm",
     "q_llm_pipeline_e2e",
+    "q_llm_sim_hamming_topk",
 ]
 
 
