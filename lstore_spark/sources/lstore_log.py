@@ -440,15 +440,21 @@ class LstoreLogWriter(DataSourceWriter):
     destroys data on a failed job."""
 
     def __init__(self, options, overwrite: bool):
+        import uuid
         self.path = options.get("path")
         self.overwrite = overwrite
+        # Job-scoped token in the segment names: append jobs must never
+        # collide with segments a PREVIOUS job published (bare part-<pid>
+        # names made a second 3-partition append silently clobber a
+        # 2-partition store's files — caught by the time-travel oracle).
+        self.token = uuid.uuid4().hex[:8]
         if not self.path:
             raise ValueError("lstore_log writer requires .option('path', dir)")
 
     def write(self, iterator) -> _SegStaged:
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
-        return _stage_partition(self.path, f"{pid:05d}", iterator)
+        return _stage_partition(self.path, f"{self.token}-{pid:05d}", iterator)
 
     def commit(self, messages) -> None:
         if self.overwrite:
@@ -500,6 +506,7 @@ class LstoreLogStreamWriter(DataSourceStreamWriter):
 class LstoreLogReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
+        self.version = options.get("version")  # time travel (manifest id)
         self._lo = None  # offset >= _lo (from pushed filters)
         self._hi = None  # offset <= _hi
         self._keys = None  # key ∈ _keys (conjunctive; None = unconstrained)
@@ -517,11 +524,28 @@ class LstoreLogReader(DataSourceReader):
                     or (self._hi is not None and lo > self._hi))
 
     def partitions(self):
-        files = sorted(
-            os.path.join(self.path, f)
-            for f in os.listdir(self.path)
-            if f.endswith(".seg")
-        )
+        if self.version is not None:
+            # time travel: the segment list comes from the pinned
+            # manifest, not the live directory — later-published
+            # segments are invisible, and a manifest segment missing
+            # from disk (vacuumed past its retention) fails LOUDLY
+            # rather than silently returning a subset.
+            names = manifest_segments(self.path, int(self.version))
+            files = []
+            for n in sorted(names):
+                p = os.path.join(self.path, n)
+                if not os.path.exists(p):
+                    raise FileNotFoundError(
+                        f"snapshot v{self.version} references {n}, which "
+                        f"no longer exists in {self.path} (expired by "
+                        "retention?)")
+                files.append(p)
+        else:
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".seg")
+            )
         return [InputPartition(f) for f in files if self._keep(f)]
 
     def read(self, partition):
@@ -900,6 +924,91 @@ def q_maint_vacuum_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert removed == {"staged": 2, "orphan_idx": 1}, removed
     back = segments_as_events(
         spark.read.format("lstore_log").option("path", seg_dir).load())
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"))
+
+
+# ------------------------------------------------------------ snapshots
+
+
+def snapshot_store(seg_dir: str) -> int:
+    """Publish a manifest snapshot of the store: ``manifest-v{N}.json``
+    listing every live ``*.seg`` (atomically, tmp+rename) — the
+    lakehouse snapshot-isolation pattern brought to the segment log.
+    Because segments are write-once (published by rename, never
+    appended after sealing), the NAME LIST alone pins an immutable
+    version: readers with ``option("version", N)`` see exactly this
+    set forever, concurrent appends land in later versions, and
+    retention that deletes a pinned segment turns into a loud
+    time-travel error, not silent row loss.  Returns the version id."""
+    import json
+    versions = [int(f[len("manifest-v"):-len(".json")])
+                for f in os.listdir(seg_dir)
+                if f.startswith("manifest-v") and f.endswith(".json")]
+    v = max(versions, default=0) + 1
+    segs = sorted(f for f in os.listdir(seg_dir) if f.endswith(".seg"))
+    p = os.path.join(seg_dir, f"manifest-v{v}.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": v, "segments": segs}, fh)
+    os.replace(tmp, p)
+    return v
+
+
+def manifest_segments(seg_dir: str, version: int) -> list[str]:
+    """Segment names pinned by manifest ``version`` (shape-validated
+    like segment_keys: a corrupt manifest raises rather than silently
+    narrowing the snapshot)."""
+    import json
+    p = os.path.join(seg_dir, f"manifest-v{version}.json")
+    with open(p) as fh:
+        doc = json.load(fh)
+    segs = doc.get("segments") if isinstance(doc, dict) else None
+    if not (isinstance(segs, list) and all(isinstance(s, str) for s in segs)):
+        raise ValueError(f"corrupt manifest {p}")
+    return segs
+
+
+@query(
+    "q_scan_log_time_travel",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events WHERE event_id < 500
+GROUP BY event_type
+""",
+)
+def q_scan_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated time travel on the segment store: publish the
+    first 500 events, snapshot (v1), append the REST of the table, then
+    read ``option("version", 1)`` — the oracle recomputes the <500
+    slice from parquet, so hash-green proves the pinned manifest shows
+    exactly the v1 rows and none of the later appends.
+
+    Scale: a manifest is O(#segments) names written once per snapshot —
+    the same metadata cost class as the streaming tail's planning; reads
+    at a version do zero extra I/O (the list replaces a listdir)."""
+    ev = load_table(spark, sf_dir, "events")
+    seg_dir = tempfile.mkdtemp(prefix="lstore_tt_")
+    register(spark)
+    (events_as_segment_rows(ev.filter(F.col("event_id") < 500))
+     .repartition(2, "offset")
+     .write.format("lstore_log").option("path", seg_dir)
+     .mode("append").save())
+    v1 = snapshot_store(seg_dir)
+    # later history: appended AFTER the snapshot, must stay invisible
+    # to v1 readers (different partition count → different file names,
+    # no collision with the v1 segments)
+    (events_as_segment_rows(ev.filter(F.col("event_id") >= 500))
+     .repartition(3, "offset")
+     .write.format("lstore_log").option("path", seg_dir)
+     .mode("append").save())
+    snapshot_store(seg_dir)
+    back = segments_as_events(
+        spark.read.format("lstore_log").option("path", seg_dir)
+        .option("version", str(v1)).load())
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("event_id").alias("min_id"),

@@ -642,3 +642,51 @@ def test_native_stream_writer_exactly_once_on_restart(spark, sf_dir, tmp_path):
     assert back.count() == ev.count()
     assert back.select("event_id").exceptAll(
         ev.select("event_id")).count() == 0
+
+
+def test_time_travel_pins_versions_and_fails_loudly_on_expiry(spark, sf_dir, tmp_path):
+    """Snapshot isolation: v1 readers see exactly v1's rows after later
+    appends; deleting a pinned segment (retention outrunning snapshot
+    retention) turns the v1 read into a LOUD error — never a silent
+    subset."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.sources.lstore_log import (events_as_segment_rows,
+                                                 manifest_segments,
+                                                 register,
+                                                 segments_as_events,
+                                                 snapshot_store)
+
+    register(spark)
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    ev = load_table(spark, sf_dir, "events")
+    (events_as_segment_rows(ev.filter(F.col("event_id") < 300))
+     .repartition(2, "offset").write.format("lstore_log")
+     .option("path", d).mode("append").save())
+    v1 = snapshot_store(d)
+    (events_as_segment_rows(
+        ev.filter((F.col("event_id") >= 300) & (F.col("event_id") < 600)))
+     .repartition(2, "offset").write.format("lstore_log")
+     .option("path", d).mode("append").save())
+    v2 = snapshot_store(d)
+
+    def at(v):
+        return segments_as_events(
+            spark.read.format("lstore_log").option("path", d)
+            .option("version", str(v)).load())
+
+    assert at(v1).count() == 300
+    assert at(v2).count() == 600
+    # expire one pinned segment → v1 read must raise, v2 likewise
+    victim = manifest_segments(d, v1)[0]
+    os.remove(os.path.join(d, victim))
+    with pytest.raises(Exception, match="no longer exists|FileNotFound"):
+        at(v1).count()
+    # live (unversioned) read keeps working on what remains
+    assert segments_as_events(
+        spark.read.format("lstore_log").option("path", d).load()).count() > 0
