@@ -132,3 +132,19 @@ def test_keys_catalog_current():
                                     re.MULTILINE))
     assert documented == set(registry.QUERIES), (
         "KEYS.md stale — run: python scripts/key_catalog.py")
+
+
+def test_plans_audit_current():
+    """PLANS.md is generated; regenerate (python scripts/plan_audit.py)
+    when the registry grows — same guard as KEYS.md."""
+    import os
+    import re
+
+    from lstore_spark import registry
+    registry.load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md")) as fh:
+        audited = set(re.findall(r"^\| (q_[a-z0-9_]+) \|", fh.read(),
+                                 re.MULTILINE))
+    assert audited == set(registry.QUERIES), (
+        "PLANS.md stale — run: python scripts/plan_audit.py")
