@@ -349,3 +349,17 @@ def test_hamming_bq_recall_vs_bruteforce(spark, sf_dir):
            for r in QUERIES["q_llm_sim_hamming_topk"](spark, sf_dir).collect()}
     recall = len(exact & ham) / max(len(exact), 1)
     assert recall >= 0.15, f"BQ recall {recall:.2f} below floor"
+
+
+def test_corpus_shard_balanced_and_stable(spark, sf_dir):
+    """Shard assignment must be (a) roughly balanced — no shard holding
+    more than 3× the mean at fixture scale — and (b) bit-stable across
+    recomputation (the retry-safety property sharding exists for)."""
+    a = QUERIES["q_llm_corpus_shard"](spark, sf_dir).collect()
+    b = QUERIES["q_llm_corpus_shard"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+    widths = Counter(r["shard"] for r in a)
+    mean = sum(widths.values()) / len(widths)
+    assert len(widths) == 16
+    assert max(widths.values()) <= 3 * mean

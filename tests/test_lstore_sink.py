@@ -690,3 +690,28 @@ def test_time_travel_pins_versions_and_fails_loudly_on_expiry(spark, sf_dir, tmp
     # live (unversioned) read keeps working on what remains
     assert segments_as_events(
         spark.read.format("lstore_log").option("path", d).load()).count() > 0
+
+
+def test_vacuum_age_gate_spares_inflight_staging(tmp_path):
+    """vacuum_store(min_age_s): staging files younger than the window
+    must survive (an in-flight job's stage files are indistinguishable
+    from orphans except by age), while old debris goes."""
+    import os
+    import time
+
+    from lstore_spark.sources.lstore_log import vacuum_store, write_segment
+
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    write_segment(os.path.join(d, "part-00000.seg"), [(1, [1], [b"k"])])
+    old = os.path.join(d, ".stage-old.seg.1")
+    young = os.path.join(d, ".stage-young.seg.2")
+    for p in (old, young):
+        with open(p, "w") as f:
+            f.write("x")
+    past = time.time() - 3600
+    os.utime(old, (past, past))
+    removed = vacuum_store(d, min_age_s=600)
+    assert removed == {"staged": 1, "orphan_idx": 0}
+    assert not os.path.exists(old) and os.path.exists(young)
+    assert os.path.exists(os.path.join(d, "part-00000.seg"))
