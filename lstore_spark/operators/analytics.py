@@ -938,7 +938,8 @@ def q_ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
            .otherwise(F.col("delta")))
     return (d.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_samples"),
-                 F.sum((F.col("delta") < 0).cast("int")).cast("long")
+                 F.sum(F.coalesce((F.col("delta") < 0).cast("int"),
+                                  F.lit(0))).cast("long")
                  .alias("n_resets"),
                  F.sum(inc).cast("long").alias("total_increase")))
 

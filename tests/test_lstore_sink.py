@@ -712,6 +712,168 @@ def test_vacuum_age_gate_spares_inflight_staging(tmp_path):
     past = time.time() - 3600
     os.utime(old, (past, past))
     removed = vacuum_store(d, min_age_s=600)
-    assert removed == {"staged": 1, "orphan_idx": 0}
+    assert removed == {"staged": 1, "orphan_idx": 0, "manifests": 0}
     assert not os.path.exists(old) and os.path.exists(young)
     assert os.path.exists(os.path.join(d, "part-00000.seg"))
+
+
+def test_vacuum_collects_manifest_temps_and_retires_old_manifests(tmp_path):
+    """ADVICE r6: snapshot_store's temps are ``manifest-….json.tmp`` —
+    suffix '.tmp', no trailing dash — and the old stage-debris test
+    never matched them, so crash-orphaned temps accumulated forever.
+    Also exercises the opt-in manifest retention knob."""
+    import os
+    import time
+
+    from lstore_spark.sources.lstore_log import (snapshot_store,
+                                                 vacuum_store,
+                                                 write_segment)
+
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    write_segment(os.path.join(d, "part-00000.seg"), [(1, [1], [b"k"])])
+    v1, v2, v3 = (snapshot_store(d) for _ in range(3))
+    orphan_tmp = os.path.join(d, "manifest-deadbeef.json.tmp")
+    with open(orphan_tmp, "w") as f:
+        f.write("{}")
+    past = time.time() - 3600
+    for f in os.listdir(d):
+        os.utime(os.path.join(d, f), (past, past))
+    # default: temps collected, manifests all kept
+    removed = vacuum_store(d, min_age_s=600)
+    assert removed["staged"] == 1 and removed["manifests"] == 0
+    assert not os.path.exists(orphan_tmp)
+    assert all(os.path.exists(os.path.join(d, f"manifest-v{v}.json"))
+               for v in (v1, v2, v3))
+    # keep_manifests=1: only the newest survives
+    removed = vacuum_store(d, min_age_s=0, keep_manifests=1)
+    assert removed["manifests"] == 2
+    assert os.path.exists(os.path.join(d, f"manifest-v{v3}.json"))
+    assert not os.path.exists(os.path.join(d, f"manifest-v{v1}.json"))
+
+
+def test_snapshot_publish_race_mints_distinct_versions(tmp_path):
+    """VERDICT r6 #1: concurrent snapshot publishers must never mint
+    the same version (the old max+1 → os.replace silently REDEFINED a
+    pinned snapshot).  Simulate the race by pre-creating the version
+    the publisher would claim first — os.link must lose loudly and the
+    publisher must retry onto the next id, leaving the existing
+    manifest byte-identical."""
+    import json
+    import os
+
+    from lstore_spark.sources.lstore_log import (manifest_segments,
+                                                 snapshot_store,
+                                                 write_segment)
+
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    write_segment(os.path.join(d, "part-00000.seg"), [(1, [1], [b"k"])])
+    v1 = snapshot_store(d)
+    # rival publisher claims v2 with a DIFFERENT pinned set
+    rival = os.path.join(d, f"manifest-v{v1 + 1}.json")
+    rival_doc = {"version": v1 + 1, "segments": ["part-rival.seg"]}
+    with open(rival, "w") as f:
+        json.dump(rival_doc, f)
+    write_segment(os.path.join(d, "part-00001.seg"), [(2, [2], [b"k"])])
+    v = snapshot_store(d)
+    assert v == v1 + 2  # lost the race on v1+1, retried onto the next id
+    with open(rival) as f:  # the rival's pinned set survives untouched
+        assert json.load(f) == rival_doc
+    assert sorted(manifest_segments(d, v)) == [
+        "part-00000.seg", "part-00001.seg"]
+    # concurrency smoke: hammer from threads, all versions distinct
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(8) as ex:
+        got = list(ex.map(lambda _: snapshot_store(d), range(16)))
+    assert len(set(got)) == 16
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+
+
+def _stage_msg(L, d, basename, final_name, off=1):
+    """Hand-stage a segment the way _stage_partition would (tmp seg +
+    tmp idx + final name), without needing a TaskContext."""
+    import json
+    import os
+
+    tmp_seg = os.path.join(d, f".stage-{basename}.seg.0")
+    tmp_idx = os.path.join(d, f".stage-{basename}.idx.0")
+    L.write_segment(tmp_seg, [(off, [off], [b"k"])])
+    # write_segment publishes its own sidecar next to the tmp name;
+    # the real stage path doesn't — drop it and stage the idx by hand
+    side = L._idx_path(tmp_seg)
+    if os.path.exists(side):
+        os.remove(side)
+    with open(tmp_idx, "w") as f:
+        json.dump({"keys": ["k"]}, f)
+    return L._SegStaged(tmp_seg=tmp_seg, tmp_idx=tmp_idx,
+                        final_seg=os.path.join(d, final_name))
+
+
+def test_overwrite_commit_publishes_before_delete(tmp_path, monkeypatch):
+    """ADVICE r6: overwrite must publish the new generation BEFORE
+    deleting the old — a driver crash during publish (simulated by a
+    raising _publish) must leave the old generation fully readable."""
+    import os
+
+    import pytest
+
+    import lstore_spark.sources.lstore_log as L
+
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    L.write_segment(os.path.join(d, "part-old.seg"), [(1, [1], [b"k"])])
+
+    def boom(messages):
+        raise RuntimeError("publish crashed")
+
+    w = L.LstoreLogWriter({"path": d}, overwrite=True)
+    msg = _stage_msg(L, d, f"{w.token}-00000", f"part-{w.token}-00000.seg")
+    monkeypatch.setattr(L, "_publish", boom)
+    with pytest.raises(RuntimeError, match="publish crashed"):
+        w.commit([msg])
+    assert os.path.exists(os.path.join(d, "part-old.seg"))  # old intact
+    monkeypatch.undo()
+    # successful commit: new generation in, old generation gone
+    w2 = L.LstoreLogWriter({"path": d}, overwrite=True)
+    msg2 = _stage_msg(L, d, f"{w2.token}-00000",
+                      f"part-{w2.token}-00000.seg", off=2)
+    w2.commit([msg2])
+    assert not os.path.exists(os.path.join(d, "part-old.seg"))
+    assert os.path.exists(os.path.join(d, f"part-{w2.token}-00000.seg"))
+
+
+def test_stream_replay_with_fewer_partitions_drops_stale_segments(tmp_path):
+    """ADVICE r6: a replayed micro-batch that plans FEWER partitions
+    than the original attempt (changed shuffle config across restart)
+    must not leave the extra part-<batch>-* segments from attempt one
+    on disk — that is duplicate data no rename ever overwrites."""
+    import os
+
+    import lstore_spark.sources.lstore_log as L
+
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    w = L.LstoreLogStreamWriter({"path": d})
+    # attempt 1 of batch 7: three partitions
+    msgs1 = [_stage_msg(L, d, f"b-{i:05d}", f"part-b-{i:05d}.seg", off=i)
+             for i in range(3)]
+    w.commit(msgs1, batchId=7)
+    assert len([f for f in os.listdir(d) if f.endswith(".seg")]) == 3
+    # replay of batch 7 after restart: ONE partition
+    w2 = L.LstoreLogStreamWriter({"path": d})
+    msgs2 = [_stage_msg(L, d, "b-00000", "part-b-00000.seg", off=9)]
+    w2.commit(msgs2, batchId=7)
+    segs = sorted(f for f in os.listdir(d) if f.endswith(".seg"))
+    assert segs == ["part-000007-b-00000.seg"]  # stale partitions purged
+    idxs = sorted(f for f in os.listdir(d) if f.endswith(".idx"))
+    assert idxs == ["part-000007-b-00000.idx"]
+    # a NEIGHBOR batch's segments are untouched by batch 7's replay
+    w3 = L.LstoreLogStreamWriter({"path": d})
+    w3.commit([_stage_msg(L, d, "b-00000", "part-b-00000.seg", off=11)],
+              batchId=8)
+    w4 = L.LstoreLogStreamWriter({"path": d})
+    w4.commit([_stage_msg(L, d, "b-00000", "part-b-00000.seg", off=12)],
+              batchId=7)
+    segs = sorted(f for f in os.listdir(d) if f.endswith(".seg"))
+    assert segs == ["part-000007-b-00000.seg", "part-000008-b-00000.seg"]

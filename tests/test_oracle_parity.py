@@ -55,3 +55,40 @@ def test_uncast_hugeint_oracle_fails(spark, duck):
                        "CAST(SUM(y) OVER (ORDER BY x) AS BIGINT)")
     res2 = compare("cast_hugeint_probe", sdf, duck, good)
     assert res2.ok, res2.detail
+
+
+def test_counter_rate_single_sample_group(spark, tmp_path):
+    """ADVICE r6: a user with exactly ONE event has delta = NULL for
+    its only row — n_resets must come out 0 (as the oracle's CASE WHEN
+    does), not NULL (as a bare SUM over an all-NULL group would).  The
+    shipped fixtures happen to give every user ≥2 events, so hash
+    parity only holds on other data if the NULL guard is real."""
+    import datetime as dt
+
+    import duckdb
+
+    from lstore_spark.registry import ORACLE, QUERIES
+    from tests.oracle_check import compare
+
+    rows = [
+        # user 1: one event — the degenerate group under test
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "view", 1.0, "{}"),
+        # user 2: three events incl. a counter reset
+        (2, dt.datetime(2024, 1, 1, 0, 0, 1), 2, "view", 1.0, "{}"),
+        (97, dt.datetime(2024, 1, 1, 0, 0, 2), 2, "view", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 0, 0, 3), 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW events AS SELECT * "
+                 f"FROM '{tmp_path}/events.parquet/*.parquet'")
+    res = compare("q_ts_counter_rate",
+                  QUERIES["q_ts_counter_rate"](spark, str(tmp_path)),
+                  duck, ORACLE["q_ts_counter_rate"])
+    assert res.ok, res.detail
+    out = {r.user_id: r for r in
+           QUERIES["q_ts_counter_rate"](spark, str(tmp_path)).collect()}
+    assert out[1].n_resets == 0 and out[1].n_samples == 1
