@@ -887,6 +887,76 @@ _SUBSTR_W = 8  # rolling-window width in tokens (Lee et al. use 50 BPE
 # exercising the identical plan shape)
 
 
+def _span_windows(w: int):
+    """Rolling w-token windows of a tokenized doc (column expr over
+    ``ts``): ≤ L−w+1 spans per doc, empty for docs shorter than w."""
+    return F.expr(f"""
+        if(size(ts) >= {w},
+           transform(sequence(1, size(ts) - {w - 1}),
+                     i -> array_join(slice(ts, i, {w}), ' ')),
+           array())""")
+
+
+def substring_dedup(docs: DataFrame, w: int = 50,
+                    hashed_keys: bool = True,
+                    broadcast_survivors: bool = True) -> DataFrame:
+    """Cross-document repeated-span detection (Lee et al. 2022) with the
+    production parameters: ``w`` is the window width in tokens (their
+    paper uses 50 BPE tokens; the oracle exhibit key fixes 8 for the
+    short fixtures), and ``hashed_keys=True`` runs the 100 TB shuffle
+    shape — two passes over the corpus:
+
+      pass 1  emit (unhex(md5(span)), doc_id) only — the 16-byte binary
+              hash replaces the ~w·6-byte raw span in every shuffle row
+              (~3× narrower at w=8, ~19× at w=50 on ~5-char tokens) —
+              and aggregate doc/occurrence counts per hash with
+              map-side partials; spans seen in >1 doc survive.
+      pass 2  re-scan and re-derive the TEXT from a surviving
+              occurrence: the (typically tiny) survivor counts broadcast
+              against the re-emitted span stream, so the only wide rows
+              that ever shuffle are the survivors' (min-span per hash —
+              deterministic, and within a hash all spans are equal text
+              anyway modulo md5 collision ≈ 2⁻¹²⁸·pairs).
+
+    ``broadcast_survivors=False`` drops the broadcast hint for corpora
+    where even the survivor set outgrows executor memory — AQE then
+    plans a shuffle join keyed on the same 16-byte hash.
+
+    When to use which (measured, BASELINE.md r7): the two-pass shape
+    pays a second corpus scan to keep text out of the count shuffle, so
+    it wins when the survivor fraction is small — the realistic web
+    corpus case (Lee et al. report ~1–5% duplicated spans) — and LOSES
+    when most spans survive (the adversarial 100×-replicated fixture,
+    where every span has 99 twins, measures hashed 107 s vs raw 55 s:
+    pass 2 degenerates into re-doing pass 1 with text attached).  A
+    pipeline that expects heavy duplication should run the raw-keyed
+    single pass; ``hashed_keys=True`` is the default because real
+    corpora sit in the sparse-survivor regime.
+
+    Output matches the raw-keyed shape exactly: (span, n_docs, n_occ)
+    with n_docs > 1 — equivalence is pytest-asserted on the fixtures."""
+    occ = (docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
+           .select("doc_id", F.explode(_span_windows(w)).alias("span")))
+    if not hashed_keys:
+        return (occ.groupBy("span")
+                .agg(F.count_distinct("doc_id").alias("n_docs"),
+                     F.count(F.lit(1)).alias("n_occ"))
+                .filter(F.col("n_docs") > 1))
+    h16 = F.unhex(F.md5("span")).alias("h")
+    counts = (occ.select(h16, "doc_id")
+              .groupBy("h")
+              .agg(F.count_distinct("doc_id").alias("n_docs"),
+                   F.count(F.lit(1)).alias("n_occ"))
+              .filter(F.col("n_docs") > 1))
+    if broadcast_survivors:
+        counts = F.broadcast(counts)
+    return (occ.select(h16, "span")
+            .join(counts, "h")
+            .groupBy("h", "n_docs", "n_occ")
+            .agg(F.min("span").alias("span"))
+            .select("span", "n_docs", "n_occ"))
+
+
 @query(
     "q_llm_dedup_substring",
     oracle=f"""
@@ -914,22 +984,12 @@ def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one bounded explode (≤ L−w+1 windows per doc) and ONE shuffle
     keyed on the span; the distinct-doc count partial-aggregates
-    map-side.  At 100 TB you key the shuffle on a 16-byte span hash
-    instead of the raw string (~6× narrower shuffle rows) and re-derive
-    the text from any surviving occurrence; the raw span is kept here so
-    the DuckDB oracle certifies values, not just counts."""
+    map-side.  The raw span is kept as the shuffle key HERE so the
+    DuckDB oracle certifies values, not just counts; the production
+    shape — ``substring_dedup(docs, w=50, hashed_keys=True)`` — keys
+    the shuffle on a 16-byte md5 instead and re-derives the text from a
+    surviving occurrence in a second pass (output-equivalence is
+    pytest-asserted, and the w=50 hashed shape carries its own 100×
+    growth-curve entry in BASELINE.md)."""
     docs = load_table(spark, sf_dir, "documents")
-    w = _SUBSTR_W
-    spans = F.expr(f"""
-        if(size(ts) >= {w},
-           transform(sequence(1, size(ts) - {w - 1}),
-                     i -> array_join(slice(ts, i, {w}), ' ')),
-           array())""")
-    return (
-        docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
-        .select("doc_id", F.explode(spans).alias("span"))
-        .groupBy("span")
-        .agg(F.count_distinct("doc_id").alias("n_docs"),
-             F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_docs") > 1)
-    )
+    return substring_dedup(docs, w=_SUBSTR_W, hashed_keys=False)

@@ -70,6 +70,8 @@ KEYS = [
     "q_evt_rfm",
     "q_llm_pipeline_e2e",
     "q_llm_sim_hamming_topk",
+    # round-7: the Lee-et-al production shape (w=50, 16-byte span keys)
+    "substring_w50_hashed",
 ]
 
 
@@ -91,8 +93,19 @@ def _semantic_adaptive(spark, sf_dir):
                           max_cluster_width=1024)
 
 
+def _substring_production(spark, sf_dir):
+    """q_llm_dedup_substring's production parameters: 50-token windows
+    keyed by 16-byte md5 in the counting shuffle, span text re-derived
+    from surviving occurrences (VERDICT r6 #5 — previously prose)."""
+    from lstore_spark.catalog import load_table
+    from lstore_spark.llm.dedup import substring_dedup
+    return substring_dedup(load_table(spark, sf_dir, "documents"),
+                           w=50, hashed_keys=True)
+
+
 # key → callable(spark, sf_dir) overriding QUERIES[key] for this sweep
-OVERRIDES = {"q_llm_dedup_semantic": _semantic_adaptive}
+OVERRIDES = {"q_llm_dedup_semantic": _semantic_adaptive,
+             "substring_w50_hashed": _substring_production}
 
 # Keys whose OUTPUT row count scales with input (pair/doc-grain results):
 # report rows so output-driven growth is distinguishable from plan bugs.
@@ -102,7 +115,8 @@ COUNT_ROWS = {"q_llm_dedup_minhash", "q_llm_dedup_clusters_portable",
 
 def run_once(spark, key: str, sf_dir: str) -> tuple[float, int | None]:
     t0 = time.perf_counter()
-    df = OVERRIDES.get(key, QUERIES[key])(spark, sf_dir)
+    fn = OVERRIDES[key] if key in OVERRIDES else QUERIES[key]
+    df = fn(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
     wall = time.perf_counter() - t0
     rows = df.count() if key in COUNT_ROWS else None

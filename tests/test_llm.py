@@ -363,3 +363,41 @@ def test_corpus_shard_balanced_and_stable(spark, sf_dir):
     mean = sum(widths.values()) / len(widths)
     assert len(widths) == 16
     assert max(widths.values()) <= 3 * mean
+
+
+def test_substring_dedup_hashed_keys_equal_raw(spark, sf_dir):
+    """VERDICT r6 #5: the production hashed-span-key shape must produce
+    the exact output of the raw-string-keyed oracle exhibit, at both
+    the fixture width (8) and the Lee-et-al production width (50), and
+    regardless of the broadcast-vs-shuffle survivor join."""
+    from lstore_spark.catalog import load_table
+    from lstore_spark.llm.dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    by_w = {}
+    for w in (8, 50):
+        raw = substring_dedup(docs, w=w, hashed_keys=False)
+        hashed = substring_dedup(docs, w=w, hashed_keys=True)
+        a = sorted(map(tuple, raw.collect()))
+        by_w[w] = sorted(map(tuple, hashed.collect()))
+        assert a == by_w[w], f"w={w}: hashed-key output diverges from raw"
+        assert len(a) > 0, f"w={w}: no duplicated spans in fixture"
+    smj = substring_dedup(docs, w=8, hashed_keys=True,
+                          broadcast_survivors=False)
+    assert sorted(map(tuple, smj.collect())) == by_w[8]
+
+
+def test_substring_dedup_pass1_shuffles_no_text(spark, sf_dir):
+    """The point of the hashed shape: no raw span string may appear in
+    pass 1's exchange — only the 16-byte hash and doc_id go over the
+    wire; span text is confined to the survivor-joined second pass."""
+    from lstore_spark.catalog import load_table
+    from lstore_spark.llm.dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = substring_dedup(docs, w=50, hashed_keys=True)._jdf \
+        .queryExecution().executedPlan().toString()
+    # the count aggregate must be keyed on the md5, not the span
+    agg_lines = [ln for ln in plan.splitlines()
+                 if "count(distinct doc_id" in ln]
+    assert agg_lines and all("span" not in ln for ln in agg_lines), plan
