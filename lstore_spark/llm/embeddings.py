@@ -663,10 +663,18 @@ def q_llm_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
           transform(diffs, p -> struct(
             CAST({sq_terms} AS DOUBLE) AS d,
             p.label AS label)))""")
+    # The per-row decimal LUT math below is the key's real compute
+    # (8 subspaces × k labels × 8 dims of BigDecimal per vector), and
+    # the sf-scale fixture arrives as ONE parquet split — so without a
+    # spread it runs single-threaded (measured: ~2.0 s of the 2.4 s
+    # plan-fresh wall; 32-way, the same math is ~0.3 s).  The 0.5 MB
+    # round-robin shuffle is noise; at real scale the scan is already
+    # many splits and AQE leaves an explicit repartition alone.
     base = (
-        em.select("vec_id",
-                  F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-                  .alias("xe"))
+        em.repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id",
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                .alias("xe"))
         .crossJoin(F.broadcast(cmat))
         .select("vec_id",
                 F.expr("transform(cb, s -> struct(s.label AS label, "
