@@ -48,6 +48,7 @@ HEADLINE = [
     "q_llm_sim_cosine_topk",
     "q_llm_emb_pq_adc",
     "q_llm_dedup_substring",  # added r6: span-keyed shuffle (Lee-et-al dedup)
+    "q_llm_dedup_semantic",   # added r7: SemDeDup flagship (VERDICT r6 #1)
 ]
 
 
