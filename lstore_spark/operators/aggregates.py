@@ -439,3 +439,86 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("n_occurrences") * 1.0 / F.col("t"), 6)
                 .alias("support"))
     )
+
+
+_CMS_W = 4096          # buckets per depth row (power of two)
+_CMS_SEEDS = (101, 102, 103, 104)   # depth = 4 independent hash rows
+
+
+def cms_sketch(df: DataFrame, key: str) -> DataFrame:
+    """ONE-row DataFrame holding a count-min sketch of ``df[key]`` as a
+    flat DENSE array<long> (depth d at offset d·W — GetArrayItem O(1),
+    never map<k,v>: element_at on a map is a linear scan).  Each depth
+    row counts occurrences in pmod(xxhash64(key, seed), W) buckets; the
+    (depth, bucket) aggregate partial-combines map-side, so the sketch
+    costs one ≤ d·W-row shuffle regardless of input size — the same
+    bounded-build argument as bloom_bitmap."""
+    spark = df.sparkSession
+    w = _CMS_W
+    pos = df.select(F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(w))
+        + F.lit(d * w)
+        for d, s in enumerate(_CMS_SEEDS)])).alias("slot"))
+    counts = pos.groupBy("slot").agg(F.count(F.lit(1)).alias("n"))
+    dense = (spark.range(len(_CMS_SEEDS) * w).withColumnRenamed("id", "slot")
+             .join(counts, "slot", "left")
+             .select("slot", F.coalesce("n", F.lit(0)).alias("n")))
+    return dense.agg(F.expr(
+        "transform(array_sort(collect_list(struct(slot, n))), "
+        "s -> s.n)").alias("cms"))
+
+
+def cms_estimate(key: str) -> "F.Column":
+    """Point-estimate expression over a broadcast ``cms`` column: the
+    min across depth rows — an OVERestimate of the true count (counts
+    only ever add), which is exactly the property the prune below needs
+    (candidates are a superset; no heavy hitter can be missed)."""
+    w = _CMS_W
+    terms = ", ".join(
+        f"cms[CAST(pmod(xxhash64({key}, {s}), {w}) + {d * w} AS INT)]"
+        for d, s in enumerate(_CMS_SEEDS))
+    return F.expr(f"least({terms})")
+
+
+@query(
+    "q_agg_heavy_hitters_cms",
+    oracle="""
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+t AS (SELECT SUM(n_events) AS total, COUNT(*) AS users FROM c)
+SELECT user_id, n_events
+FROM c, t
+WHERE n_events * users * 100 >= 115 * total
+""",
+)
+def q_agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by SKETCH PRUNING — the streaming-sketch scale
+    path q_agg_heavy_hitters' docstring points at, done the way sketches
+    are actually safe in an exact engine (the q_join_bloom_prune
+    pattern): a count-min sketch over user_id (one bounded d·W-row
+    shuffle + a ~128 KiB broadcast) filters the stream to users whose
+    CMS estimate clears the threshold — a guaranteed SUPERSET of the
+    true heavy hitters, since CMS only overestimates — and the exact
+    groupBy then runs on the surviving rows only.  Answers stay exact
+    (hash-grade vs the plain GROUP BY...HAVING oracle); the full-key
+    shuffle at 100 TB shrinks to the candidates' rows.
+
+    Threshold = 1.15× the mean per-user count, compared in pure int64
+    (n·users·100 ≥ 115·total) so no float boundary can flake between
+    engines.  The distinct-user count that defines the fixture's
+    threshold is itself one distinct-shuffle — production callers pass
+    an absolute threshold and skip it (see cms_sketch/cms_estimate)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sketch = cms_sketch(ev, "user_id").localCheckpoint()
+    totals = ev.agg(F.count(F.lit(1)).alias("total"),
+                    F.count_distinct("user_id").alias("users"))
+    cand = (ev.crossJoin(F.broadcast(sketch))
+            .crossJoin(F.broadcast(totals))
+            .filter(cms_estimate("user_id") * F.col("users") * 100
+                    >= 115 * F.col("total")))
+    return (cand.groupBy("user_id", "total", "users")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .filter(F.col("n_events") * F.col("users") * 100
+                    >= 115 * F.col("total"))
+            .select("user_id", "n_events"))

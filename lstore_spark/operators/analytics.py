@@ -171,6 +171,105 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_tpch_q5_local_supplier",
+    oracle=f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-way join — region→nation
+    prune the dimension side, customer and supplier must share a nation
+    (the "local" condition, expressed as an extra equi key on the
+    supplier join so Catalyst keeps it in the hash join, not a filter
+    above a wider join).  Plan: all four dimension relations broadcast
+    (region/nation tiny, customer/supplier bounded); the only shuffle
+    is lineitem⋈orders on orderkey + the 2-phase nation rollup —
+    exactly the 100 TB shape, where lineitem dominates and everything
+    else rides along broadcast."""
+    yr_lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    yr_hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    re = (load_table(spark, sf_dir, "region")
+          .filter(F.col("r_name") == "ASIA"))
+    na = (load_table(spark, sf_dir, "nation")
+          .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"),
+                "left_semi"))
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    od = (load_table(spark, sf_dir, "orders")
+          .filter((F.col("o_orderdate") >= yr_lo)
+                  & (F.col("o_orderdate") < yr_hi)))
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), (li.l_suppkey == su.s_suppkey)
+              & (cu.c_nationkey == su.s_nationkey))
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(rev, "revenue"))
+    )
+
+
+@query(
+    "q_tpch_q10_returns",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): one quarter of orders,
+    lineitems restricted to returns, revenue rolled up per customer and
+    re-decorated with nation.  Plan: quarter filter prunes orders before
+    the join; l_returnflag pushes to the lineitem scan; customer/nation
+    broadcast; TakeOrdered caps the result at 20 with a total
+    (revenue DESC, c_custkey) order so the limit is deterministic."""
+    q_lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    q_hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    od = (load_table(spark, sf_dir, "orders")
+          .filter((F.col("o_orderdate") >= q_lo)
+                  & (F.col("o_orderdate") < q_hi)))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev, "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 # ------------------------------------------------- event-log analytics (REF)
 
 

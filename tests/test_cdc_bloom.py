@@ -100,3 +100,34 @@ def test_hierarchical_assignment_broadcast_only(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_cms_prune_is_superset_and_prunes(spark, sf_dir):
+    """The CMS candidate set must contain EVERY true heavy hitter (CMS
+    only overestimates — a miss would be silent row loss) while pruning
+    most of the key space (the point of the sketch).  Also pins the
+    128 KiB sketch shape: flat dense array of d·W longs."""
+    from pyspark.sql import functions as F
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.operators.aggregates import (_CMS_SEEDS, _CMS_W,
+                                                   cms_estimate, cms_sketch)
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sk = cms_sketch(ev, "user_id")
+    row = sk.first()
+    assert len(row.cms) == len(_CMS_SEEDS) * _CMS_W
+    true = {r.user_id: r.n for r in
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {r.user_id: r.est for r in
+           (ev.distinct().crossJoin(F.broadcast(sk))
+            .select("user_id", cms_estimate("user_id").alias("est"))
+            .collect())}
+    # superset property: estimate >= true count for EVERY key
+    assert all(est[u] >= n for u, n in true.items())
+    # with W >> distinct keys the estimates should be near-exact,
+    # so a threshold prune keeps ~the true heavy set, not everything
+    thr = 1.15 * sum(true.values()) / len(true)
+    n_cand = sum(1 for u in true if est[u] >= thr)
+    n_true = sum(1 for n in true.values() if n >= thr)
+    assert n_true <= n_cand <= max(2 * n_true, n_true + 5)
