@@ -746,13 +746,26 @@ def semantic_dedup(em: DataFrame, n_clusters: int,
                 .filter(F.col("cw") > max_cluster_width)
                 .select("cluster").localCheckpoint())
         pairs_src = v.join(F.broadcast(wide), "cluster", "left_anti")
+    # Low-k salt (the k < cores regime): the pair join's key has only
+    # n_clusters distinct values, so at the oracle-twin's fixed k=8 the
+    # shuffle lands on 8 reduce tasks no matter how many cores exist.
+    # Salting id_a into S sub-keys and replicating the b side S× gives
+    # k·S-way parallelism at the cost of an S× replica of the (already
+    # cluster-bounded) b rows in the shuffle — each (id_a, id_b) pair
+    # still meets exactly once, at salt = id_a % S, so the result is
+    # identical.  Production k ∝ n makes the salt unnecessary (and its
+    # replication unwelcome), so it engages only when k is small.
+    psalt = 8 if n_clusters < 32 else 1
     a = pairs_src.select("cluster", F.col("vec_id").alias("id_a"),
                          F.col("embedding").alias("a_emb"),
-                         F.col("_n").alias("na"))
-    b = pairs_src.select("cluster", F.col("vec_id").alias("id_b"),
-                         F.col("embedding").alias("b_emb"),
-                         F.col("_n").alias("nb"))
-    dup = (a.join(b, "cluster")
+                         F.col("_n").alias("na"),
+                         F.pmod(F.col("vec_id"), F.lit(psalt)).alias("psalt"))
+    b = (pairs_src.select("cluster", F.col("vec_id").alias("id_b"),
+                          F.col("embedding").alias("b_emb"),
+                          F.col("_n").alias("nb"))
+         .withColumn("psalt", F.explode(F.sequence(F.lit(0),
+                                                   F.lit(psalt - 1)))))
+    dup = (a.join(b, ["cluster", "psalt"])
            .filter(F.col("id_a") < F.col("id_b"))
            .filter(cosine_with_norms("a_emb", "b_emb", "na", "nb") >= tau)
            .select(F.col("id_b").alias("vec_id"))

@@ -9,7 +9,7 @@ the shuffle carries one row per (partition, group), not per input row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -522,3 +522,68 @@ def q_agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_events") * F.col("users") * 100
                     >= 115 * F.col("total"))
             .select("user_id", "n_events"))
+
+
+@query(
+    "q_agg_quantile_sketch",
+    oracle="""
+WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
+                  COUNT(value) AS n FROM events),
+h AS (
+  SELECT LEAST(CAST(FLOOR((value - lo) / (hi - lo) * 256) AS INT), 255)
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM events, b WHERE value IS NOT NULL
+  GROUP BY 1
+),
+c AS (
+  SELECT bucket, cnt,
+         SUM(cnt) OVER (ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+)
+SELECT q, ROUND(lo + (bucket + 0.5) * (hi - lo) / 256.0, 6) AS est,
+       n AS n_values
+FROM c, b, (SELECT UNNEST([0.5, 0.9, 0.99]) AS q)
+WHERE cum >= q * n AND cum - cnt < q * n
+""",
+)
+def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation by fixed-width histogram sketch — the
+    mergeable-summary scale path next to the exact q_agg_percentiles:
+    one pass builds 256 integer bucket counts (map-side combined, the
+    shuffle is ≤256 rows regardless of input size), and any quantile
+    reads off the cumulative histogram with mid-bucket interpolation.
+    Unlike t-digest/GK the sketch is DETERMINISTIC and portable, so the
+    estimate itself is hash-checkable cross-engine; accuracy is bounded
+    by the bucket width (≤ range/512 mid-bucket error — asserted vs the
+    exact percentile in tests).  At 100 TB: histogram merging is
+    associative (the partial agg IS the merge), the bounds scan and the
+    bucket scan are two passes, and the final quantile step touches 256
+    rows — no full sort, no full shuffle, which is the entire point
+    versus exact percentile_approx-style machinery."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
+                    F.count("value").alias("n"))
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(F.least(
+            F.floor((F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo")) * 256).cast("int"),
+            F.lit(255)).alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bucket", "cnt", F.sum("cnt").over(w).alias("cum"))
+    qs = F.explode(F.array(*[F.lit(x) for x in (0.5, 0.9, 0.99)])).alias("q")
+    return (
+        cum.crossJoin(F.broadcast(bounds))
+        .select("bucket", "cnt", "cum", "lo", "hi", "n", qs)
+        .filter((F.col("cum") >= F.col("q") * F.col("n"))
+                & (F.col("cum") - F.col("cnt") < F.col("q") * F.col("n")))
+        .select("q",
+                F.round(F.col("lo") + (F.col("bucket") + 0.5)
+                        * (F.col("hi") - F.col("lo")) / 256.0, 6).alias("est"),
+                F.col("n").alias("n_values"))
+    )

@@ -401,3 +401,25 @@ def test_substring_dedup_pass1_shuffles_no_text(spark, sf_dir):
     agg_lines = [ln for ln in plan.splitlines()
                  if "count(distinct doc_id" in ln]
     assert agg_lines and all("span" not in ln for ln in agg_lines), plan
+
+
+def test_quantile_sketch_error_bounded_by_bucket_width(spark, sf_dir):
+    """The histogram sketch's estimate must sit within one bucket width
+    of the exact quantile (mid-bucket interpolation error ≤ range/256;
+    allow exactly that bound) — the deterministic analog of a t-digest
+    accuracy test."""
+    from pyspark.sql import functions as F
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.registry import QUERIES
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    width = (hi - lo) / 256.0
+    exact = ev.agg(*[
+        F.expr(f"percentile(value, {q})").alias(f"p{int(q * 100)}")
+        for q in (0.5, 0.9, 0.99)]).first()
+    got = {round(r.q, 2): r.est for r in
+           QUERIES["q_agg_quantile_sketch"](spark, sf_dir).collect()}
+    for q, ex in [(0.5, exact.p50), (0.9, exact.p90), (0.99, exact.p99)]:
+        assert abs(got[q] - ex) <= width, (q, got[q], ex, width)
