@@ -417,3 +417,51 @@ def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="lstore_spark_text_")
     docs.write.mode("overwrite").text(out)
     return spark.read.text(out)
+
+
+@query(
+    "q_source_dpp_join",
+    oracle="""
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+t AS (SELECT SUM(n) AS total, COUNT(*) AS nd FROM c),
+hot AS (SELECT d FROM c, t WHERE n * nd * 20 >= 21 * total)
+SELECT event_type, COUNT(*) AS n_events,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM (SELECT CAST(ts AS DATE) AS d, event_type, event_id FROM events) e
+JOIN hot USING (d)
+GROUP BY event_type
+""",
+)
+def q_source_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    partitioned-by-day and the days of interest are only known at RUN
+    time — they come out of a join against a filtered aggregate
+    (busiest purchase days, threshold in pure int64 so both engines
+    agree).  Catalyst turns the broadcast side into a
+    ``dynamicpruning`` subquery ON THE FACT SCAN, so only the hot days'
+    directories are read at all — the join-driven twin of
+    q_source_partition_prune's static pruning, and the mechanism that
+    makes "join a 100 TB date-partitioned log against this quarter's
+    dim slice" read the quarter, not the century.  The plan shape is
+    asserted in tests/test_plans.py; the oracle recomputes from the
+    unpartitioned table, proving write→DPP-join→read end-to-end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").cast("date").alias("d"))
+    out = tempfile.mkdtemp(prefix="lstore_spark_dpp_")
+    ev.repartition("d").write.mode("overwrite").partitionBy("d").parquet(out)
+    fact = spark.read.parquet(out)
+    daily = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("d").agg(F.count(F.lit(1)).alias("n")))
+    tot = daily.agg(F.sum("n").alias("total"),
+                    F.count(F.lit(1)).alias("nd"))
+    hot = (daily.crossJoin(F.broadcast(tot))
+           .filter(F.col("n") * F.col("nd") * 20 >= 21 * F.col("total"))
+           .select("d"))
+    return (fact.join(F.broadcast(hot), "d")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id")))

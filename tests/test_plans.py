@@ -381,3 +381,14 @@ def test_round6_single_exchange_shapes(spark, sf_dir, key, max_exchanges):
     p = _plan(spark, sf_dir, key)
     assert p.count("Exchange") <= max_exchanges, p
     assert "CartesianProduct" not in p
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    """q_source_dpp_join's fact scan must carry a dynamic-pruning
+    subquery on the partition column — runtime directory pruning driven
+    by the broadcast dim, not a full scan filtered above."""
+    from lstore_spark.registry import QUERIES
+
+    df = QUERIES["q_source_dpp_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
