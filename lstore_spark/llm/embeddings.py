@@ -761,3 +761,68 @@ def q_llm_emb_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = F.expr("CAST(size(filter(xe, v -> v > 0)) AS BIGINT)")
     return xe.select("vec_id", w1.alias("w1"), w2.alias("w2"),
                      nb.alias("n_bits"))
+
+
+@query(
+    "q_llm_emb_matryoshka",
+    oracle="""
+WITH vx AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+head AS (SELECT vec_id, i, v FROM vx WHERE i <= 16),
+nrm AS (
+  SELECT vec_id,
+         sqrt(CAST(CAST(SUM(CAST(v * v AS DECIMAL(30,8))) AS VARCHAR)
+                   AS DOUBLE)) AS n
+  FROM head GROUP BY vec_id
+)
+SELECT h.vec_id,
+       ROUND(SUM(CASE WHEN i = 1 THEN v END) / ANY_VALUE(n), 6) AS x0,
+       ROUND(SUM(CASE WHEN i = 16 THEN v END) / ANY_VALUE(n), 6) AS x15,
+       ROUND(ANY_VALUE(n), 6) AS head_norm,
+       COUNT(*) AS dims
+FROM head h JOIN nrm USING (vec_id)
+GROUP BY h.vec_id
+""",
+)
+def q_llm_emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. 2022, arXiv 2205.13147):
+    keep the first 16 of 64 dimensions and re-normalize to unit length —
+    the standard cheap-first-pass representation for MRL-trained
+    embeddings (4× less storage/bandwidth; rank with the head, re-score
+    survivors with the full vector).  Exposed hash-grade via the first
+    and last head components + the head norm (the full truncated array
+    is deterministic the same way; projecting scalars keeps the oracle's
+    column comparison exact).  Norm discipline: Σv² accumulates in exact
+    decimal (order-independent), sqrt is one correctly-rounded libm call
+    in both engines, ROUND(...,6) seals the per-row doubles.
+
+    Scale: a pure projection — no shuffle, no UDF; the truncation
+    happens inside whole-stage codegen at scan speed, which is the whole
+    argument for Matryoshka at 100 TB (re-embedding costs a GPU fleet;
+    slicing costs a scan)."""
+    from ..catalog import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    head = F.expr("transform(slice(embedding, 1, 16), "
+                  "x -> CAST(x AS DOUBLE))")
+    return (em.select("vec_id", head.alias("h"))
+            .select(
+                "vec_id", "h",
+                # Σv² in exact decimal WITHOUT a HOF accumulator (a decimal
+                # accumulator can't type-check — precision grows per add
+                # and the 38 cap sheds scale; same trap the PQ LUT hit):
+                # two unrolled 8-term chunks peak at (37,8), each cast
+                # back to (30,8) exactly (values ≤ 8), then one add.
+                F.sqrt(F.expr(
+                    "CAST(CAST(CAST(h[0] * h[0] AS DECIMAL(30,8)) + CAST(h[1] * h[1] AS DECIMAL(30,8)) + CAST(h[2] * h[2] AS DECIMAL(30,8)) + CAST(h[3] * h[3] AS DECIMAL(30,8)) + CAST(h[4] * h[4] AS DECIMAL(30,8)) + CAST(h[5] * h[5] AS DECIMAL(30,8)) + CAST(h[6] * h[6] AS DECIMAL(30,8)) + CAST(h[7] * h[7] AS DECIMAL(30,8)) AS DECIMAL(30,8)) "
+                    "+ CAST(CAST(h[8] * h[8] AS DECIMAL(30,8)) + CAST(h[9] * h[9] AS DECIMAL(30,8)) + CAST(h[10] * h[10] AS DECIMAL(30,8)) + CAST(h[11] * h[11] AS DECIMAL(30,8)) + CAST(h[12] * h[12] AS DECIMAL(30,8)) + CAST(h[13] * h[13] AS DECIMAL(30,8)) + CAST(h[14] * h[14] AS DECIMAL(30,8)) + CAST(h[15] * h[15] AS DECIMAL(30,8)) AS DECIMAL(30,8)) "
+                    "AS DOUBLE)")).alias("n"))
+            .select(
+                "vec_id",
+                F.round(F.expr("h[0]") / F.col("n"), 6).alias("x0"),
+                F.round(F.expr("h[15]") / F.col("n"), 6).alias("x15"),
+                F.round("n", 6).alias("head_norm"),
+                F.lit(16).cast("long").alias("dims")))
