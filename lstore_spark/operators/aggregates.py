@@ -484,7 +484,8 @@ def cms_estimate(key: str) -> "F.Column":
     "q_agg_heavy_hitters_cms",
     oracle="""
 WITH c AS (
-  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+  SELECT user_id, COUNT(*) AS n_events FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
 ),
 t AS (SELECT SUM(n_events) AS total, COUNT(*) AS users FROM c)
 SELECT user_id, n_events
@@ -508,8 +509,14 @@ def q_agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n·users·100 ≥ 115·total) so no float boundary can flake between
     engines.  The distinct-user count that defines the fixture's
     threshold is itself one distinct-shuffle — production callers pass
-    an absolute threshold and skip it (see cms_sketch/cms_estimate)."""
-    ev = load_table(spark, sf_dir, "events").select("user_id")
+    an absolute threshold and skip it (see cms_sketch/cms_estimate).
+
+    NULL user_ids are excluded up front in BOTH engines: COUNT(*) over
+    groups counts a NULL group while count_distinct does not, so
+    without the filter the int64 threshold itself would diverge on
+    data with NULL keys (the q_ts_counter_rate latent-guard class)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull()).select("user_id"))
     sketch = cms_sketch(ev, "user_id").localCheckpoint()
     totals = ev.agg(F.count(F.lit(1)).alias("total"),
                     F.count_distinct("user_id").alias("users"))
@@ -530,8 +537,9 @@ def q_agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
                   COUNT(value) AS n FROM events),
 h AS (
-  SELECT LEAST(CAST(FLOOR((value - lo) / (hi - lo) * 256) AS INT), 255)
-           AS bucket,
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE LEAST(CAST(FLOOR((value - lo) / (hi - lo) * 256) AS INT),
+                         255) END AS bucket,
          COUNT(*) AS cnt
   FROM events, b WHERE value IS NOT NULL
   GROUP BY 1
@@ -568,10 +576,11 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = (
         ev.filter(F.col("value").isNotNull())
         .crossJoin(F.broadcast(bounds))
-        .select(F.least(
-            F.floor((F.col("value") - F.col("lo"))
-                    / (F.col("hi") - F.col("lo")) * 256).cast("int"),
-            F.lit(255)).alias("bucket"))
+        .select(F.when(F.col("hi") == F.col("lo"), F.lit(0))
+                .otherwise(F.least(
+                    F.floor((F.col("value") - F.col("lo"))
+                            / (F.col("hi") - F.col("lo")) * 256).cast("int"),
+                    F.lit(255))).alias("bucket"))
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)

@@ -513,9 +513,14 @@ class LstoreLogStreamWriter(DataSourceStreamWriter):
         # Replay idempotence must hold even when the replayed batch
         # plans a DIFFERENT partition count (changed shuffle config or
         # file chunking across a restart): rename-over-self only covers
-        # names the new attempt also produces, so first delete any
-        # published part-<batchId>-* files NOT in this attempt's set
+        # names the new attempt also produces, so any published
+        # part-<batchId>-* files NOT in this attempt's set must go
         # (ADVICE r6 — stale extra partitions were duplicate rows).
+        # Publish FIRST, delete after — the same crash-ordering rule as
+        # the batch writer's overwrite: dying between the two steps
+        # leaves transient duplicates that the next replay of this
+        # batch re-deletes, never missing rows.
+        _publish(messages)
         fresh = {os.path.basename(m.final_seg) for m in messages
                  if m and m.final_seg}
         prefix = f"part-{batchId:06d}-"
@@ -527,7 +532,6 @@ class LstoreLogStreamWriter(DataSourceStreamWriter):
                     os.remove(os.path.join(self.path, f))
                 except FileNotFoundError:
                     pass
-        _publish(messages)
 
     def abort(self, messages, batchId: int) -> None:
         _abort(messages)
@@ -1013,6 +1017,10 @@ def snapshot_store(seg_dir: str) -> int:
             os.link(tmp, p)
         except FileExistsError:
             continue  # lost the race — mint the next id
+        except FileNotFoundError:
+            # a concurrent vacuum_store with min_age_s=0 can collect the
+            # just-written tmp before the link lands — rewrite and retry
+            continue
         os.remove(tmp)
         return v
 

@@ -53,9 +53,13 @@ def compute_recalls(spark, sf_dir: str) -> dict[str, float]:
                   .collect()}
 
     def rescored_mass(cands, qcol, ccol):
-        """Σ exact cosine of (query, cand) pairs, per query."""
-        q = em.select(F.col("vec_id").alias(qcol),
-                      F.col("embedding").alias("qe"))
+        """Σ exact cosine of (query, cand) pairs, per query.  The
+        broadcast side is pre-filtered to the shared query convention
+        (vec_id < 10) — broadcasting the full 200k-vector table to join
+        10 ids would be ~100 MB of pointless executor pressure."""
+        q = (em.filter(F.col("vec_id") < 10)
+             .select(F.col("vec_id").alias(qcol),
+                     F.col("embedding").alias("qe")))
         c = em.select(F.col("vec_id").alias(ccol),
                       F.col("embedding").alias("ce"))
         return {r[qcol]: r.s for r in

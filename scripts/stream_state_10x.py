@@ -43,10 +43,10 @@ def prepare_chunks(spark, sf_dir: str, out_dir: str, n_chunks: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for i in range(n_chunks):
         a = lo + span * i
-        b = hi if i == n_chunks - 1 else lo + span * (i + 1)
+        last = i == n_chunks - 1
         cond = (F.col("ts") >= F.lit(a)) & (
-            F.col("ts") <= F.lit(b) if i == n_chunks - 1
-            else F.col("ts") < F.lit(b))
+            F.col("ts") <= F.lit(hi) if last
+            else F.col("ts") < F.lit(lo + span * (i + 1)))
         tmp = tempfile.mkdtemp(dir=out_dir)
         (ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp))
         part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]

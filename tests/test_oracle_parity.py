@@ -73,10 +73,14 @@ def test_counter_rate_single_sample_group(spark, tmp_path):
     rows = [
         # user 1: one event — the degenerate group under test
         (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "view", 1.0, "{}"),
-        # user 2: three events incl. a counter reset
-        (2, dt.datetime(2024, 1, 1, 0, 0, 1), 2, "view", 1.0, "{}"),
-        (97, dt.datetime(2024, 1, 1, 0, 0, 2), 2, "view", 1.0, "{}"),
-        (3, dt.datetime(2024, 1, 1, 0, 0, 3), 2, "view", 1.0, "{}"),
+    ] + [
+        # user 2: eleven events, each contributing 96 to the running
+        # counter (event_id ≡ 96 mod 97), so the % 1000 counter WRAPS at
+        # the 11th (960 → 56) — a genuine reset exercising the
+        # `delta < 0 → counter` arm, not just the NULL guard
+        (96 + 97 * k, dt.datetime(2024, 1, 1, 0, 0, 1 + k), 2, "view",
+         1.0, "{}")
+        for k in range(11)
     ]
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, "
@@ -92,3 +96,4 @@ def test_counter_rate_single_sample_group(spark, tmp_path):
     out = {r.user_id: r for r in
            QUERIES["q_ts_counter_rate"](spark, str(tmp_path)).collect()}
     assert out[1].n_resets == 0 and out[1].n_samples == 1
+    assert out[2].n_resets == 1 and out[2].n_samples == 11
