@@ -112,7 +112,12 @@ def main() -> int:
         k for k in QUERIES
         if not filters or any(f in k for f in filters)
     )
-    spark = get_spark("lstore-spark-check", cpus="8", shuffle_partitions=8)
+    # Partition-invariance sweeps override these (e.g. CHECK_CPUS=5
+    # CHECK_SHUFFLE=7 for the prime-count run recorded in BASELINE.md)
+    spark = get_spark("lstore-spark-check",
+                      cpus=os.environ.get("CHECK_CPUS", "8"),
+                      shuffle_partitions=int(
+                          os.environ.get("CHECK_SHUFFLE", "8")))
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(SF_DIR)
     n_ok = n_fail = 0

@@ -72,6 +72,10 @@ KEYS = [
     "q_llm_sim_hamming_topk",
     # round-7: the Lee-et-al production shape (w=50, 16-byte span keys)
     "substring_w50_hashed",
+    # round-7 additions
+    "q_tpch_q5_local_supplier",
+    "q_agg_heavy_hitters_cms",
+    "q_agg_quantile_sketch",
 ]
 
 
