@@ -815,3 +815,68 @@ def q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (routed.groupBy("split", "shard")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tok").cast("long").alias("sum_tokens")))
+
+
+@query(
+    "q_llm_filter_cascade",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         (len({_DUCK_TOKENS}) >= {_CLEAN_MIN_TOK}) AS f1,
+         (CAST(len(list_distinct({_DUCK_TOKENS})) AS DOUBLE)
+            / len({_DUCK_TOKENS}) >= 0.3) AS f2,
+         (doc_id = MIN(doc_id) OVER (
+            PARTITION BY md5(lower(trim(text))))) AS f3
+  FROM documents
+),
+agg AS (
+  SELECT COUNT(*) AS n0,
+         CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS k3
+  FROM f
+)
+SELECT * FROM (
+  SELECT 1 AS stage_id, 'min_length' AS stage, n0 AS n_in, k1 AS n_kept
+  FROM agg
+  UNION ALL
+  SELECT 2, 'repetition', k1, k2 FROM agg
+  UNION ALL
+  SELECT 3, 'exact_dedup', k2, k3 FROM agg
+)
+""",
+)
+def q_llm_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-cascade audit: the per-stage kept/dropped accounting a
+    100 TB pipeline must publish for every run (data lineage boards are
+    built from exactly this relation).  Three cumulative gates — token
+    floor, distinct-token repetition ratio, exact-dedup head — computed
+    as per-doc FLAGS in one scan, then ONE aggregation folds all stage
+    counts (no per-stage re-scan: the metrics.py discipline as a
+    registered relation); ``stack`` pivots the single row into the
+    stage table.  Spark cascades at 100 TB run this exact shape with
+    ``observed()`` attached so the audit rides the write action for
+    free — asserted equal to this relation in tests/test_registry.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        (F.size(tokens_col()) >= _CLEAN_MIN_TOK).alias("f1"),
+        (F.size(F.array_distinct(tokens_col())).cast("double")
+         / F.size(tokens_col()) >= 0.3).alias("f2"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+    heads = f.groupBy("h").agg(F.min("doc_id").alias("head_id"))
+    flags = (f.join(heads, "h")
+             .select("doc_id", "f1", "f2",
+                     (F.col("doc_id") == F.col("head_id")).alias("f3")))
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("f1").cast("long")).alias("k1"),
+        F.sum((F.col("f1") & F.col("f2")).cast("long")).alias("k2"),
+        F.sum((F.col("f1") & F.col("f2") & F.col("f3")).cast("long"))
+        .alias("k3"))
+    return agg.selectExpr(
+        "stack(3, "
+        "1L, 'min_length',  n0, k1, "
+        "2L, 'repetition',  k1, k2, "
+        "3L, 'exact_dedup', k2, k3) AS (stage_id, stage, n_in, n_kept)")

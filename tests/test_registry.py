@@ -148,3 +148,41 @@ def test_plans_audit_current():
                                  re.MULTILINE))
     assert audited == set(registry.QUERIES), (
         "PLANS.md stale — run: python scripts/plan_audit.py")
+
+
+def test_filter_cascade_observed_metrics_match_relation(spark, sf_dir):
+    """The cascade audit the q_llm_filter_cascade docstring promises:
+    Observation metrics attached to the flags scan must equal the
+    registered relation's stage counts while riding a single real
+    action (no second scan)."""
+    from pyspark.sql import functions as F
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.llm.text import _CLEAN_MIN_TOK, tokens_col
+    from lstore_spark.metrics import observed
+    from lstore_spark.registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        (F.size(tokens_col()) >= _CLEAN_MIN_TOK).alias("f1"),
+        (F.size(F.array_distinct(tokens_col())).cast("double")
+         / F.size(tokens_col()) >= 0.3).alias("f2"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+    heads = f.groupBy("h").agg(F.min("doc_id").alias("head_id"))
+    flags = (f.join(heads, "h")
+             .select("doc_id", "f1", "f2",
+                     (F.col("doc_id") == F.col("head_id")).alias("f3")))
+    inst, obs = observed(
+        flags, "cascade",
+        n0=F.count(F.lit(1)),
+        k1=F.sum(F.col("f1").cast("long")),
+        k2=F.sum((F.col("f1") & F.col("f2")).cast("long")),
+        k3=F.sum((F.col("f1") & F.col("f2") & F.col("f3")).cast("long")))
+    inst.write.mode("overwrite").format("noop").save()  # the one action
+    got = obs.get
+    rel = {r.stage: (r.n_in, r.n_kept) for r in
+           QUERIES["q_llm_filter_cascade"](spark, sf_dir).collect()}
+    assert rel["min_length"] == (got["n0"], got["k1"])
+    assert rel["repetition"] == (got["k1"], got["k2"])
+    assert rel["exact_dedup"] == (got["k2"], got["k3"])
