@@ -378,3 +378,49 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("k").alias("max_k"),
              F.count("m").alias("n_missing_present"))
     )
+
+
+@query(
+    "q_fn_struct",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       struct_extract(struct_pack(q := l_quantity, p := l_extendedprice),
+                      'q') AS s_qty,
+       struct_extract(struct_extract(
+           struct_pack(outer_ := struct_pack(f := l_returnflag,
+                                             s := l_linestatus)),
+           'outer_'), 'f') AS nested_flag,
+       (struct_pack(a := l_returnflag, b := l_linestatus)
+          = struct_pack(a := 'R', b := 'F')) AS is_rf,
+       ((l_quantity, l_extendedprice)
+          < (25.0, 30000.0)) AS below_cut
+FROM lineitem WHERE l_orderkey <= 2000
+""",
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT construction, field access, nesting, equality and ordering
+    — the §2.8 family member for nested records (the other composite
+    types — array/map/json/variant — have their own keys).  Struct
+    COMPARISON is the interesting semantics both engines share:
+    field-by-field lexicographic, so ``(q, p) < (25, 30000)`` is the
+    row-value predicate SQL uses for keyset pagination at scale (one
+    short-circuit comparison instead of OR-of-ANDs; Catalyst pushes it
+    like any deterministic predicate).  Structs never cross the driver
+    boundary — all projected columns are scalars."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") <= 2000))
+    s = F.struct(F.col("l_quantity").alias("q"),
+                 F.col("l_extendedprice").alias("p"))
+    nested = F.struct(F.struct(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_linestatus").alias("s")).alias("outer_"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        s.getField("q").alias("s_qty"),
+        nested.getField("outer_").getField("f").alias("nested_flag"),
+        (F.struct(F.col("l_returnflag").alias("a"),
+                  F.col("l_linestatus").alias("b"))
+         == F.struct(F.lit("R").alias("a"), F.lit("F").alias("b")))
+        .alias("is_rf"),
+        (F.struct(F.col("l_quantity"), F.col("l_extendedprice"))
+         < F.struct(F.lit(25.0), F.lit(30000.0))).alias("below_cut"))

@@ -826,3 +826,74 @@ def q_llm_emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.expr("h[15]") / F.col("n"), 6).alias("x15"),
                 F.round("n", 6).alias("head_norm"),
                 F.lit(16).cast("long").alias("dims")))
+
+
+@query(
+    "q_llm_emb_whiten",
+    oracle="""
+WITH vx AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+st AS (
+  SELECT i,
+         CAST(CAST(SUM(CAST(v AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS mu,
+         CAST(CAST(SUM(CAST(v * v AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS m2,
+         COUNT(*) AS n
+  FROM vx WHERE i IN (0, 63) GROUP BY i
+),
+p AS (
+  SELECT MAX(CASE WHEN i = 0 THEN mu END) AS mu0,
+         MAX(CASE WHEN i = 0 THEN sqrt(m2 - mu * mu) END) AS sd0,
+         MAX(CASE WHEN i = 63 THEN mu END) AS mu63,
+         MAX(CASE WHEN i = 63 THEN sqrt(m2 - mu * mu) END) AS sd63
+  FROM st
+)
+SELECT vec_id,
+       ROUND((embedding[1] - mu0) / sd0, 6) AS w0,
+       ROUND((embedding[64] - mu63) / sd63, 6) AS w63
+FROM embeddings, p
+""",
+)
+def q_llm_emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (whitening without rotation):
+    w_i = (x_i − μ_i)/σ_i — the embedding-preproc step that evens out
+    dimension scales before PQ sub-quantizers or k-means so no
+    dimension dominates the distance.  Certified on the first and last
+    dimensions (the full transform is the same per-dim arithmetic).
+    Moments accumulate in exact decimal (order-independent); variance
+    is the explicit E[x²]−E[x]² in BOTH engines (never the built-in
+    STDDEV — different algorithm, different last-ulp); sqrt and the
+    final divide are single correctly-rounded IEEE ops.
+
+    Scale: the stats side collapses to |dims| rows (map-side combined)
+    and broadcasts; the transform is then a pure projection over one
+    corpus scan — the same no-shuffle shape as matryoshka."""
+    em = load_table(spark, sf_dir, "embeddings")
+    vx = em.select("vec_id", F.posexplode("embedding").alias("i", "v")) \
+           .select("i", F.col("v").cast("double").alias("v")) \
+           .filter(F.col("i").isin(0, 63))
+    st = vx.groupBy("i").agg(
+        (F.sum(F.col("v").cast(DEC)).cast("double")
+         / F.count(F.lit(1))).alias("mu"),
+        (F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double")
+         / F.count(F.lit(1))).alias("m2"))
+    p = st.agg(
+        F.max(F.when(F.col("i") == 0, F.col("mu"))).alias("mu0"),
+        F.max(F.when(F.col("i") == 0,
+                     F.sqrt(F.col("m2") - F.col("mu") * F.col("mu"))))
+        .alias("sd0"),
+        F.max(F.when(F.col("i") == 63, F.col("mu"))).alias("mu63"),
+        F.max(F.when(F.col("i") == 63,
+                     F.sqrt(F.col("m2") - F.col("mu") * F.col("mu"))))
+        .alias("sd63"))
+    x = F.expr("CAST(embedding[0] AS DOUBLE)")
+    y = F.expr("CAST(embedding[63] AS DOUBLE)")
+    return (em.crossJoin(F.broadcast(p))
+            .select("vec_id",
+                    F.round((x - F.col("mu0")) / F.col("sd0"), 6).alias("w0"),
+                    F.round((y - F.col("mu63")) / F.col("sd63"), 6)
+                    .alias("w63")))

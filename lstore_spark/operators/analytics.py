@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..llm.hashing import sql_md5_long
-from ..numerics import DEC, dsum, sql_dsum
+from ..numerics import DEC, davg, dsum, sql_davg, sql_dsum
 from ..registry import query
 
 # ---------------------------------------------------------------- subqueries
@@ -1476,3 +1476,58 @@ def q_evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ra, 6).alias("rate_a"),
         F.round(rb, 6).alias("rate_b"),
         F.round(z, 6).alias("z_score"))
+
+
+@query(
+    "q_ts_downsample_peak",
+    oracle=f"""
+WITH b AS (
+  SELECT event_id, value,
+         CAST(FLOOR(epoch(ts) / 21600.0) AS BIGINT) AS bucket
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT bucket,
+         {sql_davg('value', 'avg_v')},
+         COUNT(*) AS n_points
+  FROM b GROUP BY bucket
+),
+r AS (
+  SELECT b.bucket, b.event_id, b.value, m.n_points,
+         ROW_NUMBER() OVER (
+           PARTITION BY b.bucket
+           ORDER BY ABS(b.value - m.avg_v) DESC, b.event_id) AS rn
+  FROM b JOIN m USING (bucket)
+)
+SELECT bucket, event_id, value, n_points
+FROM r WHERE rn = 1
+""",
+)
+def q_ts_downsample_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-preserving downsampling: one representative point per
+    6-hour bucket — the one FARTHEST from the bucket mean (ties to the
+    lowest event_id), so spikes survive decimation where naive
+    first/avg-per-bucket rendering would erase them (the
+    chart-renderer/LTTB-family need; the mean-distance criterion keeps
+    it closed-form where LTTB's greedy chain is not).
+
+    Scale: two phases over one shuffle key (bucket) — a map-side-
+    combined mean, then a max_by per bucket; no window over raw points,
+    no sort.  Output is |buckets| rows regardless of input: a 100 TB
+    series downsamples to its time-axis resolution."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.select(
+        "event_id", "value",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 21600.0)
+        .cast("bigint").alias("bucket"))
+    m = b.groupBy("bucket").agg(davg(F.col("value"), "avg_v"),
+                                F.count(F.lit(1)).alias("n_points"))
+    return (
+        b.join(m, "bucket")
+        .groupBy("bucket")
+        .agg(F.expr("max_by(struct(event_id, value, n_points), "
+                    "struct(abs(value - avg_v), -event_id))").alias("pk"))
+        .select("bucket", F.col("pk.event_id").alias("event_id"),
+                F.col("pk.value").alias("value"),
+                F.col("pk.n_points").alias("n_points"))
+    )
