@@ -877,3 +877,55 @@ def test_stream_replay_with_fewer_partitions_drops_stale_segments(tmp_path):
               batchId=7)
     segs = sorted(f for f in os.listdir(d) if f.endswith(".seg"))
     assert segs == ["part-000007-b-00000.seg", "part-000008-b-00000.seg"]
+
+
+def test_corrupt_manifest_fails_loudly_never_narrows(spark, tmp_path):
+    """Snapshot-isolation robustness (the torn-file discipline applied
+    to manifests): a corrupt/truncated/wrong-shape manifest must raise
+    loudly on a pinned read — silently narrowing the pinned set would
+    be invisible row loss.  Every byte-level truncation of a valid
+    manifest plus shape-level corruptions are swept."""
+    import json
+    import os
+
+    import pytest
+
+    from lstore_spark.sources.lstore_log import (manifest_segments,
+                                                 snapshot_store,
+                                                 write_segment)
+
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    for i in range(2):
+        write_segment(os.path.join(d, f"part-{i:05d}.seg"),
+                      [(i, [i], [b"k"])])
+    v = snapshot_store(d)
+    p = os.path.join(d, f"manifest-v{v}.json")
+    good = open(p, "rb").read()
+    assert manifest_segments(d, v) == ["part-00000.seg", "part-00001.seg"]
+
+    # every truncation of the valid bytes: loud error or (for prefixes
+    # that happen to parse) a shape error — never a silent subset
+    for cut in range(len(good)):
+        with open(p, "wb") as f:
+            f.write(good[:cut])
+        with pytest.raises((ValueError, json.JSONDecodeError)):
+            got = manifest_segments(d, v)
+            # a parseable prefix would have to yield the FULL set to
+            # escape the raise; anything less is the silent-narrow bug
+            if got != ["part-00000.seg", "part-00001.seg"]:
+                raise ValueError("narrowed")
+
+    # shape corruptions: wrong types, segments not a list of strings
+    for doc in ['null', '[]', '{"version": 1}',
+                '{"segments": "part-00000.seg"}',
+                '{"segments": [1, 2]}',
+                '{"segments": ["part-00000.seg", 7]}']:
+        with open(p, "w") as f:
+            f.write(doc)
+        with pytest.raises(ValueError):
+            manifest_segments(d, v)
+
+    with open(p, "wb") as f:
+        f.write(good)  # restore — pinned read works again
+    assert manifest_segments(d, v) == ["part-00000.seg", "part-00001.seg"]

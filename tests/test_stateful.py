@@ -28,3 +28,111 @@ def test_sample_seeded_bounds_and_stability(spark, sf_dir):
     assert na == nb  # same seed, same partitioning → same sample
     total = load_table(spark, sf_dir, "events").count()
     assert 0.05 * total < na < 0.15 * total
+
+
+def test_event_time_ttl_sessionization_matches_batch(spark, sf_dir):
+    """The TTL policy the stateful docstring points at, with the
+    strongest checkable semantics: applyInPandasWithState +
+    EventTimeTimeout sessionization (30-min gap, state expires when the
+    WATERMARK passes last_event + gap) driven over time-ordered
+    micro-batches must emit exactly the batch gaps-and-islands sessions
+    (q_evt_sessionize) that are provably closed — every emitted session
+    is a true batch session, and every batch session whose end + gap
+    fell below the final watermark was emitted (timed out or closed by
+    a later event).  In-flight tails above the watermark stay in state,
+    by design."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lstore_spark.registry import QUERIES
+    from scripts.stream_state_10x import prepare_chunks
+
+    GAP_MS = 30 * 60 * 1000
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n_events", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+    ])
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            s0, s1, n = state.get
+            closed.append((user_id, s0, s1, n))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            if len(rows):
+                rows = rows.sort_values(["ts", "event_id"])
+                ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
+                cur = state.get if state.exists else None
+                for t in ms:
+                    if cur is None:
+                        cur = (t, t, 1)
+                    elif t - cur[1] <= GAP_MS:
+                        cur = (cur[0], t, cur[2] + 1)
+                    else:
+                        closed.append((user_id, *cur))
+                        cur = (t, t, 1)
+                state.update(cur)
+                state.setTimeoutTimestamp(cur[1] + GAP_MS)
+        yield pd.DataFrame(
+            closed, columns=["user_id", "start_ms", "end_ms", "n_events"])
+
+    src = tempfile.mkdtemp(prefix="ttl_sess_")
+    try:
+        prepare_chunks(spark, sf_dir, src, 10)
+        stream = (spark.readStream.schema(
+            spark.read.parquet(src + "/*.parquet").schema)
+            .option("maxFilesPerTrigger", "1").parquet(src + "/*.parquet")
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                    "event_id")
+            .withWatermark("ts", "10 minutes"))
+        sessions = stream.groupBy("user_id").applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout)
+        q = (sessions.writeStream.format("memory").queryName("ttl_sess")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        import json as _json
+        wm = None
+        for pr in q.recentProgress:
+            d = _json.loads(str(pr))
+            w = d.get("eventTime", {}).get("watermark")
+            if w and not w.startswith("1970"):
+                wm = w
+        wm_ms = int(pd.Timestamp(wm).value // 1_000_000)
+        # batch session_start/end are formatted to SECONDS — compare at
+        # that granularity
+        got = {(r.user_id, r.start_ms // 1000, r.end_ms // 1000, r.n_events)
+               for r in spark.table("ttl_sess").collect()}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+    batch = {
+        (r.user_id,
+         int(pd.Timestamp(r.session_start).value // 1_000_000_000),
+         int(pd.Timestamp(r.session_end).value // 1_000_000_000),
+         r.n_events)
+        for r in QUERIES["q_evt_sessionize"](spark, sf_dir).collect()}
+    assert got, "no sessions emitted"
+    assert got <= batch, f"phantom sessions: {list(got - batch)[:3]}"
+    must_close = {s for s in batch if s[2] * 1000 + GAP_MS < wm_ms}
+    missing = must_close - got
+    assert not missing, f"unclosed below watermark: {list(missing)[:3]}"
+    # the TTL actually fired for trailing sessions (not only gap-closes)
+    assert len(got) >= len(must_close) > 0
