@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..llm.hashing import sql_md5_long
-from ..numerics import davg, dsum, sql_davg, sql_dsum
+from ..numerics import DEC, davg, dsum, sql_davg, sql_dsum
 from ..registry import query
 
 
@@ -596,3 +596,81 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * (F.col("hi") - F.col("lo")) / 256.0, 6).alias("est"),
                 F.col("n").alias("n_values"))
     )
+
+
+@query(
+    "q_agg_corr_moments",
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR)
+              AS DOUBLE) AS sq,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR)
+              AS DOUBLE) AS sp,
+         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS VARCHAR)
+              AS DOUBLE) AS sd,
+         CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8)))
+              AS VARCHAR) AS DOUBLE) AS sqq,
+         CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice
+              AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS spp,
+         CAST(CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,8)))
+              AS VARCHAR) AS DOUBLE) AS sdd,
+         CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8)))
+              AS VARCHAR) AS DOUBLE) AS sqp,
+         CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,8)))
+              AS VARCHAR) AS DOUBLE) AS sqd,
+         CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8)))
+              AS VARCHAR) AS DOUBLE) AS spd
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * sqp - sq * sp)
+             / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
+         AS r_qty_price,
+       ROUND((n * sqd - sq * sd)
+             / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
+         AS r_qty_disc,
+       ROUND((n * spd - sp * sd)
+             / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6)
+         AS r_price_disc
+FROM m
+""",
+)
+def q_agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over (quantity, price,
+    discount) from MERGEABLE MOMENTS — one map-side-combined pass
+    collects the 9 sufficient statistics (Σx, Σx², Σxy in exact
+    decimal), and every r falls out driver-free from the one-row
+    aggregate.  Never the built-in corr(): its incremental-update
+    algorithm and summation order differ per engine in the last ulps;
+    moments are order-independent, and both engines then run the
+    IDENTICAL closed-form double arithmetic (same cancellation, same
+    rounding), so the matrix is hash-grade.
+
+    Scale: |measures|² moments in ONE pass — the classic single-scan
+    profile-statistics shape; 100 TB costs one traversal no matter how
+    many measure pairs are requested."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+
+    def dec(c, a):
+        return F.sum(c.cast(DEC)).cast("double").alias(a)
+
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(q, "sq"), dec(p, "sp"), dec(d, "sd"),
+        dec(q * q, "sqq"), dec(p * p, "spp"), dec(d * d, "sdd"),
+        dec(q * p, "sqp"), dec(q * d, "sqd"), dec(p * d, "spd"))
+
+    def r(sxy, sx, sy, sxx, syy, alias):
+        n = F.col("n")
+        num = n * F.col(sxy) - F.col(sx) * F.col(sy)
+        den = (F.sqrt(n * F.col(sxx) - F.col(sx) * F.col(sx))
+               * F.sqrt(n * F.col(syy) - F.col(sy) * F.col(sy)))
+        return F.round(num / den, 6).alias(alias)
+
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        r("sqp", "sq", "sp", "sqq", "spp", "r_qty_price"),
+        r("sqd", "sq", "sd", "sqq", "sdd", "r_qty_disc"),
+        r("spd", "sp", "sd", "spp", "sdd", "r_price_disc"))

@@ -1531,3 +1531,60 @@ def q_ts_downsample_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("pk.value").alias("value"),
                 F.col("pk.n_points").alias("n_points"))
     )
+
+
+@query(
+    "q_evt_funnel_windowed",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'view'
+    AND e.ts > s.t0 AND e.ts <= s.t0 + INTERVAL 48 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 48 HOUR
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signed_up,
+       (SELECT COUNT(*) FROM v) AS n_viewed_48h,
+       (SELECT COUNT(*) FROM p) AS n_purchased_48h
+""",
+)
+def q_evt_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: signup → first view within 48 h →
+    first purchase within 48 h OF THAT VIEW — the conversion-window
+    semantics product analytics actually reports (q_evt_funnel is the
+    any-time variant).  Each stage's anchor depends on the previous
+    stage's timestamp, so the funnel is a chain of grouped joins rather
+    than one conditional aggregate.
+
+    Scale: every stage keys on user_id — the events shuffle and all
+    three per-user stage relations share the same partitioning, so
+    Catalyst reuses the exchange layout instead of re-shuffling; stage
+    relations shrink monotonically (s ⊇ v ⊇ p) and join as broadcasts
+    once small."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    v = (ev.filter(F.col("event_type") == "view")
+         .join(s, "user_id")
+         .filter((F.col("ts") > F.col("t0"))
+                 & (F.col("ts") <= F.col("t0") + F.expr("INTERVAL 48 HOURS")))
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(v, "user_id")
+         .filter((F.col("ts") > F.col("t1"))
+                 & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 48 HOURS")))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    return (s.agg(F.count(F.lit(1)).alias("n_signed_up"))
+            .crossJoin(v.agg(F.count(F.lit(1)).alias("n_viewed_48h")))
+            .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_48h"))))
