@@ -1006,3 +1006,57 @@ def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth-curve entry in BASELINE.md)."""
     docs = load_table(spark, sf_dir, "documents")
     return substring_dedup(docs, w=_SUBSTR_W, hashed_keys=False)
+
+
+@query(
+    "q_llm_dedup_incremental",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, md5(lower(trim(text))) AS h,
+         doc_id % 2 = 0 AS is_base
+  FROM documents
+),
+inc AS (SELECT doc_id, h FROM f WHERE NOT is_base)
+SELECT i.doc_id,
+       EXISTS (SELECT 1 FROM f b WHERE b.is_base AND b.h = i.h)
+         AS dup_of_base,
+       EXISTS (SELECT 1 FROM inc e
+               WHERE e.h = i.h AND e.doc_id < i.doc_id)
+         AS dup_in_batch,
+       (NOT EXISTS (SELECT 1 FROM f b WHERE b.is_base AND b.h = i.h)
+        AND NOT EXISTS (SELECT 1 FROM inc e
+                        WHERE e.h = i.h AND e.doc_id < i.doc_id))
+         AS keep
+FROM inc i
+""",
+)
+def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the production shape for a corpus that
+    grows daily: the new batch (odd doc_ids here) dedupes against (a)
+    the already-ingested base (even doc_ids) and (b) itself, without
+    the base corpus ever re-shuffling.  Base participation is ONLY its
+    distinct fingerprint relation (16-byte hashes — at 100 TB that is
+    the compact artifact a pipeline persists between runs and
+    broadcast- or bloom-joins against each increment, exactly the
+    q_join_bloom_prune/CMS pattern); the within-batch head rule is the
+    q_llm_dedup_exact min-id aggregate applied to the increment alone.
+    Streaming twin: q_stream_dedup_near carries the same
+    new-versus-seen contract across micro-batches."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+        (F.col("doc_id") % 2 == 0).alias("is_base"))
+    base_h = (f.filter("is_base").select("h").distinct()
+              .withColumn("in_base", F.lit(True)))
+    inc = f.filter(~F.col("is_base")).select("doc_id", "h")
+    heads = inc.groupBy("h").agg(F.min("doc_id").alias("head_id"))
+    return (
+        inc.join(F.broadcast(base_h), "h", "left")
+        .join(heads, "h")
+        .select(
+            "doc_id",
+            F.coalesce("in_base", F.lit(False)).alias("dup_of_base"),
+            (F.col("doc_id") > F.col("head_id")).alias("dup_in_batch"),
+            ((F.coalesce("in_base", F.lit(False)) == F.lit(False))
+             & (F.col("doc_id") == F.col("head_id"))).alias("keep"))
+    )
