@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="max rows to print (default 100)")
     ap.add_argument("--list", action="store_true",
                     help="list registered query keys and exit")
+    ap.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead of rows")
     args = ap.parse_args(argv)
 
     from .registry import QUERIES, load_all
@@ -64,7 +66,9 @@ def main(argv: list[str] | None = None) -> int:
             register_views(spark, args.sf)
             df = spark.sql(args.sql)
 
-        if args.format == "table":
+        if args.explain:
+            df.explain("formatted")
+        elif args.format == "table":
             df.show(args.limit, truncate=False)
         else:
             rows = df.limit(args.limit).toPandas()
