@@ -876,11 +876,10 @@ def q_llm_emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     vx = em.select("vec_id", F.posexplode("embedding").alias("i", "v")) \
            .select("i", F.col("v").cast("double").alias("v")) \
            .filter(F.col("i").isin(0, 63))
+    from ..numerics import davg
     st = vx.groupBy("i").agg(
-        (F.sum(F.col("v").cast(DEC)).cast("double")
-         / F.count(F.lit(1))).alias("mu"),
-        (F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double")
-         / F.count(F.lit(1))).alias("m2"))
+        davg(F.col("v"), "mu"),
+        davg(F.col("v") * F.col("v"), "m2"))
     p = st.agg(
         F.max(F.when(F.col("i") == 0, F.col("mu"))).alias("mu0"),
         F.max(F.when(F.col("i") == 0,

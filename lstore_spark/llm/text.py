@@ -817,6 +817,22 @@ def q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tok").cast("long").alias("sum_tokens")))
 
 
+def cascade_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc gate flags for the cleaning cascade — shared between the
+    registered relation and the observed()-metrics test so the gate
+    definitions live in exactly one place."""
+    f = docs.select(
+        "doc_id",
+        (F.size(tokens_col()) >= _CLEAN_MIN_TOK).alias("f1"),
+        (F.size(F.array_distinct(tokens_col())).cast("double")
+         / F.size(tokens_col()) >= 0.3).alias("f2"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+    heads = f.groupBy("h").agg(F.min("doc_id").alias("head_id"))
+    return (f.join(heads, "h")
+            .select("doc_id", "f1", "f2",
+                    (F.col("doc_id") == F.col("head_id")).alias("f3")))
+
+
 @query(
     "q_llm_filter_cascade",
     oracle=f"""
@@ -859,17 +875,7 @@ def q_llm_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``observed()`` attached so the audit rides the write action for
     free — asserted equal to this relation in tests/test_registry.py."""
     docs = load_table(spark, sf_dir, "documents")
-    f = docs.select(
-        "doc_id",
-        (F.size(tokens_col()) >= _CLEAN_MIN_TOK).alias("f1"),
-        (F.size(F.array_distinct(tokens_col())).cast("double")
-         / F.size(tokens_col()) >= 0.3).alias("f2"),
-        F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
-    heads = f.groupBy("h").agg(F.min("doc_id").alias("head_id"))
-    flags = (f.join(heads, "h")
-             .select("doc_id", "f1", "f2",
-                     (F.col("doc_id") == F.col("head_id")).alias("f3")))
-    agg = flags.agg(
+    agg = cascade_flags(docs).agg(
         F.count(F.lit(1)).alias("n0"),
         F.sum(F.col("f1").cast("long")).alias("k1"),
         F.sum((F.col("f1") & F.col("f2")).cast("long")).alias("k2"),

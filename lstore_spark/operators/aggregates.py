@@ -600,27 +600,18 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_corr_moments",
-    oracle="""
+    oracle=f"""
 WITH m AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR)
-              AS DOUBLE) AS sq,
-         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR)
-              AS DOUBLE) AS sp,
-         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS VARCHAR)
-              AS DOUBLE) AS sd,
-         CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8)))
-              AS VARCHAR) AS DOUBLE) AS sqq,
-         CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice
-              AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS spp,
-         CAST(CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,8)))
-              AS VARCHAR) AS DOUBLE) AS sdd,
-         CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8)))
-              AS VARCHAR) AS DOUBLE) AS sqp,
-         CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,8)))
-              AS VARCHAR) AS DOUBLE) AS sqd,
-         CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8)))
-              AS VARCHAR) AS DOUBLE) AS spd
+         {sql_dsum('l_quantity', 'sq')},
+         {sql_dsum('l_extendedprice', 'sp')},
+         {sql_dsum('l_discount', 'sd')},
+         {sql_dsum('l_quantity * l_quantity', 'sqq')},
+         {sql_dsum('l_extendedprice * l_extendedprice', 'spp')},
+         {sql_dsum('l_discount * l_discount', 'sdd')},
+         {sql_dsum('l_quantity * l_extendedprice', 'sqp')},
+         {sql_dsum('l_quantity * l_discount', 'sqd')},
+         {sql_dsum('l_extendedprice * l_discount', 'spd')}
   FROM lineitem
 )
 SELECT CAST(n AS BIGINT) AS n_rows,
@@ -652,15 +643,11 @@ def q_agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     many measure pairs are requested."""
     li = load_table(spark, sf_dir, "lineitem")
     q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
-
-    def dec(c, a):
-        return F.sum(c.cast(DEC)).cast("double").alias(a)
-
     m = li.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dec(q, "sq"), dec(p, "sp"), dec(d, "sd"),
-        dec(q * q, "sqq"), dec(p * p, "spp"), dec(d * d, "sdd"),
-        dec(q * p, "sqp"), dec(q * d, "sqd"), dec(p * d, "spd"))
+        dsum(q, "sq"), dsum(p, "sp"), dsum(d, "sd"),
+        dsum(q * q, "sqq"), dsum(p * p, "spp"), dsum(d * d, "sdd"),
+        dsum(q * p, "sqp"), dsum(q * d, "sqd"), dsum(p * d, "spd"))
 
     def r(sxy, sx, sy, sxx, syy, alias):
         n = F.col("n")

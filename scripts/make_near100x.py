@@ -71,8 +71,10 @@ def main() -> None:
     os.replace(os.path.join(tmp, part),
                os.path.join(OUT, "embeddings.parquet"))
     shutil.rmtree(tmp)
-    print(f"wrote {out.count()} vectors -> {OUT} "
-          f"(base={em.count()}, replicas={REPLICAS}, eps={EPS})")
+    import pyarrow.parquet as pq
+    n = pq.ParquetFile(os.path.join(OUT, "embeddings.parquet")) \
+          .metadata.num_rows
+    print(f"wrote {n} vectors -> {OUT} (replicas={REPLICAS}, eps={EPS})")
     spark.stop()
 
 

@@ -158,21 +158,11 @@ def test_filter_cascade_observed_metrics_match_relation(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from lstore_spark.catalog import load_table
-    from lstore_spark.llm.text import _CLEAN_MIN_TOK, tokens_col
+    from lstore_spark.llm.text import cascade_flags
     from lstore_spark.metrics import observed
     from lstore_spark.registry import QUERIES
 
-    docs = load_table(spark, sf_dir, "documents")
-    f = docs.select(
-        "doc_id",
-        (F.size(tokens_col()) >= _CLEAN_MIN_TOK).alias("f1"),
-        (F.size(F.array_distinct(tokens_col())).cast("double")
-         / F.size(tokens_col()) >= 0.3).alias("f2"),
-        F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
-    heads = f.groupBy("h").agg(F.min("doc_id").alias("head_id"))
-    flags = (f.join(heads, "h")
-             .select("doc_id", "f1", "f2",
-                     (F.col("doc_id") == F.col("head_id")).alias("f3")))
+    flags = cascade_flags(load_table(spark, sf_dir, "documents"))
     inst, obs = observed(
         flags, "cascade",
         n0=F.count(F.lit(1)),
