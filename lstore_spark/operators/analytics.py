@@ -270,6 +270,270 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_tpch_q7_volume",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): trade volume between two nations, by
+    direction and ship year.  The disjunctive nation-pair predicate is a
+    filter over the two broadcast nation joins (Catalyst can't split an
+    OR across joins, but both nation sides are broadcast so the filter
+    is evaluated streaming-side at zero shuffle cost).  Only shuffle:
+    lineitem⋈orders on orderkey, then the 2-phase 3-key rollup."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)))
+    od = load_table(spark, sf_dir, "orders")
+    su = load_table(spark, sf_dir, "supplier")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    n1 = na.select(F.col("n_nationkey").alias("_sk"),
+                   F.col("n_name").alias("supp_nation"))
+    n2 = na.select(F.col("n_nationkey").alias("_ck"),
+                   F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), su.s_nationkey == F.col("_sk"))
+        .join(F.broadcast(n2), cu.c_nationkey == F.col("_ck"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(dsum(rev, "revenue"))
+    )
+
+
+@query(
+    "q_tpch_q8_market_share",
+    oracle="""
+WITH all_volume AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       ROUND(
+         CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                            THEN volume ELSE CAST(0 AS DECIMAL(30,8)) END)
+                   AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE),
+         6) AS mkt_share
+FROM all_volume
+GROUP BY o_year
+""",
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3 suppliers' share of
+    ECONOMY-part volume sold into AMERICA, per order year.  The widest
+    star in the suite — 7 relations — but every dimension broadcasts;
+    the fact side shuffles once (lineitem⋈orders).  The share is a
+    conditional-sum / total-sum ratio computed in one aggregation pass
+    (no self-join), both sums exact decimal before the final double
+    divide + ROUND 6 (numerics.py discipline)."""
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = (load_table(spark, sf_dir, "part")
+          .filter(F.col("p_type") == "ECONOMY"))
+    su = load_table(spark, sf_dir, "supplier")
+    od = (load_table(spark, sf_dir, "orders")
+          .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)))
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = (load_table(spark, sf_dir, "region")
+          .filter(F.col("r_name") == "AMERICA"))
+    n1 = na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey,
+                 "left_semi").select(F.col("n_nationkey").alias("_ck"))
+    n2 = na.select(F.col("n_nationkey").alias("_sk"),
+                   F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), cu.c_nationkey == F.col("_ck"), "left_semi")
+        .join(F.broadcast(n2), su.s_nationkey == F.col("_sk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                      .otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share"))
+    )
+
+
+@query(
+    "q_tpch_q14_promo",
+    oracle="""
+SELECT ROUND(
+         100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(30,8))
+                    ELSE CAST(0 AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE),
+         6) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+""",
+)
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): PROMO parts' share of one month's
+    revenue.  The month filter pushes to the lineitem scan; part
+    broadcasts (it only decorates with p_type); the conditional/total
+    ratio is one global aggregate — a single-row result with no final
+    shuffle beyond the 2-phase partial merge."""
+    lo = F.lit("1996-09-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-10-01 00:00:00").cast("timestamp_ntz")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)))
+    pa = load_table(spark, sf_dir, "part")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                        .otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "q_tpch_q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)))
+           AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(CAST(total AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total = (SELECT MAX(total) FROM revenue)
+""",
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with max revenue in a
+    quarter.  Decorrelated the way Catalyst plans the view + scalar
+    subquery: one per-suppkey rollup, a 1-row max broadcast back over
+    it, equality on the EXACT decimal sums (double equality would flake;
+    decimal is exact so ties are real ties in both engines), then a
+    broadcast decorate with supplier."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)))
+    su = load_table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_total"))
+    mx = per_supp.agg(F.max("_total").alias("_mx"))
+    return (
+        per_supp.join(F.broadcast(mx), F.col("_total") == F.col("_mx"))
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.col("_total").cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "q_tpch_q19_brand_bands",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+       AND l_quantity >= 1  AND l_quantity <= 20)
+   OR (p_brand = 'Brand#7'  AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 35)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 50)
+""",
+)
+def q_tpch_q19_brand_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted to this schema's columns):
+    three OR'd (brand, size-range, quantity-band) predicate arms over
+    lineitem⋈part.  The part-only arm of each disjunct
+    (brand ∧ size) prunes the broadcast build side BEFORE the join —
+    the filter referencing both sides evaluates on the joined row, but
+    part rows matching no arm never enter the hash table (the
+    brand-disjunction is pushed to the part scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_arm = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(10, 30))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(20, 50))
+    )
+    pa = load_table(spark, sf_dir, "part").filter(part_arm)
+    full_arm = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(10, 30)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 35))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(20, 50)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 50))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .filter(full_arm)
+        .agg(dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 # ------------------------------------------------- event-log analytics (REF)
 
 
