@@ -1852,3 +1852,167 @@ def q_evt_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.agg(F.count(F.lit(1)).alias("n_signed_up"))
             .crossJoin(v.agg(F.count(F.lit(1)).alias("n_viewed_48h")))
             .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_48h"))))
+
+
+@query(
+    "q_evt_markov",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_trans,
+       ROUND(CAST(n_trans AS DOUBLE)
+             / SUM(n_trans) OVER (PARTITION BY prev_type), 6) AS p,
+       CAST(RANK() OVER (PARTITION BY prev_type
+                         ORDER BY n_trans DESC, next_type) AS INTEGER)
+         AS next_rank
+FROM trans
+""",
+)
+def q_evt_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix: q_evt_pathing's bigram
+    counts row-normalized into transition probabilities, with a
+    per-source rank of next states.  The normalizing window runs over
+    the |types|²-row transition table — one extra (tiny) shuffle after
+    the heavy lifting; the ratio divides exact integers so ROUND 6 is
+    deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("event_type",
+                  F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    wp = Window.partitionBy("prev_type")
+    wr = Window.partitionBy("prev_type").orderBy(
+        F.col("n_trans").desc(), "next_type")
+    return trans.select(
+        "prev_type", "next_type", "n_trans",
+        F.round(F.col("n_trans").cast("double")
+                / F.sum("n_trans").over(wp), 6).alias("p"),
+        F.rank().over(wr).cast("int").alias("next_rank"),
+    )
+
+
+@query(
+    "q_ts_ewma",
+    oracle="""
+WITH seq AS (
+  SELECT event_id, user_id, value,
+         LAG(value, 1) OVER w AS x1, LAG(value, 2) OVER w AS x2,
+         LAG(value, 3) OVER w AS x3, LAG(value, 4) OVER w AS x4,
+         LAG(value, 5) OVER w AS x5, LAG(value, 6) OVER w AS x6,
+         LAG(value, 7) OVER w AS x7
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, value,
+       (value * 1.0
+        + COALESCE(x1 * 0.5, 0.0)      + COALESCE(x2 * 0.25, 0.0)
+        + COALESCE(x3 * 0.125, 0.0)    + COALESCE(x4 * 0.0625, 0.0)
+        + COALESCE(x5 * 0.03125, 0.0)  + COALESCE(x6 * 0.015625, 0.0)
+        + COALESCE(x7 * 0.0078125, 0.0))
+       / (1.0
+          + CASE WHEN x1 IS NULL THEN 0.0 ELSE 0.5 END
+          + CASE WHEN x2 IS NULL THEN 0.0 ELSE 0.25 END
+          + CASE WHEN x3 IS NULL THEN 0.0 ELSE 0.125 END
+          + CASE WHEN x4 IS NULL THEN 0.0 ELSE 0.0625 END
+          + CASE WHEN x5 IS NULL THEN 0.0 ELSE 0.03125 END
+          + CASE WHEN x6 IS NULL THEN 0.0 ELSE 0.015625 END
+          + CASE WHEN x7 IS NULL THEN 0.0 ELSE 0.0078125 END)
+         AS ewma
+FROM seq
+""",
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2, 8-tap truncated
+    kernel) of each user's value stream.  The recursive EWMA is
+    deliberately unrolled into a fixed 8-lag FIR so it stays a pure
+    window expression (no iterative state): weights 2⁻ⁱ are exact
+    binary fractions, multiplying a double by 2⁻ⁱ only shifts the
+    exponent (exact), and both engines sum the 8 terms in the same
+    written order — the resulting double is bit-identical with no
+    rounding fudge.  Ramp-up rows renormalize by the present-weight
+    sum.  Scale: one shuffle on user_id; 8 lags come from ONE window
+    sort, not eight."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("value")] + [F.lag("value", i).over(w) for i in range(1, 8)]
+    weights = [2.0 ** -i for i in range(8)]
+    num = F.col("value") * F.lit(1.0)
+    den = F.lit(1.0)
+    for x, wt in zip(lags[1:], weights[1:]):
+        num = num + F.coalesce(x * F.lit(wt), F.lit(0.0))
+        den = den + F.when(x.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    return ev.select("event_id", "user_id", "value",
+                     (num / den).alias("ewma"))
+
+
+@query(
+    "q_profile_key_skew",
+    oracle="""
+WITH sizes AS (
+  SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY o_custkey
+), hist AS (
+  SELECT n, COUNT(*) AS freq FROM sizes GROUP BY n
+), cum AS (
+  SELECT n, freq,
+         SUM(freq) OVER (ORDER BY n) AS cfreq,
+         SUM(freq) OVER () AS n_keys,
+         SUM(n * freq) OVER () AS n_rows
+  FROM hist
+)
+SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+       CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+       MIN(n) AS min_per_key, MAX(n) AS max_per_key,
+       MIN(CASE WHEN cfreq * 2   >= n_keys      THEN n END) AS p50,
+       MIN(CASE WHEN cfreq * 10  >= n_keys * 9  THEN n END) AS p90,
+       MIN(CASE WHEN cfreq * 100 >= n_keys * 99 THEN n END) AS p99,
+       ROUND(CAST(MAX(n) AS DOUBLE) * MAX(n_keys) / MAX(n_rows), 6)
+         AS skew_max_over_avg
+FROM cum
+""",
+)
+def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the group-size distribution of
+    orders.o_custkey — exact min/p50/p90/p99/max rows-per-key and a
+    max/avg skew ratio, the numbers that decide salting / AQE skew-join
+    before a big join.  Scalable exact percentiles: per-key counts
+    collapse to a counts-of-counts histogram FIRST (|distinct sizes|
+    rows — dozens at any scale), and the unpartitioned cumulative
+    window runs over that tiny relation, never over the keys
+    themselves.  Percentile picks compare pure integers (cfreq·m ≥
+    q·n_keys) — no float thresholds to flake."""
+    od = load_table(spark, sf_dir, "orders")
+    sizes = od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    hist = sizes.groupBy("n").agg(F.count(F.lit(1)).alias("freq"))
+    wc = Window.orderBy("n")
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "n", "freq",
+        F.sum("freq").over(wc).alias("cfreq"),
+        F.sum("freq").over(wall).alias("n_keys"),
+        F.sum(F.col("n") * F.col("freq")).over(wall).alias("n_rows"),
+    )
+    pick = lambda mul, q: F.min(
+        F.when(F.col("cfreq") * mul >= F.col("n_keys") * q, F.col("n")))
+    return cum.agg(
+        F.max("n_keys").alias("n_keys"),
+        F.max("n_rows").alias("n_rows"),
+        F.min("n").alias("min_per_key"),
+        F.max("n").alias("max_per_key"),
+        pick(2, 1).alias("p50"),
+        pick(10, 9).alias("p90"),
+        pick(100, 99).alias("p99"),
+        F.round(F.max("n").cast("double") * F.max("n_keys") / F.max("n_rows"),
+                6).alias("skew_max_over_avg"),
+    )
