@@ -886,3 +886,54 @@ def q_llm_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1L, 'min_length',  n0, k1, "
         "2L, 'repetition',  k1, k2, "
         "3L, 'exact_dedup', k2, k3) AS (stage_id, stage, n_in, n_kept)")
+
+
+@query(
+    "q_llm_text_char_entropy",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, c.ch AS ch, COUNT(*) AS cnt
+  FROM documents, unnest(string_split(text, '')) AS c(ch)
+  GROUP BY doc_id, c.ch
+), per_doc AS (
+  SELECT doc_id,
+         SUM(cnt) AS n,
+         COUNT(*) AS n_distinct_chars,
+         SUM(CAST(ROUND(cnt * log2(cnt), 9) AS DECIMAL(30,12))) AS s
+  FROM chars GROUP BY doc_id
+)
+SELECT doc_id, n_distinct_chars,
+       ROUND(log2(CAST(n AS DOUBLE))
+             - CAST(CAST(s AS VARCHAR) AS DOUBLE) / n, 6) AS char_entropy_bits
+FROM per_doc
+""",
+)
+def q_llm_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (bits/char) —
+    the degenerate-text detector the length/stopword heuristics miss:
+    near-0 bits flags single-char spam, ≈log₂|alphabet| flags random
+    noise / mojibake; natural prose sits ~4 bits.  H = log₂n − Σc·log₂c
+    / n keeps every log argument an INTEGER count, and the
+    order-dependent float sum Σc·log₂c is made engine-portable by
+    rounding each term to 1e-9 and summing EXACTLY as decimal
+    (numerics.py discipline — the two engines' log2 agree far below the
+    rounding grain).  Scale: explode is per-doc-bounded, the (doc, char)
+    rollup partial-combines to ≤|alphabet| rows per doc before either
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = chars.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.round(F.col("cnt") * F.log2("cnt"), 9)
+              .cast("decimal(30,12)")).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id", "n_distinct_chars",
+        F.round(F.log2(F.col("n").cast("double"))
+                - F.col("s").cast("double") / F.col("n"),
+                6).alias("char_entropy_bits"),
+    )

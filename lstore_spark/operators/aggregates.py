@@ -661,3 +661,80 @@ def q_agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         r("sqp", "sq", "sp", "sqq", "spp", "r_qty_price"),
         r("sqd", "sq", "sd", "sqq", "sdd", "r_qty_disc"),
         r("spd", "sp", "sd", "spp", "sdd", "r_price_disc"))
+
+
+@query(
+    "q_agg_entropy_mi",
+    oracle="""
+WITH cells AS (
+  SELECT event_type AS x,
+         CAST(floor(abs(value)) AS BIGINT) % 4 AS y,
+         COUNT(*) AS nxy
+  FROM events GROUP BY 1, 2
+), dressed AS (
+  SELECT x, y, nxy,
+         SUM(nxy) OVER (PARTITION BY x) AS nx,
+         SUM(nxy) OVER (PARTITION BY y) AS ny,
+         SUM(nxy) OVER () AS n
+  FROM cells
+)
+SELECT
+  CAST(MAX(n) AS BIGINT) AS n_rows,
+  ROUND(log2(CAST(MAX(n) AS DOUBLE))
+        - CAST(CAST(SUM(CAST(ROUND(nxy * log2(nx), 9)
+                             AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+          / MAX(n), 6) AS h_type,
+  ROUND(log2(CAST(MAX(n) AS DOUBLE))
+        - CAST(CAST(SUM(CAST(ROUND(nxy * log2(ny), 9)
+                             AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+          / MAX(n), 6) AS h_bucket,
+  ROUND(CAST(CAST(SUM(CAST(ROUND(nxy * log2(
+              CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)), 9)
+                             AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+          / MAX(n), 6) AS mi_bits
+FROM dressed
+""",
+)
+def q_agg_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropies and mutual information between event_type and a
+    derived value bucket — the label-balance / feature-leakage
+    diagnostic run before training.  Everything reduces to per-CELL
+    terms on the |X|·|Y| contingency table: H(X) = log₂n − Σ nxy·log₂nx
+    / n (the Σ-over-cells identity Σ nxy·log₂nx = Σ nx·log₂nx avoids a
+    second aggregate), MI = Σ (nxy/n)·log₂(nxy·n / nx·ny).  Every log
+    argument derives from integer counts; each float term is rounded to
+    1e-9 then summed EXACTLY as decimal so the cross-engine hash can't
+    flake on summation order.  Scale: one shuffle to the tiny
+    contingency table, windows over ≤|X|·|Y| rows, single-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.col("event_type").alias("x"),
+            (F.floor(F.abs("value")).cast("bigint") % 4).alias("y"))
+        .groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    d = cells.select(
+        "nxy",
+        F.sum("nxy").over(wx).alias("nx"),
+        F.sum("nxy").over(wy).alias("ny"),
+        F.sum("nxy").over(wall).alias("n"),
+    )
+
+    def dsum9(term):
+        return F.sum(F.round(term, 9).cast("decimal(30,12)")).cast("double")
+
+    log2n = F.log2(F.max("n").cast("double"))
+    mi_arg = (F.col("nxy").cast("double") * F.col("n")
+              / (F.col("nx").cast("double") * F.col("ny")))
+    return d.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.round(log2n - dsum9(F.col("nxy") * F.log2("nx")) / F.max("n"), 6)
+         .alias("h_type"),
+        F.round(log2n - dsum9(F.col("nxy") * F.log2("ny")) / F.max("n"), 6)
+         .alias("h_bucket"),
+        F.round(dsum9(F.col("nxy") * F.log2(mi_arg)) / F.max("n"), 6)
+         .alias("mi_bits"),
+    )
