@@ -937,3 +937,48 @@ def q_llm_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("s").cast("double") / F.col("n"),
                 6).alias("char_entropy_bits"),
     )
+
+
+_IMP_HASH_D = sql_md5_long("concat('imp:', CAST(doc_id AS VARCHAR))", 8)
+_IMP_HASH_S = sql_md5_long("concat('imp:', CAST(doc_id AS STRING))", 8)
+
+
+@query(
+    "q_llm_sample_importance",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         LEAST(1.0, n_chars / 2000.0) AS keep_p,
+         {_IMP_HASH_D} % 1000000 AS h
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       ROUND(keep_p, 6) AS keep_p,
+       ROUND(1.0 / keep_p, 6) AS inv_weight
+FROM w
+WHERE h < keep_p * 1000000.0
+""",
+)
+def q_llm_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus sampling: each doc survives with a
+    CONTINUOUS per-doc probability (here length-proportional, the
+    long-docs-are-rarer-and-richer heuristic), and survivors carry the
+    inverse-propensity weight 1/p so any downstream aggregate stays
+    unbiased — the mixture-rebalancing sampler, vs the per-stratum
+    literal rates of q_llm_sample_stratified.  Deterministic: the keep
+    decision is portable-md5(doc_id) < p·10⁶, stateless and
+    reproducible across runs/engines/retries; the boundary product
+    p·10⁶ = n_chars·500 is integer-valued so the comparison can't sit
+    on a float edge.  Scale: pure scan-side filter — no shuffle, no
+    sort, no count pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_p = F.least(F.lit(1.0), F.col("n_chars") / 2000.0)
+    h = F.expr(_IMP_HASH_S) % 1000000
+    return (
+        docs.select("doc_id", "lang", "n_chars",
+                    keep_p.alias("_p"), h.alias("_h"))
+        .filter(F.col("_h") < F.col("_p") * 1000000.0)
+        .select("doc_id", "lang", "n_chars",
+                F.round(F.col("_p"), 6).alias("keep_p"),
+                F.round(F.lit(1.0) / F.col("_p"), 6).alias("inv_weight"))
+    )
