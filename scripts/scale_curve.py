@@ -76,6 +76,19 @@ KEYS = [
     "q_tpch_q5_local_supplier",
     "q_agg_heavy_hitters_cms",
     "q_agg_quantile_sketch",
+    # round-7 late additions
+    "q_tpch_q7_volume",
+    "q_tpch_q8_market_share",
+    "q_tpch_q14_promo",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q19_brand_bands",
+    "q_evt_markov",
+    "q_ts_ewma",
+    "q_profile_key_skew",
+    "q_agg_entropy_mi",
+    "q_llm_text_char_entropy",
+    "q_llm_sample_importance",
+    "q_llm_sim_lsh_topk",
 ]
 
 
