@@ -49,6 +49,7 @@ HEADLINE = [
     "q_llm_emb_pq_adc",
     "q_llm_dedup_substring",  # added r6: span-keyed shuffle (Lee-et-al dedup)
     "q_llm_dedup_semantic",   # added r7: SemDeDup flagship (VERDICT r6 #1)
+    "q_tpch_q8_market_share",  # added r7: widest star (7 relations)
 ]
 
 
