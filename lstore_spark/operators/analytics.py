@@ -2016,3 +2016,163 @@ def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("n").cast("double") * F.max("n_keys") / F.max("n_rows"),
                 6).alias("skew_max_over_avg"),
     )
+
+
+@query(
+    "q_tpch_q6_forecast",
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    scan-dominated aggregate — every predicate pushes to the parquet
+    scan (year range, discount band, quantity cap), then one global
+    2-phase sum.  At 100 TB this is the query whose cost is pure I/O;
+    the plan must show PushedFilters and nothing else.  The discount
+    band bounds are exact doubles (0.05/0.07 are the fixture's literal
+    grid values; comparison semantics identical in both engines)."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24)))
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+@query(
+    "q_tpch_q13_custdist",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+""",
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): orders-per-customer histogram
+    INCLUDING zero-order customers — the left outer join is the point
+    (an inner join silently drops the idle cohort).  Two aggregations:
+    per-customer count (shuffle on custkey), then the tiny
+    counts-of-counts rollup.  COUNT(o_orderkey) not COUNT(*): the
+    null-extended row of an idle customer must count 0, not 1 — the
+    classic outer-join-count bug, encoded correctly in both engines."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q_tpch_q17_small_qty",
+    oracle="""
+WITH thresholds AS (
+  SELECT l_partkey AS t_partkey,
+         0.5 * (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8)))
+                          AS VARCHAR) AS DOUBLE) / COUNT(*)) AS qty_cut
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+            AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part       ON p_partkey = l_partkey
+JOIN thresholds ON t_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < qty_cut
+""",
+)
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lineitems under half
+    their part's average quantity — the correlated average decorrelated
+    into a per-part threshold relation joined back (one extra shuffle
+    on partkey; Catalyst plans the subquery identically).  The
+    threshold itself divides an exact decimal sum, and the comparison
+    l_quantity < 0.5·avg stays off float edges because quantities are
+    integral and averages have a /count denominator — a tie would need
+    quantity·count = sum/0.5 exactly, which ROUND-free double math
+    resolves identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = (load_table(spark, sf_dir, "part")
+          .filter(F.col("p_brand") == "Brand#1"))
+    thresholds = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((0.5 * (F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                     / F.count(F.lit(1)))).alias("qty_cut"))
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
+        .join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg((F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+              / 7.0).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "q_tpch_q22_idle_rich",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8)))
+              AS VARCHAR) AS DOUBLE) / COUNT(*) AS cut
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8)))
+            AS VARCHAR) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > cut
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
+GROUP BY c_nationkey
+""",
+)
+def q_tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), recency-adapted: customers
+    with above-average positive balances and no orders in the final
+    year of the fixture (the uniform order generator gives EVERY
+    customer some lifetime order, so the literal no-orders-ever form is
+    provably empty here), rolled up by nation.
+    The anti join is the heart — Catalyst turns NOT EXISTS into a
+    left-anti hash join (here on the broadcast DISTINCT custkey set of
+    orders, the semi-join-reduction shape; at 100 TB the distinct
+    custkeys of orders shuffle once and the anti join stays equi).  The
+    scalar average broadcasts as a 1-row relation."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    cut = (cu.filter(F.col("c_acctbal") > 0.0)
+           .agg((F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                 / F.count(F.lit(1))).alias("cut")))
+    recent = F.lit("2000-08-01 00:00:00").cast("timestamp_ntz")
+    buyers = (od.filter(F.col("o_orderdate") >= recent)
+              .select(F.col("o_custkey")).distinct())
+    return (
+        cu.crossJoin(F.broadcast(cut))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(buyers, cu.c_custkey == buyers.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+             .alias("totacctbal"))
+    )
