@@ -311,7 +311,15 @@ def hyperplane_band_rows(df: DataFrame, id_col: str, vec_col: str,
     ~n·planes·dim scalar evals: at 200k×165×64 that was ~98% of LSH
     wall-clock.  The matmul path is the textbook "vectorized UDF beats
     built-in" exception: still a pure projection over the scan (no
-    shuffle), still deterministic (fixed planes, fixed batch math).
+    shuffle), stable within an environment (fixed planes; note the
+    matmul accumulates in BLAS order, so a plane dot within ~1 ulp of
+    zero could in principle flip its sign bit across BLAS builds —
+    unlike the old left-to-right fold, which was bit-reproducible
+    everywhere; LSH callers are rows-only/approximate, so this trades
+    cross-machine bit-parity for a ~16× wall win).  Rows with a NULL
+    or wrong-length vector get a NULL bucket array (the explode then
+    emits nothing for them — same degraded-output behavior as the old
+    NULL-propagating HOF form, instead of a task crash).
     The explode emits ``bands`` narrow rows per vector.
     """
     import numpy as np
@@ -336,12 +344,19 @@ def hyperplane_band_rows(df: DataFrame, id_col: str, vec_col: str,
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def band_buckets(vec):
-        V = np.stack(vec.to_numpy()).astype(np.float64)      # (m, dim)
-        S = (V @ Ht) > 0                                     # (m, planes)
+        vals = vec.to_numpy()
+        ok = np.array([v is not None and len(v) == dim for v in vals])
+        if not ok.any():
+            return pd.Series([None] * len(vals))
+        V = np.stack(vals[ok]).astype(np.float64)            # (m_ok, dim)
+        S = (V @ Ht) > 0                                     # (m_ok, planes)
         B = np.stack(
             [S[:, b * bits:(b + 1) * bits] @ pow2 for b in range(bands)],
-            axis=1).astype(np.int32)                         # (m, bands)
-        return pd.Series(list(B))
+            axis=1).astype(np.int32)                         # (m_ok, bands)
+        out = [None] * len(vals)
+        for i, j in zip(np.nonzero(ok)[0], range(len(B))):
+            out[i] = B[j]
+        return pd.Series(out)
 
     return (
         df.select(id_col, F.posexplode(band_buckets(vec_col))

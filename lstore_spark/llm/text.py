@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, table_rows
-from ..numerics import DEC
+from ..numerics import DEC, round9_dec, sql_dec2dbl, sql_round9_dec
 from ..registry import query
 from .hashing import sql_md5_long
 
@@ -890,7 +890,7 @@ def q_llm_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_text_char_entropy",
-    oracle="""
+    oracle=f"""
 WITH chars AS (
   SELECT doc_id, c.ch AS ch, COUNT(*) AS cnt
   FROM documents, unnest(string_split(text, '')) AS c(ch)
@@ -899,12 +899,12 @@ WITH chars AS (
   SELECT doc_id,
          SUM(cnt) AS n,
          COUNT(*) AS n_distinct_chars,
-         SUM(CAST(ROUND(cnt * log2(cnt), 9) AS DECIMAL(30,12))) AS s
+         SUM({sql_round9_dec('cnt * log2(cnt)')}) AS s
   FROM chars GROUP BY doc_id
 )
 SELECT doc_id, n_distinct_chars,
        ROUND(log2(CAST(n AS DOUBLE))
-             - CAST(CAST(s AS VARCHAR) AS DOUBLE) / n, 6) AS char_entropy_bits
+             - {sql_dec2dbl('s')} / n, 6) AS char_entropy_bits
 FROM per_doc
 """,
 )
@@ -928,8 +928,7 @@ def q_llm_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = chars.groupBy("doc_id").agg(
         F.sum("cnt").alias("n"),
         F.count(F.lit(1)).alias("n_distinct_chars"),
-        F.sum(F.round(F.col("cnt") * F.log2("cnt"), 9)
-              .cast("decimal(30,12)")).alias("s"),
+        F.sum(round9_dec(F.col("cnt") * F.log2("cnt"))).alias("s"),
     )
     return per_doc.select(
         "doc_id", "n_distinct_chars",

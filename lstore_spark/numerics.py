@@ -55,3 +55,28 @@ def sql_dsum(expr: str, alias: str) -> str:
 def sql_davg(expr: str, alias: str) -> str:
     return (f"{sql_dec2dbl(f'SUM(CAST({expr} AS DECIMAL(30,8)))')}"
             f" / COUNT({expr}) AS {alias}")
+
+
+# Entropy/log discipline: a float term whose cross-engine disagreement
+# is bounded far below 1e-9 (e.g. n·log2(n) of integer counts — libm vs
+# JVM log differ ≤ ~1 ulp) rounds at the 1e-9 grain and then sums
+# EXACTLY as decimal, making the aggregate order-independent and
+# hash-portable.  One grain, one decimal width, centralized here.
+DEC9 = "DECIMAL(30,12)"
+
+
+def round9_dec(col: Column) -> Column:
+    return F.round(col, 9).cast("decimal(30,12)")
+
+
+def dsum9(col: Column) -> Column:
+    """Order-independent sum of 1e-9-rounded terms, as double."""
+    return F.sum(round9_dec(col)).cast("double")
+
+
+def sql_round9_dec(expr: str) -> str:
+    return f"CAST(ROUND({expr}, 9) AS {DEC9})"
+
+
+def sql_dsum9(expr: str) -> str:
+    return sql_dec2dbl(f"SUM({sql_round9_dec(expr)})")

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..llm.hashing import sql_md5_long
-from ..numerics import DEC, davg, dsum, sql_davg, sql_dsum
+from ..numerics import DEC, davg, dsum, dsum9, sql_davg, sql_dsum, sql_dsum9
 from ..registry import query
 
 
@@ -665,7 +665,7 @@ def q_agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_entropy_mi",
-    oracle="""
+    oracle=f"""
 WITH cells AS (
   SELECT event_type AS x,
          CAST(floor(abs(value)) AS BIGINT) % 4 AS y,
@@ -681,16 +681,11 @@ WITH cells AS (
 SELECT
   CAST(MAX(n) AS BIGINT) AS n_rows,
   ROUND(log2(CAST(MAX(n) AS DOUBLE))
-        - CAST(CAST(SUM(CAST(ROUND(nxy * log2(nx), 9)
-                             AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
-          / MAX(n), 6) AS h_type,
+        - {sql_dsum9('nxy * log2(nx)')} / MAX(n), 6) AS h_type,
   ROUND(log2(CAST(MAX(n) AS DOUBLE))
-        - CAST(CAST(SUM(CAST(ROUND(nxy * log2(ny), 9)
-                             AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
-          / MAX(n), 6) AS h_bucket,
-  ROUND(CAST(CAST(SUM(CAST(ROUND(nxy * log2(
-              CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)), 9)
-                             AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+        - {sql_dsum9('nxy * log2(ny)')} / MAX(n), 6) AS h_bucket,
+  ROUND({sql_dsum9('nxy * log2(CAST(nxy AS DOUBLE) * n '
+                   '/ (CAST(nx AS DOUBLE) * ny))')}
           / MAX(n), 6) AS mi_bits
 FROM dressed
 """,
@@ -722,10 +717,6 @@ def q_agg_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nxy").over(wy).alias("ny"),
         F.sum("nxy").over(wall).alias("n"),
     )
-
-    def dsum9(term):
-        return F.sum(F.round(term, 9).cast("decimal(30,12)")).cast("double")
-
     log2n = F.log2(F.max("n").cast("double"))
     mi_arg = (F.col("nxy").cast("double") * F.col("n")
               / (F.col("nx").cast("double") * F.col("ny")))

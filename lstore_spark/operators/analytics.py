@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..llm.hashing import sql_md5_long
-from ..numerics import DEC, davg, dsum, sql_davg, sql_dsum
+from ..numerics import DEC, davg, dsum, sql_davg, sql_dec2dbl, sql_dsum
 from ..registry import query
 
 # ---------------------------------------------------------------- subqueries
@@ -327,9 +327,13 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q8_NATION_SUM = """SUM(CASE WHEN supp_nation = 'NATION_3'
+           THEN volume ELSE CAST(0 AS DECIMAL(30,8)) END)"""
+
+
 @query(
     "q_tpch_q8_market_share",
-    oracle="""
+    oracle=f"""
 WITH all_volume AS (
   SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
          CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)) AS volume,
@@ -348,10 +352,8 @@ WITH all_volume AS (
 )
 SELECT o_year,
        ROUND(
-         CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
-                            THEN volume ELSE CAST(0 AS DECIMAL(30,8)) END)
-                   AS VARCHAR) AS DOUBLE)
-         / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE),
+         {sql_dec2dbl(_Q8_NATION_SUM)}
+         / {sql_dec2dbl('SUM(volume)')},
          6) AS mkt_share
 FROM all_volume
 GROUP BY o_year
@@ -401,16 +403,19 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q14_PROMO_SUM = """SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))
+    ELSE CAST(0 AS DECIMAL(30,8)) END)"""
+_Q14_TOTAL_SUM = (
+    "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)))")
+
+
 @query(
     "q_tpch_q14_promo",
-    oracle="""
+    oracle=f"""
 SELECT ROUND(
-         100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
-                    THEN CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(30,8))
-                    ELSE CAST(0 AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE)
-         / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE),
+         100.0 * {sql_dec2dbl(_Q14_PROMO_SUM)}
+         / {sql_dec2dbl(_Q14_TOTAL_SUM)},
          6) AS promo_revenue_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -446,7 +451,7 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q15_top_supplier",
-    oracle="""
+    oracle=f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
          SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)))
@@ -457,7 +462,7 @@ WITH revenue AS (
   GROUP BY l_suppkey
 )
 SELECT s_suppkey, s_name,
-       CAST(CAST(total AS VARCHAR) AS DOUBLE) AS total_revenue
+       {sql_dec2dbl('total')} AS total_revenue
 FROM supplier
 JOIN revenue ON s_suppkey = supplier_no
 WHERE total = (SELECT MAX(total) FROM revenue)
@@ -488,10 +493,8 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q19_brand_bands",
-    oracle="""
-SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                          AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
-         AS revenue,
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
        COUNT(*) AS n_items
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -2084,15 +2087,15 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q17_small_qty",
-    oracle="""
+    oracle=f"""
 WITH thresholds AS (
   SELECT l_partkey AS t_partkey,
-         0.5 * (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8)))
-                          AS VARCHAR) AS DOUBLE) / COUNT(*)) AS qty_cut
+         0.5 * ({sql_dec2dbl('SUM(CAST(l_quantity AS DECIMAL(30,8)))')}
+                / COUNT(*)) AS qty_cut
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
-            AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+SELECT {sql_dec2dbl('SUM(CAST(l_extendedprice AS DECIMAL(30,8)))')}
+         / 7.0 AS avg_yearly,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN part       ON p_partkey = l_partkey
@@ -2130,16 +2133,15 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q22_idle_rich",
-    oracle="""
+    oracle=f"""
 WITH avg_bal AS (
-  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8)))
-              AS VARCHAR) AS DOUBLE) / COUNT(*) AS cut
+  SELECT {sql_dec2dbl('SUM(CAST(c_acctbal AS DECIMAL(30,8)))')}
+         / COUNT(*) AS cut
   FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c_nationkey,
        COUNT(*) AS numcust,
-       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8)))
-            AS VARCHAR) AS DOUBLE) AS totacctbal
+       {sql_dec2dbl('SUM(CAST(c_acctbal AS DECIMAL(30,8)))')} AS totacctbal
 FROM customer, avg_bal
 WHERE c_acctbal > cut
   AND NOT EXISTS (SELECT 1 FROM orders

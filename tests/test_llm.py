@@ -423,3 +423,18 @@ def test_quantile_sketch_error_bounded_by_bucket_width(spark, sf_dir):
            QUERIES["q_agg_quantile_sketch"](spark, sf_dir).collect()}
     for q, ex in [(0.5, exact.p50), (0.9, exact.p90), (0.99, exact.p99)]:
         assert abs(got[q] - ex) <= width, (q, got[q], ex, width)
+
+
+def test_hyperplane_band_rows_tolerates_null_and_ragged_vectors(spark):
+    """The vectorized signature UDF must degrade like the old
+    NULL-propagating HOF form — emit nothing for NULL / wrong-length
+    embeddings — not crash the Python worker (round-7 self-review)."""
+    from lstore_spark.llm.similarity import hyperplane_band_rows
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None), (3, [0.1] * 8), (4, [-0.5] * 64)],
+        "vec_id: long, embedding: array<float>")
+    rows = hyperplane_band_rows(df, "vec_id", "embedding",
+                                bits=4, bands=3).collect()
+    assert sorted(set(r.vec_id for r in rows)) == [1, 4]
+    assert len(rows) == 6  # 3 bands × 2 valid vectors
