@@ -89,6 +89,10 @@ KEYS = [
     "q_llm_text_char_entropy",
     "q_llm_sample_importance",
     "q_llm_sim_lsh_topk",
+    "q_tpch_q6_forecast",
+    "q_tpch_q13_custdist",
+    "q_tpch_q17_small_qty",
+    "q_tpch_q22_idle_rich",
 ]
 
 
