@@ -246,3 +246,55 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o.o_totalprice").alias("old_price"),
             F.col("n.o_totalprice").alias("new_price"))
     )
+
+
+@query(
+    "q_mv_incremental_refresh",
+    oracle=f"""
+SELECT c_nationkey,
+       COUNT(*) AS n_orders,
+       {sql_dec2dbl("SUM(CAST(o_totalprice AS DECIMAL(30,8)))")}
+         AS total_price,
+       ROUND({sql_dec2dbl("SUM(CAST(o_totalprice AS DECIMAL(30,8)))")}
+             / COUNT(*), 6) AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""",
+)
+def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-nation revenue
+    rollup kept fresh by MERGING a delta batch's partial aggregate into
+    the stored base aggregate — never re-scanning the base fact table.
+    The oracle is the semantic contract: incremental refresh must equal
+    the full recompute exactly.
+
+    The split (orders before/after 2000-01-01) plays base vs delta; each
+    side reduces to mergeable partials (COUNT and EXACT-decimal SUM —
+    associative/commutative, so base ⊎ delta re-aggregates losslessly;
+    derived columns like avg are recomputed FROM the merged partials,
+    never merged themselves — averaging averages is the classic MV bug).
+    At 100 TB the base partial is |nations| rows persisted between runs;
+    each refresh shuffles only the delta.  Dims broadcast on both legs."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    split = F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    enr = (od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+           .select("c_nationkey", "o_totalprice", "o_orderdate"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("_s"))
+
+    base = partial(enr.filter(F.col("o_orderdate") < split))
+    delta = partial(enr.filter(F.col("o_orderdate") >= split))
+    merged = (base.unionByName(delta)
+              .groupBy("c_nationkey")
+              .agg(F.sum("_n").alias("_n"), F.sum("_s").alias("_s")))
+    return merged.select(
+        "c_nationkey",
+        F.col("_n").alias("n_orders"),
+        F.col("_s").cast("double").alias("total_price"),
+        F.round(F.col("_s").cast("double") / F.col("_n"), 6)
+         .alias("avg_price"),
+    )

@@ -392,3 +392,36 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
     df = QUERIES["q_source_dpp_join"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_tpch_q6_filters_reach_scan(spark, sf_dir):
+    """Q6 is the scan-dominated query: all three predicate families
+    (date range, discount band, quantity cap) must push to parquet."""
+    p = _plan(spark, sf_dir, "q_tpch_q6_forecast")
+    assert "PushedFilters: [" in p
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in p.split("PushedFilters")[1].split("]")[0], frag
+
+
+def test_tpch_q13_keeps_outer_join(spark, sf_dir):
+    """Q13's zero-order cohort exists only if the left outer join is
+    not 'optimized' into an inner one by a null-intolerant predicate."""
+    p = _plan(spark, sf_dir, "q_tpch_q13_custdist")
+    assert "LeftOuter" in p
+
+
+def test_tpch_q22_plans_anti_join(spark, sf_dir):
+    """The NOT EXISTS must become an equi left-anti hash join (never a
+    per-row subquery or nested-loop against full orders)."""
+    p = _plan(spark, sf_dir, "q_tpch_q22_idle_rich")
+    assert "LeftAnti" in p
+
+
+def test_tpch_q8_star_broadcasts_all_dims(spark, sf_dir):
+    """The widest star: every dimension must ride a broadcast — the
+    only sort-merge/shuffle join permitted is lineitem⋈orders."""
+    p = _plan(spark, sf_dir, "q_tpch_q8_market_share")
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoop") >= 4
+    # fact-fact may be SMJ or (AQE at test scale) broadcast; what must
+    # NOT appear is a shuffled join against any dimension:
+    assert "CartesianProduct" not in p
