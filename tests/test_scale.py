@@ -318,3 +318,58 @@ def test_ann_recall_floors_at_100x(spark):
         near = compute_recalls(spark, "/tmp/sf100x_near")
         for method, q in near.items():
             assert q >= 0.9, f"{method}: {q} below 0.9 on near-twins"
+
+
+def test_cbo_statistics_drive_join_reorder(spark, sf_dir):
+    """'Let Catalyst optimize' includes cost-based join reordering for
+    ad-hoc SQL: with ANALYZE TABLE statistics and spark.sql.cbo on,
+    a query WRITTEN fact-first (lineitem ⋈ orders ⋈ filtered customer)
+    is re-planned to reduce the selective dimension side first — the
+    optimizer's decision, not the author's.  Broadcast is disabled so
+    the reorder (not broadcastability) is what's under test."""
+    from lstore_spark.catalog import load_table
+
+    confs = {"spark.sql.cbo.enabled": None,
+             "spark.sql.cbo.joinReorder.enabled": None,
+             "spark.sql.autoBroadcastJoinThreshold": None}
+    for c in confs:
+        confs[c] = spark.conf.get(c, None)
+    try:
+        for t in ["lineitem", "orders", "customer"]:
+            load_table(spark, sf_dir, t).write.mode("overwrite") \
+                .saveAsTable(f"cbo_{t}")
+            spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS")
+        q = """
+        SELECT c_mktsegment, count(*) AS n
+        FROM cbo_lineitem
+        JOIN cbo_orders   ON l_orderkey = o_orderkey
+        JOIN cbo_customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_mktsegment
+        """
+
+        def optimized(cbo: bool) -> str:
+            spark.conf.set("spark.sql.cbo.enabled", str(cbo).lower())
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled",
+                           str(cbo).lower())
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            return spark.sql(q)._jdf.queryExecution() \
+                .optimizedPlan().toString()
+
+        import re
+        on = optimized(True)
+        order = re.findall(r"cbo_\w+", on)
+        # With stats the fact table must NOT be the first (deepest-left)
+        # relation anymore: the selective dim side reduces first.
+        assert order and order[0] != "cbo_lineitem", order[:6]
+        # And the statistics really exist (rowCount propagated).
+        cost = spark.sql("EXPLAIN COST " + q).collect()[0][0]
+        assert "rowCount=" in cost
+    finally:
+        for t in ["lineitem", "orders", "customer"]:
+            spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+        for c, v in confs.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
