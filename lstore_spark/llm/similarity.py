@@ -482,15 +482,33 @@ def q_llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("list_id"), "cvec")
     )
     # Route every corpus vector to its nearest list: one scan, map-side argmax.
-    assigned = (
-        corpus.crossJoin(F.broadcast(cvecs))
-        .select("cand_id", "c_emb", "list_id",
-                cosine("c_emb", "cvec").alias("_s"))
-        .groupBy("cand_id").agg(
-            F.expr("max_by(struct(c_emb, list_id), struct(_s, -list_id))").alias("b"))
-        .select("cand_id", F.col("b.c_emb").alias("c_emb"),
-                F.col("b.list_id").alias("list_id"))
-    )
+    # Route every corpus vector to its nearest list with a vectorized
+    # per-batch matmul against the (tiny, driver-collected) centroid
+    # matrix: a pure PROJECTION — no n_lists-way row expansion and no
+    # groupBy shuffle of the corpus (the previous crossJoin+max_by form
+    # pushed corpus×n_lists rows through an exchange; same lesson as
+    # the LSH signature fix).  argmax over normalized centroids ≡
+    # max-cosine; numpy's first-max tie-break on the list_id-sorted
+    # matrix matches the old struct(_s, -list_id) ordering (ties below
+    # the old ROUND-6 grain may route differently — assignment is
+    # approximate routing, bounded by the recall-floor tests).
+    import numpy as np
+    import pandas as pd
+
+    cvec_rows = sorted(cvecs.collect(), key=lambda r: r.list_id)
+    list_ids = np.array([r.list_id for r in cvec_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in cvec_rows])
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T.copy()
+
+    @F.pandas_udf("int")
+    def nearest_list(vec):
+        V = np.stack(vec.to_numpy()).astype(np.float64)
+        # |v| is constant per row — argmax of V @ Cn already ranks by
+        # cosine; no need to normalize the query side.
+        return pd.Series(list_ids[np.argmax(V @ Cn, axis=1)].astype("int32"))
+
+    assigned = corpus.select(
+        "cand_id", "c_emb", nearest_list("c_emb").alias("list_id"))
     # Each query probes its nprobe nearest lists (tiny × tiny).
     probes = partitioned_topk(
         queries.crossJoin(F.broadcast(cvecs))
