@@ -729,3 +729,47 @@ def q_agg_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dsum9(F.col("nxy") * F.log2(mi_arg)) / F.max("n"), 6)
          .alias("mi_bits"),
     )
+
+
+@query(
+    "q_agg_approx_distinct_merge",
+    oracle=f"""
+SELECT event_type,
+       COUNT(DISTINCT {_LC_HASH.format(s='VARCHAR')} % {_LC_M}) AS sketch_buckets,
+       CAST(ROUND(-{_LC_M} * LN(1.0 - LEAST(COUNT(DISTINCT {_LC_HASH.format(s='VARCHAR')} % {_LC_M}), {_LC_M - 1})
+            / CAST({_LC_M} AS DOUBLE))) AS BIGINT) AS approx_users
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_approx_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY, made explicit: the linear-counting sketch of
+    q_agg_approx_distinct is materialized per shard (4 hash shards
+    standing in for the per-day/per-file sketches a pipeline persists),
+    then merged by bucket-set union — and the oracle certifies the
+    merged estimate equals the flat single-pass sketch EXACTLY (union
+    of occupied-bucket sets is associative and lossless, unlike merging
+    estimates).  Scale: each shard sketch is ≤ m bucket ids (~64 KB)
+    regardless of row count — the whole point: daily sketches are tiny
+    artifacts, and re-estimating all-time distincts never rescans
+    history."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.expr(_LC_HASH.format(s="STRING")) % _LC_M
+    shard = F.pmod(F.xxhash64(F.lit("shard"), F.col("event_id")), F.lit(4))
+    per_shard = (
+        ev.select("event_type", shard.alias("_shard"), h.alias("_b"))
+        .groupBy("event_type", "_shard")
+        .agg(F.collect_set("_b").alias("bkts"))
+    )
+    merged = (
+        per_shard.groupBy("event_type")
+        .agg(F.array_distinct(F.flatten(F.collect_list("bkts")))
+             .alias("all_b"))
+    )
+    d = F.size("all_b")
+    d_c = F.least(d, F.lit(_LC_M - 1))
+    est = F.round(-_LC_M * F.log(F.lit(1.0) - d_c / float(_LC_M)))
+    return merged.select(
+        "event_type",
+        d.cast("long").alias("sketch_buckets"),
+        est.cast("bigint").alias("approx_users"),
+    )

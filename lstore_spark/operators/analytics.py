@@ -2178,3 +2178,66 @@ def q_tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
              .alias("totacctbal"))
     )
+
+
+@query(
+    "q_evt_conversion_time",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) FILTER (event_type = 'signup') AS t0
+  FROM events GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+  GROUP BY e.user_id
+), d AS (
+  SELECT CAST(FLOOR(date_diff('second', s.t0, p.t1) / 3600.0) AS BIGINT)
+           AS hrs
+  FROM p JOIN s ON p.user_id = s.user_id
+), hist AS (
+  SELECT hrs, COUNT(*) AS freq FROM d GROUP BY hrs
+), cum AS (
+  SELECT hrs, SUM(freq) OVER (ORDER BY hrs) AS cfreq,
+         SUM(freq) OVER () AS n
+  FROM hist
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       MIN(CASE WHEN cfreq * 2  >= n     THEN hrs END) AS p50_hours,
+       MIN(CASE WHEN cfreq * 10 >= n * 9 THEN hrs END) AS p90_hours
+FROM cum
+""",
+)
+def q_evt_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours from first signup to first
+    subsequent purchase, summarized as exact hour-grain percentiles via
+    the counts-of-counts histogram (q_profile_key_skew's trick applied
+    to a duration metric — the cumulative window runs over ≤ |distinct
+    hour buckets| rows, never over users, so the percentile never
+    triggers a global sort at any user count).  The integer-seconds
+    timestamp diff (timestampdiff/date_diff) keeps the bucketing
+    float-free on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(s, "user_id")
+         .filter(F.col("ts") > F.col("t0"))
+         .groupBy("user_id").agg(F.min("ts").alias("t1"),
+                                 F.min("t0").alias("t0")))
+    hrs = F.floor(
+        F.expr("timestampdiff(SECOND, t0, t1)") / 3600.0).cast("bigint")
+    hist = p.select(hrs.alias("hrs")).groupBy("hrs").agg(
+        F.count(F.lit(1)).alias("freq"))
+    wc = Window.orderBy("hrs")
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "hrs", F.sum("freq").over(wc).alias("cfreq"),
+        F.sum("freq").over(wall).alias("n"))
+    pick = lambda mul, q: F.min(
+        F.when(F.col("cfreq") * mul >= F.col("n") * q, F.col("hrs")))
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        pick(2, 1).alias("p50_hours"),
+        pick(10, 9).alias("p90_hours"),
+    )
