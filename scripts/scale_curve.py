@@ -93,6 +93,9 @@ KEYS = [
     "q_tpch_q13_custdist",
     "q_tpch_q17_small_qty",
     "q_tpch_q22_idle_rich",
+    "q_mv_incremental_refresh",
+    "q_agg_approx_distinct_merge",
+    "q_evt_conversion_time",
 ]
 
 
