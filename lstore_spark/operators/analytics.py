@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..llm.hashing import sql_md5_long
-from ..numerics import DEC, davg, dsum, sql_davg, sql_dec2dbl, sql_dsum
+from ..numerics import (DEC, davg, dsum, dsum9, sql_davg, sql_dec2dbl,
+                        sql_dsum, sql_dsum9)
 from ..registry import query
 
 # ---------------------------------------------------------------- subqueries
@@ -2241,3 +2242,63 @@ def q_evt_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(2, 1).alias("p50_hours"),
         pick(10, 9).alias("p90_hours"),
     )
+
+
+
+@query(
+    "q_graph_rank_2hop",
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), cdeg AS (
+  SELECT c, COUNT(*) AS dc FROM edges GROUP BY c
+), s1 AS (
+  SELECT s, {sql_dsum9('1.0 / dc')} AS r
+  FROM edges JOIN cdeg USING (c) GROUP BY s
+), sdeg AS (
+  SELECT s, COUNT(*) AS ds FROM edges GROUP BY s
+), r1 AS (
+  SELECT c, {sql_dsum9('r / ds')} AS rc
+  FROM edges JOIN s1 USING (s) JOIN sdeg USING (s) GROUP BY c
+)
+SELECT c AS custkey, ROUND(rc, 6) AS rank_2hop
+FROM r1
+ORDER BY rc DESC, c
+LIMIT 10
+""",
+)
+def q_graph_rank_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics in relational form: two propagation
+    hops of a PageRank-style score over the customer→supplier bipartite
+    purchase graph (every customer starts at rank 1 and splits it over
+    its suppliers; suppliers split their received mass back over their
+    customers), top-10 customers by the round-trip rank.  Each hop is
+    join + groupBy — the vertex-centric iteration mapped to shuffles,
+    the shape any fixed-k iterative algorithm (PageRank, label
+    propagation, SimRank) takes on Spark.  Rank sums use the dsum9
+    rounded-term decimal discipline so accumulation is
+    order-independent and the cross-engine hash exact; the per-edge
+    quotients (1/deg, r/deg) are single correctly-rounded double ops,
+    identical in both engines.  Scale: edges shuffle once per hop on
+    the hop's key; degree relations co-partition with them."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (od.join(li, od.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("c"),
+                     F.col("l_suppkey").alias("s"))
+             .distinct())
+    cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    s1 = (edges.join(cdeg, "c")
+          .groupBy("s")
+          .agg(dsum9(F.lit(1.0) / F.col("dc")).alias("r")))
+    sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    r1 = (edges.join(s1, "s").join(sdeg, "s")
+          .groupBy("c")
+          .agg(dsum9(F.col("r") / F.col("ds")).alias("rc")))
+    return (r1.select(F.col("c").alias("custkey"),
+                      F.round("rc", 6).alias("rank_2hop"),
+                      F.col("rc").alias("_o"))
+            .orderBy(F.col("_o").desc(), "custkey")
+            .limit(10)
+            .drop("_o"))
