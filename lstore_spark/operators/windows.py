@@ -195,3 +195,42 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@query(
+    "q_win_time_range",
+    oracle="""
+WITH sec AS (
+  SELECT event_id, user_id, value,
+         date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS t
+  FROM events
+)
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w
+            AS VARCHAR) AS DOUBLE) AS sum_1h
+FROM sec
+WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval window frame: each event's trailing-one-hour count
+    and exact-decimal value sum within its user's stream — the
+    rate-limiter / rolling-exposure shape.  Spark's RANGE frames bound
+    on a numeric sort key, so event time maps to integer epoch seconds
+    first (identical in both engines via the 1970 diff — no timezone
+    hop); the frame [-3599, 0] then means "same wall-clock hour,
+    tie-second peers included" with RANGE-peer semantics matching the
+    oracle exactly.  Scale: one shuffle on user_id, one ordered pass —
+    the frame is streaming-evaluated, never materialized."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr(
+        "timestampdiff(SECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)")
+    w = (Window.partitionBy("user_id").orderBy("t")
+         .rangeBetween(-3599, Window.currentRow))
+    return (ev.select("event_id", "user_id", "value", t.alias("t"))
+            .select("event_id", "user_id",
+                    F.count(F.lit(1)).over(w).alias("n_1h"),
+                    F.sum(F.col("value").cast(DEC)).over(w)
+                    .cast("double").alias("sum_1h")))
