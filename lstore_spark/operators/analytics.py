@@ -2302,3 +2302,63 @@ def q_graph_rank_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("_o").desc(), "custkey")
             .limit(10)
             .drop("_o"))
+
+
+@query(
+    "q_evt_active_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+), w7 AS (
+  SELECT du.day + CAST(t.i AS INTEGER) AS day, du.user_id
+  FROM du, unnest(generate_series(0, 6)) AS t(i)
+), wau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS wau FROM w7 GROUP BY day
+), w30 AS (
+  SELECT du.day + CAST(t.i AS INTEGER) AS day, du.user_id
+  FROM du, unnest(generate_series(0, 29)) AS t(i)
+), mau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS mau FROM w30 GROUP BY day
+)
+SELECT d.day, dau.dau, wau.wau, mau.mau
+FROM days d
+JOIN dau ON dau.day = d.day
+JOIN wau ON wau.day = d.day
+JOIN mau ON mau.day = d.day
+""",
+)
+def q_evt_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU: daily actives plus trailing-7-day and
+    trailing-30-day distinct users per day.  COUNT(DISTINCT) over a
+    sliding window has no window-function form in Spark; the scalable
+    shape is dedupe-first-then-explode — collapse events to the tiny
+    (day, user) relation ONCE, then fan each pair out to the k days it
+    keeps its user active in and count distinct per day.  The fan-out
+    multiplies the deduped relation (users·days·k rows), never the raw
+    event log — at 100 TB the event→(day,user) collapse is the only
+    full-data shuffle, everything after is |users|·|days|-scale.
+    Reported days = days that actually appear (both engines join the
+    same day spine, so trailing ghost days past the last event drop
+    out identically)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+          .distinct())
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def trailing(k: int, name: str) -> DataFrame:
+        fan = du.select(
+            F.expr(f"explode(sequence(0, {k - 1}))").alias("i"),
+            "day", "user_id",
+        ).select(F.expr("date_add(day, i)").alias("day"), "user_id")
+        return fan.groupBy("day").agg(
+            F.countDistinct("user_id").alias(name))
+
+    return (days
+            .join(dau, "day")
+            .join(trailing(7, "wau"), "day")
+            .join(trailing(30, "mau"), "day"))
