@@ -96,6 +96,9 @@ KEYS = [
     "q_mv_incremental_refresh",
     "q_agg_approx_distinct_merge",
     "q_evt_conversion_time",
+    "q_graph_rank_2hop",
+    "q_win_time_range",
+    "q_evt_active_users",
 ]
 
 
