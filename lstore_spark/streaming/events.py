@@ -578,3 +578,28 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "sum_value"))
     )
+
+
+@query(
+    "q_stream_active_daily",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+FROM events GROUP BY CAST(ts AS DATE)
+""",
+)
+def q_stream_active_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users as a STREAMING problem: COUNT(DISTINCT) is
+    unsupported in streaming aggregation, so the production form CHAINS
+    two stateful operators in one query — dropDuplicates((day, user))
+    then a 1-day windowed count — which Spark supports in append mode
+    since multiple-stateful-operator support landed (asserted
+    stream≡batch for watermark-closed days in tests/test_streaming.py::
+    test_stream_chained_dedup_agg_equals_batch).  This batch twin is
+    the same dedupe-then-count, collapsed: distinct (day, user) pairs,
+    then a per-day count.  Scale: one shuffle to dedupe, one tiny
+    per-day rollup — dedup state holds (day, user) keys inside the
+    watermark horizon only."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+            .distinct()
+            .groupBy("day").agg(F.count(F.lit(1)).alias("dau")))

@@ -475,3 +475,37 @@ def test_stream_stream_join_state_bounded_by_watermark(spark, sf_dir):
     assert out["final_state_rows"] < out["peak_state_rows"]
     batch_n = QUERIES["q_stream_stream_join"](spark, sf_dir).count()
     assert out["total_output_rows"] == batch_n
+
+
+def test_stream_chained_dedup_agg_equals_batch(spark, sf_dir):
+    """CHAINED stateful operators in one streaming query (the Spark-3.4+
+    multiple-stateful-ops feature): dropDuplicates((day, user)) feeding
+    a 1-day windowed count — streaming DAU, since countDistinct is not
+    a streaming aggregate.  Append mode emits only watermark-closed
+    windows; equality is asserted on those, and coverage is asserted
+    for every day that closed under the final watermark."""
+    import datetime
+
+    batch = {r.day: r.dau
+             for r in QUERIES["q_stream_active_daily"](spark, sf_dir)
+             .collect()}
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .withColumn("day", F.col("ts").cast("date"))
+        .dropDuplicates(["day", "user_id"])
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("dau"))
+        .select(F.col("w.start").cast("date").alias("day"), "dau")
+    )
+    out = run_available_now(stream, "t_chained_dedup_agg", mode="append")
+    got = {r.day: r.dau for r in out.collect()}
+    assert got, "append emitted nothing — chained stateful ops broken"
+    for day, dau in got.items():
+        assert batch[day] == dau, (day, dau, batch[day])
+    # Every day strictly before the last event's day closed under the
+    # 1h watermark and must have been emitted.
+    max_day = max(batch)
+    for day in batch:
+        if day < max_day - datetime.timedelta(days=1):
+            assert day in got, f"closed day {day} not emitted"
