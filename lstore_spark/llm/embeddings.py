@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..numerics import DEC
+from ..numerics import DEC, dsum9, sql_dsum9
 from ..registry import query
 from .similarity import _norm, cosine, cosine_with_norms
 
@@ -896,3 +896,48 @@ def q_llm_emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((x - F.col("mu0")) / F.col("sd0"), 6).alias("w0"),
                     F.round((y - F.col("mu63")) / F.col("sd63"), 6)
                     .alias("w63")))
+
+
+@query(
+    "q_llm_emb_norm_stats",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id, label,
+         ROUND(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm,
+       ROUND({sql_dsum9('nrm')} / COUNT(*), 6) AS avg_norm,
+       COUNT(CASE WHEN ABS(nrm - 1.0) > 0.01 THEN 1 END) AS n_unnormalized,
+       COUNT(CASE WHEN nrm = 0.0 THEN 1 END) AS n_zero
+FROM norms
+GROUP BY label
+""",
+)
+def q_llm_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality gate: the per-label norm distribution — the
+    sanity check a pipeline runs BEFORE any cosine/ANN stage, because
+    un-normalized or zero vectors silently poison every dot-product
+    ranking downstream.  Per-row norms round at 1e-6 (the sequential
+    array fold is the same order in both engines; rounding removes the
+    last-ulp sqrt risk) and aggregate through the dsum9 exact-decimal
+    discipline.  Scale: pure projection + one tiny per-label rollup —
+    scan-bound at any corpus size."""
+    em = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(_norm("embedding"), 6)
+    return (
+        em.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.round(F.min("nrm"), 6).alias("min_norm"),
+             F.round(F.max("nrm"), 6).alias("max_norm"),
+             F.round(dsum9(F.col("nrm")) / F.count(F.lit(1)), 6)
+              .alias("avg_norm"),
+             F.count(F.when(F.abs(F.col("nrm") - 1.0) > 0.01, 1))
+              .alias("n_unnormalized"),
+             F.count(F.when(F.col("nrm") == 0.0, 1)).alias("n_zero"))
+    )
