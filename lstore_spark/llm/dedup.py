@@ -1060,3 +1060,49 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.coalesce("in_base", F.lit(False)) == F.lit(False))
              & (F.col("doc_id") == F.col("head_id"))).alias("keep"))
     )
+
+
+@query(
+    "q_llm_dedup_report",
+    oracle="""
+WITH clusters AS (
+  SELECT md5(lower(trim(text))) AS hsh,
+         COUNT(*) AS sz,
+         SUM(n_chars) AS chars_total,
+         MIN(n_chars) AS chars_keeper
+  FROM documents GROUP BY md5(lower(trim(text)))
+)
+SELECT sz AS cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(sz - 1) AS BIGINT) AS n_removable,
+       CAST(SUM(chars_total - chars_keeper) AS BIGINT) AS chars_reclaimed
+FROM clusters
+GROUP BY sz
+""",
+)
+def q_llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: the cluster-size histogram plus how many
+    docs and characters exact dedup would reclaim per size class — the
+    number a pipeline owner reads BEFORE paying for the dedup run
+    (and the shape of the answer matters: a few giant clusters vs a
+    long tail of pairs call for different strategies — cap-aware
+    near-dup vs plain exact).  Counts-of-counts again: the per-cluster
+    rollup partial-combines on the fingerprint, the histogram is
+    |distinct sizes| rows.  All-integer arithmetic — nothing to
+    round."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = (
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("hsh"))
+        .agg(F.count(F.lit(1)).alias("sz"),
+             F.sum("n_chars").alias("chars_total"),
+             F.min("n_chars").alias("chars_keeper"))
+    )
+    return (
+        clusters.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"),
+             F.sum("sz").alias("n_docs"),
+             F.sum(F.col("sz") - 1).alias("n_removable"),
+             F.sum(F.col("chars_total") - F.col("chars_keeper"))
+              .alias("chars_reclaimed"))
+    )
