@@ -459,11 +459,20 @@ def q_llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — same plan shape), then each query probes only its nprobe nearest
     lists and exact-cosine re-ranks inside them.
 
-    At 100 TB: the centroid table is n_lists rows → BROADCASTS twice
-    (once to route the corpus, once to route queries); list assignment is
-    one corpus scan with a map-side max_by; the probe join broadcasts
-    (query × nprobe) rows against the list-assigned corpus — the corpus
-    never shuffles at all.  Cost drops from O(|corpus|·|queries|) to
+    At 100 TB: the centroid table (n_lists rows) is computed ONCE
+    (localCheckpoint — it feeds both the routing closure and the probe
+    join) and collected to the driver; corpus→list routing is a
+    vectorized pandas-UDF batch matmul against that matrix — a pure
+    PROJECTION, no n_lists-way row expansion and no corpus shuffle (the
+    earlier crossJoin+max_by form pushed corpus×n_lists rows through an
+    exchange).  Scores round at 1e-6 before argmax so routing keeps the
+    old ROUND-6 cosine's tie semantics (first index = smallest list_id)
+    and stays independent of BLAS/batch accumulation order; NULL or
+    ragged vectors route to NULL and drop out of the join (degraded
+    output, not a worker crash); a zero centroid scores 0 everywhere
+    instead of NaN-poisoning argmax.  NOTE: building this DataFrame
+    eagerly runs the centroid job (the collect) — plan-only callers pay
+    one small aggregation.  Cost drops from O(|corpus|·|queries|) to
     O(|corpus|·nprobe/n_lists·|queries|).  Recall vs the exact top-k is
     asserted in pytest (rows-only for the driver)."""
     nprobe, k = 3, 5
@@ -480,32 +489,34 @@ def q_llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), "
                     "s -> s.c)").alias("cvec"))
         .select(F.col("label").alias("list_id"), "cvec")
+        .localCheckpoint()  # feeds the routing closure AND the probe join
     )
-    # Route every corpus vector to its nearest list: one scan, map-side argmax.
-    # Route every corpus vector to its nearest list with a vectorized
-    # per-batch matmul against the (tiny, driver-collected) centroid
-    # matrix: a pure PROJECTION — no n_lists-way row expansion and no
-    # groupBy shuffle of the corpus (the previous crossJoin+max_by form
-    # pushed corpus×n_lists rows through an exchange; same lesson as
-    # the LSH signature fix).  argmax over normalized centroids ≡
-    # max-cosine; numpy's first-max tie-break on the list_id-sorted
-    # matrix matches the old struct(_s, -list_id) ordering (ties below
-    # the old ROUND-6 grain may route differently — assignment is
-    # approximate routing, bounded by the recall-floor tests).
     import numpy as np
     import pandas as pd
 
     cvec_rows = sorted(cvecs.collect(), key=lambda r: r.list_id)
     list_ids = np.array([r.list_id for r in cvec_rows], dtype=np.int64)
+    dim = len(cvec_rows[0].cvec)
     C = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in cvec_rows])
-    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T.copy()
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    norms[norms == 0.0] = np.inf  # zero centroid scores 0, never NaN-wins
+    Cn = (C / norms).T.copy()
 
     @F.pandas_udf("int")
     def nearest_list(vec):
-        V = np.stack(vec.to_numpy()).astype(np.float64)
-        # |v| is constant per row — argmax of V @ Cn already ranks by
-        # cosine; no need to normalize the query side.
-        return pd.Series(list_ids[np.argmax(V @ Cn, axis=1)].astype("int32"))
+        vals = vec.to_numpy()
+        ok = np.array([v is not None and len(v) == dim for v in vals])
+        out = [None] * len(vals)
+        if ok.any():
+            V = np.stack(vals[ok]).astype(np.float64)
+            # |v| is constant per row — argmax of V @ Cn ranks by cosine
+            # without normalizing the query side; round at the old
+            # ROUND-6 grain so ties break to the smallest list_id and
+            # BLAS/batch accumulation order cannot flip the pick.
+            pick = list_ids[np.argmax(np.round(V @ Cn, 6), axis=1)]
+            for i, j in zip(np.nonzero(ok)[0], range(len(pick))):
+                out[i] = int(pick[j])
+        return pd.Series(out, dtype="Int32")
 
     assigned = corpus.select(
         "cand_id", "c_emb", nearest_list("c_emb").alias("list_id"))

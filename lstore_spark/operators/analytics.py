@@ -20,6 +20,49 @@ from ..numerics import (DEC, davg, dsum, dsum9, sql_davg, sql_dec2dbl,
                         sql_dsum, sql_dsum9)
 from ..registry import query
 
+
+
+# ---- shared exact-percentile + EWMA machinery (single source of truth;
+# used by q_profile_key_skew / q_evt_conversion_time and driven directly
+# by tests/test_analytics_property.py so tests exercise PRODUCTION code)
+
+
+def hist_cum(df: DataFrame, value_col: str) -> DataFrame:
+    """Counts-of-counts cumulative relation for exact percentiles over an
+    integral metric: (value, freq, cfreq, n_total).  The unpartitioned
+    windows run over |distinct values| rows — never over the underlying
+    keys/rows — which is what makes the percentile scale-safe."""
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("freq"))
+    wc = Window.orderBy(value_col)
+    wall = Window.partitionBy()
+    return hist.select(
+        value_col, "freq",
+        F.sum("freq").over(wc).alias("cfreq"),
+        F.sum("freq").over(wall).alias("n_total"))
+
+
+def hist_pick(mul: int, q: int, value_col: str):
+    """Exact percentile pick over a hist_cum relation: smallest value
+    whose cumulative frequency satisfies cfreq·mul ≥ n_total·q — a
+    pure-integer comparison, immune to float thresholds."""
+    return F.min(F.when(F.col("cfreq") * mul >= F.col("n_total") * q,
+                        F.col(value_col)))
+
+
+def ewma_num_den(w, value_col: str = "value", taps: int = 8):
+    """The q_ts_ewma FIR unroll: (numerator, denominator) columns for an
+    α=1/2 truncated-kernel EWMA over window spec ``w`` — dyadic weights
+    (exact double scaling), present-weight renormalization on ramp-up."""
+    lags = [F.lag(value_col, i).over(w) for i in range(1, taps)]
+    weights = [2.0 ** -i for i in range(taps)]
+    num = F.col(value_col) * F.lit(1.0)
+    den = F.lit(1.0)
+    for x, wt in zip(lags, weights[1:]):
+        num = num + F.coalesce(x * F.lit(wt), F.lit(0.0))
+        den = den + F.when(x.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    return num, den
+
+
 # ---------------------------------------------------------------- subqueries
 
 
@@ -1950,13 +1993,7 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, not eight."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lags = [F.col("value")] + [F.lag("value", i).over(w) for i in range(1, 8)]
-    weights = [2.0 ** -i for i in range(8)]
-    num = F.col("value") * F.lit(1.0)
-    den = F.lit(1.0)
-    for x, wt in zip(lags[1:], weights[1:]):
-        num = num + F.coalesce(x * F.lit(wt), F.lit(0.0))
-        den = den + F.when(x.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    num, den = ewma_num_den(w)
     return ev.select("event_id", "user_id", "value",
                      (num / den).alias("ewma"))
 
@@ -1998,27 +2035,19 @@ def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     q·n_keys) — no float thresholds to flake."""
     od = load_table(spark, sf_dir, "orders")
     sizes = od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
-    hist = sizes.groupBy("n").agg(F.count(F.lit(1)).alias("freq"))
-    wc = Window.orderBy("n")
-    wall = Window.partitionBy()
-    cum = hist.select(
-        "n", "freq",
-        F.sum("freq").over(wc).alias("cfreq"),
-        F.sum("freq").over(wall).alias("n_keys"),
-        F.sum(F.col("n") * F.col("freq")).over(wall).alias("n_rows"),
-    )
-    pick = lambda mul, q: F.min(
-        F.when(F.col("cfreq") * mul >= F.col("n_keys") * q, F.col("n")))
+    cum = hist_cum(sizes, "n").withColumn(
+        "n_rows", F.sum(F.col("n") * F.col("freq"))
+        .over(Window.partitionBy()))
     return cum.agg(
-        F.max("n_keys").alias("n_keys"),
+        F.max("n_total").alias("n_keys"),
         F.max("n_rows").alias("n_rows"),
         F.min("n").alias("min_per_key"),
         F.max("n").alias("max_per_key"),
-        pick(2, 1).alias("p50"),
-        pick(10, 9).alias("p90"),
-        pick(100, 99).alias("p99"),
-        F.round(F.max("n").cast("double") * F.max("n_keys") / F.max("n_rows"),
-                6).alias("skew_max_over_avg"),
+        hist_pick(2, 1, "n").alias("p50"),
+        hist_pick(10, 9, "n").alias("p90"),
+        hist_pick(100, 99, "n").alias("p99"),
+        F.round(F.max("n").cast("double") * F.max("n_total")
+                / F.max("n_rows"), 6).alias("skew_max_over_avg"),
     )
 
 
@@ -2228,19 +2257,11 @@ def q_evt_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.min("t0").alias("t0")))
     hrs = F.floor(
         F.expr("timestampdiff(SECOND, t0, t1)") / 3600.0).cast("bigint")
-    hist = p.select(hrs.alias("hrs")).groupBy("hrs").agg(
-        F.count(F.lit(1)).alias("freq"))
-    wc = Window.orderBy("hrs")
-    wall = Window.partitionBy()
-    cum = hist.select(
-        "hrs", F.sum("freq").over(wc).alias("cfreq"),
-        F.sum("freq").over(wall).alias("n"))
-    pick = lambda mul, q: F.min(
-        F.when(F.col("cfreq") * mul >= F.col("n") * q, F.col("hrs")))
+    cum = hist_cum(p.select(hrs.alias("hrs")), "hrs")
     return cum.agg(
-        F.max("n").cast("bigint").alias("n_converted"),
-        pick(2, 1).alias("p50_hours"),
-        pick(10, 9).alias("p90_hours"),
+        F.max("n_total").cast("bigint").alias("n_converted"),
+        hist_pick(2, 1, "hrs").alias("p50_hours"),
+        hist_pick(10, 9, "hrs").alias("p90_hours"),
     )
 
 
@@ -2284,10 +2305,13 @@ def q_graph_rank_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hop's key; degree relations co-partition with them."""
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # localCheckpoint: edges (the expensive fact⋈fact + distinct) feeds
+    # four branches (both degree relations and both hops); without it
+    # Spark re-executes the extraction per branch (no cross-branch CSE).
     edges = (od.join(li, od.o_orderkey == li.l_orderkey)
              .select(F.col("o_custkey").alias("c"),
                      F.col("l_suppkey").alias("s"))
-             .distinct())
+             .distinct().localCheckpoint())
     cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
     s1 = (edges.join(cdeg, "c")
           .groupBy("s")
@@ -2345,20 +2369,21 @@ def q_evt_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     same day spine, so trailing ghost days past the last event drop
     out identically)."""
     ev = load_table(spark, sf_dir, "events")
+    # localCheckpoint: du feeds three plan branches (day spine + DAU +
+    # the fan-out) and Spark does no CSE across branches — without this
+    # the full-data collapse would re-execute per branch.
     du = (ev.select(F.col("ts").cast("date").alias("day"), "user_id")
-          .distinct())
+          .distinct().localCheckpoint())
     days = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-
-    def trailing(k: int, name: str) -> DataFrame:
-        fan = du.select(
-            F.expr(f"explode(sequence(0, {k - 1}))").alias("i"),
-            "day", "user_id",
-        ).select(F.expr("date_add(day, i)").alias("day"), "user_id")
-        return fan.groupBy("day").agg(
-            F.countDistinct("user_id").alias(name))
-
-    return (days
-            .join(dau, "day")
-            .join(trailing(7, "wau"), "day")
-            .join(trailing(30, "mau"), "day"))
+    # ONE 30-day fan-out serves both horizons: a (day, user) pair
+    # contributes to day+i, and counts toward WAU only where i ≤ 6 —
+    # countDistinct over a conditional NULL does exactly that.
+    fan = du.select(
+        F.expr("explode(sequence(0, 29))").alias("i"), "day", "user_id",
+    ).select(F.expr("date_add(day, i)").alias("day"), "i", "user_id")
+    trail = fan.groupBy("day").agg(
+        F.countDistinct(F.when(F.col("i") <= 6, F.col("user_id")))
+         .alias("wau"),
+        F.countDistinct("user_id").alias("mau"))
+    return days.join(dau, "day").join(trail, "day")

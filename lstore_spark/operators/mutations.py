@@ -278,8 +278,12 @@ def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer")
     split = F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    # localCheckpoint: enr feeds the base and delta branches; in the
+    # real pipeline these are separate runs, but within this one-query
+    # demo Spark would otherwise scan+join orders twice.
     enr = (od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-           .select("c_nationkey", "o_totalprice", "o_orderdate"))
+           .select("c_nationkey", "o_totalprice", "o_orderdate")
+           .localCheckpoint())
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("c_nationkey").agg(

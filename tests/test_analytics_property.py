@@ -1,12 +1,13 @@
-"""Property-based checks for the late round-7 analytics operators:
-the EWMA FIR unroll against a plain-Python reference, the key-skew
-profiler's histogram percentiles against brute-force sorting, and the
-numerics.dsum9 order-independence guarantee the entropy keys lean on.
+"""Property-based checks for the late round-7 analytics operators,
+driving the PRODUCTION expression builders (analytics.ewma_num_den /
+hist_cum / hist_pick — the same objects the registered queries are
+built from, so a regression in the real code fails here too) against
+plain-Python references, plus the numerics.dsum9 order-independence
+guarantee the entropy keys lean on.
 
 These are the §5.2 discipline for shapes whose DuckDB oracle only
 certifies one fixture: hypothesis drives arbitrary inputs (ties,
-singletons, ramp-up edges) through the Spark operator and a reference
-implementation."""
+singletons, ramp-up edges) through operator and reference."""
 
 from __future__ import annotations
 
@@ -14,7 +15,10 @@ import math
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+from lstore_spark.operators.analytics import ewma_num_den, hist_cum, hist_pick
 
 
 def _ref_ewma(values: list[float]) -> list[float]:
@@ -41,24 +45,13 @@ def _ref_ewma(values: list[float]) -> list[float]:
     min_size=1, max_size=20))
 def test_ewma_matches_python_reference(spark, series):
     """One user, arbitrary series (incl. the 1-sample and <8-sample
-    ramp-up edges) — the window unroll must equal the sequential
-    reference to float equality of the same arithmetic."""
-    from lstore_spark.registry import QUERIES, load_all
-    load_all()
+    ramp-up edges) — the production ewma_num_den unroll must equal the
+    sequential reference to float equality of the same arithmetic."""
     rows = [(i, 1, float(i), v) for i, v in enumerate(series)]
     df = spark.createDataFrame(
         rows, "event_id: long, user_id: long, ts: double, value: double")
-    df.createOrReplaceTempView("_ewma_prop_in")
-    # Reuse the registered expression by rebuilding it over this frame:
-    from pyspark.sql import Window
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lags = [F.col("value")] + [F.lag("value", i).over(w) for i in range(1, 8)]
-    weights = [2.0 ** -i for i in range(8)]
-    num = F.col("value") * F.lit(1.0)
-    den = F.lit(1.0)
-    for x, wt in zip(lags[1:], weights[1:]):
-        num = num + F.coalesce(x * F.lit(wt), F.lit(0.0))
-        den = den + F.when(x.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    num, den = ewma_num_den(w)
     got = [r.ewma for r in df.select(
         "event_id", (num / den).alias("ewma")).orderBy("event_id").collect()]
     want = _ref_ewma(series)
@@ -71,27 +64,20 @@ def test_ewma_matches_python_reference(spark, series):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(sizes=st.lists(st.integers(min_value=1, max_value=40),
                       min_size=1, max_size=30))
-def test_key_skew_percentiles_match_bruteforce(spark, sizes):
-    """The counts-of-counts percentile picks (cfreq·m ≥ q·n integer
-    comparisons) must equal the ceil-rank element of the sorted
-    per-key sizes — the definition a brute-force sort gives."""
-    from pyspark.sql import Window
-    rows = [(k, i) for k, n in enumerate(sizes) for i in range(n)]
-    df = spark.createDataFrame(rows, "k: long, i: long")
-    hist = (df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
-            .groupBy("n").agg(F.count(F.lit(1)).alias("freq")))
-    wc = Window.orderBy("n")
-    wall = Window.partitionBy()
-    cum = hist.select(
-        "n", F.sum("freq").over(wc).alias("cfreq"),
-        F.sum("freq").over(wall).alias("n_keys"))
-    pick = lambda mul, q: F.min(
-        F.when(F.col("cfreq") * mul >= F.col("n_keys") * q, F.col("n")))
-    got = cum.agg(pick(2, 1).alias("p50"), pick(10, 9).alias("p90"),
-                  pick(100, 99).alias("p99")).collect()[0]
+def test_hist_percentiles_match_bruteforce(spark, sizes):
+    """The production hist_cum/hist_pick percentile (cfreq·m ≥ q·n
+    integer comparisons) must equal the ceil-rank element of the sorted
+    values — the definition a brute-force sort gives."""
+    df = spark.createDataFrame([(n,) for n in sizes], "n: long")
+    got = hist_cum(df, "n").agg(
+        hist_pick(2, 1, "n").alias("p50"),
+        hist_pick(10, 9, "n").alias("p90"),
+        hist_pick(100, 99, "n").alias("p99")).collect()[0]
     srt = sorted(sizes)
+
     def ref(q):
         return srt[math.ceil(q * len(srt)) - 1]
+
     assert got.p50 == ref(0.50), (got.p50, ref(0.50), srt)
     assert got.p90 == ref(0.90), (got.p90, ref(0.90), srt)
     assert got.p99 == ref(0.99), (got.p99, ref(0.99), srt)
