@@ -2305,13 +2305,15 @@ def q_graph_rank_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hop's key; degree relations co-partition with them."""
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    # localCheckpoint: edges (the expensive fact⋈fact + distinct) feeds
-    # four branches (both degree relations and both hops); without it
-    # Spark re-executes the extraction per branch (no cross-branch CSE).
+    # Pin edges: the expensive fact⋈fact + distinct feeds four branches
+    # (both degree relations and both hops); persist (serialized,
+    # spillable) computes it once and every branch reads the
+    # InMemoryRelation — deserialized localCheckpoint OOMs at 100×.
+    from pyspark import StorageLevel
     edges = (od.join(li, od.o_orderkey == li.l_orderkey)
              .select(F.col("o_custkey").alias("c"),
                      F.col("l_suppkey").alias("s"))
-             .distinct().localCheckpoint())
+             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
     cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
     s1 = (edges.join(cdeg, "c")
           .groupBy("s")
@@ -2369,11 +2371,14 @@ def q_evt_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     same day spine, so trailing ghost days past the last event drop
     out identically)."""
     ev = load_table(spark, sf_dir, "events")
-    # localCheckpoint: du feeds three plan branches (day spine + DAU +
-    # the fan-out) and Spark does no CSE across branches — without this
-    # the full-data collapse would re-execute per branch.
+    # Pin du: it feeds three plan branches (day spine + DAU + fan-out)
+    # and Spark does no CSE across branches — persist (serialized,
+    # spillable) turns the branches into InMemoryTableScans of ONE
+    # computation.  localCheckpoint would also work but materializes
+    # deserialized and OOMs the local heap at the 100× fixture.
+    from pyspark import StorageLevel
     du = (ev.select(F.col("ts").cast("date").alias("day"), "user_id")
-          .distinct().localCheckpoint())
+          .distinct().persist(StorageLevel.MEMORY_AND_DISK))
     days = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     # ONE 30-day fan-out serves both horizons: a (day, user) pair

@@ -278,12 +278,14 @@ def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer")
     split = F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
-    # localCheckpoint: enr feeds the base and delta branches; in the
-    # real pipeline these are separate runs, but within this one-query
-    # demo Spark would otherwise scan+join orders twice.
+    # Pin enr: it feeds the base and delta branches; in the real
+    # pipeline these are separate runs, but within this one-query demo
+    # Spark would otherwise scan+join orders twice.  Serialized persist
+    # (not localCheckpoint): spillable at any scale.
+    from pyspark import StorageLevel
     enr = (od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
            .select("c_nationkey", "o_totalprice", "o_orderdate")
-           .localCheckpoint())
+           .persist(StorageLevel.MEMORY_AND_DISK))
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("c_nationkey").agg(
