@@ -981,3 +981,45 @@ def q_llm_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("_p"), 6).alias("keep_p"),
                 F.round(F.lit(1.0) / F.col("_p"), 6).alias("inv_weight"))
     )
+
+
+@query(
+    "q_llm_text_length_profile",
+    oracle="""
+WITH hist AS (
+  SELECT n_chars AS n, COUNT(*) AS freq FROM documents GROUP BY n_chars
+), cum AS (
+  SELECT n, freq,
+         SUM(freq) OVER (ORDER BY n) AS cfreq,
+         SUM(freq) OVER () AS n_total
+  FROM hist
+)
+SELECT CAST(MAX(n_total) AS BIGINT) AS n_docs,
+       MIN(n) AS min_chars, MAX(n) AS max_chars,
+       MIN(CASE WHEN cfreq * 4   >= n_total      THEN n END) AS p25,
+       MIN(CASE WHEN cfreq * 2   >= n_total      THEN n END) AS p50,
+       MIN(CASE WHEN cfreq * 10  >= n_total * 9  THEN n END) AS p90,
+       MIN(CASE WHEN cfreq * 100 >= n_total * 99 THEN n END) AS p99
+FROM cum
+""",
+)
+def q_llm_text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: exact character-count percentiles — the
+    first chart in any pretraining-data report, and the input that sets
+    the min/max-length filter thresholds of the cleaning cascade.
+    Third production consumer of the shared counts-of-counts percentile
+    machinery (analytics.hist_cum / hist_pick): the cumulative window
+    runs over |distinct lengths| rows, never over documents."""
+    from ..operators.analytics import hist_cum, hist_pick
+
+    docs = load_table(spark, sf_dir, "documents")
+    cum = hist_cum(docs.select(F.col("n_chars").alias("n")), "n")
+    return cum.agg(
+        F.max("n_total").cast("bigint").alias("n_docs"),
+        F.min("n").alias("min_chars"),
+        F.max("n").alias("max_chars"),
+        hist_pick(4, 1, "n").alias("p25"),
+        hist_pick(2, 1, "n").alias("p50"),
+        hist_pick(10, 9, "n").alias("p90"),
+        hist_pick(100, 99, "n").alias("p99"),
+    )

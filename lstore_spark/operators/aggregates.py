@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..llm.hashing import sql_md5_long
-from ..numerics import DEC, davg, dsum, dsum9, sql_davg, sql_dsum, sql_dsum9
+from ..numerics import (DEC, davg, dsum, dsum9, sql_davg, sql_dec2dbl,
+                        sql_dsum, sql_dsum9)
 from ..registry import query
 
 
@@ -772,4 +773,36 @@ def q_agg_approx_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         d.cast("long").alias("sketch_buckets"),
         est.cast("bigint").alias("approx_users"),
+    )
+
+
+@query(
+    "q_agg_weighted_avg",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       ROUND({sql_dec2dbl("SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8)))")}
+             / {sql_dec2dbl("SUM(CAST(l_quantity AS DECIMAL(30,8)))")},
+             6) AS qty_weighted_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (Σw·x / Σw) — the aggregate behind every
+    importance-weighted estimate (cf. q_llm_sample_importance's
+    inverse-propensity weights): quantity-weighted mean price per
+    return flag.  Both sums accumulate in exact decimal; the single
+    final double division + ROUND 6 is the only inexact step and is
+    identical in both engines.  Never average pre-computed averages —
+    the weighted form merges correctly across partitions by
+    construction (the same mergeable-partials argument as
+    q_mv_incremental_refresh)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wx = (F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)
+    w = F.col("l_quantity").cast(DEC)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(wx).cast("double") / F.sum(w).cast("double"), 6)
+         .alias("qty_weighted_price"),
     )
