@@ -425,3 +425,17 @@ def test_tpch_q8_star_broadcasts_all_dims(spark, sf_dir):
     # fact-fact may be SMJ or (AQE at test scale) broadcast; what must
     # NOT appear is a shuffled join against any dimension:
     assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize("key,n_branches", [
+    ("q_evt_active_users", 3),
+    ("q_graph_rank_2hop", 4),
+    ("q_mv_incremental_refresh", 2),
+])
+def test_multibranch_relations_compute_once(spark, sf_dir, key, n_branches):
+    """The pinned multi-branch subplans (du / edges / enr) must appear as
+    InMemoryTableScans in every branch — one computation feeding N
+    readers — instead of N re-executions of the underlying scan+shuffle
+    (Spark does no CSE across DataFrame branches; round-7 self-review)."""
+    p = _plan(spark, sf_dir, key)
+    assert p.count("InMemoryTableScan") >= n_branches, key
