@@ -2392,3 +2392,52 @@ def q_evt_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("wau"),
         F.countDistinct("user_id").alias("mau"))
     return days.join(dau, "day").join(trail, "day")
+
+
+@query(
+    "q_evt_growth_accounting",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), seq AS (
+  SELECT user_id, day,
+         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         MIN(day) OVER (PARTITION BY user_id) AS first_day
+  FROM du
+), states AS (
+  SELECT day,
+         CASE WHEN day = first_day THEN 'new'
+              WHEN prev_day = day - 1 THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM seq
+)
+SELECT day, state, COUNT(*) AS n_users
+FROM states GROUP BY day, state
+""",
+)
+def q_evt_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active (day, user) classified as NEW
+    (first day ever), RETAINED (also active the previous calendar day)
+    or RESURRECTED (returning after a gap) — the daily growth ledger
+    behind every DAU chart (churn falls out as yesterday's DAU minus
+    today's retained).  One dedup shuffle to (day, user), one window
+    pass per user's day sequence (LAG + running MIN share the sort),
+    then a tiny (days × 3) rollup.  Pure date/integer logic — nothing
+    to round."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+          .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    wall_u = (Window.partitionBy("user_id")
+              .orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    seq = du.select(
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.min("day").over(wall_u).alias("first_day"))
+    state = (F.when(F.col("day") == F.col("first_day"), "new")
+             .when(F.col("prev_day") == F.date_sub("day", 1), "retained")
+             .otherwise("resurrected"))
+    return (seq.select("day", state.alias("state"))
+            .groupBy("day", "state")
+            .agg(F.count(F.lit(1)).alias("n_users")))
