@@ -2441,3 +2441,56 @@ def q_evt_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (seq.select("day", state.alias("state"))
             .groupBy("day", "state")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query(
+    "q_ts_cusum",
+    oracle=f"""
+WITH s AS (
+  SELECT event_id, user_id, value, ts,
+         SUM(CAST(value - 4.0 AS DECIMAL(30,8)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t
+  FROM events
+)
+SELECT event_id, user_id, value,
+       {sql_dec2dbl('''CAST(s_t AS DECIMAL(30,8))
+            - (CASE WHEN m < CAST(0 AS DECIMAL(30,8))
+                    THEN m ELSE CAST(0 AS DECIMAL(30,8)) END)''')}
+         AS cusum
+FROM (SELECT *, CAST(MIN(s_t) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(30,8)) AS m FROM s) x
+""",
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection per user: the textbook recursion
+    C_t = max(0, C_{{t-1}} + (x_t − k)) looks un-windowable, but the
+    closed form C_t = S_t − min(0, min_{{j≤t}} S_j) (S = drift-adjusted
+    prefix sum) turns it into TWO cumulative windows over one sort —
+    the alarm statistic behind drift/level-shift monitors, distributed
+    with a single user_id shuffle.  Accumulation is exact decimal
+    (window SUM order is engine-internal — DuckDB uses segment trees —
+    so float prefix sums would NOT hash-match), per-row x−k stays one
+    correctly-rounded double op, and the final decimal subtraction
+    routes through the VARCHAR cast discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = ev.select(
+        "event_id", "user_id", "value", "ts",
+        F.sum((F.col("value") - 4.0).cast(DEC)).over(w)
+         .cast(DEC).alias("s_t"))
+    zero = F.lit(0).cast(DEC)
+    run_min = F.min("s_t").over(w).cast(DEC)
+    # CASE not LEAST in the twin SQL: DuckDB 1.0's LEAST over decimals
+    # silently unifies to DOUBLE, resurrecting the float drift the
+    # decimal discipline exists to kill (caught by the oracle, 219/10k
+    # rows one ulp off); Spark's least is decimal-preserving but the
+    # conditional keeps both sides structurally identical.
+    return s.select(
+        "event_id", "user_id", "value",
+        (F.col("s_t")
+         - F.when(run_min < zero, run_min).otherwise(zero))
+        .cast("double").alias("cusum"))
