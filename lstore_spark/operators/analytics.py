@@ -2494,3 +2494,116 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_t")
          - F.when(run_min < zero, run_min).otherwise(zero))
         .cast("double").alias("cusum"))
+
+
+@query(
+    "q_ts_drawdown",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(value AS DECIMAL(30,8)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+  FROM events
+), peaked AS (
+  SELECT user_id,
+         CAST(bal AS DECIMAL(30,8)) AS bal,
+         CAST(MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(30,8)) AS peak
+  FROM s
+)
+SELECT user_id,
+       {sql_dec2dbl('MAX(peak - bal)')} AS max_drawdown,
+       {sql_dec2dbl('MAX(bal)')} AS peak_balance
+FROM peaked
+GROUP BY user_id
+""",
+)
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: the largest peak-to-trough drop of the
+    cumulative value series — q_ts_cusum's sibling from the same
+    closed-form family (running-MAX instead of running-MIN: drawdown_t
+    = max_{{j≤t}} S_j − S_t, answer = max_t of that), so the
+    "look back over every prior peak" recursion is again two cumulative
+    windows over ONE per-user sort plus a plain aggregate.  Exact
+    decimal throughout (window accumulation order is engine-internal);
+    the only doubles are the final VARCHAR-routed casts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = ev.select(
+        "user_id", "ts", "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast(DEC).alias("bal"))
+    peaked = s.select(
+        "user_id", "bal", F.max("bal").over(w).cast(DEC).alias("peak"))
+    return peaked.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("bal")).cast("double")
+         .alias("max_drawdown"),
+        F.max("bal").cast("double").alias("peak_balance"))
+
+
+@query(
+    "q_evt_basket_lift",
+    oracle="""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n AS (
+  SELECT COUNT(DISTINCT user_id) AS n_users FROM events
+), ta AS (
+  SELECT event_type, COUNT(*) AS n_single FROM ut GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, n_ab,
+       ROUND(CAST(n_ab AS DOUBLE) / n_users, 6) AS support,
+       ROUND(CAST(n_ab AS DOUBLE) * n_users
+             / (CAST(na.n_single AS DOUBLE) * nb.n_single), 6) AS lift
+FROM pairs
+JOIN ta na ON na.event_type = type_a
+JOIN ta nb ON nb.event_type = type_b
+CROSS JOIN n
+""",
+)
+def q_evt_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: support and lift for every pair of
+    event types appearing in the same user's history — the association
+    signal (lift > 1 ⇒ types attract) behind recommendation and
+    bundling analyses.  The user×type relation dedupes FIRST, so the
+    per-user self-join is bounded by |types|² per user regardless of
+    event volume; the singles/pair/total relations are all tiny and
+    broadcast.  Every ratio derives from integer counts — the double
+    divides are identical in both engines, ROUND 6 seals it."""
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    # Serialized persist (round-7 discipline): ut feeds four branches
+    # and can be |users|·|types| rows at scale — spillable, not
+    # deserialized-in-heap.
+    ut = (ev.select("user_id", "event_type").distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    n = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    ta = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_single"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (a.join(b, "user_id")
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    na = ta.select(F.col("event_type").alias("type_a"),
+                   F.col("n_single").alias("n_a"))
+    nb = ta.select(F.col("event_type").alias("type_b"),
+                   F.col("n_single").alias("n_b"))
+    return (pairs.join(F.broadcast(na), "type_a")
+            .join(F.broadcast(nb), "type_b")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "type_a", "type_b", "n_ab",
+                F.round(F.col("n_ab").cast("double") / F.col("n_users"), 6)
+                 .alias("support"),
+                F.round(F.col("n_ab").cast("double") * F.col("n_users")
+                        / (F.col("n_a").cast("double") * F.col("n_b")), 6)
+                 .alias("lift")))
