@@ -1023,3 +1023,56 @@ def q_llm_text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_pick(10, 9, "n").alias("p90"),
         hist_pick(100, 99, "n").alias("p99"),
     )
+
+
+@query(
+    "q_llm_text_keywords",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest({_DUCK_TOKENS}) AS t(tok)
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 200
+)
+SELECT doc_id, term, tfidf, CAST(rn AS INT) AS kw_rank
+FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+)
+def q_llm_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 terms by TF-IDF — the
+    metadata-enrichment step (tags, routing, weak topic labels) built
+    on the same two-aggregation TF-IDF plan as q_llm_text_tfidf, plus a
+    per-doc top-k window (doc_id partitions are high-cardinality, so
+    the rank distributes evenly; ties break on the term for
+    determinism).  Bounded to doc_id < 200 because the oracle carries
+    the full per-doc score relation; the production path is identical
+    without the slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = table_rows(sf_dir, "documents")
+    scored = (
+        tf.filter(F.col("doc_id") < 200)
+        .join(F.broadcast(df), "term")
+        .select("doc_id", "term",
+                F.round(F.col("tf") * F.log(F.lit(float(n_docs))
+                                            / F.col("df")), 6)
+                .alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (scored.withColumn("kw_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("kw_rank") <= 3))

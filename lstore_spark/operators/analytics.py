@@ -2607,3 +2607,51 @@ def q_evt_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("n_ab").cast("double") * F.col("n_users")
                         / (F.col("n_a").cast("double") * F.col("n_b")), 6)
                  .alias("lift")))
+
+
+@query(
+    "q_ts_zscore_rolling",
+    oracle=f"""
+WITH m AS (
+  SELECT event_id, user_id, value,
+         COUNT(*) OVER w AS n,
+         {sql_dec2dbl('SUM(CAST(value AS DECIMAL(30,8))) OVER w')} AS s1,
+         {sql_dec2dbl('SUM(CAST(value * value AS DECIMAL(30,8))) OVER w')}
+           AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, value,
+       ROUND((value - s1 / n)
+             / sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 1e-12)), 6)
+         AS rolling_z
+FROM m WHERE n >= 20
+""",
+)
+def q_ts_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score: each value scored against its user's trailing
+    20-sample mean/σ — the LOCAL anomaly detector (a level shift makes
+    global z-scores blind; rolling moments adapt).  The windowed
+    moments are exact decimal sums cast once to double (window
+    accumulation order is engine-internal, so float frame-sums would
+    not hash-match); the z arithmetic is then identical IEEE ops in
+    both engines, GREATEST guards the σ→0 constant-window edge, and
+    ramp-up rows (frame < 20 samples) are excluded so every score uses
+    a full window.  One shuffle on user_id; both moment sums and the
+    count come from ONE frame pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-19, Window.currentRow))
+    m = ev.select(
+        "event_id", "user_id", "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC)).over(w)
+         .cast("double").alias("s2"))
+    mu = F.col("s1") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - mu * mu, F.lit(1e-12))
+    return (m.filter(F.col("n") >= 20)
+            .select("event_id", "user_id", "value",
+                    F.round((F.col("value") - mu) / F.sqrt(var), 6)
+                    .alias("rolling_z")))
