@@ -99,6 +99,12 @@ KEYS = [
     "q_graph_rank_2hop",
     "q_win_time_range",
     "q_evt_active_users",
+    "q_ts_cusum",
+    "q_evt_growth_accounting",
+    "q_ts_drawdown",
+    "q_evt_basket_lift",
+    "q_llm_text_keywords",
+    "q_ts_zscore_rolling",
 ]
 
 
