@@ -63,10 +63,13 @@ def q_llm_text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_llm_text_tfidf",
-    oracle=f"""
-WITH tok AS (
+# Shared TF-IDF machinery (q_llm_text_tfidf + q_llm_text_keywords — one
+# source of truth for the formula on both engines).  df derives from tf
+# (COUNT of (doc,term) rows per term ≡ COUNT(DISTINCT doc_id) over raw
+# tokens) so the corpus is exploded and shuffled ONCE: tf is pinned
+# (serialized persist — multi-branch discipline) and feeds both the
+# dictionary aggregate and the scored output.
+_TFIDF_CTES = f"""tok AS (
   SELECT doc_id, t.tok AS term
   FROM documents, unnest({_DUCK_TOKENS}) AS t(tok)
 ),
@@ -74,27 +77,24 @@ tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
 ),
 df AS (
-  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
 ),
-n AS (SELECT COUNT(*) AS n_docs FROM documents)
-SELECT tf.doc_id, tf.term, tf.tf,
-       ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
-FROM tf JOIN df USING (term) CROSS JOIN n
-WHERE tf.doc_id < 50
-""",
-)
-def q_llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF per (doc, term): two aggregations + a broadcast join on the
-    term dictionary (the dictionary is tiny relative to the corpus — at
-    100 TB the df side still broadcasts after aggregation)."""
+n AS (SELECT COUNT(*) AS n_docs FROM documents)"""
+
+
+def _tfidf_scored(spark: SparkSession, sf_dir: str, bound: int) -> DataFrame:
+    """(doc_id, term, tf, tfidf) for doc_id < bound."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N from catalog stats (parquet footer) — no extra corpus scan.
     n_docs = table_rows(sf_dir, "documents")
     return (
-        tf.filter(F.col("doc_id") < 50)
+        tf.filter(F.col("doc_id") < bound)
         .join(F.broadcast(df), "term")
         .select(
             "doc_id", "term", "tf",
@@ -102,6 +102,25 @@ def q_llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tfidf"),
         )
     )
+
+
+@query(
+    "q_llm_text_tfidf",
+    oracle=f"""
+WITH {_TFIDF_CTES}
+SELECT tf.doc_id, tf.term, tf.tf,
+       ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+WHERE tf.doc_id < 50
+""",
+)
+def q_llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term): one corpus explode into a pinned tf
+    relation, the term dictionary aggregated FROM tf (not a second
+    corpus pass), then a broadcast join (the dictionary is tiny
+    relative to the corpus — at 100 TB the df side still broadcasts
+    after aggregation)."""
+    return _tfidf_scored(spark, sf_dir, 50)
 
 
 @query(
@@ -1028,14 +1047,7 @@ def q_llm_text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_llm_text_keywords",
     oracle=f"""
-WITH tok AS (
-  SELECT doc_id, t.tok AS term
-  FROM documents, unnest({_DUCK_TOKENS}) AS t(tok)
-), tf AS (
-  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
-), df AS (
-  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
-), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+WITH {_TFIDF_CTES},
 scored AS (
   SELECT tf.doc_id, tf.term,
          ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
@@ -1060,19 +1072,7 @@ def q_llm_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism).  Bounded to doc_id < 200 because the oracle carries
     the full per-doc score relation; the production path is identical
     without the slice."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = table_rows(sf_dir, "documents")
-    scored = (
-        tf.filter(F.col("doc_id") < 200)
-        .join(F.broadcast(df), "term")
-        .select("doc_id", "term",
-                F.round(F.col("tf") * F.log(F.lit(float(n_docs))
-                                            / F.col("df")), 6)
-                .alias("tfidf"))
-    )
+    scored = _tfidf_scored(spark, sf_dir, 200).drop("tf")
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (scored.withColumn("kw_rank", F.row_number().over(w).cast("int"))
             .filter(F.col("kw_rank") <= 3))

@@ -431,6 +431,8 @@ def test_tpch_q8_star_broadcasts_all_dims(spark, sf_dir):
     ("q_evt_active_users", 3),
     ("q_graph_rank_2hop", 4),
     ("q_mv_incremental_refresh", 2),
+    ("q_evt_basket_lift", 4),
+    ("q_llm_text_tfidf", 2),
 ])
 def test_multibranch_relations_compute_once(spark, sf_dir, key, n_branches):
     """The pinned multi-branch subplans (du / edges / enr) must appear as
