@@ -311,16 +311,25 @@ def hyperplane_band_rows(df: DataFrame, id_col: str, vec_col: str,
     ~n·planes·dim scalar evals: at 200k×165×64 that was ~98% of LSH
     wall-clock.  The matmul path is the textbook "vectorized UDF beats
     built-in" exception: still a pure projection over the scan (no
-    shuffle), stable within an environment (fixed planes; note the
-    matmul accumulates in BLAS order, so a plane dot within ~1 ulp of
-    zero could in principle flip its sign bit across BLAS builds —
-    unlike the old left-to-right fold, which was bit-reproducible
-    everywhere; LSH callers are rows-only/approximate, so this trades
-    cross-machine bit-parity for a ~16× wall win).  Rows with a NULL
+    shuffle), and deterministic: the matmul accumulates in BLAS order,
+    so the dot product is rounded at 1e-6 (the IVF argmax grain) before
+    the sign threshold — a plane dot within ~1 ulp of zero can no
+    longer flip its bucket across BLAS builds or Arrow batch splits,
+    restoring the bit-reproducibility the old left-to-right fold had
+    at negligible cost.  Rows with a NULL
     or wrong-length vector get a NULL bucket array (the explode then
     emits nothing for them — same degraded-output behavior as the old
     NULL-propagating HOF form, instead of a task crash).
     The explode emits ``bands`` narrow rows per vector.
+
+    NOTE (ADVICE r7, intended): building the returned DataFrame runs
+    the tiny plane-matrix job eagerly (the ``collect`` below), so
+    plan-only tooling (--explain, plan_audit) executes one ≤256-row
+    aggregation.  Deferring it would mean deriving the planes inside
+    the executor UDF (a Spark job from a task — illegal) or
+    re-implementing Spark's murmur3 driver-side (a silent-divergence
+    risk for a hash that defines the buckets); the eager 256-row job
+    is the cheaper honest trade.
     """
     import numpy as np
     import pandas as pd
@@ -349,7 +358,10 @@ def hyperplane_band_rows(df: DataFrame, id_col: str, vec_col: str,
         if not ok.any():
             return pd.Series([None] * len(vals))
         V = np.stack(vals[ok]).astype(np.float64)            # (m_ok, dim)
-        S = (V @ Ht) > 0                                     # (m_ok, planes)
+        # Round at the 1e-6 grain (same as the IVF argmax) before the
+        # sign threshold so a plane dot within ~1 ulp of zero cannot
+        # flip a bucket across BLAS builds or Arrow batch compositions.
+        S = np.round(V @ Ht, 6) > 0                          # (m_ok, planes)
         B = np.stack(
             [S[:, b * bits:(b + 1) * bits] @ pow2 for b in range(bands)],
             axis=1).astype(np.int32)                         # (m_ok, bands)

@@ -66,9 +66,9 @@ def q_llm_text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared TF-IDF machinery (q_llm_text_tfidf + q_llm_text_keywords — one
 # source of truth for the formula on both engines).  df derives from tf
 # (COUNT of (doc,term) rows per term ≡ COUNT(DISTINCT doc_id) over raw
-# tokens) so the corpus is exploded and shuffled ONCE: tf is pinned
-# (serialized persist — multi-branch discipline) and feeds both the
-# dictionary aggregate and the scored output.
+# tokens) so the full corpus is exploded ONCE (the scored branch's
+# doc_id bound prunes its scan to a handful of docs — see
+# _tfidf_scored).
 _TFIDF_CTES = f"""tok AS (
   SELECT doc_id, t.tok AS term
   FROM documents, unnest({_DUCK_TOKENS}) AS t(tok)
@@ -83,13 +83,18 @@ n AS (SELECT COUNT(*) AS n_docs FROM documents)"""
 
 
 def _tfidf_scored(spark: SparkSession, sf_dir: str, bound: int) -> DataFrame:
-    """(doc_id, term, tf, tfidf) for doc_id < bound."""
-    from pyspark import StorageLevel
+    """(doc_id, term, tf, tfidf) for doc_id < bound.
 
+    No persist on tf (r7 bench regression + ADVICE cache-leak note):
+    the two consumers of tf are asymmetric — df needs the FULL corpus
+    explode, but the scored branch filters doc_id < bound, and that
+    filter (on a grouping key) pushes through the Aggregate to the
+    parquet scan, so the "second pass" explodes only the bound's few
+    docs.  One full explode total, nothing pinned between sweep keys.
+    """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
-    tf = (tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N from catalog stats (parquet footer) — no extra corpus scan.
     n_docs = table_rows(sf_dir, "documents")

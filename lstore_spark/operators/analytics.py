@@ -18,7 +18,7 @@ from ..catalog import load_table
 from ..llm.hashing import sql_md5_long
 from ..numerics import (DEC, davg, dsum, dsum9, sql_davg, sql_dec2dbl,
                         sql_dsum, sql_dsum9)
-from ..registry import query
+from ..registry import pin, query
 
 
 
@@ -2309,11 +2309,10 @@ def q_graph_rank_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (both degree relations and both hops); persist (serialized,
     # spillable) computes it once and every branch reads the
     # InMemoryRelation — deserialized localCheckpoint OOMs at 100×.
-    from pyspark import StorageLevel
-    edges = (od.join(li, od.o_orderkey == li.l_orderkey)
-             .select(F.col("o_custkey").alias("c"),
-                     F.col("l_suppkey").alias("s"))
-             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    edges = pin(od.join(li, od.o_orderkey == li.l_orderkey)
+                .select(F.col("o_custkey").alias("c"),
+                        F.col("l_suppkey").alias("s"))
+                .distinct())
     cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
     s1 = (edges.join(cdeg, "c")
           .groupBy("s")
@@ -2376,9 +2375,8 @@ def q_evt_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spillable) turns the branches into InMemoryTableScans of ONE
     # computation.  localCheckpoint would also work but materializes
     # deserialized and OOMs the local heap at the 100× fixture.
-    from pyspark import StorageLevel
-    du = (ev.select(F.col("ts").cast("date").alias("day"), "user_id")
-          .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    du = pin(ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+             .distinct())
     days = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     # ONE 30-day fan-out serves both horizons: a (day, user) pair
@@ -2577,14 +2575,11 @@ def q_evt_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     event volume; the singles/pair/total relations are all tiny and
     broadcast.  Every ratio derives from integer counts — the double
     divides are identical in both engines, ROUND 6 seals it."""
-    from pyspark import StorageLevel
-
     ev = load_table(spark, sf_dir, "events")
-    # Serialized persist (round-7 discipline): ut feeds four branches
-    # and can be |users|·|types| rows at scale — spillable, not
-    # deserialized-in-heap.
-    ut = (ev.select("user_id", "event_type").distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    # Sweep-scoped pin (round-7 discipline + ADVICE r7): ut feeds four
+    # branches and can be |users|·|types| rows at scale — serialized,
+    # spillable, released when the next sweep key is invoked.
+    ut = pin(ev.select("user_id", "event_type").distinct())
     n = ut.agg(F.countDistinct("user_id").alias("n_users"))
     ta = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_single"))
     a = ut.select("user_id", F.col("event_type").alias("type_a"))

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..numerics import DEC, sql_dec2dbl
-from ..registry import query
+from ..registry import pin, query
 
 # ------------------------------------------------------------------ MERGE
 
@@ -282,10 +282,8 @@ def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline these are separate runs, but within this one-query demo
     # Spark would otherwise scan+join orders twice.  Serialized persist
     # (not localCheckpoint): spillable at any scale.
-    from pyspark import StorageLevel
-    enr = (od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-           .select("c_nationkey", "o_totalprice", "o_orderdate")
-           .persist(StorageLevel.MEMORY_AND_DISK))
+    enr = pin(od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+              .select("c_nationkey", "o_totalprice", "o_orderdate"))
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("c_nationkey").agg(

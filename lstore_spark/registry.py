@@ -18,6 +18,42 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Pins (persist()ed relations) created while building the CURRENT query,
+# released when the NEXT registered query is invoked.  Rationale (ADVICE
+# r7): multi-branch queries must persist a shared relation (Spark does no
+# CSE across plan branches), but CacheManager entries are never GC'd — a
+# 200-key sweep plus bench in one session steadily accumulates
+# block-manager storage.  Query functions call ``pin(df)`` instead of
+# ``df.persist(...)``; the @query wrapper drains the previous key's pins
+# before building the next, bounding live cache to ONE key's pins.  Safe
+# because no registered query invokes another registered query, and
+# unpersist-after-collect merely forces recompute (never wrong results)
+# even if a caller interleaves builds and actions.
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """``persist(MEMORY_AND_DISK)`` with sweep-scoped lifetime (see
+    ``_PINNED``).  Serialized + spillable — the round-7 discipline:
+    localCheckpoint materializes deserialized and OOMs an 8g local
+    heap at the 100× fixture."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(df)
+    return df
+
+
+def release_pins() -> None:
+    """Unpersist every tracked pin (non-blocking); called by the @query
+    wrapper at the next invocation and available to tests/bench."""
+    while _PINNED:
+        df = _PINNED.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+
 
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``name``; ``oracle`` is DuckDB SQL or None
@@ -26,10 +62,18 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query key: {name}")
-        QUERIES[name] = fn
+
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_pins()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle.strip()
-        return fn
+        return wrapped
 
     return deco
 

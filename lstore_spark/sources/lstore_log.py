@@ -1021,7 +1021,10 @@ def snapshot_store(seg_dir: str) -> int:
             # a concurrent vacuum_store with min_age_s=0 can collect the
             # just-written tmp before the link lands — rewrite and retry
             continue
-        os.remove(tmp)
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass  # concurrent vacuum (min_age_s=0) collected the tmp
         return v
 
 

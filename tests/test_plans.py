@@ -432,7 +432,6 @@ def test_tpch_q8_star_broadcasts_all_dims(spark, sf_dir):
     ("q_graph_rank_2hop", 4),
     ("q_mv_incremental_refresh", 2),
     ("q_evt_basket_lift", 4),
-    ("q_llm_text_tfidf", 2),
 ])
 def test_multibranch_relations_compute_once(spark, sf_dir, key, n_branches):
     """The pinned multi-branch subplans (du / edges / enr) must appear as
@@ -441,3 +440,15 @@ def test_multibranch_relations_compute_once(spark, sf_dir, key, n_branches):
     (Spark does no CSE across DataFrame branches; round-7 self-review)."""
     p = _plan(spark, sf_dir, key)
     assert p.count("InMemoryTableScan") >= n_branches, key
+
+
+def test_tfidf_scored_branch_prunes_scan(spark, sf_dir):
+    """q_llm_text_tfidf dropped its tf pin in round 8 (bench regression
+    + cache-leak ADVICE): instead of materializing the full (doc,term)
+    relation, the scored branch's doc_id bound must push through the
+    Aggregate to a pruned parquet scan — so the plan carries the bound
+    as a pushed filter and NO cache, and only the df branch pays the
+    full corpus explode."""
+    p = _plan(spark, sf_dir, "q_llm_text_tfidf")
+    assert "InMemoryTableScan" not in p
+    assert "LessThan(doc_id,50)" in p
