@@ -452,3 +452,21 @@ def test_tfidf_scored_branch_prunes_scan(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_llm_text_tfidf")
     assert "InMemoryTableScan" not in p
     assert "LessThan(doc_id,50)" in p
+
+
+def test_ann_index_search_plan_is_pure_and_dpp_pruned(spark, sf_dir):
+    """The stored-index search must contain ZERO training stages — the
+    only embeddings scan is the query slice (pushed vec_id < 10
+    filter) — and the probe relation must become a dynamic-partition-
+    pruning subquery on the list_id-partitioned postings scan, so a
+    search reads nprobe/n_lists of the index files (the whole point of
+    the persisted layout at 100 TB)."""
+    from lstore_spark.llm.ann_index import build_ann_index
+    build_ann_index(spark, sf_dir)  # plan-shape test, index presumed built
+    p = _plan(spark, sf_dir, "q_llm_index_search")
+    assert "dynamicpruning" in p
+    emb = [l for l in p.splitlines()
+           if "FileScan" in l and "embeddings.parquet" in l]
+    assert emb, "query-side embeddings scan missing"
+    assert all("LessThan(vec_id,10)" in l for l in emb), \
+        "an embeddings scan without the query-slice filter = training leak"
