@@ -416,6 +416,55 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_outer_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+       COALESCE(p.user_id, v.user_id) AS user_id,
+       CASE WHEN p.event_id IS NULL OR v.event_id IS NULL THEN NULL
+            ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts > p.ts - INTERVAL 1 HOUR
+""",
+)
+def q_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join, batch twin (VERDICT r7 #6): the
+    attribution ledger that loses NOTHING — matched purchase/view
+    pairs, unattributed purchases (view columns NULL), and views that
+    converted no purchase within the following hour (purchase columns
+    NULL).  Completes the inner/left/full trio.
+
+    The streaming form (both sides watermarked, fullOuter, Spark ≥3.1)
+    is asserted equal in tests/test_streaming.py with BOTH null
+    directions compared on the watermark-safe prefix: either side's
+    null-padded row can only be emitted once the OTHER side's watermark
+    proves no match can still arrive.  Scale: same bounded state as the
+    inner form (equi key + time-range eviction) plus one matched bit
+    per buffered row on each side."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
+    v = (ev.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_id"),
+                 F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        p.join(v, (F.col("p_user") == F.col("v_user"))
+               & (F.col("v_ts") <= F.col("p_ts"))
+               & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+               "fullOuter")
+        .select("purchase_id", "view_id",
+                F.coalesce("p_user", "v_user").alias("user_id"),
+                F.when(F.col("purchase_id").isNull()
+                       | F.col("view_id").isNull(), F.lit(None))
+                .otherwise(us("p_ts") - us("v_ts")).alias("gap_us"))
+    )
+
+
+@query(
     "q_stream_follow",
     oracle="""
 SELECT event_id, user_id, event_type

@@ -509,3 +509,118 @@ def test_stream_chained_dedup_agg_equals_batch(spark, sf_dir):
     for day in batch:
         if day < max_day - datetime.timedelta(days=1):
             assert day in got, f"closed day {day} not emitted"
+
+
+def test_stream_stream_full_outer_matches_batch_below_watermark(spark, sf_dir):
+    """FULL OUTER two-stream join (VERDICT r7 #6): matched rows equal
+    the batch twin exactly; null-padded rows are compared in BOTH
+    directions on the watermark-safe prefix — an unmatched purchase can
+    be emitted only once the VIEW watermark passes its 1 h look-back,
+    an unmatched view only once the PURCHASE watermark passes its 1 h
+    look-ahead; rows inside the final horizon stay withheld."""
+    from lstore_spark.catalog import load_table
+
+    batch = QUERIES["q_stream_stream_outer_join"](spark, sf_dir)
+    src = _events_stream(spark, sf_dir)
+    p = (src.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", "2 hours"))
+    v = (src.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_id"),
+                 F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+         .withWatermark("v_ts", "2 hours"))
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    joined = (
+        p.join(v, (F.col("p_user") == F.col("v_user"))
+               & (F.col("v_ts") <= F.col("p_ts"))
+               & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+               "fullOuter")
+        .select("purchase_id", "view_id",
+                F.coalesce("p_user", "v_user").alias("user_id"),
+                F.when(F.col("purchase_id").isNull()
+                       | F.col("view_id").isNull(), F.lit(None))
+                .otherwise(us("p_ts") - us("v_ts")).alias("gap_us"))
+    )
+    out = run_available_now(joined, "t_ss_full_join", mode="append")
+
+    matched = F.col("purchase_id").isNotNull() & F.col("view_id").isNotNull()
+    assert _rows(out.filter(matched)) == _rows(batch.filter(matched))
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff_row = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 3 HOURS")).alias("c")).collect()[0]
+    for side, other in [("purchase_id", "view_id"),
+                        ("view_id", "purchase_id")]:
+        etype = "purchase" if side == "purchase_id" else "view"
+        safe = {r["event_id"] for r in
+                ev.filter((F.col("event_type") == etype)
+                          & (F.col("ts") <= cutoff_row["c"]))
+                .select("event_id").collect()}
+        got_null = {r[side] for r in
+                    out.filter(F.col(other).isNull()
+                               & F.col(side).isNotNull()).collect()}
+        want_null = {r[side] for r in
+                     batch.filter(F.col(other).isNull()
+                                  & F.col(side).isNotNull()).collect()}
+        assert got_null & safe == want_null & safe, side
+        assert want_null & safe, f"test vacuous: no safe unmatched {etype}s"
+
+
+def test_stream_stream_outer_join_on_rocksdb_with_metrics(spark, sf_dir):
+    """The heaviest stateful key on the PRODUCTION state store: run the
+    full-outer two-stream join on RocksDB, assert parity with the
+    default-provider run on matched rows AND harvest the state-operator
+    metrics (providerName, state rows, memory) from query progress —
+    the numbers recorded in BASELINE.md.  RocksDB is what bounds
+    executor heap once join state outgrows memory at 100 TB."""
+    import json
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        src = _events_stream(spark, sf_dir)
+        p = (src.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id").alias("p_user"),
+                     F.col("ts").alias("p_ts"))
+             .withWatermark("p_ts", "2 hours"))
+        v = (src.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("v_ts"))
+             .withWatermark("v_ts", "2 hours"))
+        joined = p.join(
+            v, (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+            "fullOuter")
+        q = (joined.writeStream.format("memory")
+             .queryName("t_ss_full_rocks").outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        ops = [op for pr in q.recentProgress
+               for op in json.loads(pr.json).get("stateOperators", [])]
+        assert ops, "no state operator metrics reported"
+        names = {op.get("customMetrics", {}).get("rocksdbFilesCopied",
+                                                 None) is not None
+                 or "rocksdb" in json.dumps(op).lower() for op in ops}
+        assert True in names, "state metrics show no RocksDB provider"
+        peak = max(op["numRowsTotal"] for op in ops)
+        assert peak > 0
+        out = spark.table("t_ss_full_rocks")
+        matched = (F.col("purchase_id").isNotNull()
+                   & F.col("view_id").isNotNull())
+        got = out.filter(matched).count()
+        want = QUERIES["q_stream_stream_outer_join"](
+            spark, sf_dir).filter(matched).count()
+        assert got == want
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
