@@ -120,6 +120,54 @@ def q_udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_udaf_pandas_window",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS VARCHAR) AS DOUBLE)
+         / COUNT(value) OVER w AS roll_avg
+FROM events
+WHERE user_id < 40
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_udaf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDF over a WindowSpec (the §2.11 surface row VERDICT r7
+    flagged as the one missing UDF shape): a grouped-agg pandas UDF
+    evaluated per bounded window frame — Spark slices each row's
+    ROWS-frame into a pandas Series and the UDF returns the frame
+    aggregate.  Semantically the q_win_sliding_avg rolling mean, so the
+    oracle is the same decimal window sum.
+
+    Hash discipline inside the UDF: per-frame Σ of Python
+    ``Decimal(v).quantize(1e-8, HALF_UP)`` — bit-equal to the JVM's
+    SUM(CAST(value AS DECIMAL(30,8))) (both round the exact binary
+    expansion) — then float(Σ)/n, which matches CAST(dec AS DOUBLE) /
+    COUNT exactly.  Bounded to user_id < 40 like the other UDF parity
+    rows: per-frame UDF evaluation pays a Python call per ROW, which is
+    the documented cost of this surface (the builtin twin is the hot
+    path; this row proves the API works and agrees)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    @F.pandas_udf(DoubleType())
+    def dec_frame_avg(v: pd.Series) -> float:
+        q8 = Decimal("1E-8")
+        s = Decimal(0)
+        vals = v.to_numpy()
+        for x in vals:
+            s += Decimal(float(x)).quantize(q8, ROUND_HALF_UP)
+        return float(s) / len(vals)
+
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        dec_frame_avg("value").over(w).alias("roll_avg"))
+
+
+@query(
     "q_udf_grouped_map",
     oracle="""
 SELECT event_id, event_type,

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..numerics import DEC, dsum9, sql_dsum9
 from ..registry import query
-from .similarity import _norm, cosine, cosine_with_norms
+from .similarity import _norm, cosine, cosine_with_norms, partitioned_topk
 
 
 @query(
@@ -553,6 +553,45 @@ def q_llm_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_code_rows(V, C, m_: int = _PQ_M, d_: int = _PQ_D):
+    """PQ codes for a batch: argmin (distance, label-position) per
+    subspace against codebook ``C`` (k × dim float64), with Spark's
+    decimal semantics preserved exactly — the q_llm_emb_pq_adc core,
+    module-level so property tests drive THE production code path
+    (round-7 lesson (b)).
+
+    Double-path distances + 2e-7 gap guard: the decimal-rounded
+    distance (Σ of 8 CAST(x AS DECIMAL(30,8)) terms) differs from the
+    float64 distance by ≤ ~4.1e-8, so a top-2 gap > 2e-7 proves the
+    double argmin equals the decimal argmin; ambiguous cells recompute
+    with exact Python decimals (HALF_UP on the exact binary expansion
+    — bit-equal to Spark's cast) including the (d, label) tie order."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    q8 = Decimal("1E-8")
+    k = len(C)
+    sq = (V[:, None, :] - C[None, :, :]) ** 2          # (n, k, dim)
+    dsub = sq.reshape(len(V), k, m_, d_).sum(axis=3)   # (n, k, m)
+    d_t = np.transpose(dsub, (0, 2, 1))                # (n, m, k)
+    codes = np.argmin(d_t, axis=2)
+    if k > 1:
+        part = np.partition(d_t, 1, axis=2)
+        for n_i, m_i in zip(*np.nonzero(
+                part[..., 1] - part[..., 0] <= 2e-7)):
+            best = None
+            for c in range(k):
+                s_dec = Decimal(0)
+                for j in range(d_):
+                    s_dec += Decimal(
+                        float(sq[n_i, c, m_i * d_ + j])
+                    ).quantize(q8, ROUND_HALF_UP)
+                if best is None or (s_dec, c) < best:
+                    best, codes[n_i, m_i] = (s_dec, c), c
+    return codes.astype(np.int32)
+
+
 @query(
     "q_llm_emb_pq_adc",
     oracle="""
@@ -616,94 +655,109 @@ def q_llm_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     error) yet fully deterministic — so unlike most ANN operators it is
     hash-grade oracle-checkable end-to-end.
 
-    Scale (reworked r5 after landing in the bench headline): the
-    codebook (n_labels × 64 means) collapses to ONE broadcast row and
-    every per-(vector, label, subspace) distance is computed inside a
-    row-local HOF — the corpus is never exploded and never joined, so
-    the only remaining shuffles are the tiny centroid aggregate and the
-    final per-query top-k (was: a 64-way explode joined to the
-    codebook = ~20M intermediate rows at sf0.1; 4.6 s → ~1 s).  The
-    decimal-exact Σ discipline is unchanged (HOF aggregate with a
-    DECIMAL(38,8) accumulator ≡ SUM(DECIMAL(30,8)) exactly), so the
-    oracle still hash-matches.  Top-k via the same (dist, cand_id)
-    total order as the exact searches."""
+    Vectorized r8 (VERDICT r7 #4) with the decimal semantics PRESERVED
+    EXACTLY — this key's old per-(vector, label, subspace) BigDecimal
+    LUT math was interpreted expression evaluation (~98% of its 123 s
+    at the 100× fixture):
+
+    - CORPUS CODES move to an Arrow UDF: squared diffs in float64
+      (elementwise IEEE ops, identical values to the old zip_with),
+      double-path argmin per subspace plus a 2e-7 GAP GUARD — the
+      decimal-rounded distance differs from the double distance by
+      ≤ 4.1e-8 (8 terms × half-ulp-of-1e-8 + float-sum error), so when
+      the top-2 gap exceeds 2e-7 the decimal argmin provably equals the
+      double argmin; ambiguous (row, subspace) cells fall back to exact
+      Python-decimal HALF_UP arithmetic (bit-equal to Spark's
+      CAST(x AS DECIMAL(30,8)): both round the exact binary expansion),
+      including the (d, label) tie order.
+    - The QUERY LUT (|queries| × M × k values) is computed driver-side
+      with exact Python decimals and shipped as INT64 scaled by 1e8 —
+      a decimal(30,8) IS an int64 at this magnitude.
+    - The PAIR stage sums 8 int64 LUT entries per (candidate, query) in
+      whole-stage codegen (long adds — it was decimal adds) and divides
+      by 1e8: double(S)/1e8 is correctly rounded, which equals Spark's
+      decimal→double cast of S·10⁻⁸ exactly.
+
+    The DuckDB oracle is UNCHANGED — the hash equality of this rewrite
+    against the same oracle, plus the old-vs-new parity pytest
+    (tests/test_llm.py), is the proof the numerics moved without
+    drifting.  NULL/ragged vectors degrade to dropped candidates
+    (pytest-pinned), as in the IVF/LSH paths.  Top-k via the same
+    (dist, cand_id) total order as the exact searches."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
     em = load_table(spark, sf_dir, "embeddings")
     lab = em.select("label", F.posexplode("embedding").alias("i", "v")) \
             .select("label", "i", F.col("v").cast("double").alias("v"))
     cent = lab.groupBy("label", "i").agg(
         (F.sum(F.col("v").cast(DEC)).cast("double") / F.count("v")).alias("c"))
-    cb = (cent.groupBy("label")
-          .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
-          .select("label", F.expr("transform(ic, s -> s.c)").alias("cvec")))
-    cmat = cb.agg(F.array_sort(F.collect_list(F.struct("label", "cvec")))
-                  .alias("cb"))
-    # Materialize the one-row codebook ONCE (lineage cut, same pattern as
-    # kmeans above): it feeds TWO broadcast branches (corpus codes + query
-    # LUT) and Spark does no exchange reuse across independent broadcast
-    # subtrees, so without this the centroid-training aggregate chain
-    # executes once per branch (measured ~0.9 s of the key's 3.6 s at
-    # sf0.1).  At 100 TB the codebook is trained on a sample and is always
-    # tiny — materializing it is the canonical PQ design.
-    cmat = cmat.localCheckpoint()
-
+    cb_rows = sorted(
+        cent.groupBy("label")
+        .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), "
+                    "s -> s.c)").alias("cvec")).collect(),
+        key=lambda r: r.label)
+    C = np.array([r.cvec for r in cb_rows], dtype=np.float64)
+    k = len(cb_rows)
     m_, d_ = _PQ_M, _PQ_D
-    # per-row LUT: dists[m][p] = struct(d, label) for the p-th label,
-    # d = exact-decimal Σ_j (x - c)² over the subspace's 8 dims.  Diffs
-    # are factored out once per label via zip_with, and the Σ is UNROLLED
-    # (8 explicit adds) instead of an aggregate() HOF: decimal addition
-    # grows precision by 1 per step, so 8 terms of (30,8) peak at (37,8)
-    # — under the 38 cap, exact, scale intact — whereas a decimal HOF
-    # accumulator forces (38,8)+(30,8) → (38,7) (the precision cap sheds
-    # a scale digit) and can't even type-check, let alone stay exact.
-    sq_terms = " + ".join(
-        f"CAST(p.dv[m * {d_} + {j}] * p.dv[m * {d_} + {j}]"
-        f" AS DECIMAL(30,8))" for j in range(d_))
-    dists = F.expr(f"""
-        transform(sequence(0, {m_ - 1}), m ->
-          transform(diffs, p -> struct(
-            CAST({sq_terms} AS DOUBLE) AS d,
-            p.label AS label)))""")
-    # The per-row decimal LUT math below is the key's real compute
-    # (8 subspaces × k labels × 8 dims of BigDecimal per vector), and
-    # the sf-scale fixture arrives as ONE parquet split — so without a
-    # spread it runs single-threaded (measured: ~2.0 s of the 2.4 s
-    # plan-fresh wall; 32-way, the same math is ~0.3 s).  The 0.5 MB
-    # round-robin shuffle is noise; at real scale the scan is already
-    # many splits and AQE leaves an explicit repartition alone.
-    base = (
-        em.repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id",
-                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-                .alias("xe"))
-        .crossJoin(F.broadcast(cmat))
-        .select("vec_id",
-                F.expr("transform(cb, s -> struct(s.label AS label, "
-                       "zip_with(xe, s.cvec, (a, b) -> a - b) AS dv))")
-                .alias("diffs"))
-        .select("vec_id", dists.alias("dists"))
+    Q8 = Decimal("1E-8")
+
+    # Query LUT: exact decimals driver-side, scaled to int64.  Query
+    # vectors via a driver-side pyarrow read (float32→float64 is exact,
+    # same as the JVM CAST).
+    import os
+
+    import pyarrow.parquet as pq
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 10)]).to_pandas()
+    qt = qt.sort_values("vec_id")
+    lut_rows = []
+    for qid, qv in zip(qt.vec_id, qt.embedding):
+        sq = (np.asarray(qv, dtype=np.float64) - C) ** 2  # (k, dim) IEEE
+        flat = []
+        for m in range(m_):
+            for c in range(k):
+                s_int = 0
+                for j in range(d_):
+                    s_int += int(Decimal(float(sq[c, m * d_ + j]))
+                                 .quantize(Q8, ROUND_HALF_UP).scaleb(8))
+                flat.append(s_int)
+        lut_rows.append((int(qid), flat))
+    qlut = spark.createDataFrame(lut_rows, "query_id long, lut array<long>")
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def pq_codes(vec):
+        vals = vec.to_numpy()
+        dim = m_ * d_
+        ok = np.array([v is not None and len(v) == dim for v in vals])
+        out = [None] * len(vals)
+        if ok.any():
+            codes = pq_code_rows(np.stack(vals[ok]).astype(np.float64), C)
+            for i, j in zip(np.nonzero(ok)[0], range(len(codes))):
+                out[i] = codes[j]
+        return pd.Series(out)
+
+    # Spread the single-split fixture scan so the Arrow batches run
+    # 32-way (same rationale as the r5/r7 notes: at real scale the scan
+    # is already many splits and this repartition is a no-op by cost).
+    codes_df = (
+        em.filter(F.col("vec_id") >= 10)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("vec_id").alias("cand_id"),
+                pq_codes("embedding").alias("codes"))
+        .filter(F.col("codes").isNotNull())
     )
-    # Corpus keeps ONLY its argmin code per subspace (the 32× compression)
-    # — stored as the 0-based POSITION in the (label-sorted) codebook, not
-    # the label value (VERDICT r5 #9): the codebook order is fixed, so the
-    # position identifies the centroid, and the ADC below becomes a direct
-    # lut[m][codes[m]] index instead of an O(k) array_position scan per
-    # subspace per (candidate × query) pair.  The one remaining
-    # array_position here runs once per CANDIDATE at encode time.
-    codes = (base.filter(F.col("vec_id") >= 10)
-             .select(F.col("vec_id").alias("cand_id"),
-                     F.expr("transform(dists, dm -> "
-                            "array_position(dm, array_min(dm)) - 1)")
-                     .alias("codes")))
-    qlut = (base.filter(F.col("vec_id") < 10)
-            .select(F.col("vec_id").alias("query_id"),
-                    F.expr("transform(dists, dm -> transform(dm, s -> s.d))")
-                    .alias("lut")))
-    adc_terms = " + ".join(
-        f"CAST(lut[{m}][codes[{m}]] AS DECIMAL(30,8))" for m in range(m_))
-    adc = F.expr(f"CAST({adc_terms} AS DOUBLE)")
-    scored = (codes.crossJoin(F.broadcast(qlut))
-              .select("query_id", "cand_id", adc.alias("adc_dist")))
-    from .similarity import partitioned_topk
+    adc_terms = " + ".join(f"lut[{m} * {k} + codes[{m}]]" for m in range(m_))
+    scored = (
+        codes_df.crossJoin(F.broadcast(qlut))
+        .select("query_id", "cand_id",
+                (F.expr(f"CAST({adc_terms} AS DOUBLE)")
+                 / F.lit(1.0e8)).alias("adc_dist"))
+    )
     top = partitioned_topk(
         scored.select("query_id", "cand_id",
                       (-F.col("adc_dist")).alias("cos_sim")),

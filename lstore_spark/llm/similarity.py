@@ -127,24 +127,79 @@ FROM (
 """,
 )
 def q_llm_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-k (k=5) for 10 query vectors: broadcast
-    the tiny query side across the corpus, HOF dot product, two-stage
-    partial top-k (``partitioned_topk`` — no global per-query sort, so no
-    task ever absorbs the whole corpus's candidates).  This is the ANN
-    *baseline*: at 100 TB the corpus side streams (one scan), queries
-    broadcast — cost O(|corpus|·|queries|), which is exactly right for
-    small query batches; q_llm_sim_lsh_topk is the sublinear path for
-    large ones."""
+    """Exact brute-force cosine top-k (k=5) for 10 query vectors, then
+    two-stage partial top-k (``partitioned_topk`` — no global per-query
+    sort, so no task ever absorbs the whole corpus's candidates).  This
+    is the ANN *baseline*: at 100 TB the corpus side streams (one
+    scan), queries ride the UDF closure — cost O(|corpus|·|queries|),
+    exactly right for small query batches; q_llm_sim_lsh_topk is the
+    sublinear path for large ones.
+
+    Vectorized r8 (VERDICT r7 #4) WITHOUT touching the hash: the old
+    per-pair ``aggregate(zip_with(...))`` dot is interpreted (HOFs
+    never codegen, ~7 µs/eval — the LSH/IVF lesson) and was ~80% of the
+    key's wall.  The pandas UDF below computes every query dot per
+    corpus row as a LEFT-TO-RIGHT fold over the dimension axis using
+    only ELEMENTWISE numpy ops (one IEEE mul + one IEEE add per element
+    per step, same order as the HOF fold; no BLAS matmul, no pairwise
+    reduction, no FMA contraction), so every dot and norm is
+    BIT-IDENTICAL to the old fold on every row.  The hash-critical
+    ROUND(·, 6) stays a JVM expression (Spark rounds HALF_UP on the
+    exact decimal expansion; numpy rounds half-even on an approximation
+    — the one step that must NOT move into the UDF).  Eager note: the
+    10-row query slice is collected at DataFrame-build time (the
+    documented ivf/LSH closure pattern)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
     em = load_table(spark, sf_dir, "embeddings")
-    queries = em.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
-        _norm("embedding").alias("q_norm"))
-    corpus = em.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"),
-        _norm("embedding").alias("c_norm"))
-    pairs = corpus.crossJoin(F.broadcast(queries)).select(
-        "query_id", "cand_id",
-        cosine_with_norms("q_emb", "c_emb", "q_norm", "c_norm").alias("cos_sim"))
+    # Query slice via a driver-side pyarrow read, not a Spark job: the
+    # batch is 10 rows of a local parquet file, and at 100 TB the query
+    # batch arrives driver-side anyway; float32 list → float64 is exact
+    # (same as Spark's CAST).
+    import os
+
+    import pyarrow.parquet as pq
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 10)]).to_pandas()
+    qt = qt.sort_values("vec_id")
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qt.embedding])
+    qids = [int(v) for v in qt.vec_id]
+    nq, dim = Q.shape
+    # Query norms: same left-to-right fold as _norm().
+    qacc = np.zeros(nq)
+    for d in range(dim):
+        qacc = qacc + Q[:, d] * Q[:, d]
+    qn = np.sqrt(qacc)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def cos_all(vec):
+        vals = vec.to_numpy()
+        ok = np.array([v is not None and len(v) == dim for v in vals])
+        out = [None] * len(vals)
+        if ok.any():
+            V = np.stack(vals[ok]).astype(np.float64)
+            dots = np.zeros((len(V), nq))
+            nacc = np.zeros(len(V))
+            for d in range(dim):
+                col = V[:, d]
+                nacc = nacc + col * col
+                dots = dots + col[:, None] * Q[None, :, d]
+            cos = dots / (qn[None, :] * np.sqrt(nacc)[:, None])
+            for i, j in zip(np.nonzero(ok)[0], range(len(cos))):
+                out[i] = cos[j]
+        return pd.Series(out)
+
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
+    pairs = (
+        em.filter(F.col("vec_id") >= 10)
+        .select(F.col("vec_id").alias("cand_id"),
+                F.posexplode(cos_all("embedding")).alias("qi", "raw"))
+        .select(F.element_at(qid_arr, F.col("qi") + 1).alias("query_id"),
+                "cand_id", F.round("raw", 6).alias("cos_sim"))
+    )
     return partitioned_topk(pairs, "query_id", 5).select(
         "query_id", "cand_id", "cos_sim", "rank")
 

@@ -575,3 +575,102 @@ def test_bpe_pack_bins_respect_budget_and_compress(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     total_chars = docs.agg(F.sum(F.length("text"))).collect()[0][0]
     assert sum(r.bin_tokens for r in rows) < total_chars
+
+
+def test_cosine_topk_vectorized_fold_bit_identical_to_hof(spark, sf_dir):
+    """The r8 vectorization contract: the pandas-UDF left-to-right fold
+    must reproduce the old aggregate(zip_with(...)) HOF dot/norm BIT
+    FOR BIT on every (query, candidate) pair — elementwise IEEE ops in
+    fold order, no BLAS/pairwise reduction.  Checked UNROUNDED (the
+    strongest form; the registered key additionally rounds JVM-side),
+    so any accumulation-order drift fails here before it can flake a
+    ROUND-6 boundary in the driver sweep."""
+    from lstore_spark.llm.similarity import _norm
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"), _norm("embedding").alias("qn"))
+    c = em.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"), _norm("embedding").alias("cn"))
+    hof = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> CAST(x AS DOUBLE) * "
+        "CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    want = {(r.query_id, r.cand_id): r.raw
+            for r in c.crossJoin(F.broadcast(q))
+            .select("query_id", "cand_id",
+                    (hof / (F.col("qn") * F.col("cn"))).alias("raw"))
+            .collect()}
+
+    import numpy as np
+    qrows = sorted(em.filter(F.col("vec_id") < 10)
+                   .select("vec_id", "embedding").collect(),
+                   key=lambda r: r.vec_id)
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in qrows])
+    qids = [int(r.vec_id) for r in qrows]
+    dim = Q.shape[1]
+    qacc = np.zeros(len(qids))
+    for d in range(dim):
+        qacc = qacc + Q[:, d] * Q[:, d]
+    qn = np.sqrt(qacc)
+    crows = em.filter(F.col("vec_id") >= 10) \
+              .select("vec_id", "embedding").collect()
+    V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in crows])
+    dots = np.zeros((len(V), len(qids)))
+    nacc = np.zeros(len(V))
+    for d in range(dim):
+        col = V[:, d]
+        nacc = nacc + col * col
+        dots = dots + col[:, None] * Q[None, :, d]
+    cos = dots / (qn[None, :] * np.sqrt(nacc)[:, None])
+    mismatches = [
+        (int(r.vec_id), qids[j])
+        for i, r in enumerate(crows) for j in range(len(qids))
+        if want[(qids[j], r.vec_id)] != cos[i, j]]
+    assert not mismatches, f"{len(mismatches)} pairs differ: {mismatches[:5]}"
+
+
+def test_pq_code_rows_guard_matches_exact_decimal_argmin():
+    """Drives the PRODUCTION pq_code_rows (the q_llm_emb_pq_adc core):
+    the double-path + gap-guard + decimal-fallback selection must equal
+    a brute-force exact-Python-decimal argmin — on random batches AND
+    on adversarial constructions (vectors exactly between two codebook
+    rows, and coordinates quantized so subspace distances collide at
+    the 1e-8 decimal grain, where the double argmin alone would be
+    allowed to differ and only the fallback keeps JVM parity)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lstore_spark.llm.embeddings import _PQ_D, _PQ_M, pq_code_rows
+
+    rng = np.random.RandomState(7)
+    k, dim = 6, _PQ_M * _PQ_D
+    C = rng.randn(k, dim)
+
+    def exact_codes(V):
+        q8 = Decimal("1E-8")
+        out = np.zeros((len(V), _PQ_M), dtype=np.int32)
+        for n in range(len(V)):
+            for m in range(_PQ_M):
+                best = None
+                for c in range(k):
+                    s = Decimal(0)
+                    for j in range(_PQ_D):
+                        t = (V[n, m * _PQ_D + j] - C[c, m * _PQ_D + j]) ** 2
+                        s += Decimal(float(t)).quantize(q8, ROUND_HALF_UP)
+                    if best is None or (s, c) < best[0]:
+                        best = ((s, c), c)
+                out[n, m] = best[1]
+        return out
+
+    V = rng.randn(64, dim)
+    # adversarial rows: exact midpoints of codebook pairs (decimal-equal
+    # subspace distances → the (d, label) tie-break decides), plus
+    # coarse-grid rows whose distances collide at the decimal grain.
+    mids = np.stack([(C[a] + C[b]) / 2.0
+                     for a in range(k) for b in range(a + 1, k)])
+    grid = np.round(C[rng.randint(0, k, 16)] + rng.randn(16, dim), 4)
+    V = np.vstack([V, mids, grid])
+    got = pq_code_rows(V, C)
+    want = exact_codes(V)
+    assert (got == want).all(), (got != want).sum()
