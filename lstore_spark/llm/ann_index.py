@@ -160,12 +160,51 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
           .parquet(os.path.join(idx, "bounds"))
 
     # Route (max-cosine list, ROUND 6, tie → lowest label) + encode.
+    # Vectorized r8 with the bit-exact recipe proven on cosine_topk:
+    # the pandas UDF computes every centroid dot per corpus row as a
+    # LEFT-TO-RIGHT fold over the dimension axis (elementwise IEEE ops
+    # only — identical values to the cosine() HOF fold on every pair);
+    # the hash-critical ROUND(·,6) and the (cos, -label) argmax stay
+    # JVM expressions.  The HOF form was ~75% of the 100× build wall.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    cv_rows = sorted(cvecs.collect(), key=lambda r: r.label)
+    CV = np.array([r.cvec for r in cv_rows], dtype=np.float64)
+    c_labels = [int(r.label) for r in cv_rows]
+    n_l, dim = CV.shape
+    nacc_c = np.zeros(n_l)
+    for d in range(dim):
+        nacc_c = nacc_c + CV[:, d] * CV[:, d]
+    cn = np.sqrt(nacc_c)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def cos_to_lists(vec):
+        vals = vec.to_numpy()
+        ok = np.array([v is not None and len(v) == dim for v in vals])
+        out = [None] * len(vals)
+        if ok.any():
+            V = np.stack(vals[ok]).astype(np.float64)
+            dots = np.zeros((len(V), n_l))
+            nacc = np.zeros(len(V))
+            for d in range(dim):
+                col = V[:, d]
+                nacc = nacc + col * col
+                dots = dots + col[:, None] * CV[None, :, d]
+            cos = dots / (np.sqrt(nacc)[:, None] * cn[None, :])
+            for i, j in zip(np.nonzero(ok)[0], range(len(cos))):
+                out[i] = cos[j]
+        return pd.Series(out)
+
+    lbl_arr = F.array(*[F.lit(c).cast("int") for c in c_labels])
     routed = (
-        corpus.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(
-            cvecs.select(F.col("label").alias("_ck"), "cvec")))
-        .select("vec_id", "embedding", "_ck",
-                cosine("embedding", "cvec").alias("cos_sim"))
+        corpus.select("vec_id", "embedding",
+                      F.posexplode(cos_to_lists("embedding"))
+                      .alias("ci", "raw"))
+        .select("vec_id", "embedding",
+                F.element_at(lbl_arr, F.col("ci") + 1).alias("_ck"),
+                F.round("raw", 6).alias("cos_sim"))
         .groupBy("vec_id")
         .agg(F.expr("max_by(struct(_ck, cos_sim), struct(cos_sim, -_ck))")
              .alias("b"),

@@ -162,7 +162,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     run_once(spark, "q_agg_groupby_hash", SCALES[0][1])  # warm-up, discarded
     results: dict[str, dict] = {}
-    for key in KEYS:
+    # CLI patterns may name registry keys outside the curated list —
+    # curve any registered key the pattern matches (new-key rounds).
+    keys = list(KEYS) + sorted(
+        k for k in QUERIES
+        if k not in KEYS and only and any(s in k for s in only))
+    for key in keys:
         if only and not any(s in key for s in only):
             continue
         results[key] = {}
