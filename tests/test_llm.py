@@ -674,3 +674,36 @@ def test_pq_code_rows_guard_matches_exact_decimal_argmin():
     got = pq_code_rows(V, C)
     want = exact_codes(V)
     assert (got == want).all(), (got != want).sum()
+
+
+def test_ann_index_update_is_incremental_and_frozen(spark, sf_dir):
+    """The incremental-update contract: (a) a second invocation rewrites
+    NOTHING (base and delta files untouched — idempotent batch job);
+    (b) the delta segment holds exactly the batch ids (vec_id >= 400)
+    and the base exactly [10, 400) — the base was not re-encoded when
+    the batch arrived."""
+    import glob
+    import os
+
+    from lstore_spark.llm.ann_index import (_UPDATE_SPLIT, ann_base_dir,
+                                            update_ann_index)
+    update_ann_index(spark, sf_dir)
+    base = ann_base_dir(sf_dir)
+    files = sorted(glob.glob(os.path.join(base, "**", "*.parquet"),
+                             recursive=True))
+    assert files
+    before = [(f, os.path.getmtime(f)) for f in files]
+    out = QUERIES["q_llm_index_update"](spark, sf_dir).collect()
+    after = [(f, os.path.getmtime(f)) for f in files]
+    assert before == after
+
+    delta_ids = {int(r.cand_id) for r in spark.read.parquet(
+        os.path.join(base, "postings_delta")).collect()}
+    base_ids = {int(r.cand_id) for r in spark.read.parquet(
+        os.path.join(base, "postings")).collect()}
+    em_ids = {int(r.vec_id) for r in
+              load_table(spark, sf_dir, "embeddings")
+              .select("vec_id").collect()}
+    assert delta_ids == {i for i in em_ids if i >= _UPDATE_SPLIT}
+    assert base_ids == {i for i in em_ids if 10 <= i < _UPDATE_SPLIT}
+    assert {r.segment for r in out} == {"base", "delta"}
