@@ -79,6 +79,14 @@ def main() -> None:
 
     spark.range(32).repartition(32).select(_warm("id")) \
          .write.mode("overwrite").format("noop").save()
+    # Index warm-up, discarded: q_llm_index_search's baseline (1.3 s)
+    # is the SEARCH-ONLY cost against a prebuilt index — the production
+    # read path.  On a cold /tmp the deterministic index dir is empty
+    # and the key would otherwise run the whole train+encode+write
+    # batch job inside its timed window (a phantom regression; build
+    # cost is q_llm_index_build's job, not search cost).
+    from lstore_spark.llm.ann_index import build_ann_index
+    build_ann_index(spark, SF_DIR)
     times: dict[str, float] = {}
     for key in HEADLINE:
         times[key] = round(run_once(spark, key), 3)

@@ -18,6 +18,8 @@ same logical view: ``ts`` as TIMESTAMP_NTZ at microsecond precision.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -91,6 +93,27 @@ EVENTS_LOGICAL = _st(
 
 def path_of(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def scratch_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
+    """Deterministic per-fixture scratch dir for derived artifacts
+    (layout rewrites, ANN indexes): ``/tmp/lstore_spark_<tag>_<hash>``
+    keyed on the fixture path.  Returns (path, already_built) where
+    ``already_built`` is True only when a prior write committed its
+    ``_SUCCESS`` marker (crashed half-writes rebuild).  ``tag`` MUST
+    carry a format version (e.g. ``dpp1``, ``annidx2``) — bump it when
+    the producing code changes so stale artifacts can never be served
+    (review r8: an untagged cache would keep passing against an old
+    layout after a code change, silently un-exercising the write
+    path).  Fixtures are immutable per sf_dir within a round; a
+    regenerated fixture at the same path requires a /tmp clear or a
+    tag bump, which the round-boundary /tmp wipe provides."""
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"lstore_spark_{tag}_{key}")
+    return out, os.path.exists(os.path.join(out, "_SUCCESS"))
 
 
 _ROWS_CACHE: dict[str, int] = {}

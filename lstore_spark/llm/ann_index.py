@@ -55,14 +55,12 @@ DPP win) is 100x larger.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scratch_dir
 from ..registry import query
 from .similarity import cosine, partitioned_topk
 
@@ -72,12 +70,10 @@ _LEVELS = 256
 
 
 def ann_index_dir(sf_dir: str) -> str:
-    """Deterministic index location per fixture (same contract as
-    sinks._cached_layout_dir): fixtures are immutable per sf_dir, so
-    repeated sweeps REUSE the built index instead of leaking tempdirs.
-    The format-version tag busts the cache if the layout changes."""
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"lstore_spark_annidx2_{key}")
+    """Deterministic index location per fixture via catalog.scratch_dir
+    (repeated sweeps REUSE the built index instead of leaking tempdirs;
+    the annidx2 version tag busts the cache if the layout changes)."""
+    return scratch_dir("annidx2", sf_dir)[0]
 
 
 # SQ8 encode of one dimension: floor((x - lo) / step) clamped to
@@ -155,35 +151,13 @@ def _route_encode_postings(vectors, cvecs, bounds):
     the hash-critical ROUND(·,6) and the (cos, -label) argmax stay JVM
     expressions.  (The HOF router was ~75% of the 100× build wall.)"""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, DoubleType
+
+    from .similarity import all_pairs_cosine_udf
 
     cv_rows = sorted(cvecs.collect(), key=lambda r: r.label)
     CV = np.array([r.cvec for r in cv_rows], dtype=np.float64)
     c_labels = [int(r.label) for r in cv_rows]
-    n_l, dim = CV.shape
-    nacc_c = np.zeros(n_l)
-    for d in range(dim):
-        nacc_c = nacc_c + CV[:, d] * CV[:, d]
-    cn = np.sqrt(nacc_c)
-
-    @F.pandas_udf(ArrayType(DoubleType()))
-    def cos_to_lists(vec):
-        vals = vec.to_numpy()
-        ok = np.array([v is not None and len(v) == dim for v in vals])
-        out = [None] * len(vals)
-        if ok.any():
-            V = np.stack(vals[ok]).astype(np.float64)
-            dots = np.zeros((len(V), n_l))
-            nacc = np.zeros(len(V))
-            for d in range(dim):
-                col = V[:, d]
-                nacc = nacc + col * col
-                dots = dots + col[:, None] * CV[None, :, d]
-            cos = dots / (np.sqrt(nacc)[:, None] * cn[None, :])
-            for i, j in zip(np.nonzero(ok)[0], range(len(cos))):
-                out[i] = cos[j]
-        return pd.Series(out)
+    cos_to_lists = all_pairs_cosine_udf(CV)
 
     lbl_arr = F.array(*[F.lit(c).cast("int") for c in c_labels])
     routed = (
@@ -438,8 +412,7 @@ _UPDATE_SPLIT = 400  # base corpus: [10, 400); incremental batch: >= 400
 
 def ann_base_dir(sf_dir: str) -> str:
     """Index dir for the incremental-update exhibit's BASE corpus."""
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"lstore_spark_annidx2b_{key}")
+    return scratch_dir("annidx2b", sf_dir)[0]
 
 
 def update_ann_index(spark: SparkSession, sf_dir: str) -> str:

@@ -679,9 +679,12 @@ def q_llm_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
       decimal→double cast of S·10⁻⁸ exactly.
 
     The DuckDB oracle is UNCHANGED — the hash equality of this rewrite
-    against the same oracle, plus the old-vs-new parity pytest
-    (tests/test_llm.py), is the proof the numerics moved without
-    drifting.  NULL/ragged vectors degrade to dropped candidates
+    against the same oracle (re-verified at sf0.01 AND the 10× fixture
+    after the rewrite), plus the pq_code_rows guard property test on
+    adversarial decimal-grain collisions (tests/test_llm.py), is the
+    proof the numerics moved without drifting.  (The old JVM pipeline
+    is gone, so there is no live old-vs-new A/B — the oracle IS the
+    old semantics.)  NULL/ragged vectors degrade to dropped candidates
     (pytest-pinned), as in the IVF/LSH paths.  Top-k via the same
     (dist, cand_id) total order as the exact searches."""
     from decimal import ROUND_HALF_UP, Decimal
@@ -706,15 +709,9 @@ def q_llm_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q8 = Decimal("1E-8")
 
     # Query LUT: exact decimals driver-side, scaled to int64.  Query
-    # vectors via a driver-side pyarrow read (float32→float64 is exact,
-    # same as the JVM CAST).
-    import os
-
-    import pyarrow.parquet as pq
-    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                       columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "<", 10)]).to_pandas()
-    qt = qt.sort_values("vec_id")
+    # vectors via the shared driver-side pyarrow reader.
+    from .similarity import read_query_slice
+    qt = read_query_slice(sf_dir)
     lut_rows = []
     for qid, qv in zip(qt.vec_id, qt.embedding):
         sq = (np.asarray(qv, dtype=np.float64) - C) ** 2  # (k, dim) IEEE

@@ -93,6 +93,66 @@ def partitioned_topk(scored: DataFrame, key: str, k: int,
     )
 
 
+def read_query_slice(sf_dir: str, bound: int = 10):
+    """Query batch (vec_id < bound) via a driver-side pyarrow read, not
+    a Spark job: it is a handful of rows of a local parquet file, and
+    at 100 TB the query batch arrives driver-side anyway.  float32 →
+    float64 is exact (same as the JVM CAST).  Sorted by vec_id."""
+    import os
+
+    import pyarrow.parquet as pq
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", bound)]).to_pandas()
+    return qt.sort_values("vec_id")
+
+
+def all_pairs_cosine_udf(M):
+    """Factory: pandas UDF mapping an embedding column to the array of
+    RAW cosines against every row of ``M`` (n_targets × dim).
+
+    THE bit-parity-critical fold (r8, one copy in-tree by design): dots
+    and norms accumulate LEFT-TO-RIGHT over the dimension axis with
+    elementwise numpy ops only (one IEEE mul + one IEEE add per element
+    per step — no BLAS matmul, no pairwise reduction, no FMA), so every
+    value is bit-identical to the cosine()/aggregate(zip_with) HOF fold
+    (asserted unrounded over all sf0.01 pairs in tests/test_llm.py).
+    The hash-critical ROUND(·, 6) stays with the CALLER as a JVM
+    expression — Spark rounds HALF_UP on the exact decimal expansion,
+    numpy rounds half-even on an approximation.  NULL/ragged rows map
+    to NULL (callers' explodes drop them)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    M = np.asarray(M, dtype=np.float64)
+    n_t, dim = M.shape
+    tacc = np.zeros(n_t)
+    for d in range(dim):
+        tacc = tacc + M[:, d] * M[:, d]
+    tn = np.sqrt(tacc)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def cos_all(vec):
+        vals = vec.to_numpy()
+        ok = np.array([v is not None and len(v) == dim for v in vals])
+        out = [None] * len(vals)
+        if ok.any():
+            V = np.stack(vals[ok]).astype(np.float64)
+            dots = np.zeros((len(V), n_t))
+            nacc = np.zeros(len(V))
+            for d in range(dim):
+                col = V[:, d]
+                nacc = nacc + col * col
+                dots = dots + col[:, None] * M[None, :, d]
+            cos = dots / (np.sqrt(nacc)[:, None] * tn[None, :])
+            for i, j in zip(np.nonzero(ok)[0], range(len(cos))):
+                out[i] = cos[j]
+        return pd.Series(out)
+
+    return cos_all
+
+
 # DuckDB twin: dot/norms via an index join over generate_series, rounded
 # identically.  (list_cosine_similarity exists but its internal float32
 # accumulation order is unspecified; the explicit form pins semantics.)
@@ -150,47 +210,12 @@ def q_llm_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-row query slice is collected at DataFrame-build time (the
     documented ivf/LSH closure pattern)."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, DoubleType
 
     em = load_table(spark, sf_dir, "embeddings")
-    # Query slice via a driver-side pyarrow read, not a Spark job: the
-    # batch is 10 rows of a local parquet file, and at 100 TB the query
-    # batch arrives driver-side anyway; float32 list → float64 is exact
-    # (same as Spark's CAST).
-    import os
-
-    import pyarrow.parquet as pq
-    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                       columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "<", 10)]).to_pandas()
-    qt = qt.sort_values("vec_id")
+    qt = read_query_slice(sf_dir)
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in qt.embedding])
     qids = [int(v) for v in qt.vec_id]
-    nq, dim = Q.shape
-    # Query norms: same left-to-right fold as _norm().
-    qacc = np.zeros(nq)
-    for d in range(dim):
-        qacc = qacc + Q[:, d] * Q[:, d]
-    qn = np.sqrt(qacc)
-
-    @F.pandas_udf(ArrayType(DoubleType()))
-    def cos_all(vec):
-        vals = vec.to_numpy()
-        ok = np.array([v is not None and len(v) == dim for v in vals])
-        out = [None] * len(vals)
-        if ok.any():
-            V = np.stack(vals[ok]).astype(np.float64)
-            dots = np.zeros((len(V), nq))
-            nacc = np.zeros(len(V))
-            for d in range(dim):
-                col = V[:, d]
-                nacc = nacc + col * col
-                dots = dots + col[:, None] * Q[None, :, d]
-            cos = dots / (qn[None, :] * np.sqrt(nacc)[:, None])
-            for i, j in zip(np.nonzero(ok)[0], range(len(cos))):
-                out[i] = cos[j]
-        return pd.Series(out)
+    cos_all = all_pairs_cosine_udf(Q)
 
     qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
     pairs = (
@@ -366,12 +391,16 @@ def hyperplane_band_rows(df: DataFrame, id_col: str, vec_col: str,
     ~n·planes·dim scalar evals: at 200k×165×64 that was ~98% of LSH
     wall-clock.  The matmul path is the textbook "vectorized UDF beats
     built-in" exception: still a pure projection over the scan (no
-    shuffle), and deterministic: the matmul accumulates in BLAS order,
-    so the dot product is rounded at 1e-6 (the IVF argmax grain) before
-    the sign threshold — a plane dot within ~1 ulp of zero can no
-    longer flip its bucket across BLAS builds or Arrow batch splits,
-    restoring the bit-reproducibility the old left-to-right fold had
-    at negligible cost.  Rows with a NULL
+    shuffle).  Determinism, honestly stated (ADVICE r7 applied, with
+    its limits): the matmul accumulates in BLAS order, so the dot is
+    rounded at 1e-6 (the IVF argmax grain) before the sign threshold —
+    this pins the common case and matches the sibling path's grain,
+    but it RELOCATES the knife edge rather than removing it: a true
+    dot within ~1 ulp of the 5e-7 rounding boundary can still round
+    differently across BLAS builds (the measure of at-risk inputs is
+    the same as the old near-zero caveat).  LSH callers are rows-only/
+    approximate; the bit-reproducible alternative remains the old
+    left-to-right fold at ~16× the wall.  Rows with a NULL
     or wrong-length vector get a NULL bucket array (the explode then
     emits nothing for them — same degraded-output behavior as the old
     NULL-propagating HOF form, instead of a task crash).

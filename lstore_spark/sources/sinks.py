@@ -9,7 +9,6 @@ segments (SURVEY.md §4.2).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 
@@ -18,22 +17,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType)
 
-from ..catalog import load_table
+from ..catalog import load_table, scratch_dir
 from ..numerics import dsum
 from ..registry import query
 
 
-def _cached_layout_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
-    """Deterministic scratch dir for full-table layout rewrites (DPP,
-    z-order), keyed on the fixture path so repeated correctness sweeps
-    and bench runs REUSE one copy instead of leaking a fixture-sized
-    mkdtemp per invocation (ADVICE r7).  Returns (path, already_built);
-    ``already_built`` is True only when a prior write committed its
-    ``_SUCCESS`` marker, so a crashed half-write is rebuilt.  Fixtures
-    are immutable per sf_dir, so the cache can never go stale."""
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"lstore_spark_{tag}_{key}")
-    return out, os.path.exists(os.path.join(out, "_SUCCESS"))
+# Layout rewrites (DPP, z-order) cache under catalog.scratch_dir so
+# repeated sweeps/bench runs reuse one copy instead of leaking a
+# fixture-sized mkdtemp per invocation (ADVICE r7); the versioned tags
+# (dpp1/zorder1) bust the cache if the producing code changes.
 
 
 @query(
@@ -384,7 +376,7 @@ def q_maint_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id",
         F.floor("value").cast("long").alias("vq"))
-    out, built = _cached_layout_dir("zorder", sf_dir)
+    out, built = scratch_dir("zorder1", sf_dir)
     if not built:
         (
             ev.withColumn("_z", zorder_key("user_id", "vq"))
@@ -466,7 +458,7 @@ def q_source_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned table, proving write→DPP-join→read end-to-end."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", F.col("ts").cast("date").alias("d"))
-    out, built = _cached_layout_dir("dpp", sf_dir)
+    out, built = scratch_dir("dpp1", sf_dir)
     if not built:
         ev.repartition("d").write.mode("overwrite").partitionBy("d").parquet(out)
     fact = spark.read.parquet(out)

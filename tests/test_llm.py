@@ -459,7 +459,7 @@ def _exact_l2_topk(sf_dir, k=5, within_lists=None):
             routing, probes = within_lists
             order = [j for j in order
                      if routing[cid[j]] in probes[qid[qi]]]
-        out |= {(int(qid[qi]), int(cid[j])) for j in order[:5]}
+        out |= {(int(qid[qi]), int(cid[j])) for j in order[:k]}
     return out
 
 
