@@ -99,9 +99,13 @@ def scratch_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
     """Deterministic per-fixture scratch dir for derived artifacts
     (layout rewrites, ANN indexes): ``/tmp/lstore_spark_<tag>_<hash>``
     keyed on the fixture path.  Returns (path, already_built) where
-    ``already_built`` is True only when a prior write committed its
-    ``_SUCCESS`` marker (crashed half-writes rebuild).  ``tag`` MUST
-    carry a format version (e.g. ``dpp1``, ``annidx2``) — bump it when
+    ``already_built`` is True only when a prior write committed a
+    ``_SUCCESS`` marker at the DIR ROOT (crashed half-writes rebuild).
+    Multi-table artifacts (the ANN indexes) write no root marker —
+    their builders ignore the flag and gate on their own subdir
+    markers (e.g. ``postings/_SUCCESS``); callers must pick ONE of the
+    two conventions per tag and not mix them.  ``tag`` MUST
+    carry a format version (e.g. ``dpp1``, ``annidx3``) — bump it when
     the producing code changes so stale artifacts can never be served
     (review r8: an untagged cache would keep passing against an old
     layout after a code change, silently un-exercising the write

@@ -72,8 +72,9 @@ _LEVELS = 256
 def ann_index_dir(sf_dir: str) -> str:
     """Deterministic index location per fixture via catalog.scratch_dir
     (repeated sweeps REUSE the built index instead of leaking tempdirs;
-    the annidx2 version tag busts the cache if the layout changes)."""
-    return scratch_dir("annidx2", sf_dir)[0]
+    the annidx3 version tag busts the cache if the layout or the
+    producing code changes — bumped r8 when the router was vectorized)."""
+    return scratch_dir("annidx3", sf_dir)[0]
 
 
 # SQ8 encode of one dimension: floor((x - lo) / step) clamped to
@@ -412,7 +413,7 @@ _UPDATE_SPLIT = 400  # base corpus: [10, 400); incremental batch: >= 400
 
 def ann_base_dir(sf_dir: str) -> str:
     """Index dir for the incremental-update exhibit's BASE corpus."""
-    return scratch_dir("annidx2b", sf_dir)[0]
+    return scratch_dir("annidx3b", sf_dir)[0]
 
 
 def update_ann_index(spark: SparkSession, sf_dir: str) -> str:
@@ -513,9 +514,16 @@ def q_llm_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent/bounds CTEs come from the base slice only) hash-checks that
     the update pipeline reused the frozen quantizer exactly."""
     base = update_ann_index(spark, sf_dir)
-    posts = (spark.read.parquet(os.path.join(base, "postings"))
+    # Explicit schema on the reads: a fixture whose max vec_id falls
+    # below _UPDATE_SPLIT yields an EMPTY delta segment (only _SUCCESS,
+    # zero parquet files), where schema inference would throw.
+    posting_schema = ("cand_id bigint, codes array<int>, "
+                      "code_sum bigint, list_id int")
+    posts = (spark.read.schema(posting_schema)
+             .parquet(os.path.join(base, "postings"))
              .withColumn("segment", F.lit("base")))
-    delta = (spark.read.parquet(os.path.join(base, "postings_delta"))
+    delta = (spark.read.schema(posting_schema)
+             .parquet(os.path.join(base, "postings_delta"))
              .withColumn("segment", F.lit("delta")))
     return (
         posts.unionByName(delta)

@@ -164,12 +164,11 @@ def main() -> None:
     results: dict[str, dict] = {}
     # CLI patterns may name registry keys outside the curated list —
     # curve any registered key the pattern matches (new-key rounds).
-    keys = list(KEYS) + sorted(
-        k for k in QUERIES
-        if k not in KEYS and only and any(s in k for s in only))
+    # With no CLI patterns, only the curated list runs.
+    extras = sorted(set(QUERIES) - set(KEYS)) if only else []
+    keys = [k for k in list(KEYS) + extras
+            if not only or any(s in k for s in only)]
     for key in keys:
-        if only and not any(s in key for s in only):
-            continue
         results[key] = {}
         for label, sf_dir in SCALES:
             if not os.path.isdir(sf_dir):

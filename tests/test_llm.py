@@ -578,14 +578,17 @@ def test_bpe_pack_bins_respect_budget_and_compress(spark, sf_dir):
 
 
 def test_cosine_topk_vectorized_fold_bit_identical_to_hof(spark, sf_dir):
-    """The r8 vectorization contract: the pandas-UDF left-to-right fold
-    must reproduce the old aggregate(zip_with(...)) HOF dot/norm BIT
-    FOR BIT on every (query, candidate) pair — elementwise IEEE ops in
-    fold order, no BLAS/pairwise reduction.  Checked UNROUNDED (the
-    strongest form; the registered key additionally rounds JVM-side),
-    so any accumulation-order drift fails here before it can flake a
-    ROUND-6 boundary in the driver sweep."""
-    from lstore_spark.llm.similarity import _norm
+    """The r8 vectorization contract: the PRODUCTION
+    all_pairs_cosine_udf (which both the registered cosine key and the
+    ANN index router now route through) must reproduce the
+    aggregate(zip_with(...)) HOF dot/norm BIT FOR BIT on every (query,
+    candidate) pair — elementwise IEEE ops in fold order, no
+    BLAS/pairwise reduction.  Checked UNROUNDED (the strongest form;
+    the registered key additionally rounds JVM-side), so any
+    accumulation-order drift in the shared helper — e.g. someone
+    swapping the per-dim loop for a BLAS matmul — fails here before it
+    can flake a ROUND-6 boundary in the driver sweep."""
+    from lstore_spark.llm.similarity import _norm, all_pairs_cosine_udf
 
     em = load_table(spark, sf_dir, "embeddings")
     q = em.filter(F.col("vec_id") < 10).select(
@@ -609,25 +612,17 @@ def test_cosine_topk_vectorized_fold_bit_identical_to_hof(spark, sf_dir):
                    key=lambda r: r.vec_id)
     Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in qrows])
     qids = [int(r.vec_id) for r in qrows]
-    dim = Q.shape[1]
-    qacc = np.zeros(len(qids))
-    for d in range(dim):
-        qacc = qacc + Q[:, d] * Q[:, d]
-    qn = np.sqrt(qacc)
-    crows = em.filter(F.col("vec_id") >= 10) \
-              .select("vec_id", "embedding").collect()
-    V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in crows])
-    dots = np.zeros((len(V), len(qids)))
-    nacc = np.zeros(len(V))
-    for d in range(dim):
-        col = V[:, d]
-        nacc = nacc + col * col
-        dots = dots + col[:, None] * Q[None, :, d]
-    cos = dots / (qn[None, :] * np.sqrt(nacc)[:, None])
+    # Drive THE production helper end-to-end through Spark (review r8:
+    # a private numpy re-derivation would keep passing if the shared
+    # helper drifted).
+    cos_all = all_pairs_cosine_udf(Q)
+    got_rows = (em.filter(F.col("vec_id") >= 10)
+                .select("vec_id", cos_all("embedding").alias("cs"))
+                .collect())
     mismatches = [
         (int(r.vec_id), qids[j])
-        for i, r in enumerate(crows) for j in range(len(qids))
-        if want[(qids[j], r.vec_id)] != cos[i, j]]
+        for r in got_rows for j in range(len(qids))
+        if want[(qids[j], r.vec_id)] != r.cs[j]]
     assert not mismatches, f"{len(mismatches)} pairs differ: {mismatches[:5]}"
 
 
@@ -707,3 +702,26 @@ def test_ann_index_update_is_incremental_and_frozen(spark, sf_dir):
     assert delta_ids == {i for i in em_ids if i >= _UPDATE_SPLIT}
     assert base_ids == {i for i in em_ids if 10 <= i < _UPDATE_SPLIT}
     assert {r.segment for r in out} == {"base", "delta"}
+
+
+def test_ann_index_update_survives_empty_batch(spark, tmp_path):
+    """Review r8: a fixture whose max vec_id falls below the update
+    split yields an EMPTY delta segment (only _SUCCESS, no parquet
+    files); the summary read must come back base-only rather than
+    throwing schema-inference errors — and stay gated (no rebuild) on
+    the second call."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(int(i), [float(x) for x in rng.randn(64).astype("float32")],
+             int(i % 3)) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    fx = str(tmp_path / "fx")
+    df.coalesce(1).write.parquet(fx + "/embeddings.parquet")
+
+    out = QUERIES["q_llm_index_update"](spark, fx).collect()
+    assert out, "base segment missing"
+    assert {r.segment for r in out} == {"base"}
+    out2 = QUERIES["q_llm_index_update"](spark, fx).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
