@@ -86,6 +86,14 @@ def compute_recalls(spark, sf_dir: str) -> dict[str, float]:
         .select("query_id", "cand_id")
     ratio("pq_adc", rescored_mass(pq, "query_id", "cand_id"))
 
+    # r8: the persisted-index search (IVF routing + SQ8 ADC re-rank from
+    # stored files) joins the recall certification — the production read
+    # path must route replicas to the right stored list just like the
+    # in-query methods.
+    idx = QUERIES["q_llm_index_search"](spark, sf_dir) \
+        .select("query_id", "cand_id")
+    ratio("stored_index_sq8", rescored_mass(idx, "query_id", "cand_id"))
+
     lsh = (QUERIES["q_llm_sim_lsh_topk"](spark, sf_dir)
            .filter((F.col("id_a") < 10) & (F.col("id_b") >= 10))
            .select(F.col("id_a").alias("query_id"),
