@@ -410,6 +410,12 @@ def q_llm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UPDATE_SPLIT = 400  # base corpus: [10, 400); incremental batch: >= 400
 
+# Explicit read schema for posting segments: an empty segment (only
+# _SUCCESS, zero parquet files) must read as zero rows, where schema
+# inference would throw.
+_POSTING_SCHEMA = ("cand_id bigint, codes array<int>, "
+                   "code_sum bigint, list_id int")
+
 
 def ann_base_dir(sf_dir: str) -> str:
     """Index dir for the incremental-update exhibit's BASE corpus."""
@@ -449,11 +455,12 @@ def update_ann_index(spark: SparkSession, sf_dir: str) -> str:
     return base
 
 
-@query(
-    "q_llm_index_update",
-    oracle=f"""
-WITH {_idx_ctes(f"vec_id >= 10 AND vec_id < {_UPDATE_SPLIT}")},
-codesum AS (
+# Batch-side oracle CTEs shared by the update and merge keys: the base
+# index's codes are summarized per vector (codesum), then the NEW batch
+# (vec_id >= _UPDATE_SPLIT) is routed and encoded against the SAME
+# base-trained cent/bounds CTEs — retraining nothing, exactly the
+# frozen-quantizer contract the Spark side implements.
+_BATCH_CTES = f"""codesum AS (
   SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum
   FROM codes GROUP BY vec_id
 ),
@@ -490,7 +497,14 @@ bcodes AS (
 bcodesum AS (
   SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum
   FROM bcodes GROUP BY vec_id
-)
+)"""
+
+
+@query(
+    "q_llm_index_update",
+    oracle=f"""
+WITH {_idx_ctes(f"vec_id >= 10 AND vec_id < {_UPDATE_SPLIT}")},
+{_BATCH_CTES}
 SELECT r.list_id, 'base' AS segment, COUNT(*) AS n_postings,
        CAST(SUM(r.vec_id) AS BIGINT) AS sum_cand,
        CAST(SUM(cs.code_sum) AS BIGINT) AS sum_codes
@@ -517,12 +531,10 @@ def q_llm_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit schema on the reads: a fixture whose max vec_id falls
     # below _UPDATE_SPLIT yields an EMPTY delta segment (only _SUCCESS,
     # zero parquet files), where schema inference would throw.
-    posting_schema = ("cand_id bigint, codes array<int>, "
-                      "code_sum bigint, list_id int")
-    posts = (spark.read.schema(posting_schema)
+    posts = (spark.read.schema(_POSTING_SCHEMA)
              .parquet(os.path.join(base, "postings"))
              .withColumn("segment", F.lit("base")))
-    delta = (spark.read.schema(posting_schema)
+    delta = (spark.read.schema(_POSTING_SCHEMA)
              .parquet(os.path.join(base, "postings_delta"))
              .withColumn("segment", F.lit("delta")))
     return (
@@ -532,3 +544,74 @@ def q_llm_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("cand_id").alias("sum_cand"),
              F.sum("code_sum").alias("sum_codes"))
     )
+
+
+# ---------------------------------------------------------- compaction
+
+
+def merge_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """The compaction third of the index lifecycle (build → update →
+    MERGE): fold the delta posting segment into a single merged store
+    under the SAME frozen quantizer — a pure file rewrite, no routing
+    or encoding recomputed.  Idempotent (_SUCCESS-gated) eager batch
+    job; returns the merged segment's path.
+
+    The rewrite is shuffle-free: both inputs are already
+    list_id-partitioned, so the union feeds the partitionBy writer
+    directly; ``sortWithinPartitions`` adds sorted-by-cand_id runs
+    inside each list file (sequential-merge locality for readers) at
+    local-sort cost only.  The merged segment is written BESIDE the
+    base and delta, generation-style — retiring the old segments after
+    the swap is a vacuum-schedule decision (q_maint_retention_purge's
+    shape), and this shared exhibit store keeps them so the update key
+    stays independently replayable."""
+    base = update_ann_index(spark, sf_dir)
+    merged = os.path.join(base, "postings_merged")
+    if not os.path.exists(os.path.join(merged, "_SUCCESS")):
+        posts = spark.read.schema(_POSTING_SCHEMA) \
+            .parquet(os.path.join(base, "postings"))
+        delta = spark.read.schema(_POSTING_SCHEMA) \
+            .parquet(os.path.join(base, "postings_delta"))
+        (posts.unionByName(delta)
+         .sortWithinPartitions("list_id", "cand_id")
+         .write.mode("overwrite").partitionBy("list_id").parquet(merged))
+    return merged
+
+
+@query(
+    "q_llm_index_merge",
+    oracle=f"""
+WITH {_idx_ctes(f"vec_id >= 10 AND vec_id < {_UPDATE_SPLIT}")},
+{_BATCH_CTES},
+allseg AS (
+  SELECT r.list_id, r.vec_id, cs.code_sum, 0 AS from_delta
+  FROM route r JOIN codesum cs USING (vec_id)
+  UNION ALL
+  SELECT r.list_id, r.vec_id, cs.code_sum, 1 AS from_delta
+  FROM broute r JOIN bcodesum cs USING (vec_id)
+)
+SELECT list_id, COUNT(*) AS n_postings,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_cand,
+       CAST(SUM(code_sum) AS BIGINT) AS sum_codes,
+       CAST(SUM(from_delta) AS BIGINT) AS n_from_delta
+FROM allseg GROUP BY list_id
+""",
+)
+def q_llm_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact base + delta into one merged posting store, then
+    summarize each list FROM THE MERGED FILES: (list_id, n_postings,
+    sum_cand, sum_codes, n_from_delta) — n_from_delta counts compacted
+    rows that arrived via the incremental batch (cand_id >=
+    _UPDATE_SPLIT), proving the delta landed intact.  The oracle
+    recomputes both segments' route+encode from raw embeddings and
+    aggregates their union per list, so a hash match certifies the
+    compaction rewrote every posting of both generations byte-exactly
+    (codes included, via sum_codes) and invented or dropped none."""
+    merged = merge_ann_index(spark, sf_dir)
+    posts = spark.read.schema(_POSTING_SCHEMA).parquet(merged)
+    return posts.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.sum("cand_id").alias("sum_cand"),
+        F.sum("code_sum").alias("sum_codes"),
+        F.sum((F.col("cand_id") >= _UPDATE_SPLIT).cast("long"))
+         .alias("n_from_delta"))

@@ -704,6 +704,43 @@ def test_ann_index_update_is_incremental_and_frozen(spark, sf_dir):
     assert {r.segment for r in out} == {"base", "delta"}
 
 
+def test_ann_index_merge_preserves_both_generations(spark, sf_dir):
+    """The compaction contract: (a) the merged store holds exactly
+    base ∪ delta cand_ids, with the code arrays of a spot-checked row
+    from each generation byte-identical to its source segment (the
+    frozen quantizer was not re-run); (b) a second invocation rewrites
+    nothing (idempotent); (c) the source segments survive the merge
+    (generation-style publish — retirement is the vacuum's job)."""
+    import glob
+    import os
+
+    from lstore_spark.llm.ann_index import (_POSTING_SCHEMA,
+                                            _UPDATE_SPLIT, ann_base_dir,
+                                            merge_ann_index)
+    merged = merge_ann_index(spark, sf_dir)
+    base = ann_base_dir(sf_dir)
+
+    m = spark.read.schema(_POSTING_SCHEMA).parquet(merged).collect()
+    b = spark.read.parquet(os.path.join(base, "postings")).collect()
+    d = spark.read.parquet(os.path.join(base, "postings_delta")).collect()
+    assert b and d, "merge exhibit needs both generations populated"
+    assert {r.cand_id for r in m} == \
+        {r.cand_id for r in b} | {r.cand_id for r in d}
+    src = {r.cand_id: (r.list_id, list(r.codes)) for r in b + d}
+    got = {r.cand_id: (r.list_id, list(r.codes)) for r in m}
+    assert got == src
+    assert any(r.cand_id >= _UPDATE_SPLIT for r in m)
+
+    files = sorted(glob.glob(os.path.join(merged, "**", "*.parquet"),
+                             recursive=True))
+    assert files
+    before = [(f, os.path.getmtime(f)) for f in files]
+    out = QUERIES["q_llm_index_merge"](spark, sf_dir).collect()
+    assert before == [(f, os.path.getmtime(f)) for f in files]
+    assert sum(r.n_from_delta for r in out) == len(d)
+    assert sum(r.n_postings for r in out) == len(b) + len(d)
+
+
 def test_ann_index_update_survives_empty_batch(spark, tmp_path):
     """Review r8: a fixture whose max vec_id falls below the update
     split yields an EMPTY delta segment (only _SUCCESS, no parquet
@@ -725,3 +762,7 @@ def test_ann_index_update_survives_empty_batch(spark, tmp_path):
     assert {r.segment for r in out} == {"base"}
     out2 = QUERIES["q_llm_index_update"](spark, fx).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # compaction over the empty delta: merged == base, zero delta rows
+    m = QUERIES["q_llm_index_merge"](spark, fx).collect()
+    assert sum(r.n_from_delta for r in m) == 0
+    assert sum(r.n_postings for r in m) == sum(r.n_postings for r in out)
