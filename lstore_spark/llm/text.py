@@ -660,6 +660,127 @@ def q_llm_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_llm_text_lm_score",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+  FROM tok, range(1, 256) AS g(i) WHERE i <= len(ts) - 1
+),
+train_bg AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 5 < 4 GROUP BY 1, 2
+),
+train_uni AS (
+  SELECT t.tok AS w, COUNT(*) AS c1
+  FROM documents, unnest({_DUCK_TOKENS}) AS t(tok)
+  WHERE doc_id % 5 < 4 GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n FROM train_uni),
+scored AS (
+  SELECT bg.doc_id,
+         CASE
+           WHEN b.c2 IS NOT NULL
+             THEN CAST(b.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+           WHEN u2.c1 IS NOT NULL
+             THEN 0.4 * (CAST(u2.c1 AS DOUBLE) / tot.n)
+           ELSE 0.4 / tot.n
+         END AS p,
+         CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM bg
+  LEFT JOIN train_bg b ON bg.w1 = b.w1 AND bg.w2 = b.w2
+  LEFT JOIN train_uni u1 ON bg.w1 = u1.w
+  LEFT JOIN train_uni u2 ON bg.w2 = u2.w
+  CROSS JOIN tot
+  WHERE bg.doc_id % 5 = 4
+)
+SELECT doc_id, COUNT(*) AS n_scored,
+       ROUND(CAST(CAST(SUM(CAST(-ln(p) AS DECIMAL(30,8))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*), 6) AS avg_nll,
+       ROUND(CAST(CAST(SUM(hit) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+         AS bigram_hit_rate
+FROM scored GROUP BY doc_id
+""",
+)
+def q_llm_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-shaped n-gram LM scoring (the CCNet/RedPajama quality
+    filter): train a bigram LM with Stupid Backoff (Brants et al. 2007,
+    α = 0.4) on the 80 % train split (``doc_id % 5 < 4``), score every
+    held-out document's tokens given their predecessor —
+    ``p(w₂|w₁) = c(w₁w₂)/c(w₁)``, backing off to ``α·c(w₂)/N`` for
+    unseen bigrams and ``α/N`` for OOV tokens.  Emits per-doc mean
+    negative log-probability (the filter statistic) and the seen-bigram
+    hit rate.  A real KenLM ARPA model is the same shape: the LM is a
+    counts relation joined against exploded (context, word) pairs.
+
+    Parity: every probability branch is integer-count double division
+    written identically in both engines (``0.4 * (c/N)`` parenthesized
+    alike); per-token -ln(p) sums in exact decimal, one ROUND at the
+    end.  The hit rate is an integer ratio — exact.
+
+    Scale: bigram construction is a row-local slice/slice zip (no
+    positional self-join); LM tables are vocab-bounded aggregates that
+    partial-combine map-side and broadcast here (at 100 TB they would
+    be Zipf-truncated to top-K or shuffle-joined on the term key — the
+    scoring side streams either way)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col().alias("ts"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "if(size(ts) >= 2, "
+            "   transform(sequence(1, size(ts) - 1), "
+            "             i -> struct(element_at(ts, i) AS w1, "
+            "                         element_at(ts, i + 1) AS w2)), "
+            "   array())")).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    train_bg = (
+        bg.filter(F.col("doc_id") % 5 < 4)
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    )
+    train_uni = (
+        toks.filter(F.col("doc_id") % 5 < 4)
+        .select(F.explode("ts").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tot = train_uni.agg(F.sum("c1").cast("double").alias("n"))
+    scored = (
+        bg.filter(F.col("doc_id") % 5 == 4)
+        .join(F.broadcast(train_bg), ["w1", "w2"], "left")
+        .join(F.broadcast(train_uni.select(F.col("w").alias("w1"),
+                                           F.col("c1").alias("c1_w1"))),
+              "w1", "left")
+        .join(F.broadcast(train_uni.select(F.col("w").alias("w2"),
+                                           F.col("c1").alias("c1_w2"))),
+              "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(F.col("c2").isNotNull(),
+                   F.col("c2").cast("double") / F.col("c1_w1").cast("double"))
+             .when(F.col("c1_w2").isNotNull(),
+                   F.lit(0.4) * (F.col("c1_w2").cast("double") / F.col("n")))
+             .otherwise(F.lit(0.4) / F.col("n")).alias("p"),
+            F.when(F.col("c2").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+             .alias("hit"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_scored"),
+             F.sum(F.expr("cast(-ln(p) as decimal(30,8))"))
+              .cast("double").alias("sum_nll"),
+             F.sum("hit").cast("bigint").alias("hits"))
+        .select("doc_id", "n_scored",
+                F.round(F.col("sum_nll") / F.col("n_scored"), 6)
+                 .alias("avg_nll"),
+                F.round(F.col("hits").cast("double") / F.col("n_scored"), 6)
+                 .alias("bigram_hit_rate"))
+    )
+
+
+@query(
     "q_llm_text_repetition",
     oracle=f"""
 WITH tok AS (
