@@ -229,6 +229,59 @@ def q_llm_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "cand_id", "cos_sim", "rank")
 
 
+@query(
+    "q_llm_sim_filtered_topk",
+    oracle=f"""
+WITH pairs AS (
+  {_DUCK_PAIRS.format(ida="query_id", idb="cand_id",
+                      pair_cond="a.vec_id < 10 AND b.vec_id >= 10 AND b.label IN (2, 5, 7)")}
+)
+SELECT query_id, cand_id, cos_sim, rn AS rank
+FROM (
+  SELECT query_id, cand_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id) AS rn
+  FROM pairs
+) WHERE rn <= 5
+""",
+)
+def q_llm_sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the production shape every vector store
+    names "metadata filtering"): top-k cosine per query over ONLY the
+    corpus rows passing an attribute predicate (``label IN (2,5,7)``).
+    The predicate is applied BEFORE any distance arithmetic and reaches
+    the parquet scan as a pushed filter (row-group stats prune; with a
+    label-partitioned layout it becomes partition pruning) — the
+    pre-filter strategy, correct for selective predicates.  At 100 TB
+    the alternative post-filter strategy (search a global index, then
+    drop non-matching results) loses recall at exactly the selectivity
+    where pre-filtering gets cheap; per-label partitioned indexes
+    (q_llm_index_build's partitionBy layout) are the sublinear hybrid.
+
+    Same bit-parity machinery as q_llm_sim_cosine_topk: elementwise
+    left-to-right numpy fold (bit-identical to the HOF fold), JVM-side
+    ROUND, two-stage partitioned_topk — the filter changes WHICH rows
+    are scored, never a value."""
+    import numpy as np
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qt = read_query_slice(sf_dir)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qt.embedding])
+    qids = [int(v) for v in qt.vec_id]
+    cos_all = all_pairs_cosine_udf(Q)
+
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
+    pairs = (
+        em.filter((F.col("vec_id") >= 10) & F.col("label").isin(2, 5, 7))
+        .select(F.col("vec_id").alias("cand_id"),
+                F.posexplode(cos_all("embedding")).alias("qi", "raw"))
+        .select(F.element_at(qid_arr, F.col("qi") + 1).alias("query_id"),
+                "cand_id", F.round("raw", 6).alias("cos_sim"))
+    )
+    return partitioned_topk(pairs, "query_id", 5).select(
+        "query_id", "cand_id", "cos_sim", "rank")
+
+
 _TAU_PAIRS = 0.30
 
 

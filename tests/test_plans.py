@@ -113,6 +113,18 @@ def test_cosine_topk_is_two_stage_no_window(spark, sf_dir):
     assert "Generate" in p  # posexplode of the merged top-k
 
 
+def test_filtered_topk_predicate_reaches_scan(spark, sf_dir):
+    """Filtered vector search must be PRE-filter: the metadata predicate
+    prunes the corpus scan (PushedFilters) before any distance math, and
+    the top-k keeps the two-stage no-window shape."""
+    p = _plan(spark, sf_dir, "q_llm_sim_filtered_topk")
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters")[1].split("]]")[0]
+    assert "In(label, [2,5,7]" in pushed, p
+    assert "GreaterThanOrEqual(vec_id,10)" in pushed, p
+    assert "Window" not in p, p
+
+
 @pytest.mark.parametrize("key", [
     "q_llm_dedup_embcos", "q_llm_sim_threshold_pairs"])
 def test_similarity_pairs_have_no_cross_join(spark, sf_dir, key):
