@@ -766,3 +766,35 @@ def test_ann_index_update_survives_empty_batch(spark, tmp_path):
     m = QUERIES["q_llm_index_merge"](spark, fx).collect()
     assert sum(r.n_from_delta for r in m) == 0
     assert sum(r.n_postings for r in m) == sum(r.n_postings for r in out)
+
+
+def test_lm_score_stupid_backoff_hand_computed(spark, tmp_path):
+    """Pin the Stupid-Backoff semantics (not just oracle parity) on a
+    hand-computed corpus.  Train docs 0 and 5 give unigrams a:3 b:3 c:1
+    (N=7) and bigrams (a,b):3 (b,a):1 (b,c):1.  Held-out doc 4 'a b z':
+    (a,b) seen -> p=3/3=1 (nll 0, hit); (b,z) OOV -> p=0.4/7.  Held-out
+    doc 9 'c c': (c,c) unseen bigram, c known -> backoff p=0.4*(1/7)."""
+    import math
+
+    import pandas as pd
+
+    from lstore_spark.registry import QUERIES
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 5, 4, 9],
+        "text": ["a b a b c ", "a b ", "a b z ", "c c "],
+        "lang": ["en"] * 4, "source": ["t"] * 4,
+        "n_chars": [10, 4, 6, 4],
+    })
+    fx = str(tmp_path / "fx")
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        fx + "/documents.parquet")
+
+    out = {r.doc_id: r for r in
+           QUERIES["q_llm_text_lm_score"](spark, fx).collect()}
+    assert set(out) == {4, 9}
+    r4, r9 = out[4], out[9]
+    assert (r4.n_scored, r4.bigram_hit_rate) == (2, 0.5)
+    assert r4.avg_nll == round(-math.log(0.4 / 7) / 2, 6)
+    assert (r9.n_scored, r9.bigram_hit_rate) == (1, 0.0)
+    assert r9.avg_nll == round(-math.log(0.4 * (1 / 7)), 6)
