@@ -109,13 +109,25 @@ def scratch_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
     the producing code changes so stale artifacts can never be served
     (review r8: an untagged cache would keep passing against an old
     layout after a code change, silently un-exercising the write
-    path).  Fixtures are immutable per sf_dir within a round; a
-    regenerated fixture at the same path requires a /tmp clear or a
-    tag bump, which the round-boundary /tmp wipe provides."""
+    path).  The key also folds in a (name, size, mtime) fingerprint of
+    the fixture's parquet entries, so a REGENERATED fixture at the same
+    path gets a fresh scratch dir instead of being served artifacts
+    derived from the old data (second r8 review finding — previously
+    this relied on the round-boundary /tmp wipe); unchanged fixtures
+    keep their key, so cross-session artifact reuse still works."""
     import hashlib
     import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    key_src = os.path.abspath(sf_dir)
+    try:
+        with os.scandir(sf_dir) as entries:
+            sig = sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in entries if e.name.endswith(".parquet"))
+        key_src += repr(sig)
+    except OSError:
+        pass  # fixture dir missing: fall back to the path-only key
+    key = hashlib.md5(key_src.encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"lstore_spark_{tag}_{key}")
     return out, os.path.exists(os.path.join(out, "_SUCCESS"))
 

@@ -151,12 +151,18 @@ def q_udaf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(DoubleType())
     def dec_frame_avg(v: pd.Series) -> float:
+        # Skip NULL/NaN rows and divide by the NON-NULL count — the
+        # oracle's COUNT(value) OVER w has SQL NULL semantics, and
+        # Decimal('NaN').quantize would raise InvalidOperation.  (The
+        # fixture is null-free; this guards the contract, not the data.)
         q8 = Decimal("1E-8")
-        s = Decimal(0)
-        vals = v.to_numpy()
-        for x in vals:
+        s, n = Decimal(0), 0
+        for x in v:
+            if x is None or x != x:
+                continue
             s += Decimal(float(x)).quantize(q8, ROUND_HALF_UP)
-        return float(s) / len(vals)
+            n += 1
+        return float(s) / n if n else None
 
     from pyspark.sql import Window
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)

@@ -61,7 +61,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, scratch_dir
-from ..registry import query
+from ..registry import pin, query
 from .similarity import cosine, partitioned_topk
 
 _NPROBE, _TOPK = 3, 5
@@ -115,7 +115,12 @@ def _adc_expr() -> F.Column:
 def _train_quantizer(corpus):
     """(label, embedding) corpus → (cvecs, bounds): per-label
     exact-decimal mean centroids + per-dim SQ8 min/step bounds, both
-    localCheckpointed (each feeds a write AND a broadcast)."""
+    pin()ned (each feeds a write AND a broadcast/collect, so they must
+    compute once — and pin's sweep-scoped lifetime releases the blocks
+    at the next key invocation, unlike the localCheckpoints this
+    replaced, which held BlockManager storage for the session; both
+    relations are deterministic, so a recompute after eviction is
+    value-identical)."""
     elems = corpus.select(
         "label", F.posexplode("embedding").alias("i", "v")
     ).select("label", "i", F.col("v").cast("double").alias("v"))
@@ -126,8 +131,8 @@ def _train_quantizer(corpus):
         cent.groupBy("label")
         .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), "
                     "s -> s.c)").alias("cvec"))
-        .localCheckpoint()
     )
+    cvecs = pin(cvecs)
     step = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
         (F.col("hi") - F.col("lo")) / _LEVELS)
     bounds = (
@@ -137,9 +142,8 @@ def _train_quantizer(corpus):
                     "s -> s.lo)").alias("lo"),
              F.expr("transform(array_sort(collect_list(struct(i, step))), "
                     "s -> s.step)").alias("step"))
-        .localCheckpoint()
     )
-    return cvecs, bounds
+    return cvecs, pin(bounds)
 
 
 def _route_encode_postings(vectors, cvecs, bounds):

@@ -120,11 +120,14 @@ WHERE tf.doc_id < 50
 """,
 )
 def q_llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF per (doc, term): one corpus explode into a pinned tf
-    relation, the term dictionary aggregated FROM tf (not a second
-    corpus pass), then a broadcast join (the dictionary is tiny
-    relative to the corpus — at 100 TB the df side still broadcasts
-    after aggregation)."""
+    """TF-IDF per (doc, term): one corpus explode into a tf relation
+    (UNPINNED — the r8 fix: the solo key filters to doc_id < 50, so the
+    output-side scan prunes at the source and a persist only added
+    materialization cost; see test_tfidf_scored_branch_prunes_scan),
+    the term dictionary aggregated FROM tf (not a second corpus pass),
+    then a broadcast join (the dictionary is tiny relative to the
+    corpus — at 100 TB the df side still broadcasts after
+    aggregation)."""
     return _tfidf_scored(spark, sf_dir, 50)
 
 

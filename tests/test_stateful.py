@@ -136,3 +136,36 @@ def test_event_time_ttl_sessionization_matches_batch(spark, sf_dir):
     assert not missing, f"unclosed below watermark: {list(missing)[:3]}"
     # the TTL actually fired for trailing sessions (not only gap-closes)
     assert len(got) >= len(must_close) > 0
+
+
+def test_udaf_pandas_window_null_safe(spark, tmp_path):
+    """r8 review fix: a NULL events.value must not crash the frame UDF
+    (Decimal('NaN').quantize raised InvalidOperation) and the mean must
+    divide by the NON-NULL count, matching the oracle's COUNT(value)
+    OVER w.  Frame [1.0, NULL, 3.0] -> 2.0; an all-NULL frame -> NULL."""
+    import datetime
+
+    import pandas as pd
+
+    from lstore_spark.registry import QUERIES
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "ts": [t0 + datetime.timedelta(seconds=i) for i in range(4)],
+        "user_id": [7, 7, 7, 8],
+        "event_type": ["a"] * 4,
+        "value": [1.0, None, 3.0, None],
+        "props": ["{}"] * 4,
+    })
+    fx = str(tmp_path / "fx")
+    sdf = spark.createDataFrame(ev)
+    sdf = sdf.withColumn("ts", sdf.ts.cast("timestamp_ntz"))
+    sdf.coalesce(1).write.parquet(fx + "/events.parquet")
+
+    rows = {r.event_id: r.roll_avg for r in
+            QUERIES["q_udaf_pandas_window"](spark, fx).collect()}
+    assert rows[1] == 1.0
+    assert rows[2] == 1.0          # frame [1, NULL] -> 1/1
+    assert rows[3] == 2.0          # frame [1, NULL, 3] -> 4/2
+    assert rows[4] is None         # user 8: all-NULL frame
