@@ -132,6 +132,26 @@ def scratch_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
     return out, os.path.exists(os.path.join(out, "_SUCCESS"))
 
 
+def fresh_scratch_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(tag, fixture) scratch dir, WIPED on every
+    call — for sink/round-trip/segment-store keys whose WRITE is the
+    exercised path (reuse would skip it).  Replaces the per-invocation
+    ``tempfile.mkdtemp`` those keys used: the ADVICE-r7 leak class —
+    every sweep/bench/test invocation minted a fresh fixture-sized
+    directory that nothing ever removed (measured: ~1,500 dirs after a
+    round of sweeps, the binaryFile media copies at ~200 MB each).
+    One live copy per (key, fixture) now bounds the steady-state /tmp
+    footprint.  Not safe under CONCURRENT invocations of the same key
+    on the same fixture (the wipe races the other session's read) —
+    sweeps, bench, and the driver all run keys sequentially."""
+    import shutil
+
+    out, _ = scratch_dir(tag, sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    return out
+
+
 _ROWS_CACHE: dict[str, int] = {}
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType, IntegerType, LongType, StringType, StructField, StructType)
 
-from ..catalog import load_table
+from ..catalog import fresh_scratch_dir, load_table
 from ..registry import query
 
 
@@ -70,11 +70,10 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints from the source table, proving file-sink → binaryFile
     → content fidelity end-to-end."""
     import os
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.unhex(F.md5("text")).alias("media"))
-    out = tempfile.mkdtemp(prefix="lstore_media_")
+    out = fresh_scratch_dir("media", sf_dir)
 
     def write_blobs(rows) -> None:
         import os as _os

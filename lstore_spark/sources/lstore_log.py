@@ -37,7 +37,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from ..catalog import load_table
+from ..catalog import fresh_scratch_dir, load_table
 from ..registry import query
 
 SCHEMA_DDL = "offset bigint, ints array<bigint>, blobs array<binary>, key string"
@@ -732,7 +732,7 @@ def q_source_lstore_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     + sink + source fidelity end-to-end."""
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("event_id") < 2000))
-    seg_dir = tempfile.mkdtemp(prefix="lstore_segments_")
+    seg_dir = fresh_scratch_dir("segments", sf_dir)
     # range-partitioned + offset-sorted: segments carry disjoint offset
     # ranges exactly like lstore's log, so the sealed min/max trailers
     # make offset predicates prune whole files (tests/test_lstore_sink.py)
@@ -763,7 +763,7 @@ def q_scan_log_from_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the whole point of the segment index: a tail-window
     consumer touches O(window), not O(log)."""
     ev = load_table(spark, sf_dir, "events")
-    seg_dir = tempfile.mkdtemp(prefix="lstore_scan_")
+    seg_dir = fresh_scratch_dir("logscan", sf_dir)
     shaped = (events_as_segment_rows(ev)
               .repartitionByRange(8, "offset")
               .sortWithinPartitions("offset"))
@@ -801,7 +801,7 @@ def q_sink_lstore_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     pub], SURVEY.md §1.1) as a real sink: at 100 TB the same shape, one
     appender task per partition against a shared store, no driver hop."""
     ev = load_table(spark, sf_dir, "events")
-    seg_dir = tempfile.mkdtemp(prefix="lstore_sink_")
+    seg_dir = fresh_scratch_dir("logsink", sf_dir)
     write_segments(events_as_segment_rows(ev).repartition(8, "offset"), seg_dir)
     register(spark)
     raw = spark.read.format("lstore_log").option("path", seg_dir).load()
@@ -839,7 +839,7 @@ def q_sink_lstore_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     manual-sink twin, so hash-green here certifies the writer-path codec
     byte-for-byte under driver conditions too."""
     ev = load_table(spark, sf_dir, "events")
-    seg_dir = tempfile.mkdtemp(prefix="lstore_native_sink_")
+    seg_dir = fresh_scratch_dir("lognative", sf_dir)
     register(spark)
     (events_as_segment_rows(ev).repartition(8, "offset")
      .write.format("lstore_log").option("path", seg_dir)
@@ -876,7 +876,7 @@ def q_scan_log_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-granular: a type-selective consumer touches O(matching
     segments), not O(log)."""
     ev = load_table(spark, sf_dir, "events")
-    seg_dir = tempfile.mkdtemp(prefix="lstore_bytype_")
+    seg_dir = fresh_scratch_dir("logbytype", sf_dir)
     shaped = events_as_segment_rows(ev).repartition(8, F.col("blobs")[0])
     write_segments(shaped, seg_dir)
     register(spark)
@@ -961,7 +961,7 @@ def q_maint_vacuum_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     stat per candidate), the same cost class as the streaming tail's
     planning step; data files are never read."""
     ev = load_table(spark, sf_dir, "events")
-    seg_dir = tempfile.mkdtemp(prefix="lstore_vacuum_")
+    seg_dir = fresh_scratch_dir("logvacuum", sf_dir)
     register(spark)
     (events_as_segment_rows(ev).repartition(4, "offset")
      .write.format("lstore_log").option("path", seg_dir)
@@ -1062,7 +1062,7 @@ def q_scan_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same metadata cost class as the streaming tail's planning; reads
     at a version do zero extra I/O (the list replaces a listdir)."""
     ev = load_table(spark, sf_dir, "events")
-    seg_dir = tempfile.mkdtemp(prefix="lstore_tt_")
+    seg_dir = fresh_scratch_dir("logtt", sf_dir)
     register(spark)
     (events_as_segment_rows(ev.filter(F.col("event_id") < 500))
      .repartition(2, "offset")

@@ -10,14 +10,13 @@ segments (SURVEY.md §4.2).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType)
 
-from ..catalog import load_table, scratch_dir
+from ..catalog import fresh_scratch_dir, load_table, scratch_dir
 from ..numerics import dsum
 from ..registry import query
 
@@ -52,7 +51,7 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "sum_value"))
     )
-    out = tempfile.mkdtemp(prefix="lstore_spark_sink_")
+    out = fresh_scratch_dir("sink", sf_dir)
     (
         agg.repartition("event_type")
         .sortWithinPartitions("day")
@@ -88,7 +87,7 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("event_id") < 1000)
           .select("event_id", "user_id", "event_type", "value"))
-    out = tempfile.mkdtemp(prefix="lstore_spark_csv_")
+    out = fresh_scratch_dir("csv", sf_dir)
     ev.write.mode("overwrite").option("header", "true").csv(out)
     return spark.read.schema(_RT_SCHEMA).option("header", "true").csv(out)
 
@@ -108,7 +107,7 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("event_id") < 1000)
           .select("event_id", "user_id", "event_type", "value"))
-    out = tempfile.mkdtemp(prefix="lstore_spark_orc_")
+    out = fresh_scratch_dir("orc", sf_dir)
     (ev.write.mode("overwrite")
        .option("orc.bloom.filter.columns", "event_type")
        .orc(out))
@@ -128,7 +127,7 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("event_id") < 1000)
           .select("event_id", "user_id", "event_type", "value"))
-    out = tempfile.mkdtemp(prefix="lstore_spark_json_")
+    out = fresh_scratch_dir("json", sf_dir)
     ev.write.mode("overwrite").json(out)
     return spark.read.schema(_RT_SCHEMA).json(out)
 
@@ -153,7 +152,7 @@ def q_source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     write→prune→read path end-to-end."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type")
-    out = tempfile.mkdtemp(prefix="lstore_spark_part_")
+    out = fresh_scratch_dir("part", sf_dir)
     (ev.repartition("event_type")
        .write.mode("overwrite")
        .partitionBy("event_type")
@@ -225,7 +224,7 @@ def q_maint_compact_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", F.col("ts").cast("date").alias("day"))
-    store = tempfile.mkdtemp(prefix="lstore_spark_compact_")
+    store = fresh_scratch_dir("compactsrc", sf_dir)
     (ev.repartition(8)
        .write.mode("overwrite")
        .partitionBy("day")
@@ -277,7 +276,7 @@ def q_maint_retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("ts").cast("date").alias("day"))
     lo, hi = ev.agg(F.min("day"), F.max("day")).first()
     cutoff = min(lo + datetime.timedelta(days=14), hi).isoformat()
-    out = tempfile.mkdtemp(prefix="lstore_spark_retain_")
+    out = fresh_scratch_dir("retain", sf_dir)
     (ev.repartition("day")
        .write.mode("overwrite")
        .partitionBy("day")
@@ -316,7 +315,7 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata only (no data rewrite), which is why it is THE evolution
     mechanism for append-only stores."""
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="lstore_spark_evo_")
+    out = fresh_scratch_dir("evo", sf_dir)
     (ev.filter(F.col("event_id") < 500)
      .select("event_id", "user_id", "value")
      .write.mode("append").parquet(out))
@@ -402,7 +401,7 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("event_id") < 1000)
           .select("event_id", "user_id", "event_type", "value"))
-    out = tempfile.mkdtemp(prefix="lstore_spark_xml_")
+    out = fresh_scratch_dir("xml", sf_dir)
     (ev.write.mode("overwrite").format("xml")
        .option("rowTag", "event").save(out))
     return (spark.read.schema(_RT_SCHEMA)
@@ -422,7 +421,7 @@ def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity is positional/absent by design; the oracle's multiset
     compare proves no line is lost, duplicated, or altered."""
     docs = load_table(spark, sf_dir, "documents").select("text")
-    out = tempfile.mkdtemp(prefix="lstore_spark_text_")
+    out = fresh_scratch_dir("text", sf_dir)
     docs.write.mode("overwrite").text(out)
     return spark.read.text(out)
 

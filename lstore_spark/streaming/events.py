@@ -16,13 +16,15 @@ user/key so state shards across executors.
 
 from __future__ import annotations
 
-import tempfile
+import os
+
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..catalog import EVENTS_LOGICAL, SCHEMAS, events_ts_unit, load_table, path_of
+from ..catalog import (EVENTS_LOGICAL, SCHEMAS, events_ts_unit,
+                       fresh_scratch_dir, load_table, path_of)
 from ..numerics import DEC, dsum, sql_dsum
 from ..registry import query
 from ..session import tune
@@ -496,7 +498,7 @@ def q_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = lambda n: F.sum((F.col("event_id") < n).cast("long"))  # noqa: E731
     cum = ev.agg(lt(300), lt(600), F.count(F.lit(1))).first()
 
-    root = tempfile.mkdtemp(prefix="lstore_follow_")
+    root = fresh_scratch_dir("follow", sf_dir)
     live = os.path.join(root, "live")
     os.makedirs(live)
     for i, (lo, hi) in enumerate(((0, 300), (300, 600), (600, 900))):
@@ -569,7 +571,7 @@ def q_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max event time − 1 h), regardless of micro-batch boundaries, which
     is exactly the oracle's predicate (boundary semantics probed
     empirically: both ≤ and < agree on continuous-timestamp data)."""
-    out_dir = tempfile.mkdtemp(prefix="lstore_spark_febsink_")
+    out_dir = fresh_scratch_dir("febsink", sf_dir)
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -582,11 +584,16 @@ def q_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
+    # The checkpoint must live INSIDE the wiped sink dir: a surviving
+    # sibling checkpoint marks the input as already processed, so the
+    # rerun emits zero batches into the freshly-wiped sink (caught by
+    # the suite right after the fresh_scratch_dir conversion).  The
+    # underscore prefix keeps the parquet reader from listing it.
     q = (
         agg.writeStream.foreachBatch(write_batch)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", out_dir + "_ckpt")
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
         .start()
     )
     q.awaitTermination()
