@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -19,10 +18,10 @@ from lstore_spark.catalog import events_ts_unit, load_table
 
 
 @pytest.fixture(scope="module")
-def dual_dirs():
+def dual_dirs(tmp_path_factory):
     """Two sf-dir clones of a tiny events table: one µs-encoded, one
     ns-encoded, identical logical values."""
-    base = tempfile.mkdtemp(prefix="lstore_enc_")
+    base = str(tmp_path_factory.mktemp("lstore_enc"))
     us_dir, ns_dir = f"{base}/us", f"{base}/ns"
     os.makedirs(us_dir), os.makedirs(ns_dir)
     ts_us = [1704067200_000007, 1704067201_500000, 1704153599_999999]

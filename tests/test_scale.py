@@ -4,7 +4,6 @@ the 100 TB design requires, verified on the local corpus."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pytest
 from pyspark.sql import functions as F
@@ -42,9 +41,9 @@ def test_salted_join_deterministic(spark, sf_dir):
     assert a == b
 
 
-def test_partitioned_events_prune(spark, sf_dir):
+def test_partitioned_events_prune(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="lstore_events_part_")
+    out = str(tmp_path / "part")
     scale.write_events_partitioned(ev, out)
     back = scale.read_events_partitioned(spark, out)
     assert back.count() == ev.count()
@@ -56,9 +55,9 @@ def test_partitioned_events_prune(spark, sf_dir):
     assert pruned.count() == expect
 
 
-def test_purge_before_drops_old_partitions(spark, sf_dir):
+def test_purge_before_drops_old_partitions(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="lstore_events_purge_")
+    out = str(tmp_path / "purge")
     scale.write_events_partitioned(ev, out)
     total = ev.count()
     pre_cutoff = ev.filter(F.col("ts").cast("date") < "2024-01-10").count()
@@ -69,9 +68,9 @@ def test_purge_before_drops_old_partitions(spark, sf_dir):
     assert back.filter(F.col("day") < "2024-01-10").count() == 0
 
 
-def test_compact_partition_preserves_rows(spark, sf_dir):
+def test_compact_partition_preserves_rows(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="lstore_events_compact_")
+    out = str(tmp_path / "compact")
     scale.write_events_partitioned(ev, out)
     day = "2024-01-05"
     before = scale.read_events_partitioned(spark, out).filter(
@@ -201,13 +200,13 @@ def test_minhash_lsh_scale_recall(spark):
     assert caught >= 90, f"planted near-dup recall {caught}/100"
 
 
-def test_compact_store_binpacks_and_preserves(spark, sf_dir):
+def test_compact_store_binpacks_and_preserves(spark, sf_dir, tmp_path):
     """compact_store (the OPTIMIZE-style whole-store rewrite) must collapse
     the many-small-appends state (8 writer tasks per day) to the planned
     per-day file counts in one job, without changing the data."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", F.col("ts").cast("date").alias("day"))
-    store = tempfile.mkdtemp(prefix="lstore_compact_t_")
+    store = str(tmp_path / "store")
     ev.repartition(8).write.mode("overwrite").partitionBy("day").parquet(store)
 
     def files_per_day(path):
