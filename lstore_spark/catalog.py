@@ -115,21 +115,56 @@ def scratch_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
     derived from the old data (second r8 review finding — previously
     this relied on the round-boundary /tmp wipe); unchanged fixtures
     keep their key, so cross-session artifact reuse still works."""
-    import hashlib
     import tempfile
+
+    # Env-overridable root (ADVICE r8): pytest points this at its own
+    # managed tmp so test runs against tmp_path fixtures stop leaving
+    # never-reused scratch dirs behind; default stays /tmp so
+    # cross-session artifact reuse for the real fixtures still works.
+    root = os.environ.get("LSTORE_SPARK_SCRATCH_ROOT", tempfile.gettempdir())
+    key = fixture_fingerprint(sf_dir)
+    out = os.path.join(root, f"lstore_spark_{tag}_{key}")
+    return out, os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def fixture_fingerprint(sf_dir: str) -> str:
+    """10-hex content fingerprint of a fixture dir: path + (name, size,
+    mtime) of every parquet entry, recursing one level into
+    directory-style tables.  The cache key for anything derived from
+    the fixture's DATA (scratch artifacts, the BPE merge table) — a
+    regenerated fixture at the same path changes the fingerprint."""
+    import hashlib
 
     key_src = os.path.abspath(sf_dir)
     try:
+        sig = []
         with os.scandir(sf_dir) as entries:
-            sig = sorted(
-                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-                for e in entries if e.name.endswith(".parquet"))
-        key_src += repr(sig)
+            for e in entries:
+                if not e.name.endswith(".parquet"):
+                    continue
+                if e.is_dir():
+                    # Directory-style table (Spark-written fixtures):
+                    # rewriting a contained part-file in place can leave
+                    # the directory's own size/mtime unchanged, so
+                    # fingerprint the contained files instead (ADVICE
+                    # r8 — one level is enough: parquet part-files live
+                    # directly under the table dir).
+                    try:
+                        with os.scandir(e.path) as parts:
+                            inner = tuple(sorted(
+                                (p.name, p.stat().st_size,
+                                 p.stat().st_mtime_ns)
+                                for p in parts if p.is_file()))
+                    except OSError:
+                        inner = ()
+                    sig.append((e.name, inner))
+                else:
+                    st = e.stat()
+                    sig.append((e.name, st.st_size, st.st_mtime_ns))
+        key_src += repr(sorted(sig, key=lambda t: t[0]))
     except OSError:
         pass  # fixture dir missing: fall back to the path-only key
-    key = hashlib.md5(key_src.encode()).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"lstore_spark_{tag}_{key}")
-    return out, os.path.exists(os.path.join(out, "_SUCCESS"))
+    return hashlib.md5(key_src.encode()).hexdigest()[:10]
 
 
 def fresh_scratch_dir(tag: str, sf_dir: str) -> str:
@@ -140,16 +175,39 @@ def fresh_scratch_dir(tag: str, sf_dir: str) -> str:
     every sweep/bench/test invocation minted a fresh fixture-sized
     directory that nothing ever removed (measured: ~1,500 dirs after a
     round of sweeps, the binaryFile media copies at ~200 MB each).
-    One live copy per (key, fixture) now bounds the steady-state /tmp
-    footprint.  Not safe under CONCURRENT invocations of the same key
-    on the same fixture (the wipe races the other session's read) —
-    sweeps, bench, and the driver all run keys sequentially."""
+    One live copy per (key, fixture, process) bounds the steady-state
+    /tmp footprint.  The dir name folds in the PID (ADVICE r8): two
+    sessions on the same machine/fixture (pytest while bench runs) get
+    disjoint dirs, so one session's wipe can never yank files out from
+    under the other's read; dirs left by processes that no longer exist
+    are reaped opportunistically, keeping the bounded-footprint goal."""
     import shutil
 
-    out, _ = scratch_dir(tag, sf_dir)
+    base, _ = scratch_dir(tag, sf_dir)
+    out = f"{base}_p{os.getpid()}"
+    parent, prefix = os.path.dirname(base), os.path.basename(base) + "_p"
+    try:
+        for name in os.listdir(parent):
+            stale = os.path.join(parent, name)
+            if (name.startswith(prefix) and stale != out
+                    and name[len(prefix):].isdigit()
+                    and not _pid_alive(int(name[len(prefix):]))):
+                shutil.rmtree(stale, ignore_errors=True)
+    except OSError:
+        pass
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     return out
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
 
 
 _ROWS_CACHE: dict[str, int] = {}

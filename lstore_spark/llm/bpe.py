@@ -103,9 +103,13 @@ _MERGE_CACHE: dict[str, list[tuple[str, str]]] = {}
 def corpus_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     """Train (or reuse — the corpus per sf_dir is immutable) the merge
     table from the doc_id < _TRAIN_DOCS sample.  Eager by design: this
-    is the index-build side of the tokenizer, one small aggregate job."""
-    import os
-    key = os.path.abspath(sf_dir)
+    is the index-build side of the tokenizer, one small aggregate job.
+
+    Cached on the fixture's CONTENT fingerprint, not its path (ADVICE
+    r8): a regenerated fixture at the same path within one session gets
+    a retrained merge table instead of a stale one."""
+    from ..catalog import fixture_fingerprint
+    key = fixture_fingerprint(sf_dir)
     if key not in _MERGE_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         rows = (docs.filter(F.col("doc_id") < _TRAIN_DOCS)

@@ -430,6 +430,51 @@ def hyperplane_lsh_params(
     return bits, bands
 
 
+def spark_murmur3_int(x, seed):
+    """Spark's ``Murmur3Hash`` of one INT field, vectorized in numpy:
+    ``Murmur3_x86_32.hashInt(x, seed)`` — mixK1/mixH1 then fmix with
+    length 4 — on uint32 arrays (wrapping arithmetic ≡ Java int
+    overflow).  Spark folds multi-arg ``hash(a, b)`` as
+    ``hashInt(b, hashInt(a, 42))``: each field fully finalizes and
+    seeds the next.  Parity with JVM ``F.hash`` is pinned elementwise
+    over the whole plane grid in tests/test_llm.py — this function
+    exists so LSH plan construction runs zero Spark jobs (VERDICT r8
+    #7) without silently redefining the hash that places buckets."""
+    import numpy as np
+
+    u = np.uint32
+    x = x.astype(np.uint32)
+    k1 = x * u(0xCC9E2D51)
+    k1 = (k1 << u(15)) | (k1 >> u(17))
+    k1 = k1 * u(0x1B873593)
+    h1 = (np.asarray(seed, dtype=np.uint32) ^ k1)
+    h1 = (h1 << u(13)) | (h1 >> u(19))
+    h1 = h1 * u(5) + u(0xE6546B64)
+    h1 = h1 ^ u(4)  # fmix: xor the byte length (one 4-byte field)
+    h1 = h1 ^ (h1 >> u(16))
+    h1 = h1 * u(0x85EBCA6B)
+    h1 = h1 ^ (h1 >> u(13))
+    h1 = h1 * u(0xC2B2AE35)
+    h1 = h1 ^ (h1 >> u(16))
+    return h1
+
+
+def hyperplane_matrix(n_planes: int, dim: int):
+    """The ±1 plane matrix (n_planes × dim): +1 where Spark's
+    ``hash(p, i)`` is even, else -1 — computed driver-side with no
+    Spark job (evenness of the int32 hash is bit 0 of its uint32
+    image, so the sign convention matches the old JVM
+    ``hash(...) % 2 = 0`` expression exactly)."""
+    import numpy as np
+
+    p = np.arange(n_planes, dtype=np.uint32)[:, None]
+    i = np.arange(dim, dtype=np.uint32)[None, :]
+    h = spark_murmur3_int(
+        np.broadcast_to(i, (n_planes, dim)),
+        spark_murmur3_int(p, np.uint32(42)))
+    return np.where((h & np.uint32(1)) == 0, 1.0, -1.0)
+
+
 def hyperplane_band_rows(df: DataFrame, id_col: str, vec_col: str,
                          bits: int, bands: int, dim: int = 64) -> DataFrame:
     """(id, vector) → one (id, band, bkt) row per band.
@@ -459,33 +504,24 @@ def hyperplane_band_rows(df: DataFrame, id_col: str, vec_col: str,
     NULL-propagating HOF form, instead of a task crash).
     The explode emits ``bands`` narrow rows per vector.
 
-    NOTE (ADVICE r7, intended): building the returned DataFrame runs
-    the tiny plane-matrix job eagerly (the ``collect`` below), so
-    plan-only tooling (--explain, plan_audit) executes one ≤256-row
-    aggregation.  Deferring it would mean deriving the planes inside
-    the executor UDF (a Spark job from a task — illegal) or
-    re-implementing Spark's murmur3 driver-side (a silent-divergence
-    risk for a hash that defines the buckets); the eager 256-row job
-    is the cheaper honest trade.
+    Plan construction runs NO Spark job (VERDICT r8 #7): the plane
+    matrix is derived driver-side by ``spark_murmur3_int`` — a numpy
+    re-implementation of Spark's ``hash(int, int)`` (Murmur3 x86-32,
+    seed 42, per-field finalization) — instead of collecting a
+    ``sequence``/``transform`` job.  The silent-divergence risk the
+    old eager-job form cited is closed by a pinned parity test
+    (tests/test_llm.py) that compares the full (p, i) grid against
+    JVM ``F.hash`` elementwise, so the buckets are provably the same
+    bits the HOF form produced.
     """
-    import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType
 
-    n_planes = bits * bands
-    spark = df.sparkSession
-    # Exactly the planes the HOF form used: ±1 from hash(p, i), p and i
-    # both INT (hash folds argument types — keep them as before).
-    plane_rows = spark.range(n_planes).select(
-        F.col("id").cast("int").alias("p"),
-        F.expr(f"transform(sequence(0, {dim - 1}), "
-               f"i -> CAST(hash(CAST(id AS INT), i) % 2 = 0 AS DOUBLE)"
-               f" * 2 - 1)").alias("h"),
-    ).collect()
-    H = np.zeros((n_planes, dim))
-    for r in plane_rows:
-        H[r.p] = r.h
-    Ht = H.T.copy()
+    import numpy as np
+
+    # Exactly the planes the HOF form used: ±1 from hash(p, i) evenness,
+    # p and i both INT (hash folds argument types — keep them as before).
+    Ht = hyperplane_matrix(bits * bands, dim).T.copy()
     pow2 = np.array([2 ** j for j in range(bits)], dtype=np.int64)
 
     @F.pandas_udf(ArrayType(IntegerType()))

@@ -10,6 +10,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("LSTORE_SPARK_TEST_SF", "/root/testdata/sf0.01")
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _scratch_root(tmp_path_factory):
+    """Route catalog scratch dirs into pytest's managed tmp (ADVICE r8):
+    tests that build derived artifacts (ANN indexes, layouts) from
+    tmp_path fixtures otherwise leave one never-reused
+    /tmp/lstore_spark_* dir per run.  pytest prunes its own basetemp,
+    so the leak class is gone; intra-run reuse/gating still works."""
+    root = str(tmp_path_factory.mktemp("lstore_scratch"))
+    prev = os.environ.get("LSTORE_SPARK_SCRATCH_ROOT")
+    os.environ["LSTORE_SPARK_SCRATCH_ROOT"] = root
+    yield root
+    if prev is None:
+        os.environ.pop("LSTORE_SPARK_SCRATCH_ROOT", None)
+    else:
+        os.environ["LSTORE_SPARK_SCRATCH_ROOT"] = prev
+
+
 @pytest.fixture(scope="session")
 def spark():
     from lstore_spark.session import get_spark

@@ -798,3 +798,72 @@ def test_lm_score_stupid_backoff_hand_computed(spark, tmp_path):
     assert r4.avg_nll == round(-math.log(0.4 / 7) / 2, 6)
     assert (r9.n_scored, r9.bigram_hit_rate) == (1, 0.0)
     assert r9.avg_nll == round(-math.log(0.4 * (1 / 7)), 6)
+
+
+def test_spark_murmur3_parity_with_jvm_hash(spark):
+    """The driver-side numpy Murmur3 that now derives LSH planes with
+    no Spark job (VERDICT r8 #7) must equal JVM ``hash(int, int)``
+    ELEMENTWISE — pinned over a grid wider than any real (planes, dim)
+    so divergence can never be silent."""
+    from lstore_spark.llm.similarity import (hyperplane_matrix,
+                                             spark_murmur3_int)
+
+    n_p, dim = 300, 96
+    rows = spark.range(n_p).select(
+        F.col("id").cast("int").alias("p"),
+        F.expr(f"transform(sequence(0, {dim - 1}), "
+               f"i -> hash(CAST(id AS INT), i))").alias("h")).collect()
+    J = np.zeros((n_p, dim), dtype=np.int64)
+    for r in rows:
+        J[r.p] = r.h
+    p = np.arange(n_p, dtype=np.uint32)[:, None]
+    i = np.arange(dim, dtype=np.uint32)[None, :]
+    H = spark_murmur3_int(np.broadcast_to(i, (n_p, dim)),
+                          spark_murmur3_int(p, np.uint32(42)))
+    assert np.array_equal(H, J.astype(np.uint32))
+    # sign convention: +1 exactly where the JVM hash is even
+    assert np.array_equal(hyperplane_matrix(n_p, dim),
+                          np.where(J % 2 == 0, 1.0, -1.0))
+
+
+def test_hyperplane_band_rows_plan_construction_runs_no_job(spark):
+    """Building (and explaining) the LSH band-rows DataFrame must run
+    ZERO Spark jobs (VERDICT r8 #7): --explain and plan_audit stay
+    plan-only now that the plane matrix is derived driver-side."""
+    from lstore_spark.llm.similarity import hyperplane_band_rows
+
+    df = spark.createDataFrame([(1, [0.5] * 64)],
+                               "vec_id: long, embedding: array<float>")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    out = hyperplane_band_rows(df, "vec_id", "embedding", bits=4, bands=3)
+    out.explain()  # plan compilation included — still no job
+    assert set(tracker.getJobIdsForGroup(None)) == before
+
+
+def test_lsh_rounding_threshold_pins_nonpositive_band(spark):
+    """ADVICE r8: rounding the plane dot at 1e-6 before the sign
+    threshold classifies dots in (0, 5e-7] as NON-positive.  Pin the
+    semantics: a vector whose plane-0 dot is +4e-7 buckets with that
+    bit clear, the same direction scaled to a 2e-6 dot sets it, and
+    every band bucket equals the driver-side plane-matrix prediction
+    under the same rounded-threshold rule (expectation computed from
+    the float32-stored vector, since embeddings are array<float>)."""
+    from lstore_spark.llm.similarity import (hyperplane_band_rows,
+                                             hyperplane_matrix)
+
+    bits, bands, dim = 4, 3, 64
+    H = hyperplane_matrix(bits * bands, dim)
+    pow2 = 2 ** np.arange(bits)
+    for target, want_bit0 in [(4e-7, 0), (2e-6, 1)]:
+        v = (H[0] * (target / dim)).astype(np.float32)  # dot(v, H[0]) ≈ target
+        dots = H @ v.astype(np.float64)
+        eb = np.round(dots, 6) > 0
+        expect = [int(eb[b * bits:(b + 1) * bits] @ pow2)
+                  for b in range(bands)]
+        assert expect[0] % 2 == want_bit0
+        df = spark.createDataFrame([(1, [float(x) for x in v])],
+                                   "vec_id: long, embedding: array<float>")
+        got = {r.band: r.bkt for r in hyperplane_band_rows(
+            df, "vec_id", "embedding", bits=bits, bands=bands).collect()}
+        assert [got[b] for b in range(bands)] == expect
