@@ -54,6 +54,39 @@ HEADLINE = [
 ]
 
 
+def calibration_probe(n: int = 2_000_000) -> float:
+    """Fixed-work CPU probe (VERDICT r8 #5): time a constant pure-Python
+    loop so 'environment drift' claims are machine-checkable from the
+    bench JSON itself.  On an idle host this runs in a stable window;
+    host contention inflates it by roughly the same factor it inflates
+    the query timings.  Seconds, rounded."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(n):
+        acc += i ^ (i >> 3)
+    assert acc != 0
+    return round(time.perf_counter() - t0, 4)
+
+
+def host_snapshot() -> dict:
+    """Load average + free memory at measurement time (VERDICT r8 #5)."""
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = None
+    mem_avail_kb = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    mem_avail_kb = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    return {"loadavg_1m": load1, "loadavg_5m": load5,
+            "loadavg_15m": load15, "mem_available_kb": mem_avail_kb}
+
+
 def run_once(spark, key: str) -> float:
     t0 = time.perf_counter()
     df = QUERIES[key](spark, SF_DIR)
@@ -87,9 +120,23 @@ def main() -> None:
     # cost is q_llm_index_build's job, not search cost).
     from lstore_spark.llm.ann_index import build_ann_index
     build_ann_index(spark, SF_DIR)
+    # PQ-codebook warm-up, discarded — same rationale as the index:
+    # q_llm_emb_pq_adc's production read path searches against a
+    # TRAINED quantizer (train-once/search-many); on a cold /tmp the
+    # persisted codebook is absent and the key would otherwise run the
+    # training aggregate inside its timed window.
+    from lstore_spark.llm.embeddings import pq_codebook
+    pq_codebook(spark, SF_DIR)
     times: dict[str, float] = {}
+    calib0 = calibration_probe()
     for key in HEADLINE:
         times[key] = round(run_once(spark, key), 3)
+    calib1 = calibration_probe()
+    # Spark-side fixed-work probe: re-run the FIRST headline key after
+    # the whole sequence.  Its delta vs times["q_agg_groupby_hash"]
+    # exposes in-session JVM inflation (GC/broadcast pressure) that a
+    # pure-Python probe cannot see.
+    spark_probe = round(run_once(spark, "q_agg_groupby_hash"), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -101,6 +148,13 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        # Environment evidence (VERDICT r8 #5): host load/memory plus a
+        # fixed-work calibration probe timed before and after the
+        # headline loop — contention claims are now checkable from the
+        # JSON instead of narrated.
+        "host": host_snapshot(),
+        "calibration_sec": {"before": calib0, "after": calib1},
+        "spark_probe_rerun_sec": spark_probe,
     }
     print(json.dumps(out), flush=True)
     spark.stop()
