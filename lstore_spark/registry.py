@@ -121,16 +121,21 @@ def load_all() -> None:
 # re-checked five times.
 
 
-def _driver_evidence() -> tuple[frozenset, frozenset, dict]:
-    """(green, checked, latest_round) from all CORRECTNESS_r*.json; latest
-    round wins per key.  A key counts green only on a full rows+hash match.
-    Entries with no oracle verdict (``err: no_oracle`` / ``rows_match``
-    null) are rows-only evidence: they can never be green, so counting them
-    as "checked but not green" would pin them to the regression tier
-    forever (ADVICE r4) — they are treated as unchecked and route to the
-    rows-only tier instead.  ``latest_round`` records the round number of
-    the key's most recent driver visit of ANY grade — the staleness key for
-    the green tiers' rolling re-check order."""
+def _driver_evidence() -> tuple[frozenset, frozenset, dict, frozenset]:
+    """(green, checked, latest_round, rows_seen) from all
+    CORRECTNESS_r*.json; latest round wins per key.  A key counts green
+    only on a full rows+hash match.  Entries with no oracle verdict
+    (``err: no_oracle`` / ``rows_match`` null) are rows-only evidence:
+    they can never be green, so counting them as "checked but not green"
+    would pin them to the regression tier forever (ADVICE r4) — instead
+    a rows-only key whose latest visit returned rows (``rows_seen``)
+    joins the staleness-sorted re-check pool like a green (r9: before
+    this, the 6 rows-only keys re-ran FIRST every round, burning 6 of
+    the ~50 sweep slots that should refresh the stalest greens), and
+    one that has never produced rows routes to the never-checked
+    rows-only tier.  ``latest_round`` records the round number of the
+    key's most recent driver visit of ANY grade — the staleness key for
+    the re-check pools' rolling order."""
     import glob
     import json
     import os
@@ -139,6 +144,7 @@ def _driver_evidence() -> tuple[frozenset, frozenset, dict]:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, bool] = {}
     latest_round: dict[str, int] = {}
+    rows_seen: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
         rnd = int(m.group(1)) if m else 0
@@ -153,14 +159,18 @@ def _driver_evidence() -> tuple[frozenset, frozenset, dict]:
             latest_round[k] = rnd
             if v.get("err") == "no_oracle" or v.get("rows_match") is None:
                 latest.pop(k, None)  # rows-only: no oracle verdict exists
+                rows_seen[k] = bool(v.get("spark_rows"))
                 continue
+            rows_seen.pop(k, None)
             latest[k] = bool(v.get("rows_match") and v.get("hash_match"))
     return (frozenset(k for k, ok in latest.items() if ok),
             frozenset(latest),
-            latest_round)
+            latest_round,
+            frozenset(k for k, ok in rows_seen.items() if ok))
 
 
-DRIVER_GREEN, DRIVER_CHECKED, DRIVER_LATEST_ROUND = _driver_evidence()
+(DRIVER_GREEN, DRIVER_CHECKED, DRIVER_LATEST_ROUND,
+ DRIVER_ROWS_SEEN) = _driver_evidence()
 
 # Side-effect-heavy keys (measured 1.5-2.5 s each at sf0.01; k-means ~14 s
 # of iterative actions): always last.
@@ -219,7 +229,9 @@ def sweep_order(keys=None) -> list[str]:
         heavy = 1 if k in HEAVY_KEYS else 0
         if k in DRIVER_CHECKED and k not in DRIVER_GREEN:
             return (0, heavy, 0)
-        if k in DRIVER_GREEN:
+        if k in DRIVER_GREEN or k in DRIVER_ROWS_SEEN:
+            # Green, or rows-only with rows already seen (as certified
+            # as the driver can make it) — rolling staleness re-checks.
             stale = DRIVER_LATEST_ROUND.get(k, 0)
             return (7, stale, heavy) if k in SLOW_KEYS else (6, stale, heavy)
         # --- never driver-checked from here down: all before any green ---
