@@ -2416,25 +2416,40 @@ def q_evt_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(new_iv(7)).over(wrun).alias("i7"),
         F.sum(new_iv(30)).over(wrun).alias("i30")))
     dau = marked.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    spine0 = dau.select("day", F.lit(0).alias("delta"))
 
-    def trailing(icol: str, span: int, name: str) -> DataFrame:
+    def deltas(icol: str, span: int) -> DataFrame:
+        # Both boundary rows (+1 at the interval start, -1 past its
+        # covered end) come out of ONE pass over the interval aggregate
+        # via a 2-element explode — selecting the boundaries separately
+        # would recompute the aggregate per side (no CSE across
+        # DataFrame branches).
         iv = (marked.groupBy("user_id", icol)
               .agg(F.min("day").alias("s"),
                    F.date_add(F.max("day"), span - 1).alias("e")))
-        deltas = (iv.select(F.col("s").alias("day"),
-                            F.lit(1).alias("delta"))
-                  .unionAll(iv.select(F.date_add("e", 1).alias("day"),
-                                      F.lit(-1).alias("delta")))
-                  .unionAll(spine0))
-        wd = Window.orderBy("day").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow)
-        return (deltas.groupBy("day").agg(F.sum("delta").alias("d"))
-                .select("day", F.sum("d").over(wd).alias(name)))
+        return (iv.select(F.explode(F.array(
+                    F.struct(F.col("s").alias("day"), F.lit(1).alias("d")),
+                    F.struct(F.date_add("e", 1).alias("day"),
+                             F.lit(-1).alias("d")))).alias("x"),
+                F.lit(span).alias("h"))
+                .select("x.day", "x.d", "h"))
 
-    return (dau
-            .join(trailing("i7", 7, "wau"), "day")
-            .join(trailing("i30", 30, "mau"), "day")
+    # Both horizons' boundary deltas plus the day spine (delta 0, so
+    # every reported day has a running-sum row) fold through ONE tiny
+    # (day)-grain aggregate and ONE global window — |days|-scale rows.
+    wd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    counts = (
+        deltas("i7", 7).unionAll(deltas("i30", 30))
+        .unionAll(dau.select("day", F.lit(0).alias("d"),
+                             F.lit(0).alias("h")))
+        .groupBy("day")
+        .agg(F.sum(F.when(F.col("h") == 7, F.col("d")).otherwise(0))
+             .alias("d7"),
+             F.sum(F.when(F.col("h") == 30, F.col("d")).otherwise(0))
+             .alias("d30"))
+        .select("day", F.sum("d7").over(wd).alias("wau"),
+                F.sum("d30").over(wd).alias("mau")))
+    return (dau.join(counts, "day")
             .select("day", "dau", "wau", "mau"))
 
 
