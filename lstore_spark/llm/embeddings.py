@@ -606,11 +606,16 @@ def pq_codebook(spark: SparkSession, sf_dir: str):
         import pyarrow as pa
         import pyarrow.parquet as pqt
         os.makedirs(out, exist_ok=True)
+        # Atomic publish: write to a PID-suffixed temp and rename, so a
+        # concurrent trainer (two sessions, cold artifact) can never
+        # leave a half-written file behind the _SUCCESS gate.
+        tmp = f"{fpath}.tmp{os.getpid()}"
         pqt.write_table(pa.table({
             "label": pa.array([r.label for r in cb_rows]),
             "cvec": pa.array([list(r.cvec) for r in cb_rows],
                              type=pa.list_(pa.float64())),
-        }), fpath)
+        }), tmp)
+        os.replace(tmp, fpath)
         open(os.path.join(out, "_SUCCESS"), "w").close()
     _PQ_CB_CACHE[key] = C
     return C

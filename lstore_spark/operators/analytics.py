@@ -2304,7 +2304,11 @@ def q_graph_rank_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical in both engines.  Scale: ONE edge-sized shuffle total
     (repartition by customer) — dedup, customer degree, and the final
     rank aggregate all reuse that partitioning exchange-free, and the
-    supplier-side relations come back as a broadcast."""
+    supplier-side relations come back as a broadcast.  Trade, stated:
+    the c-shuffle ships the PRE-dedup join output (forgoing map-side
+    partial dedup) — right for this corpus (<3% duplicate edges); an
+    edge list with heavy duplication would insert a distinct() before
+    the repartition, buying map-side dedup for a second exchange."""
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     # Edge relation, PARTITIONED BY CUSTOMER (r9, VERDICT r8 #6):
