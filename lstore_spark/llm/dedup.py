@@ -722,7 +722,8 @@ def semantic_dedup(em: DataFrame, n_clusters: int,
                      F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
                      .alias("cvec")))
     if hierarchical:
-        cvecs = cvecs.localCheckpoint()  # feeds coarse book + fine book
+        # Single consumer now (the routing UDF collects the quantizer
+        # driver-side, r9) — no checkpoint needed.
         asg = assign_nearest_hierarchical(em, cvecs, "ck", n_clusters) \
             .select("vec_id", "cluster")
     else:
@@ -746,15 +747,39 @@ def semantic_dedup(em: DataFrame, n_clusters: int,
                 .filter(F.col("cw") > max_cluster_width)
                 .select("cluster").localCheckpoint())
         pairs_src = v.join(F.broadcast(wide), "cluster", "left_anti")
-    # Low-k salt (the k < cores regime): the pair join's key has only
-    # n_clusters distinct values, so at the oracle-twin's fixed k=8 the
-    # shuffle lands on 8 reduce tasks no matter how many cores exist.
-    # Salting id_a into S sub-keys and replicating the b side S× gives
-    # k·S-way parallelism at the cost of an S× replica of the (already
-    # cluster-bounded) b rows in the shuffle — each (id_a, id_b) pair
-    # still meets exactly once, at salt = id_a % S, so the result is
-    # identical.  Production k ∝ n makes the salt unnecessary (and its
-    # replication unwelcome), so it engages only when k is small.
+    if hierarchical:
+        # Scale path: per-cluster numpy Gram (bit-exact twin of the
+        # join form below — see _dup_ids_vectorized; parity pinned in
+        # tests/test_llm.py over the SAME pairs_src).
+        dup = (_dup_ids_vectorized(pairs_src, tau)
+               .withColumn("dup", F.lit(True)))
+    else:
+        dup = (_dup_ids_joined(pairs_src, tau, n_clusters)
+               .withColumn("dup", F.lit(True)))
+    return (v.select("vec_id", "cluster")
+            .join(dup, "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.col("dup").isNull().alias("keep")))
+
+
+def _dup_ids_joined(pairs_src: DataFrame, tau: float,
+                    n_clusters: int) -> DataFrame:
+    """Near-twin ids via the salted within-cluster self-join with JVM
+    HOF cosines — the oracle-certified form (every expression
+    evaluates engine-portably, so q_llm_dedup_semantic hash-matches
+    DuckDB end-to-end).
+
+    Low-k salt (the k < cores regime): the pair join's key has only
+    n_clusters distinct values, so at the oracle-twin's fixed k=8 the
+    shuffle lands on 8 reduce tasks no matter how many cores exist.
+    Salting id_a into S sub-keys and replicating the b side S× gives
+    k·S-way parallelism at the cost of an S× replica of the (already
+    cluster-bounded) b rows in the shuffle — each (id_a, id_b) pair
+    still meets exactly once, at salt = id_a % S, so the result is
+    identical.  Production k ∝ n makes the salt unnecessary (and its
+    replication unwelcome), so it engages only when k is small."""
+    from .similarity import cosine_with_norms
+
     psalt = 8 if n_clusters < 32 else 1
     a = pairs_src.select("cluster", F.col("vec_id").alias("id_a"),
                          F.col("embedding").alias("a_emb"),
@@ -765,16 +790,73 @@ def semantic_dedup(em: DataFrame, n_clusters: int,
                           F.col("_n").alias("nb"))
          .withColumn("psalt", F.explode(F.sequence(F.lit(0),
                                                    F.lit(psalt - 1)))))
-    dup = (a.join(b, ["cluster", "psalt"])
-           .filter(F.col("id_a") < F.col("id_b"))
-           .filter(cosine_with_norms("a_emb", "b_emb", "na", "nb") >= tau)
-           .select(F.col("id_b").alias("vec_id"))
-           .distinct()
-           .withColumn("dup", F.lit(True)))
-    return (v.select("vec_id", "cluster")
-            .join(dup, "vec_id", "left")
-            .select("vec_id", "cluster",
-                    F.col("dup").isNull().alias("keep")))
+    return (a.join(b, ["cluster", "psalt"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cosine_with_norms("a_emb", "b_emb", "na", "nb") >= tau)
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct())
+
+
+def _dup_ids_vectorized(pairs_src: DataFrame, tau: float) -> DataFrame:
+    """Near-twin ids via ONE numpy Gram matrix per cluster
+    (applyInPandas) — the scale path's pairwise stage.  The join form
+    evaluates ~Σcᵢ² interpreted ``aggregate(zip_with(...))`` cosines
+    (HOFs never enter codegen): at the 100× adaptive fixture that was
+    ~12M interpreted evals and most of the remaining wall.
+
+    BIT-EXACT with the join form (parity pinned by
+    ``test_semantic_pairwise_vectorized_bit_identical``):
+
+    - the dot is the same LEFT-TO-RIGHT fold — the Gram accumulates
+      per-dimension outer products in ascending dim order, elementwise
+      IEEE adds (no BLAS, no pairwise summation, no FMA), which equals
+      Spark's ``aggregate(zip_with(...))`` fold bit-for-bit;
+    - na·nb and the divide are the same single correctly-rounded ops
+      on the SAME JVM-computed ``_n`` norms carried in pairs_src;
+    - the ROUND-6 ≥ tau predicate uses a guarded compare: direct
+      except within 1e-9 of the half-up rounding boundary
+      (tau − 5e-7), exact-Decimal HALF_UP there (Decimal(float(c))
+      quantizes the exact binary expansion — bit-equal to Spark's
+      ROUND).
+
+    One shuffle by cluster (the same key the join form shuffled on);
+    group width is bounded by the caller's max_cluster_width cap, so
+    the w×w Gram is bounded too.  Cross-cluster id duplicates cannot
+    occur (each vector lives in one cluster), so no distinct pass is
+    needed."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    q6 = Decimal("1E-6")
+    tau_dec = Decimal(str(tau))
+    boundary = tau - 5e-7
+
+    def find(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        nrm = pdf["_n"].to_numpy()[order].astype(np.float64)
+        w = V.shape[0]
+        G = np.zeros((w, w))
+        for j in range(V.shape[1]):  # ascending dim = the HOF fold order
+            G += np.multiply.outer(V[:, j], V[:, j])
+        C = G / np.multiply.outer(nrm, nrm)
+        ia, ib = np.triu_indices(w, k=1)  # ids ascending → id_a < id_b
+        c = C[ia, ib]
+        dup = c >= boundary + 1e-9
+        amb = np.abs(c - boundary) <= 1e-9
+        for idx in np.nonzero(amb)[0]:
+            dup[idx] = Decimal(float(c[idx])).quantize(
+                q6, ROUND_HALF_UP) >= tau_dec
+        out = np.unique(ids[ib[dup]])
+        return pd.DataFrame({"vec_id": pd.Series(out, dtype="int64")})
+
+    return (pairs_src.select("cluster", "vec_id", "embedding", "_n")
+            .groupBy("cluster").applyInPandas(find, "vec_id long"))
 
 
 @query(

@@ -882,3 +882,36 @@ def test_pq_codebook_persisted_roundtrip_bit_exact(spark, sf_dir):
     c_disk = E.pq_codebook(spark, sf_dir)    # guaranteed disk-load now
     assert np.array_equal(c_first, c_disk)
     assert c_first.dtype == np.float64 and c_first.shape[1] == 64
+
+
+def test_semantic_pairwise_vectorized_bit_identical(spark, sf_dir):
+    """The applyInPandas Gram pairwise (the hierarchical/scale path's
+    r9 stage) must reproduce the salted-join + HOF-cosine dup set
+    EXACTLY on the same pairs_src: the Gram accumulates per-dim outer
+    products in the HOF fold order, reuses the JVM norms, and guards
+    the ROUND-6 threshold with exact decimals at the boundary."""
+    from pyspark.sql import Window
+
+    from lstore_spark.llm.dedup import (_TAU_EMB_NEAR_DUP, _dup_ids_joined,
+                                        _dup_ids_vectorized)
+    from lstore_spark.llm.embeddings import assign_nearest
+    from lstore_spark.llm.similarity import _norm
+
+    em = load_table(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    k = 8
+    cvecs = (em.orderBy("vec_id").limit(k)
+             .select((F.row_number().over(w) - 1).alias("ck"),
+                     F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                     .alias("cvec")))
+    asg = assign_nearest(em, cvecs, "ck").select("vec_id", "cluster")
+    v = (em.join(asg, "vec_id")
+         .select("vec_id", "cluster", "embedding",
+                 _norm("embedding").alias("_n"))
+         .localCheckpoint())
+    joined = {r.vec_id for r in
+              _dup_ids_joined(v, _TAU_EMB_NEAR_DUP, k).collect()}
+    vec = {r.vec_id for r in
+           _dup_ids_vectorized(v, _TAU_EMB_NEAR_DUP).collect()}
+    assert joined == vec
+    assert joined, "fixture should contain near-twin pairs at this tau"
