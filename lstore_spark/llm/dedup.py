@@ -82,7 +82,7 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
+def _minhash_signatures_hof(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
     """doc_id → k minhashes over 3-word shingles: ONE murmur3 over each
     *token* string (native hash(): JVM codegen), int-mixed into shingle
     hashes, then k int-input murmur3 re-hashes ``hash(h, p)`` as the
@@ -132,6 +132,84 @@ def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
     )
 
 
+def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
+    """doc_id → k minhashes, bit-identical to ``_minhash_signatures_hof``
+    but with the shingle-hash + k-minima stages vectorized in ONE
+    Arrow-batched pandas UDF (the hyperplane-LSH precedent: higher-order
+    functions never enter codegen, so the k·|shingles| interpreted evals
+    — ~28 s of the 36 s signature stage at the 100× fixture — become a
+    handful of numpy passes; measured 35.8 → ~7 s there, sf0.1
+    unchanged).  The JVM still does what it is fastest at: tokenizing
+    and murmur3-hashing each token string ONCE (native codegen); the
+    UDF receives only the packed int token-hash arrays (~4 B/token over
+    Arrow) and computes shingle hashes + per-permutation minima with
+    ``spark_murmur3_int`` — the numpy re-implementation of Spark's
+    ``hash(int, int)`` whose JVM parity is elementwise-pinned in
+    tests/test_llm.py, extended there by a full signature-equality pin
+    against the HOF form (including 0/1/2-token degenerate docs).
+    Still a pure projection over the scan: no shuffle, no explode, no
+    100×-row intermediate — the plan-shape test asserts no Exchange."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from .similarity import spark_murmur3_int
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def mh_sig(th_col):
+        vals = th_col.to_numpy()
+        n = len(vals)
+        # A NULL token array behaves as zero tokens — the HOF twin's
+        # greatest(size(null) - 2, 1) SKIPS the null (Spark's greatest
+        # ignores null args), so null-text docs get the same one
+        # zero-padded shingle an empty-token doc gets.
+        m = np.fromiter(
+            ((len(v) if v is not None else 0) for v in vals),
+            dtype=np.int64, count=n)
+        n_docs = n
+        # Each doc's token hashes scatter into a zero-padded flat array
+        # (3 trailing zero slots per doc) so every shingle read
+        # th[i], th[i+1], th[i+2] — including the <3-token degenerate
+        # forms, which coalesce missing positions to 0 in the HOF — is
+        # three plain slices of one array.
+        padded = m + 3
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(padded[:-1], out=starts[1:])
+        flat = np.zeros(int(padded.sum()), dtype=np.uint32)
+        total_tok = int(m.sum())
+        if total_tok:
+            tok_starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(m[:-1], out=tok_starts[1:])
+            local = np.arange(total_tok, dtype=np.int64) - np.repeat(tok_starts, m)
+            flat[np.repeat(starts, m) + local] = np.concatenate(
+                [np.asarray(v) for v in vals
+                 if v is not None and len(v)]).astype(np.uint32)
+        # One shingle row per window; docs with <3 tokens emit exactly
+        # one (zero-padded) shingle — sequence(1, greatest(size-2, 1)).
+        n_sh = np.maximum(m - 2, 1)
+        total_sh = int(n_sh.sum())
+        sh_starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(n_sh[:-1], out=sh_starts[1:])
+        pos = (np.repeat(starts, n_sh)
+               + np.arange(total_sh, dtype=np.int64) - np.repeat(sh_starts, n_sh))
+        # hash(a, b, c) folds per-field: hashInt(c, hashInt(b, hashInt(a, 42)))
+        h = spark_murmur3_int(flat[pos], np.uint32(42))
+        h = spark_murmur3_int(flat[pos + 1], h)
+        h = spark_murmur3_int(flat[pos + 2], h)
+        # hash(h, p) = hashInt(p, hashInt(h, 42)); minima compare SIGNED
+        s1 = spark_murmur3_int(h, np.uint32(42))
+        sig = np.empty((n_docs, k), dtype=np.int32)
+        one = np.ones(1, dtype=np.uint32)  # 1-elem array: no scalar-overflow warns
+        for p in range(k):
+            hp = spark_murmur3_int(one * np.uint32(p), s1).view(np.int32)
+            sig[:, p] = np.minimum.reduceat(hp, sh_starts)
+        return pd.Series(list(sig))
+
+    return (docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
+            .select("doc_id", F.expr("transform(ts, t -> hash(t))").alias("th"))
+            .select("doc_id", mh_sig("th").alias("mhs")))
+
+
 def lsh_candidate_pairs(sig: DataFrame,
                         min_est_jaccard: float = 0.0,
                         max_bucket_width: int | None = 64) -> DataFrame:
@@ -150,8 +228,18 @@ def lsh_candidate_pairs(sig: DataFrame,
     shuffle of the candidate set — 3.35 s of the r1 bench): a pair that
     collides in several bands is instead kept only on its FIRST
     colliding band — the joined band is by construction a colliding one,
-    so each pair survives exactly once.  est_jaccard = fraction of
-    agreeing minhashes.
+    so each pair survives exactly once.  "Colliding" here means BUCKET
+    equality (``hash(slice)`` — the same equality the join key uses),
+    tested over a per-doc 9-int ``bkts`` array precomputed before the
+    explode: the original formulation re-derived true SLICE equality
+    per joined row (9 bands × two 2-int slice allocations, interpreted
+    — HOFs never enter codegen), which was ~15 s of the 18.5 s pair
+    stage at the 10× fixture; the ``zip_with`` over two packed int
+    arrays is the same test modulo 32-bit murmur3 collisions (a band
+    whose slices differ but hash equal — P≈2⁻³² per band) and measured
+    row-identical output at the 1×/10×/100× fixtures (321,900 pairs at
+    10× both ways).  est_jaccard = fraction of agreeing minhashes,
+    computed only on the surviving (post-dedup) rows.
 
     Hot-bucket cap (VERDICT r5 #2): the banding self-join is O(f²) in
     bucket width f, so one boilerplate mega-bucket (license headers,
@@ -173,11 +261,19 @@ def lsh_candidate_pairs(sig: DataFrame,
     avoid.  Pass ``None`` to disable (test/debug only)."""
     r, b, k = _MINHASH_R, _BANDS, _MINHASH_K
     # slice() is 1-based; hash(array) hashes the r-row band as one value.
+    # The b band buckets are computed ONCE per doc into a packed array
+    # (b slice+hash evals per doc, not per joined row) and ride through
+    # the banding shuffle (+36 B/row) so the first-band dedup below is
+    # a zip_with over two int arrays instead of re-slicing signatures.
+    bkts = F.expr(
+        f"transform(sequence(0, {b - 1}), "
+        f"bnd -> hash(slice(mhs, bnd * {r} + 1, {r})))")
     bands = F.expr(
         f"transform(sequence(0, {b - 1}), "
-        f"bnd -> struct(bnd AS band, hash(slice(mhs, bnd * {r} + 1, {r})) AS bkt))")
-    banded = (sig.select("doc_id", "mhs", F.explode(bands).alias("bb"))
-              .select("doc_id", "mhs", "bb.band", "bb.bkt"))
+        f"bnd -> struct(bnd AS band, bkts[bnd] AS bkt))")
+    banded = (sig.select("doc_id", "mhs", bkts.alias("bkts"))
+              .select("doc_id", "mhs", "bkts", F.explode(bands).alias("bb"))
+              .select("doc_id", "mhs", "bkts", "bb.band", "bb.bkt"))
     if max_bucket_width is not None:
         hot = (banded.groupBy("band", "bkt")
                .agg(F.count(F.lit(1)).alias("bw"))
@@ -187,13 +283,14 @@ def lsh_candidate_pairs(sig: DataFrame,
         banded = banded.join(F.broadcast(hot), ["band", "bkt"], "left_anti")
 
     a = banded.select(F.col("doc_id").alias("id_a"),
-                      F.col("mhs").alias("mhs_a"), "band", "bkt")
+                      F.col("mhs").alias("mhs_a"),
+                      F.col("bkts").alias("bkts_a"), "band", "bkt")
     b_side = banded.select(F.col("doc_id").alias("id_b"),
-                           F.col("mhs").alias("mhs_b"), "band", "bkt")
-    first_band = F.array_position(F.expr(
-        f"transform(sequence(0, {b - 1}), "
-        f"bnd -> slice(mhs_a, bnd * {r} + 1, {r}) = slice(mhs_b, bnd * {r} + 1, {r}))"
-    ), F.lit(True)) - 1
+                           F.col("mhs").alias("mhs_b"),
+                           F.col("bkts").alias("bkts_b"), "band", "bkt")
+    first_band = F.array_position(
+        F.expr("zip_with(bkts_a, bkts_b, (x, y) -> x = y)"),
+        F.lit(True)) - 1
     agree = F.expr("size(filter(zip_with(mhs_a, mhs_b, (x, y) -> x = y), v -> v))")
     pairs = (
         a.join(b_side, ["band", "bkt"])

@@ -826,6 +826,29 @@ def test_spark_murmur3_parity_with_jvm_hash(spark):
                           np.where(J % 2 == 0, 1.0, -1.0))
 
 
+def test_minhash_signatures_vectorized_matches_hof(spark, sf_dir):
+    """The Arrow-vectorized signature builder (numpy murmur3 shingle
+    hashes + per-permutation minima) must be BIT-IDENTICAL to the
+    interpreted HOF twin it replaced — over the real fixture corpus AND
+    the degenerate 0/1/2-token + null-text docs (whose zero-padded
+    single shingle, and Spark greatest()'s null-skipping, are the edge
+    semantics the numpy path re-implements)."""
+    from lstore_spark.catalog import load_table
+    from lstore_spark.llm.dedup import (_minhash_signatures_hof,
+                                        minhash_signatures)
+
+    edge = spark.createDataFrame(
+        [(1, "single"), (2, "two tokens"), (3, " "), (4, "a b c d"),
+         (5, None), (6, "")],
+        ["doc_id", "text"])
+    docs = load_table(spark, sf_dir, "documents").limit(200) \
+        .select("doc_id", "text").unionByName(edge)
+    vec = minhash_signatures(docs)
+    hof = _minhash_signatures_hof(docs)
+    assert vec.exceptAll(hof).count() == 0
+    assert hof.exceptAll(vec).count() == 0
+
+
 def test_hyperplane_band_rows_plan_construction_runs_no_job(spark):
     """Building (and explaining) the LSH band-rows DataFrame must run
     ZERO Spark jobs (VERDICT r8 #7): --explain and plan_audit stay
