@@ -85,22 +85,33 @@ n AS (SELECT COUNT(*) AS n_docs FROM documents)"""
 def _tfidf_scored(spark: SparkSession, sf_dir: str, bound: int) -> DataFrame:
     """(doc_id, term, tf, tfidf) for doc_id < bound.
 
-    No persist on tf (r7 bench regression + ADVICE cache-leak note):
-    the two consumers of tf are asymmetric — df needs the FULL corpus
-    explode, but the scored branch filters doc_id < bound, and that
-    filter (on a grouping key) pushes through the Aggregate to the
-    parquet scan, so the "second pass" explodes only the bound's few
-    docs.  One full explode total, nothing pinned between sweep keys.
+    No persist on tf (r7 bench regression + ADVICE cache-leak note),
+    and — the round-9 shuffle fix — df is NOT derived from a full
+    (doc_id, term) aggregate: df(term) = COUNT(DISTINCT doc_id) equals
+    a plain COUNT over per-doc-DISTINCT terms, and distinct-within-doc
+    is a *projection* (``array_distinct`` on the token array), so the
+    dictionary branch is explode→one groupBy(term) whose map-side
+    partial combine shrinks the shuffle to |per-partition vocabulary|
+    rows.  The old tf→df derivation shuffled every (doc, term) pair
+    twice (~600M rows at the 100× fixture; 21.5 s → see BASELINE.md
+    round-9 ledger).  The scored branch filters doc_id < bound at the
+    scan (pushed filter, plan-asserted), so only the df branch pays
+    the full corpus scan — once, through one Exchange.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df = (
+        docs.select(F.explode(F.array_distinct(tokens_col())).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = (
+        docs.filter(F.col("doc_id") < bound)
+        .select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     # N from catalog stats (parquet footer) — no extra corpus scan.
     n_docs = table_rows(sf_dir, "documents")
     return (
-        tf.filter(F.col("doc_id") < bound)
-        .join(F.broadcast(df), "term")
+        tf.join(F.broadcast(df), "term")
         .select(
             "doc_id", "term", "tf",
             F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
