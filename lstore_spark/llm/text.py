@@ -1076,10 +1076,23 @@ def q_llm_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent float sum Σc·log₂c is made engine-portable by
     rounding each term to 1e-9 and summing EXACTLY as decimal
     (numerics.py discipline — the two engines' log2 agree far below the
-    rounding grain).  Scale: explode is per-doc-bounded, the (doc, char)
-    rollup partial-combines to ≤|alphabet| rows per doc before either
-    shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    rounding grain).  Scale: entropy is a PER-DOC statistic, so since
+    round 9 the registered path is a zero-Exchange Arrow projection
+    (``_char_entropy_vectorized``): one np.unique over packed
+    (doc, code-point) keys per batch replaces the per-char explode +
+    two shuffles of the original form (27.9 s → 5.6 s at the 100×
+    fixture; the exploded twin is retained below and pinned
+    bit-identical by ``test_char_entropy_vectorized_matches_exploded``,
+    including empty/null/non-BMP degenerate docs)."""
+    return _char_entropy_vectorized(load_table(spark, sf_dir, "documents"))
+
+
+def _char_entropy_exploded(docs: DataFrame) -> DataFrame:
+    """The original explode+2-agg form of q_llm_text_char_entropy —
+    per-doc-bounded explode, (doc, char) rollup partial-combining to
+    ≤|alphabet| rows per doc before either shuffle.  Kept as the
+    semantics pin for the vectorized path (JVM split/groupBy/round9_dec
+    ground truth)."""
     chars = (
         docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
         .groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1093,6 +1106,103 @@ def q_llm_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_distinct_chars",
         F.round(F.log2(F.col("n").cast("double"))
                 - F.col("s").cast("double") / F.col("n"),
+                6).alias("char_entropy_bits"),
+    )
+
+
+def _char_entropy_stats_batches(it):
+    """mapInPandas worker: (doc_id, text) → (doc_id, n_distinct_chars,
+    n, s) with s ≡ the JVM SUM(round9_dec(cnt·log2 cnt)) cast to double.
+
+    Bit-exactness contract (vs _char_entropy_exploded):
+    - F.split(text, '') splits per CODE POINT (probed: '😀' stays one
+      element) → UTF-32-LE units; '' splits to [''] → n=1, distinct=1,
+      s=0; NULL text explodes to no rows → doc dropped.
+    - Per-unique-(doc,cp) counts via ONE np.unique over packed int64
+      keys (doc_idx·2²¹ | cp — code points < 2²¹).
+    - The term round9_dec(c·log2 c) is computed ONCE per DISTINCT
+      count c with the exact JVM replication: F.round(double, 9) is
+      BigDecimal.valueOf(d).setScale(9, HALF_UP) — Decimal(repr(d))
+      .quantize(1e-9, HALF_UP) in Python (repr = Double.toString:
+      both shortest round-trip) — then the double result re-enters
+      decimal(30,12) through its shortest repr again; summed as exact
+      scaled int64 (max |Σ| ≈ n·log2 n·10¹² « 2⁶³).
+    - int64 → double division by 10¹² is IEEE-correctly-rounded only
+      while the numerator is exact (≤2⁵³); larger sums take the exact
+      Decimal route — matching Spark's correctly-rounded
+      BigDecimal.doubleValue (numerics.py:43).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    q9 = Decimal("1E-9")
+    out_cols = ["doc_id", "n_distinct_chars", "n", "s"]
+
+    def term_int12(y: float) -> int:
+        # round9_dec of one double term, as an exact 1e-12-scaled int.
+        v9 = Decimal(repr(y)).quantize(q9, ROUND_HALF_UP)
+        return int(Decimal(repr(float(v9))).scaleb(12))
+
+    for pdf in it:
+        pdf = pdf[pdf["text"].notna()]
+        if len(pdf) == 0:
+            yield pd.DataFrame({c: pd.Series(dtype="int64") for c in out_cols[:3]}
+                               | {"s": pd.Series(dtype="float64")})
+            continue
+        texts = pdf["text"].tolist()
+        nb = len(texts)
+        encs = [t.encode("utf-32-le") for t in texts]
+        lens = np.fromiter((len(e) >> 2 for e in encs), dtype=np.int64, count=nb)
+        units = np.frombuffer(b"".join(encs), dtype=np.uint32).astype(np.int64)
+        doc_idx = np.repeat(np.arange(nb, dtype=np.int64), lens)
+        uniq, counts = np.unique((doc_idx << 21) | units, return_counts=True)
+        udoc = uniq >> 21
+
+        bounds = np.searchsorted(udoc, np.arange(nb + 1, dtype=np.int64))
+        n_distinct = np.diff(bounds)
+        # Σ round9_dec(c·log2 c): exact per DISTINCT count value.
+        cu, inv = np.unique(counts, return_inverse=True)
+        cf = cu.astype(np.float64)
+        terms = cf * np.log2(cf)
+        table = np.fromiter(
+            (0 if c == 1 else term_int12(float(y)) for c, y in zip(cu, terms)),
+            dtype=np.int64, count=len(cu))
+        s_int = np.zeros(nb, dtype=np.int64)
+        np.add.at(s_int, udoc, table[inv])
+        # exact int → correctly-rounded double (Decimal route past 2^53)
+        s_dbl = s_int.astype(np.float64) / 1e12
+        big = np.abs(s_int) > (1 << 53)
+        if big.any():
+            s_dbl[big] = [float(Decimal(int(v)).scaleb(-12))
+                          for v in s_int[big]]
+
+        n = lens.copy()
+        empty = lens == 0          # split('', '') → [''] in the JVM form
+        n[empty] = 1
+        n_distinct[empty] = 1      # s stays 0 (cnt=1 term is 0)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "n_distinct_chars": n_distinct,
+            "n": n,
+            "s": s_dbl,
+        })
+
+
+def _char_entropy_vectorized(docs: DataFrame) -> DataFrame:
+    """Zero-Exchange char-entropy: the per-doc (n, distinct, Σ round9)
+    stats come out of one Arrow batch pass; log2/division/final ROUND
+    stay JVM-side so the last-mile arithmetic is the exploded twin's
+    own expressions."""
+    stats = docs.select("doc_id", "text").mapInPandas(
+        _char_entropy_stats_batches,
+        schema="doc_id long, n_distinct_chars long, n long, s double",
+    )
+    return stats.select(
+        "doc_id", "n_distinct_chars",
+        F.round(F.log2(F.col("n").cast("double"))
+                - F.col("s") / F.col("n"),
                 6).alias("char_entropy_bits"),
     )
 

@@ -938,3 +938,39 @@ def test_semantic_pairwise_vectorized_bit_identical(spark, sf_dir):
            _dup_ids_vectorized(v, _TAU_EMB_NEAR_DUP).collect()}
     assert joined == vec
     assert joined, "fixture should contain near-twin pairs at this tau"
+
+
+def test_char_entropy_vectorized_matches_exploded(spark, sf_dir):
+    """The zero-Exchange Arrow char-entropy path (one np.unique over
+    packed (doc, code-point) keys + exact-decimal round9 term table)
+    must be BIT-IDENTICAL to the explode+2-agg JVM twin it replaced —
+    over the real corpus AND the degenerate docs that pin the split
+    semantics: '' → [''] (n=1, H=0), NULL text → doc dropped, non-BMP
+    chars as single code points, a single-char run, and a 90-symbol
+    near-uniform alphabet."""
+    from lstore_spark.llm.text import (_char_entropy_exploded,
+                                       _char_entropy_vectorized)
+
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "a"), (100003, "a\U0001F600\U0001F600b"),
+         (100004, None), (100005, "ab ba"), (100006, "x" * 5000),
+         (100007, "".join(chr(33 + i % 90) for i in range(4000)))],
+        "doc_id long, text string")
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").unionByName(edge))
+    vec = _char_entropy_vectorized(docs)
+    exp = _char_entropy_exploded(docs)
+    assert vec.exceptAll(exp).count() == 0
+    assert exp.exceptAll(vec).count() == 0
+    # NULL-text doc dropped, empty-text doc present with H = 0
+    got = {r.doc_id: r.char_entropy_bits for r in
+           vec.filter(F.col("doc_id") > 100000).collect()}
+    assert 100004 not in got and got[100001] == 0.0
+
+
+def test_char_entropy_plan_has_no_exchange(spark, sf_dir):
+    """Per-doc entropy is a pure projection: the registered path must
+    compile to a plan with ZERO shuffles (the old form paid two)."""
+    p = (QUERIES["q_llm_text_char_entropy"](spark, sf_dir)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in p, p
