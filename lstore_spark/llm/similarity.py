@@ -568,6 +568,13 @@ def hyperplane_candidate_pairs(df: DataFrame, id_col: str, vec_col: str,
     ~W·bands distinct candidates.  Exact-recall callers (the
     oracle-checked threshold join) leave it None."""
     bits, bands = hyperplane_lsh_params(n_rows, tau, target_recall)
+    # NOT pinned: the relation feeds both self-join sides, but both
+    # sides consume the SAME (band, bkt) hash exchange and Spark's
+    # ReuseExchange rule dedupes identical exchange subtrees — measured
+    # round 9: pinning (serialized MEMORY_AND_DISK) was 22.3 s vs
+    # 20.8 s unpinned at the 100× fixture, pure materialization
+    # overhead.  (localCheckpoint-everything-with-two-consumers stops
+    # at exchange-aligned self-joins.)
     rows = hyperplane_band_rows(df, id_col, vec_col, bits, bands)
     if bucket_window is not None:
         wb = Window.partitionBy("band", "bkt").orderBy(
@@ -609,7 +616,12 @@ def q_llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     precomputed per ROW (|corpus| HOF evals) instead of per PAIR —
     at W·bands candidates per id the re-rank is the dominant cost and
     this cuts it ~3×; the re-rank uses ``partitioned_topk`` so no task
-    absorbs one key's full candidate list (VERDICT r2 item 8).  Recall
+    absorbs one key's full candidate list (VERDICT r2 item 8).  The
+    per-pair JVM fold is deliberately NOT Arrow-vectorized (unlike the
+    per-doc signature paths): measured round 9, shipping both 64-float
+    vectors per candidate pair through Arrow (~29M pairs ≈ 15 GB at
+    100×) cost 35 s vs the fold's 21 s — per-PAIR payloads invert the
+    vectorize-the-hot-loop rule that wins for per-ROW payloads.  Recall
     vs the exact top-k is asserted in pytest (rows-only for the
     driver)."""
     em = load_table(spark, sf_dir, "embeddings")
