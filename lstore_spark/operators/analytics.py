@@ -335,11 +335,19 @@ GROUP BY supp_nation, cust_nation, l_year
 )
 def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping): trade volume between two nations, by
-    direction and ship year.  The disjunctive nation-pair predicate is a
-    filter over the two broadcast nation joins (Catalyst can't split an
-    OR across joins, but both nation sides are broadcast so the filter
-    is evaluated streaming-side at zero shuffle cost).  Only shuffle:
-    lineitem⋈orders on orderkey, then the 2-phase 3-key rollup."""
+    direction and ship year.  Catalyst can't split the disjunctive
+    nation-pair predicate across joins, but its single-side IMPLICATES
+    can be pushed by hand: the pair (3,7)∨(7,3) implies supp_nation ∈
+    {3,7} AND cust_nation ∈ {3,7}, so each side of the big
+    lineitem⋈orders shuffle is reduced FIRST — lineitem through a
+    broadcast join to the two nations' suppliers, orders through a
+    broadcast join to their customers (~2/|nations| of rows each) —
+    and only then meets the orderkey exchange; the full pair predicate
+    then just drops the two same-nation combinations.  Value-identical
+    to filtering after (the oracle keeps that form); at the 100×
+    fixture the exchange ships ~5× fewer rows per side (9.1 → 3.8 s).
+    Remaining shuffles: the reduced orderkey join + the 2-phase 3-key
+    rollup."""
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
     hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     li = (load_table(spark, sf_dir, "lineitem")
@@ -348,26 +356,34 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = load_table(spark, sf_dir, "supplier")
     cu = load_table(spark, sf_dir, "customer")
     na = load_table(spark, sf_dir, "nation")
-    n1 = na.select(F.col("n_nationkey").alias("_sk"),
-                   F.col("n_name").alias("supp_nation"))
-    n2 = na.select(F.col("n_nationkey").alias("_ck"),
-                   F.col("n_name").alias("cust_nation"))
+    both = F.col("n_name").isin("NATION_3", "NATION_7")
+    n1 = na.filter(both).select(F.col("n_nationkey").alias("_sk"),
+                                F.col("n_name").alias("supp_nation"))
+    n2 = na.filter(both).select(F.col("n_nationkey").alias("_ck"),
+                                F.col("n_name").alias("cust_nation"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     pair = (
         (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
     ) | (
         (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
     )
-    return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    li_side = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(n1), su.s_nationkey == F.col("_sk"))
+        .select("l_orderkey", "l_shipdate", "supp_nation",
+                rev.alias("_rev"))
+    )
+    od_side = (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
         .join(F.broadcast(n2), cu.c_nationkey == F.col("_ck"))
+        .select("o_orderkey", "cust_nation")
+    )
+    return (
+        li_side.join(od_side, li_side.l_orderkey == od_side.o_orderkey)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(dsum(rev, "revenue"))
+        .agg(dsum(F.col("_rev"), "revenue"))
     )
 
 
@@ -2099,17 +2115,28 @@ GROUP BY c_count
 def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (customer distribution): orders-per-customer histogram
     INCLUDING zero-order customers — the left outer join is the point
-    (an inner join silently drops the idle cohort).  Two aggregations:
-    per-customer count (shuffle on custkey), then the tiny
-    counts-of-counts rollup.  COUNT(o_orderkey) not COUNT(*): the
-    null-extended row of an idle customer must count 0, not 1 — the
-    classic outer-join-count bug, encoded correctly in both engines."""
+    (an inner join silently drops the idle cohort).  COUNT(o_orderkey)
+    not COUNT(*): the null-extended row of an idle customer must count
+    0, not 1 — the classic outer-join-count bug, encoded correctly in
+    both engines (the oracle keeps the textbook join-then-count form).
+
+    Round-9 shuffle fix: aggregate orders per custkey BEFORE the outer
+    join — COUNT over a key is distributive, so joining customers to
+    the pre-aggregated (custkey, cnt) relation (≤|customers| rows,
+    map-side combined) and coalescing the idle cohort to 0 is
+    value-identical to counting the 10×-larger join output.  The big
+    orders relation now crosses its exchange already reduced."""
     cu = load_table(spark, sf_dir, "customer")
     od = load_table(spark, sf_dir, "orders")
+    per_ord = (
+        od.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("o_orderkey").alias("_cnt"))
+    )
     per_cust = (
-        cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        cu.select("c_custkey")
+        .join(per_ord, "c_custkey", "left_outer")
+        .select(F.coalesce(F.col("_cnt"), F.lit(0).cast("long"))
+                .alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist"))
@@ -2142,18 +2169,28 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_quantity < 0.5·avg stays off float edges because quantities are
     integral and averages have a /count denominator — a tie would need
     quantity·count = sum/0.5 exactly, which ROUND-free double math
-    resolves identically in both engines."""
+    resolves identically in both engines.
+
+    Round-9 shuffle fix: the per-part threshold depends ONLY on that
+    part's own lineitems, and only Brand#1 parts survive the final
+    join — so the threshold aggregate runs over the brand-semi-filtered
+    lineitem (a broadcast semi at the scan, no shuffle), not the full
+    table.  The oracle keeps the naive all-parts CTE; results are
+    identical because non-brand thresholds were computed and thrown
+    away.  At the 100× fixture this removes a full-lineitem shuffle
+    (only ~1/|brands| of rows reach the partkey exchange)."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = (load_table(spark, sf_dir, "part")
           .filter(F.col("p_brand") == "Brand#1"))
+    li_b = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey,
+                   "left_semi")
     thresholds = (
-        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        li_b.groupBy(F.col("l_partkey").alias("t_partkey"))
         .agg((0.5 * (F.sum(F.col("l_quantity").cast(DEC)).cast("double")
                      / F.count(F.lit(1)))).alias("qty_cut"))
     )
     return (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
-        .join(thresholds, li.l_partkey == thresholds.t_partkey)
+        li_b.join(thresholds, li_b.l_partkey == thresholds.t_partkey)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg((F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
               / 7.0).alias("avg_yearly"),
