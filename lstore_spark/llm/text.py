@@ -599,23 +599,26 @@ def q_llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning — the composition a training pipeline
     actually ships: exact-dedup (keep lowest doc_id per normalized text
     hash) + minimum-length quality floor, emitting the surviving corpus.
-    Dedup-keep is a groupBy(hash).min aggregate joined back (no global
-    window in the Spark plan — the oracle's MIN OVER is the same
-    semantics expressed for DuckDB).  At 100 TB: one 16-byte-key shuffle
-    for the dedup + a broadcast-joinable heads table; the near-dup and
-    contamination stages (q_llm_dedup_minhash / q_llm_text_contamination)
-    chain in front of this same keep-filter shape."""
+    Dedup-keep is ONE ``min(struct(doc_id, ...))`` aggregate per hash —
+    the struct's lexicographic min IS the lowest-doc_id row carrying its
+    own payload columns, so no heads table and no join-back exist in the
+    plan (the round-9 reshape: the old groupBy+join-back scanned and
+    md5'd the corpus twice and paid two h-exchanges — the aggregate
+    side's partial min below its exchange defeats ReuseExchange).  The
+    oracle's MIN OVER window is the same semantics expressed for
+    DuckDB.  At 100 TB: one corpus scan, one 16-byte-key shuffle whose
+    map-side partial min already collapses per-partition duplicates;
+    the near-dup and contamination stages (q_llm_dedup_minhash /
+    q_llm_text_contamination) chain in front of the same keep-filter."""
     docs = load_table(spark, sf_dir, "documents")
     feat = docs.select(
-        "doc_id", "lang", "source",
         F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
-        F.size(tokens_col()).alias("n_tok"))
-    heads = feat.groupBy("h").agg(F.min("doc_id").alias("head_id"))
+        F.struct("doc_id", "lang", "source",
+                 F.size(tokens_col()).alias("n_tok")).alias("m"))
     return (
-        feat.join(heads, "h")
-        .filter((F.col("doc_id") == F.col("head_id"))
-                & (F.col("n_tok") >= _CLEAN_MIN_TOK))
-        .select("doc_id", "lang", "source", "n_tok")
+        feat.groupBy("h").agg(F.min("m").alias("m"))
+        .filter(F.col("m.n_tok") >= _CLEAN_MIN_TOK)
+        .select("m.doc_id", "m.lang", "m.source", "m.n_tok")
     )
 
 
@@ -949,21 +952,19 @@ def q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match certifies that the pieces COMPOSE — filters don't reorder
     around the dedup window, hashes don't collide across salt streams.
 
-    Scale: one 16-byte-hash shuffle (dedup) then pure projections until
-    the final tiny aggregate — the whole pipeline touches the corpus
-    twice (scan + dedup shuffle), which is the minimum any dedup-bearing
-    pipeline can do; near-dup and contamination stages chain in front of
-    the same keep-filter without changing the shape."""
+    Scale: ONE corpus scan into one 16-byte-hash shuffle (the dedup, as
+    a map-side-combinable ``min(struct)`` — same reshape as
+    q_llm_corpus_clean, round 9) then pure projections until the final
+    tiny aggregate — the minimum any dedup-bearing pipeline can do;
+    near-dup and contamination stages chain in front of the same
+    keep-filter without changing the shape."""
     docs = load_table(spark, sf_dir, "documents")
     feat = docs.select(
-        "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
-        F.size(tokens_col()).alias("n_tok"))
-    heads = feat.groupBy("h").agg(F.min("doc_id").alias("head_id"))
-    clean = (feat.join(heads, "h")
-             .filter((F.col("doc_id") == F.col("head_id"))
-                     & (F.col("n_tok") >= _CLEAN_MIN_TOK))
-             .select("doc_id", "n_tok"))
+        F.struct("doc_id", F.size(tokens_col()).alias("n_tok")).alias("m"))
+    clean = (feat.groupBy("h").agg(F.min("m").alias("m"))
+             .filter(F.col("m.n_tok") >= _CLEAN_MIN_TOK)
+             .select("m.doc_id", "m.n_tok"))
     hs = F.expr(sql_md5_long(
         "concat('split:', CAST(doc_id AS STRING))", 8)) % 1000
     routed = clean.select(
