@@ -1,0 +1,87 @@
+"""1000× probe: one more decade past scale_curve.py (VERDICT standing
+question — "would this partition strategy hold at 1000 executors /
+100 TB?").
+
+Runs a curated subset of the scale-curve keys against /tmp/sf1000x
+(600M lineitem / 100M events / 5M docs / 2M vectors ≈ 16 GB parquet,
+built by `SFBIG_DIR=/tmp/sf1000x SFBIG_REPLICAS=1000 python
+scripts/make_sfbig.py`) and prints wall seconds next to the key's 100×
+reading, so the 100×→1000× growth factor is measured, not extrapolated.
+A key whose plan is linear-with-partitions should grow ≤~10× wall for
+10× more data; the interesting failures this decade can surface —
+sort/shuffle spill, driver-side collect growth, codebook/index
+train-vs-load — are exactly what the curated list covers.
+
+Method matches scale_curve.py: noop-format write forces full compute
+with no driver-collect cost; one discarded warm-up per session; the
+repo's standard tuned session (32 shuffle partitions + AQE), i.e. NO
+per-scale re-tuning — partition sizing must come from AQE, as it would
+on a real cluster.
+
+Usage: python scripts/scale_1000x.py [key-substring ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lstore_spark.registry import QUERIES, release_pins  # noqa: E402
+from lstore_spark.session import get_spark  # noqa: E402
+
+DIR_1000X = os.environ.get("SF1000X_DIR", "/tmp/sf1000x")
+
+# (key, 100x seconds from scripts/scale_curve_r9b_full.json — solo
+# steady-state where the batch number had a documented one-time cost)
+KEYS = [
+    ("q_agg_groupby_hash", 4.36),
+    ("q_agg_count_distinct", 1.40),
+    ("q_join_inner_hash", 1.52),
+    ("q_join_sort_merge", 5.45),
+    ("q_tpch_q3_shipping", 2.06),
+    ("q_tpch_q7_volume", 2.78),
+    ("q_tpch_q13_custdist", 1.72),
+    ("q_tpch_q17_small_qty", 2.41),
+    ("q_evt_active_users", 2.28),
+    ("q_stream_session_window", 2.59),
+    ("q_llm_dedup_exact", 1.02),
+    ("q_llm_corpus_clean", 3.61),
+    ("q_llm_pipeline_e2e", 3.87),
+    ("q_llm_text_tfidf", 6.00),
+    ("q_llm_text_char_entropy", 5.55),
+    ("q_llm_dedup_minhash", 16.46),
+    ("q_llm_emb_pq_adc", 4.44),
+]
+
+
+def main() -> None:
+    spark = get_spark()
+    wanted = sys.argv[1:]
+    keys = [(k, b) for k, b in KEYS
+            if not wanted or any(w in k for w in wanted)]
+    # warm-up: discard one small action so JVM/codegen startup is not
+    # billed to the first key
+    QUERIES["q_scan_full"](spark, DIR_1000X).write \
+        .format("noop").mode("overwrite").save()
+    release_pins()
+    out = {}
+    for key, base100 in keys:
+        t0 = time.time()
+        QUERIES[key](spark, DIR_1000X).write \
+            .format("noop").mode("overwrite").save()
+        sec = round(time.time() - t0, 2)
+        release_pins()
+        growth = round(sec / base100, 2) if base100 else None
+        out[key] = {"1000x_sec": sec, "100x_sec": base100,
+                    "growth_100_to_1000": growth}
+        print(f"{key:34} 1000x {sec:8.2f}s   (100x {base100:.2f}s, "
+              f"growth {growth})", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
