@@ -64,10 +64,11 @@ def q_llm_text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared TF-IDF machinery (q_llm_text_tfidf + q_llm_text_keywords — one
-# source of truth for the formula on both engines).  df derives from tf
-# (COUNT of (doc,term) rows per term ≡ COUNT(DISTINCT doc_id) over raw
-# tokens) so the full corpus is exploded ONCE (the scored branch's
-# doc_id bound prunes its scan to a handful of docs — see
+# source of truth for the formula on both engines).  In the ORACLE, df
+# derives from tf (COUNT of (doc,term) rows per term ≡ COUNT(DISTINCT
+# doc_id) over raw tokens) — DuckDB runs single-node so the CTE chain
+# is free; the Spark side builds df independently from per-doc-distinct
+# terms so only one branch pays the full corpus scan (see
 # _tfidf_scored).
 _TFIDF_CTES = f"""tok AS (
   SELECT doc_id, t.tok AS term
@@ -131,14 +132,14 @@ WHERE tf.doc_id < 50
 """,
 )
 def q_llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF per (doc, term): one corpus explode into a tf relation
-    (UNPINNED — the r8 fix: the solo key filters to doc_id < 50, so the
-    output-side scan prunes at the source and a persist only added
-    materialization cost; see test_tfidf_scored_branch_prunes_scan),
-    the term dictionary aggregated FROM tf (not a second corpus pass),
-    then a broadcast join (the dictionary is tiny relative to the
-    corpus — at 100 TB the df side still broadcasts after
-    aggregation)."""
+    """TF-IDF per (doc, term): the df dictionary is ONE full-corpus
+    explode of per-doc-DISTINCT terms into a single groupBy(term) (the
+    round-9 shape — see _tfidf_scored), the scored tf branch prunes to
+    doc_id < 50 at the scan (pushed filter, plan-asserted by
+    test_tfidf_scored_branch_prunes_scan; nothing pinned — the r8
+    cache-leak fix stands), then a broadcast join (the dictionary is
+    tiny relative to the corpus — at 100 TB the df side still
+    broadcasts after aggregation)."""
     return _tfidf_scored(spark, sf_dir, 50)
 
 
@@ -1127,8 +1128,18 @@ def _char_entropy_stats_batches(it):
       .quantize(1e-9, HALF_UP) in Python (repr = Double.toString:
       both shortest round-trip) — then the double result re-enters
       decimal(30,12) through its shortest repr again; summed as exact
-      scaled int64 (max |Σ| ≈ n·log2 n·10¹² « 2⁶³).
-    - int64 → double division by 10¹² is IEEE-correctly-rounded only
+      scaled integers.
+    - Overflow discipline (round-9 self-review finding): the 10¹²-
+      scaled per-doc sum fits int64 only while n·log2(n)·10¹² < 2⁶²,
+      i.e. n ≲ 2.4e5 code points.  Docs past that bound (the long
+      single-char-spam inputs this detector exists to flag) are routed
+      to an exact PYTHON-int slow path — arbitrary precision, same
+      Decimal term helper, so it matches the JVM decimal(38,12) sum at
+      ANY length; term-table entries only reachable from such docs are
+      parked as 0 in the int64 fast table (a count c can only occur in
+      a doc with n ≥ c, and any such doc is already routed).  Pinned by
+      test_char_entropy_vectorized_long_doc_overflow.
+    - int → double division by 10¹² is IEEE-correctly-rounded only
       while the numerator is exact (≤2⁵³); larger sums take the exact
       Decimal route — matching Spark's correctly-rounded
       BigDecimal.doubleValue (numerics.py:43).
@@ -1140,6 +1151,7 @@ def _char_entropy_stats_batches(it):
 
     q9 = Decimal("1E-9")
     out_cols = ["doc_id", "n_distinct_chars", "n", "s"]
+    LIM = 1 << 62  # int64 fast-path safety bound for 1e-12-scaled sums
 
     def term_int12(y: float) -> int:
         # round9_dec of one double term, as an exact 1e-12-scaled int.
@@ -1163,21 +1175,36 @@ def _char_entropy_stats_batches(it):
 
         bounds = np.searchsorted(udoc, np.arange(nb + 1, dtype=np.int64))
         n_distinct = np.diff(bounds)
+        # Docs whose worst-case scaled sum (n·log2 n·1e12 ≥ Σ c·log2 c
+        # ·1e12, by concavity) could overflow int64 take the exact
+        # Python-int route; everything else stays vectorized.
+        lf = np.maximum(lens, 2).astype(np.float64)
+        overflow_doc = lf * np.log2(lf) * 1e12 >= LIM
         # Σ round9_dec(c·log2 c): exact per DISTINCT count value.
         cu, inv = np.unique(counts, return_inverse=True)
         cf = cu.astype(np.float64)
         terms = cf * np.log2(cf)
-        table = np.fromiter(
-            (0 if c == 1 else term_int12(float(y)) for c, y in zip(cu, terms)),
-            dtype=np.int64, count=len(cu))
+        table_py = [0 if c == 1 else term_int12(float(y))
+                    for c, y in zip(cu, terms)]
+        # Entries too large for int64 can only belong to overflow-routed
+        # docs (count c ⇒ doc length n ≥ c ⇒ n·log2 n·1e12 ≥ LIM): park 0.
+        table = np.fromiter((t if abs(t) < LIM else 0 for t in table_py),
+                            dtype=np.int64, count=len(cu))
         s_int = np.zeros(nb, dtype=np.int64)
         np.add.at(s_int, udoc, table[inv])
         # exact int → correctly-rounded double (Decimal route past 2^53)
         s_dbl = s_int.astype(np.float64) / 1e12
-        big = np.abs(s_int) > (1 << 53)
-        if big.any():
-            s_dbl[big] = [float(Decimal(int(v)).scaleb(-12))
-                          for v in s_int[big]]
+        slow = np.abs(s_int) > (1 << 53)
+        slow |= overflow_doc
+        if slow.any():
+            term_of = dict(zip(cu.tolist(), table_py))
+            for d in np.nonzero(slow)[0]:
+                if overflow_doc[d]:  # exact arbitrary-precision resum
+                    v = sum(term_of[c] for c in
+                            counts[bounds[d]:bounds[d + 1]].tolist())
+                else:
+                    v = int(s_int[d])
+                s_dbl[d] = float(Decimal(v).scaleb(-12))
 
         n = lens.copy()
         empty = lens == 0          # split('', '') → [''] in the JVM form

@@ -35,8 +35,14 @@ from lstore_spark.session import get_spark  # noqa: E402
 
 DIR_1000X = os.environ.get("SF1000X_DIR", "/tmp/sf1000x")
 
-# (key, 100x seconds from scripts/scale_curve_r9b_full.json — solo
-# steady-state where the batch number had a documented one-time cost)
+# (key, 100x reference seconds).  Source per key: the batch reading in
+# scripts/scale_curve_r9b_full.json, EXCEPT three keys where that batch
+# number carried a documented one-time/load cost and the solo reading
+# from the BASELINE.md round-9 extended ledger is the honest base:
+# q_llm_text_char_entropy 5.55 (solo scale_curve run; batch 8.87 under
+# load), q_llm_emb_pq_adc 4.44 (solo steady-state; batch 14.39 paid the
+# once-per-fixture codebook train), q_llm_corpus_clean 3.61 (solo
+# scale_curve run; key absent from the r9b default set).
 KEYS = [
     ("q_agg_groupby_hash", 4.36),
     ("q_agg_count_distinct", 1.40),

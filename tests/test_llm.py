@@ -974,3 +974,27 @@ def test_char_entropy_plan_has_no_exchange(spark, sf_dir):
     p = (QUERIES["q_llm_text_char_entropy"](spark, sf_dir)
          ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in p, p
+
+
+def test_char_entropy_vectorized_long_doc_overflow(spark):
+    """Round-9 self-review finding: the 1e-12-scaled int64 fast path
+    wraps past n·log2(n)·1e12 ≥ 2⁶² (~2.4e5 code points) — exactly the
+    long single-char-spam inputs the detector exists to flag.  Such
+    docs must route through the exact Python-int slow path and match
+    the decimal(30,12) JVM twin: a 600k single-char doc (term itself
+    overflows int64) must score H=0, and a 1M-char 4-symbol doc H=2."""
+    from lstore_spark.llm.text import (_char_entropy_exploded,
+                                       _char_entropy_vectorized)
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 600_000),
+         (2, "abcd" * 250_000),
+         (3, "short normal doc")],
+        "doc_id long, text string").repartition(1)
+    vec = {r.doc_id: (r.n_distinct_chars, r.char_entropy_bits)
+           for r in _char_entropy_vectorized(docs).collect()}
+    exp = {r.doc_id: (r.n_distinct_chars, r.char_entropy_bits)
+           for r in _char_entropy_exploded(docs).collect()}
+    assert vec == exp
+    assert vec[1] == (1, 0.0)
+    assert vec[2] == (4, 2.0)
