@@ -88,28 +88,14 @@ _CODE_EXPR = f"""
                  ELSE (xe[i] - lo[i]) / step[i] END) AS BIGINT)))
     AS INT))"""
 
-# Dequantized residual per dimension: q[i] - (lo[i] + (code+0.5)*step[i]).
-_DIFF_EXPR = f"""
-    transform(sequence(0, {_DIM - 1}), i ->
-        qe[i] - (lo[i] + (CAST(codes[i] AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                 * step[i]))"""
-
-
-def _adc_expr() -> F.Column:
-    """Asymmetric distance over a ``dv`` diff array: exact-decimal sum
-    of squared diffs, grouped 8 per subgroup (8 unrolled
-    DECIMAL(30,8) adds peak at (37,8) — exact under the 38 cap; a
-    64-term chain would hit the cap and shed scale), each subgroup cast
-    to DOUBLE identically in both engines, then one decimal sum of the
-    8 subgroup doubles — the q_llm_emb_pq_adc two-level discipline."""
-    groups = []
-    for m in range(_DIM // _SUB):
-        terms = " + ".join(
-            f"CAST(dv[{m * _SUB + j}] * dv[{m * _SUB + j}]"
-            f" AS DECIMAL(30,8))" for j in range(_SUB))
-        groups.append(f"CAST({terms} AS DOUBLE)")
-    total = " + ".join(f"CAST({g} AS DECIMAL(30,8))" for g in groups)
-    return F.expr(f"CAST({total} AS DOUBLE)")
+# The search-side dequantized-residual ADC (per-dim residual
+# qe[i] - (lo[i] + (code+0.5)*step[i]), squared diffs decimal-summed 8
+# per subgroup so precision peaks at (37,8) under the 38 cap) lives in
+# TWO places: the oracle SQL below (the ground-truth decimal
+# semantics, still spelled out relation-by-relation) and
+# _search_adc_lut (the Spark-side LUT replication).  The old JVM
+# transform/unrolled-decimal expressions were removed in round 9 when
+# the LUT path replaced them.
 
 
 def _train_quantizer(corpus):
@@ -296,6 +282,50 @@ def q_llm_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("code_sum").alias("sum_codes"))
 
 
+def _search_adc_lut(sf_dir: str, idx: str) -> list[tuple[int, list[int]]]:
+    """Per-query ADC lookup table: lut[i·256 + c] = the 1e8-scaled
+    exact-decimal (qe_i − dequant(i, c))² term.
+
+    The SQ8 dequantized value per (dim, code) cell takes only 64×256
+    values, so the whole two-level decimal ADC collapses: stage 1's
+    dec2dbl(Σ_j dec8(diff²)) is an int64 subgroup sum S_m / 1e8
+    (correctly rounded because S_m « 2⁵³), and stage 2's
+    dec8(double(S_m/1e8)) recovers EXACTLY S_m·1e-8 (the double sits
+    within ~1e-15 of the 1e-8-grain value — half the grain away from
+    any rounding boundary), so the final dec2dbl(Σ dec8(d_m)) equals
+    (Σ_i lut[i·256+code_i]) / 1e8.  Per-cell exactness uses the
+    pq_adc-proven convention: float64 elementwise arithmetic in the
+    _DIFF_EXPR operand order, then Decimal(float(x)).quantize(1e-8,
+    HALF_UP) — bit-equal to Spark's CAST(x AS DECIMAL(30,8)), both
+    rounding the exact binary expansion.  Driver-side (pyarrow reads,
+    no Spark job): 10 queries × 16,384 cells.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pqt
+
+    import numpy as np
+
+    from .similarity import read_query_slice
+
+    b = pqt.read_table(os.path.join(idx, "bounds")).to_pylist()[0]
+    lo = np.array(b["lo"], dtype=np.float64)
+    step = np.array(b["step"], dtype=np.float64)
+    codes = np.arange(_LEVELS, dtype=np.float64)
+    # dequant grid in _DIFF_EXPR's operand order: lo + (c + 0.5)·step
+    deq = lo[:, None] + (codes[None, :] + 0.5) * step[:, None]  # (64,256)
+    q8 = Decimal("1E-8")
+    qt = read_query_slice(sf_dir)
+    rows = []
+    for qid, qv in zip(qt.vec_id, qt.embedding):
+        qe = np.asarray(qv, dtype=np.float64)
+        sq = (qe[:, None] - deq) ** 2            # IEEE elementwise
+        flat = [int(Decimal(float(x)).quantize(q8, ROUND_HALF_UP)
+                    .scaleb(8)) for x in sq.ravel()]
+        rows.append((int(qid), flat))
+    return rows
+
+
 @query(
     "q_llm_index_search",
     oracle=f"""
@@ -364,6 +394,21 @@ def q_llm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal asymmetric distance to the dequantized codes; per-query
     top-k via partitioned_topk's (dist, cand_id) total order.
 
+    The re-rank is LUT-based since round 9 (the q_llm_emb_pq_adc
+    discipline — see _search_adc_lut): the old per-candidate
+    _DIFF_EXPR/_adc_expr pair was interpreted HOF + unrolled decimal
+    adds over every probed candidate (≈6M (query, cand) pairs × 64
+    dims at the 1000× probe — 31 s of its 31.3 s wall).  The gather
+    itself is an Arrow pandas UDF whose CLOSURE holds the ~1.3 MB LUT
+    matrix and sums 64 int64 entries per row via one numpy take —
+    integer arithmetic, so still exactly the decimal semantics.  (The
+    first JVM attempt joined the LUT in as a broadcast array<long>
+    column: the 16,384-entry UnsafeArrayData was then COPIED per
+    joined row — 6M rows × 128 KB ≈ 770 GB of memcpy, 25 s; the
+    closure form avoids carrying the array through the row at all.)
+    The key's oracle hash is unchanged (re-verified at sf0.01 and the
+    10× fixture — the oracle IS the old decimal semantics).
+
     Probe routing uses a plain row_number window, NOT partitioned_topk:
     the scored relation is only |queries| x n_lists rows, and
     partitioned_topk's partial stage keys on spark_partition_id() — a
@@ -374,10 +419,10 @@ def q_llm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOTE: invoking this builds the index first if absent (an eager
     batch job — same documented eagerness as q_llm_sim_ivf_topk's
-    centroid collect)."""
+    centroid collect); LUT construction is driver-side pyarrow only,
+    no Spark job."""
     idx = build_ann_index(spark, sf_dir)
     centroids = spark.read.parquet(os.path.join(idx, "centroids"))
-    bounds = spark.read.parquet(os.path.join(idx, "bounds"))
     postings = spark.read.parquet(os.path.join(idx, "postings"))
 
     em = load_table(spark, sf_dir, "embeddings")
@@ -392,14 +437,33 @@ def q_llm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cosine("q_emb", "cvec").alias("cos_sim"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= _NPROBE)
-        .select("query_id", "list_id",
-                F.expr("transform(q_emb, x -> CAST(x AS DOUBLE))")
-                .alias("qe"))
-        .crossJoin(F.broadcast(bounds)))
+        .select("query_id", "list_id"))
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    import numpy as np
+
+    lut = {int(q): np.array(flat, dtype=np.int64)
+           for q, flat in _search_adc_lut(sf_dir, idx)}
+    offs = np.arange(_DIM, dtype=np.int64) * _LEVELS
+
+    @F.pandas_udf(LongType())
+    def adc_gather(qid, codes):
+        if len(qid) == 0:
+            return pd.Series([], dtype="int64")
+        q = qid.to_numpy()
+        idx2 = np.stack(codes.to_numpy()).astype(np.int64) + offs
+        out = np.empty(len(q), dtype=np.int64)
+        for u in np.unique(q):
+            m = q == u
+            out[m] = lut[int(u)][idx2[m]].sum(axis=1)
+        return pd.Series(out)
+
     scored = (
         postings.join(F.broadcast(probes), "list_id")
-        .select("query_id", "cand_id", F.expr(_DIFF_EXPR).alias("dv"))
-        .select("query_id", "cand_id", _adc_expr().alias("adc_dist"))
+        .select("query_id", "cand_id",
+                (adc_gather("query_id", "codes").cast("double")
+                 / F.lit(1e8)).alias("adc_dist"))
     )
     top = partitioned_topk(
         scored.select("query_id", "cand_id",
