@@ -322,6 +322,16 @@ def _search_adc_lut(sf_dir: str, idx: str) -> list[tuple[int, list[int]]]:
         sq = (qe[:, None] - deq) ** 2            # IEEE elementwise
         flat = [int(Decimal(float(x)).quantize(q8, ROUND_HALF_UP)
                     .scaleb(8)) for x in sq.ravel()]
+        # Loud guard (the char-entropy overflow lesson): the gather
+        # sums 64 entries in int64 — refuse to build a LUT whose worst
+        # sum could wrap (needs |query − dequant| ≳ 4e4 per dim, far
+        # outside any real embedding range; failing loudly driver-side
+        # beats a silent wrap executor-side).
+        if max(flat, default=0) > (1 << 63) // _DIM - 1:
+            raise OverflowError(
+                "ADC LUT entry too large for the int64 gather-sum "
+                f"(query {qid}); corpus/query magnitudes exceed the "
+                "SQ8 search's design range")
         rows.append((int(qid), flat))
     return rows
 
