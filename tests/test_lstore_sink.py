@@ -215,11 +215,15 @@ def test_scan_log_from_offset_prunes_segments(spark, sf_dir):
             .select("event_id", "user_id", "event_type"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
-    # reproduce the store to probe planning directly
-    import glob
+    # probe planning directly against the store the query just wrote —
+    # its location is deterministic: scratch_dir(tag, fixture) + PID
+    # (globbing /tmp for a legacy name only worked while stale dirs from
+    # the pre-scratch_dir naming survived in /tmp)
     import os
-    stores = sorted(glob.glob("/tmp/lstore_scan_*"), key=os.path.getmtime)
-    r = LstoreLogPushdownReader({"path": stores[-1]})
+
+    from lstore_spark.catalog import scratch_dir
+    store = scratch_dir("logscan", sf_dir)[0] + f"_p{os.getpid()}"
+    r = LstoreLogPushdownReader({"path": store})
     n_all = len(r.partitions())
     r.pushFilters([GreaterThanOrEqual(("offset",), 5000),
                    LessThan(("offset",), 9000)])
@@ -273,7 +277,6 @@ def test_blob_key_sidecar_skips_segments(spark, tmp_path):
 def test_scan_log_by_type_prunes_segments(spark, sf_dir):
     """q_scan_log_by_type must plan strictly fewer than its 8 segments
     for the single-type read, and match the raw table exactly."""
-    import glob
     import os
 
     from pyspark.sql.datasource import EqualTo
@@ -288,8 +291,9 @@ def test_scan_log_by_type_prunes_segments(spark, sf_dir):
             .select("event_id", "user_id", "event_type"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
-    stores = sorted(glob.glob("/tmp/lstore_bytype_*"), key=os.path.getmtime)
-    r = LstoreLogPushdownReader({"path": stores[-1]})
+    from lstore_spark.catalog import scratch_dir
+    store = scratch_dir("logbytype", sf_dir)[0] + f"_p{os.getpid()}"
+    r = LstoreLogPushdownReader({"path": store})
     n_all = len(r.partitions())
     r.pushFilters([EqualTo(("key",), "purchase")])
     n_pruned = len(r.partitions())
