@@ -84,7 +84,7 @@ def load_all() -> None:
     from .functions import scalar, udfs  # noqa: F401
     from .streaming import events, stateful  # noqa: F401
     from .llm import ann_index, bpe, dedup, embeddings, multimodal, similarity, text  # noqa: F401
-    from .sources import lstore_log, sinks  # noqa: F401
+    from .sources import avro_io, lstore_log, sinks  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +189,7 @@ SLOW_KEYS: tuple[str, ...] = (
     "q_source_schema_evolution",
     "q_source_xml_roundtrip",
     "q_source_text_roundtrip",
+    "q_source_avro_roundtrip",
     "q_stream_foreachbatch_sink",
     "q_stream_follow",
     "q_llm_multimodal_features",
@@ -214,6 +215,7 @@ HEAVY_KEYS: frozenset = frozenset({
 NEW_KEYS: frozenset = frozenset({
     "q_llm_emb_kmeans_portable", "q_llm_dedup_substring",
     "q_llm_text_repetition", "q_llm_mix_sources",
+    "q_source_avro_roundtrip",  # r9: the pure-Python Avro codec
 })
 
 

@@ -1,0 +1,131 @@
+"""Avro codec: pure-Python round-trip, JVM interop (the bundled
+avro-1.12.1 jars are the spec oracle), and the Spark sink/source path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lstore_spark.sources.avro_io import (avro_schema_of, read_avro_file,
+                                          write_avro, write_avro_file)
+
+SCHEMA = {"type": "record", "name": "t", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "ts", "type": {"type": "long",
+                            "logicalType": "local-timestamp-micros"}},
+    {"name": "x", "type": ["null", "double"]},
+    {"name": "s", "type": "string"},
+    {"name": "b", "type": ["null", "bytes"]},
+    {"name": "ok", "type": "boolean"},
+]}
+
+ROWS = [
+    (1, 1_700_000_000_000_000, 3.14, "héllo", b"\x00\xff", True),
+    (-5, 0, None, "", None, False),
+    (2**62, -1, -0.0, "x" * 300, b"", True),
+    (7, -2**40, float("inf"), "☃\U0001F600", b"\x80" * 17, False),
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_codec_roundtrip(tmp_path, codec):
+    """Every supported type — negative/zigzag longs, null unions on both
+    branches, non-BMP unicode, empty bytes/strings, inf — survives the
+    binary codec under both container codecs, across block boundaries
+    (block_rows=2 forces multiple blocks + per-block sync checks)."""
+    p = str(tmp_path / f"t_{codec}.avro")
+    n = write_avro_file(p, SCHEMA, iter(ROWS), codec=codec, block_rows=2)
+    assert n == len(ROWS)
+    assert list(read_avro_file(p)) == ROWS
+    assert avro_schema_of(p) == SCHEMA
+
+
+def test_torn_file_fails_loudly(tmp_path):
+    """A corrupted block region must raise, never yield garbage rows: the
+    per-block sync-marker check catches any mis-framing that corruption
+    of the (count, size, payload) region produces."""
+    p = str(tmp_path / "t.avro")
+    write_avro_file(p, SCHEMA, iter(ROWS), codec="null", block_rows=2)
+    data = bytearray(open(p, "rb").read())
+    data[len(data) - 40] ^= 0xFF  # flip a byte inside the last region
+    open(p, "wb").write(bytes(data))
+    with pytest.raises((ValueError, IndexError, UnicodeDecodeError)):
+        list(read_avro_file(p))
+
+
+def test_jvm_reads_our_files(spark, tmp_path):
+    """Spec compliance, not self-consistency: the BUNDLED JVM
+    DataFileReader (avro-1.12.1) must parse a file written by the
+    pure-Python codec — magic, metadata map, deflate framing, zigzag
+    varints, union branch indexes, utf8."""
+    jvm = spark._jvm
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "x", "type": ["null", "double"]},
+        {"name": "s", "type": "string"}]}
+    rows = [(1, 2.5, "a"), (2, None, "bé"), (-3, -1.0, "c" * 100)]
+    p = str(tmp_path / "py.avro")
+    write_avro_file(p, schema, iter(rows), codec="deflate")
+    rd = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader())
+    got = []
+    while rd.hasNext():
+        rec = rd.next()
+        got.append((rec.get("id"), rec.get("x"), str(rec.get("s"))))
+    rd.close()
+    assert got == rows
+
+
+def test_we_read_jvm_files(spark, tmp_path):
+    """Reader compliance in the other direction: a container file written
+    by the JVM library (deflate codec, its own random sync markers and
+    block sizing) decodes to the exact rows."""
+    jvm = spark._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(
+        '{"type":"record","name":"t","fields":['
+        '{"name":"id","type":"long"},{"name":"s","type":"string"}]}')
+    wr = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch))
+    wr.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    p = str(tmp_path / "jvm.avro")
+    wr.create(sch, jvm.java.io.File(p))
+    for i in range(5):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+        rec.put("id", i)
+        rec.put("s", f"row{i}")
+        wr.append(rec)
+    wr.close()
+    assert list(read_avro_file(p)) == [(i, f"row{i}") for i in range(5)]
+
+
+def test_spark_roundtrip_with_nulls(spark, tmp_path):
+    """The distributed sink + source preserve nullable columns exactly —
+    including rows where the nullable double/string ARE null (the
+    fixture has no nulls, so the union null branch needs its own pin)."""
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, None, None), (3, -0.5, "c")],
+        "id bigint, x double, s string").repartition(2)
+    out = str(tmp_path / "avro_nulls")
+    write_avro(df, out)
+    from lstore_spark.sources.avro_io import register
+    register(spark)
+    back = spark.read.format("lstore_avro").option("path", out).load()
+    assert back.schema.simpleString() == df.schema.simpleString()
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
+
+
+def test_roundtrip_matches_parquet(spark, sf_dir):
+    """q_source_avro_roundtrip equals the raw parquet slice field-for-
+    field — timestamps (local-timestamp-micros) included."""
+    from lstore_spark.catalog import load_table
+    from lstore_spark.registry import QUERIES
+
+    got = QUERIES["q_source_avro_roundtrip"](spark, sf_dir)
+    want = (load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 2000)
+            .select("event_id", "ts", "user_id", "event_type",
+                    "value", "props"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
