@@ -82,20 +82,18 @@ def test_stream_follow_multibatch_exactly_once(spark, tmp_path):
         .start()
     )
     try:
-        published, deadline = 1, time.time() + 90
-        while time.time() < deadline:
-            n = spark.table("follow_t").count()
-            if published < 3 and n >= published * 100:
-                # publish only after the consumer's cursor passed the
-                # previous append → forces a later micro-batch
-                write_segment(
-                    str(live / f"b{published}.seg"),
-                    [(i, [i], [b"x"])
-                     for i in range(100 * published, 100 * (published + 1))])
-                published += 1
-            elif n >= 300:
-                break
-            time.sleep(0.1)
+        # processAllAvailable() blocks until the consumer's cursor has
+        # passed everything currently in the store — deterministic under
+        # load, unlike the former poll-with-deadline loop (a saturated
+        # box once took >90 s to deliver the FIRST batch and the test
+        # flaked).  Each publish lands in a strictly later micro-batch.
+        q.processAllAvailable()
+        for published in (1, 2):
+            write_segment(
+                str(live / f"b{published}.seg"),
+                [(i, [i], [b"x"])
+                 for i in range(100 * published, 100 * (published + 1))])
+            q.processAllAvailable()
         offsets = [r.offset
                    for r in spark.table("follow_t").select("offset").collect()]
         assert len(offsets) == 300, "lost rows across the cursor"
