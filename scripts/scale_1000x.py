@@ -61,6 +61,22 @@ KEYS = [
     ("q_llm_text_char_entropy", 5.55),
     ("q_llm_dedup_minhash", 16.46),
     ("q_llm_emb_pq_adc", 4.44),
+    # third wave: the headline keys without 1000× coverage (100× bases
+    # from scripts/scale_curve_r9c_fill.json and scale_curve_r9b_full).
+    # substring_w50_hashed is deliberately absent: 119 s at 100× with a
+    # measured 8.63 growth projects ~17 min at 1000× — the 100× curve
+    # already certifies the span-key shuffle shape.
+    ("q_scan_full", 0.57),
+    ("q_filter_int_range", 0.59),
+    ("q_join_broadcast", 8.52),
+    ("q_join_multiway_star", 3.95),
+    ("q_join_asof", 0.84),
+    ("q_win_rank_topn", 8.02),
+    ("q_win_running_sum", 1.87),
+    ("q_topk_limit", 0.59),
+    ("q_stream_sliding_sum", 3.38),
+    ("q_llm_text_chunk", 8.42),
+    ("q_llm_sim_cosine_topk", 2.68),
 ]
 
 
