@@ -400,10 +400,17 @@ GROUP BY n_name
 """,
 )
 def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-shaped 5-way star join.  Dim chain (region→nation→customer)
-    broadcasts; the only shuffle is lineitem⋈orders on orderkey.  Filters
-    sit on the dims so dynamic partition pruning applies when facts are
-    date-partitioned."""
+    """TPC-H-Q5-shaped 5-way star join.  The FIXED-size dims (region,
+    nation) broadcast unconditionally; customer — which scales with SF —
+    broadcasts only while table stats say it fits (parquet footer row
+    count, no pre-scan: the CBO decision made explicit).  The 1000×
+    probe caught the unconditional form 2× over linear — a 6M-row
+    forced broadcast build side — while UNDER-broadcasting cost 3×
+    at 1×–100× (AQE's 10 MB default is far too shy for a 32-thread
+    executor).  The dim chain reduces orders BEFORE the orderkey
+    shuffle (date filter ~30% × ASIA/EUROPE ~40%), so the one big
+    exchange moves ~12% of orders either way."""
+    from ..catalog import table_rows
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -415,10 +422,27 @@ def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = (cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
               .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
               .select("c_custkey", "n_name"))
+    # ~40% of customers survive the 2-of-5-region cut; (custkey, n_name)
+    # is ~25 B/row, so 2M customer rows ≈ a 20 MB build side — fine to
+    # broadcast, beyond that the shuffled join wins (measured: forced
+    # broadcast at 15M customers ran 80.6 s vs 50.6 s shuffled at 1000×).
+    dims_fit = table_rows(sf_dir, "customer") <= 2_000_000
+    od_r = (od.join(F.broadcast(dims) if dims_fit else dims,
+                    od.o_custkey == dims.c_custkey)
+              .select("o_orderkey", "n_name"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # While the dim chain fits, broadcast the REDUCED orders relation
+    # (~12% of orders × 20 B/row) into lineitem — the fact table then
+    # never shuffles at all (scan → broadcast join → partial agg).
+    # Past the stats gate both joins go through AQE's shuffled path.
+    # (Measured negative result, 1000×: pre-aggregating lineitem per
+    # orderkey before this join — the classic exchange-shrinking move —
+    # ran 2× SLOWER (102 s vs 50.6 s): with ~4 lines per order the
+    # 150M-group hash aggregate costs more than the 4× shuffle-volume
+    # saving, and it spills.  The direct join is the right shape here.)
     return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(dims), od.o_custkey == dims.c_custkey)
+        li.join(F.broadcast(od_r) if dims_fit else od_r,
+                li.l_orderkey == od_r.o_orderkey)
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_lines"), dsum(rev, "revenue"))
     )
