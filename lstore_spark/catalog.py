@@ -227,6 +227,25 @@ def table_rows(sf_dir: str, name: str) -> int:
     return n
 
 
+# Build-side row cap for stats-gated broadcast decisions.  The gated
+# relations are narrow key projections (~25 B/row), so 20M rows ≈ a
+# 500 MB build side — measured on local[32] to beat shuffling a 600M-row
+# fact by 2–4× (BASELINE.md round-9 session IV/V), and the size a
+# healthy 8–16 GB executor can hold; past it the shuffled join wins.
+BROADCAST_ROW_CAP = 20_000_000
+
+
+def fits_broadcast(sf_dir: str, table: str, selectivity: float = 1.0,
+                   cap: int = BROADCAST_ROW_CAP) -> bool:
+    """CBO-style broadcast decision from parquet footer stats (no
+    pre-scan): does ``table``, reduced by a documented ``selectivity``,
+    fit the build-side row cap?  Selectivities are the query's own
+    filter fractions (e.g. a date window × a region cut) — estimates in
+    the same sense an optimizer's column histograms are, erring
+    conservative."""
+    return table_rows(sf_dir, table) * selectivity <= cap
+
+
 _TS_UNIT_CACHE: dict[str, str] = {}
 
 

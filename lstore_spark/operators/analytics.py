@@ -237,11 +237,16 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune the dimension side, customer and supplier must share a nation
     (the "local" condition, expressed as an extra equi key on the
     supplier join so Catalyst keeps it in the hash join, not a filter
-    above a wider join).  Plan: all four dimension relations broadcast
-    (region/nation tiny, customer/supplier bounded); the only shuffle
-    is lineitem⋈orders on orderkey + the 2-phase nation rollup —
-    exactly the 100 TB shape, where lineitem dominates and everything
-    else rides along broadcast."""
+    above a wider join).  Plan: region/nation broadcast unconditionally
+    (fixed size); customer, the reduced-orders relation, and supplier
+    broadcast only while parquet footer stats say they fit (the 1000×
+    probe caught the unconditional form 2× over linear: 67.3 s from a
+    forced 15M-row customer broadcast).  Under the gates the ASIA-semi
+    customers reduce orders map-side and the result broadcasts into
+    lineitem — the fact never shuffles; past them AQE's shuffled joins
+    run, with orders cut to ~3% (year × ASIA) before its orderkey
+    exchange."""
+    from ..catalog import fits_broadcast
     yr_lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
     yr_hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
     re = (load_table(spark, sf_dir, "region")
@@ -249,19 +254,34 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = (load_table(spark, sf_dir, "nation")
           .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"),
                 "left_semi"))
-    cu = load_table(spark, sf_dir, "customer")
+    cu_sel = (load_table(spark, sf_dir, "customer")
+              .join(F.broadcast(na),
+                    F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+              .select("c_custkey", "c_nationkey"))
     su = load_table(spark, sf_dir, "supplier")
     od = (load_table(spark, sf_dir, "orders")
           .filter((F.col("o_orderdate") >= yr_lo)
                   & (F.col("o_orderdate") < yr_hi)))
     li = load_table(spark, sf_dir, "lineitem")
+    # ~20% of customers are in ASIA (1-of-5 regions, 2 narrow cols);
+    # orders keep ~3% (1-year window × ASIA custkey semi); supplier
+    # broadcasts whole (lineitem/10000 grain).  Measured at 1000×:
+    # 15.0 s all-broadcast vs 56.1 s with the orderkey shuffle vs
+    # 67.3 s for the original forced-full-customer broadcast.
+    cu_fit = fits_broadcast(sf_dir, "customer", 0.20)
+    od_fit = fits_broadcast(sf_dir, "orders", 0.03)
+    su_fit = fits_broadcast(sf_dir, "supplier")
+    od_r = (od.join(F.broadcast(cu_sel) if cu_fit else cu_sel,
+                    od.o_custkey == cu_sel.c_custkey)
+              .select("o_orderkey", "c_nationkey"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), (li.l_suppkey == su.s_suppkey)
-              & (cu.c_nationkey == su.s_nationkey))
-        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        li.join(F.broadcast(od_r) if od_fit else od_r,
+                li.l_orderkey == od_r.o_orderkey)
+        .join(F.broadcast(su) if su_fit else su,
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(dsum(rev, "revenue"))
     )

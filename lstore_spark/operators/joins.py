@@ -410,7 +410,7 @@ def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor).  The dim chain reduces orders BEFORE the orderkey
     shuffle (date filter ~30% × ASIA/EUROPE ~40%), so the one big
     exchange moves ~12% of orders either way."""
-    from ..catalog import table_rows
+    from ..catalog import fits_broadcast
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -422,26 +422,26 @@ def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = (cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
               .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
               .select("c_custkey", "n_name"))
-    # ~40% of customers survive the 2-of-5-region cut; (custkey, n_name)
-    # is ~25 B/row, so 2M customer rows ≈ a 20 MB build side — fine to
-    # broadcast, beyond that the shuffled join wins (measured: forced
-    # broadcast at 15M customers ran 80.6 s vs 50.6 s shuffled at 1000×).
-    dims_fit = table_rows(sf_dir, "customer") <= 2_000_000
+    # ~40% of customers survive the 2-of-5-region cut (2-col build rows)
+    dims_fit = fits_broadcast(sf_dir, "customer", 0.40)
     od_r = (od.join(F.broadcast(dims) if dims_fit else dims,
                     od.o_custkey == dims.c_custkey)
               .select("o_orderkey", "n_name"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # While the dim chain fits, broadcast the REDUCED orders relation
-    # (~12% of orders × 20 B/row) into lineitem — the fact table then
-    # never shuffles at all (scan → broadcast join → partial agg).
-    # Past the stats gate both joins go through AQE's shuffled path.
+    # While the REDUCED orders relation (~12% of orders: 2-year window ×
+    # region cut, 2 narrow cols) fits the build cap, broadcast it into
+    # lineitem — the fact table then never shuffles at all (scan →
+    # broadcast join → partial agg; measured at 1000×: 26.4 s vs 44.9 s
+    # shuffled, vs 80.6 s for the original forced-dims form).  Past the
+    # stats gate both joins go through AQE's shuffled path.
     # (Measured negative result, 1000×: pre-aggregating lineitem per
     # orderkey before this join — the classic exchange-shrinking move —
     # ran 2× SLOWER (102 s vs 50.6 s): with ~4 lines per order the
     # 150M-group hash aggregate costs more than the 4× shuffle-volume
     # saving, and it spills.  The direct join is the right shape here.)
+    od_r_fit = fits_broadcast(sf_dir, "orders", 0.12)
     return (
-        li.join(F.broadcast(od_r) if dims_fit else od_r,
+        li.join(F.broadcast(od_r) if od_r_fit else od_r,
                 li.l_orderkey == od_r.o_orderkey)
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_lines"), dsum(rev, "revenue"))
