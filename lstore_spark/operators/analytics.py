@@ -308,29 +308,40 @@ LIMIT 20
 def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting): one quarter of orders,
     lineitems restricted to returns, revenue rolled up per customer and
-    re-decorated with nation.  Plan: quarter filter prunes orders before
-    the join; l_returnflag pushes to the lineitem scan; customer/nation
-    broadcast; TakeOrdered caps the result at 20 with a total
-    (revenue DESC, c_custkey) order so the limit is deterministic."""
+    re-decorated with nation.  Customer attributes are functionally
+    dependent on the custkey, so the rollup groups on o_custkey ALONE
+    and the top-20 result joins customer AFTERWARDS — decorating 20
+    rows instead of broadcasting a wide SF-scaled customer table into
+    the fact join (the 1000× probe caught the wide broadcast 1.3× over
+    linear).  The quarter-reduced orders relation (~4%, 2 narrow cols)
+    broadcasts into lineitem while footer stats say it fits, so the
+    fact side never shuffles before its per-customer partial agg."""
+    from ..catalog import fits_broadcast
     q_lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
     q_hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
     cu = load_table(spark, sf_dir, "customer")
     na = load_table(spark, sf_dir, "nation")
     od = (load_table(spark, sf_dir, "orders")
           .filter((F.col("o_orderdate") >= q_lo)
-                  & (F.col("o_orderdate") < q_hi)))
+                  & (F.col("o_orderdate") < q_hi))
+          .select("o_orderkey", "o_custkey"))
     li = (load_table(spark, sf_dir, "lineitem")
           .filter(F.col("l_returnflag") == "R"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+    od_fit = fits_broadcast(sf_dir, "orders", 0.04)
+    top = (
+        li.join(F.broadcast(od) if od_fit else od,
+                li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
         .agg(dsum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), "o_custkey")
+        .limit(20)
+    )
+    return (
+        cu.join(F.broadcast(top), cu.c_custkey == top.o_custkey)
+        .join(F.broadcast(na), F.col("c_nationkey") == na.n_nationkey)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
-        .limit(20)
     )
 
 
@@ -518,19 +529,29 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
 )
 def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion effect): PROMO parts' share of one month's
-    revenue.  The month filter pushes to the lineitem scan; part
-    broadcasts (it only decorates with p_type); the conditional/total
-    ratio is one global aggregate — a single-row result with no final
-    shuffle beyond the 2-phase partial merge."""
+    revenue.  The month filter pushes to the lineitem scan and keeps
+    ~1.2% of it — at every measured scale that REDUCED fact side is the
+    smaller relation, so it broadcasts into part while footer stats say
+    it fits (2 narrow cols; the 1000× probe caught the old
+    full-part-table broadcast 1.4× over linear — part SCALES with SF:
+    20M wide rows at 1000×).  Past the gate the join falls back to
+    AQE's shuffled path with part pruned to (p_partkey, p_type); the
+    conditional/total ratio is one global aggregate — a single-row
+    result with no final shuffle beyond the 2-phase partial merge."""
+    from ..catalog import fits_broadcast
     lo = F.lit("1996-09-01 00:00:00").cast("timestamp_ntz")
     hi = F.lit("1996-10-01 00:00:00").cast("timestamp_ntz")
-    li = (load_table(spark, sf_dir, "lineitem")
-          .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)))
-    pa = load_table(spark, sf_dir, "part")
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+          .select("l_partkey", vol.alias("_vol")))
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li_fit = fits_broadcast(sf_dir, "lineitem", 0.012)
+    vol = F.col("_vol")
     zero = F.lit(0).cast(DEC)
     return (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        (pa.join(F.broadcast(li), li.l_partkey == pa.p_partkey)
+         if li_fit else li.join(pa, li.l_partkey == pa.p_partkey))
         .agg(
             F.round(
                 100.0
