@@ -77,6 +77,35 @@ KEYS = [
     ("q_stream_sliding_sum", 3.38),
     ("q_llm_text_chunk", 8.42),
     ("q_llm_sim_cosine_topk", 2.68),
+    # fourth wave: the riskiest NON-headline shuffle shapes (100× bases
+    # from scale_curve_r9b_full / fresh r9c runs).  graph_rank_2hop and
+    # sim_lsh_topk stay out: ~26 s at 100× with growth ~6 projects
+    # 3–5 min each; their 100× curves already certify the shapes.
+    ("q_distinct", 1.08),
+    ("q_set_union_distinct", 0.43),
+    ("q_agg_cube", 2.03),
+    ("q_agg_grouping_sets", 0.86),
+    ("q_evt_rfm", 1.06),
+    ("q_evt_markov", 1.74),
+    ("q_cdc_snapshot_diff", 1.91),
+    ("q_mv_incremental_refresh", 2.06),
+    ("q_profile_key_skew", 1.36),
+    ("q_evt_conversion_time", 1.37),
+    ("q_evt_growth_accounting", 1.19),
+    ("q_tpch_q5_local_supplier", 3.48),
+    ("q_tpch_q22_idle_rich", 1.36),
+    ("q_tpch_q15_top_supplier", 1.7),
+    ("q_join_bloom_prune", 3.02),
+    ("q_llm_sample_importance", 2.49),
+    ("q_llm_sim_hamming_topk", 2.5),
+    ("q_agg_heavy_hitters_cms", 1.64),
+    ("q_agg_quantile_sketch", 0.52),
+    # fifth wave: the remaining unprobed TPC-H shapes
+    ("q_tpch_q10_returns", 2.96),
+    ("q_tpch_q18_large_orders", 8.29),
+    ("q_tpch_q14_promo", 1.38),
+    ("q_tpch_q19_brand_bands", 0.77),
+    ("q_tpch_q6_forecast", 0.31),
 ]
 
 
