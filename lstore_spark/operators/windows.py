@@ -137,15 +137,84 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
 )
 def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-range frame (peers by totalprice within 10k) — frame bounds by
-    value, so order-key ties don't affect results."""
-    od = load_table(spark, sf_dir, "orders")
-    w = (Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
-         .rangeBetween(-10000, Window.currentRow))
-    return od.select(
-        "o_orderkey", "o_orderstatus", "o_totalprice",
-        F.count(F.lit(1)).over(w).alias("n_within_10k"),
-        F.min("o_totalprice").over(w).alias("min_within_10k"),
-    )
+    value, so order-key ties don't affect results.
+
+    NOT the naive ``rangeBetween(-10000, currentRow)`` window: that plan
+    has two scale diseases measured at 100× (116 s, growth 10.3, headed
+    for hours at 1000×) — PARTITION BY o_orderstatus serializes all
+    work into |statuses|=3 tasks, and Spark's sliding range frame
+    rebuilds the aggregate buffer per row (no retract), O(n·w̄) with
+    ~90k-row average frames.  Instead: bucket prices by the frame width
+    so every row's frame [p−10k, p] spans EXACTLY two buckets (proof:
+    B=floor(p/10k) ⇒ p−10k ∈ [(B−1)·10k, B·10k)); then each frame
+    aggregate = a within-bucket prefix + a suffix of the neighbor
+    bucket, both computed in ONE value-sorted window over (status,
+    bucket) partitions via the probe-merge trick: every row plants a
+    tie-ordered probe at p in its own bucket (prefix count/min of
+    actual rows ≤ p) and at p−10k in bucket B−1 (suffix count/min of
+    actual rows ≥ p−10k, boundary inclusive because the probe's tie
+    sorts BEFORE equal-valued actuals), and a final per-key groupBy
+    adds the two contributions.  Parallelism is statuses × price-range
+    / frame-width (~170 partitions at any SF) instead of 3, and every
+    window frame is a cumulative prefix/suffix — O(n) per partition,
+    no per-row rebuild.  A cluster deployment would shrink the bucket
+    to width/k for k× the parallelism at k+1 probes per row.
+    tests/test_plans.py pins this twin row-identical to the native
+    rangeBetween form at sf0.01 AND sf0.1."""
+    W = 10000.0
+    od = (load_table(spark, sf_dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    bkt = F.floor(F.col("o_totalprice") / W).cast("long")
+    nul_l = F.lit(None).cast("bigint")
+    nul_d = F.lit(None).cast("double")
+    actual = od.select(
+        F.col("o_orderstatus").alias("st"), bkt.alias("bkt"),
+        F.col("o_totalprice").alias("v"), F.lit(0).alias("tie"),
+        nul_l.alias("okey"), nul_d.alias("p"))
+    probe_cur = od.select(
+        F.col("o_orderstatus").alias("st"), bkt.alias("bkt"),
+        F.col("o_totalprice").alias("v"), F.lit(1).alias("tie"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("p"))
+    probe_prev = od.select(
+        F.col("o_orderstatus").alias("st"), (bkt - 1).alias("bkt"),
+        (F.col("o_totalprice") - W).alias("v"), F.lit(-1).alias("tie"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("p"))
+    u = actual.unionByName(probe_cur).unionByName(probe_prev)
+    # BOTH directions as cumulative PREFIX frames: Spark evaluates
+    # [currentRow, unboundedFollowing] frames by re-aggregating from the
+    # current row to the partition end for EVERY row — O(n²), measured
+    # 173 s at 10× before this — while [unboundedPreceding, currentRow]
+    # is an O(n) running accumulator.  The suffix a probe_prev needs
+    # (actuals with v ≥ its value) is exactly a prefix in DESCENDING
+    # order; the tie column keeps boundary inclusion in both directions
+    # (ASC: tie 0 < 1 puts equal actuals before probe_cur; DESC:
+    # tie 0 > −1 puts equal actuals before probe_prev).
+    is_act = (F.col("tie") == 0).cast("long")
+    act_v = F.when(F.col("tie") == 0, F.col("v"))
+    w_asc = (Window.partitionBy("st", "bkt")
+             .orderBy(F.col("v").asc(), F.col("tie").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_desc = (Window.partitionBy("st", "bkt")
+              .orderBy(F.col("v").desc(), F.col("tie").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    scored = u.select(
+        "st", "tie", "okey", "p",
+        F.when(F.col("tie") == 1, F.sum(is_act).over(w_asc))
+         .when(F.col("tie") == -1, F.sum(is_act).over(w_desc))
+         .alias("cnt_part"),
+        F.when(F.col("tie") == 1, F.min(act_v).over(w_asc))
+         .when(F.col("tie") == -1, F.min(act_v).over(w_desc))
+         .alias("min_part"),
+    ).filter(F.col("tie") != 0)
+    return (scored.groupBy("okey")
+            .agg(F.first("st").alias("o_orderstatus"),
+                 F.first("p").alias("o_totalprice"),
+                 F.sum("cnt_part").alias("n_within_10k"),
+                 F.min("min_part").alias("min_within_10k"))
+            .select(F.col("okey").alias("o_orderkey"), "o_orderstatus",
+                    "o_totalprice", "n_within_10k", "min_within_10k"))
 
 
 @query(

@@ -484,3 +484,31 @@ def test_ann_index_search_plan_is_pure_and_dpp_pruned(spark, sf_dir):
     assert emb, "query-side embeddings scan missing"
     assert all("LessThan(vec_id,10)" in l for l in emb), \
         "an embeddings scan without the query-slice filter = training leak"
+
+
+def test_range_frame_twin_matches_native_window(spark, sf_dir):
+    """q_win_range_frame's bucket-merge twin must be ROW-identical to the
+    native rangeBetween window it replaced (the naive form serializes
+    into |statuses| tasks and rebuilds sliding frames per row — 116 s
+    at 100×; the twin is all cumulative prefix/suffix windows over
+    status×bucket partitions).  Pinned at sf0.01 AND sf0.1 so boundary
+    rows — frames starting exactly at a bucket edge, ties at p and at
+    p−10k — are exercised across ~170 buckets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.registry import QUERIES
+
+    for d in [sf_dir, "/root/testdata/sf0.1"]:
+        got = sorted(map(tuple, QUERIES["q_win_range_frame"](spark, d)
+                         .collect()))
+        od = load_table(spark, d, "orders")
+        w = (Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+             .rangeBetween(-10000, Window.currentRow))
+        want = sorted(map(tuple, od.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("n_within_10k"),
+            F.min("o_totalprice").over(w).alias("min_within_10k"),
+        ).collect()))
+        assert got == want, f"twin diverges from native window at {d}"
