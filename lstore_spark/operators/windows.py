@@ -165,52 +165,55 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = (load_table(spark, sf_dir, "orders")
           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
     bkt = F.floor(F.col("o_totalprice") / W).cast("long")
+    # Branch A — the current-bucket half needs NO probe rows: count/min
+    # of actual rows with v ≤ p (peers included) is a GROWING range
+    # frame over the actuals alone, which Spark evaluates with an O(n)
+    # incremental accumulator (only the SLIDING frame rebuilds per row).
+    w_grow = (Window.partitionBy("st", "bkt").orderBy("v")
+              .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    branch_a = (od.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("st"), bkt.alias("bkt"),
+        F.col("o_totalprice").alias("v"))
+        .select("okey", "st",
+                F.col("v").alias("p"),
+                F.count(F.lit(1)).over(w_grow).alias("cnt_part"),
+                F.min("v").over(w_grow).alias("min_part")))
+    # Branch B — the neighbor-bucket suffix (actuals with v ≥ p−10k) via
+    # tie-ordered probe rows merged into bucket B−1, evaluated as a
+    # cumulative PREFIX over DESCENDING order: Spark evaluates
+    # [currentRow, unboundedFollowing] frames by re-aggregating to the
+    # partition end per row — O(n²), measured 173 s at 10× before
+    # switching direction.  DESC tie 0 > −1 puts equal-valued actuals
+    # before the probe, keeping the boundary inclusive.  The first twin
+    # shape carried a third probe set and two extra columns through one
+    # 3×-wide union and heap-OOMed at 1000× (450M-row window stage);
+    # this split keeps the biggest sort at 2× rows of 4 narrow columns.
     nul_l = F.lit(None).cast("bigint")
-    nul_d = F.lit(None).cast("double")
     actual = od.select(
         F.col("o_orderstatus").alias("st"), bkt.alias("bkt"),
         F.col("o_totalprice").alias("v"), F.lit(0).alias("tie"),
-        nul_l.alias("okey"), nul_d.alias("p"))
-    probe_cur = od.select(
-        F.col("o_orderstatus").alias("st"), bkt.alias("bkt"),
-        F.col("o_totalprice").alias("v"), F.lit(1).alias("tie"),
-        F.col("o_orderkey").alias("okey"),
-        F.col("o_totalprice").alias("p"))
+        nul_l.alias("okey"))
     probe_prev = od.select(
         F.col("o_orderstatus").alias("st"), (bkt - 1).alias("bkt"),
         (F.col("o_totalprice") - W).alias("v"), F.lit(-1).alias("tie"),
-        F.col("o_orderkey").alias("okey"),
-        F.col("o_totalprice").alias("p"))
-    u = actual.unionByName(probe_cur).unionByName(probe_prev)
-    # BOTH directions as cumulative PREFIX frames: Spark evaluates
-    # [currentRow, unboundedFollowing] frames by re-aggregating from the
-    # current row to the partition end for EVERY row — O(n²), measured
-    # 173 s at 10× before this — while [unboundedPreceding, currentRow]
-    # is an O(n) running accumulator.  The suffix a probe_prev needs
-    # (actuals with v ≥ its value) is exactly a prefix in DESCENDING
-    # order; the tie column keeps boundary inclusion in both directions
-    # (ASC: tie 0 < 1 puts equal actuals before probe_cur; DESC:
-    # tie 0 > −1 puts equal actuals before probe_prev).
-    is_act = (F.col("tie") == 0).cast("long")
-    act_v = F.when(F.col("tie") == 0, F.col("v"))
-    w_asc = (Window.partitionBy("st", "bkt")
-             .orderBy(F.col("v").asc(), F.col("tie").asc())
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        F.col("o_orderkey").alias("okey"))
     w_desc = (Window.partitionBy("st", "bkt")
               .orderBy(F.col("v").desc(), F.col("tie").desc())
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    scored = u.select(
-        "st", "tie", "okey", "p",
-        F.when(F.col("tie") == 1, F.sum(is_act).over(w_asc))
-         .when(F.col("tie") == -1, F.sum(is_act).over(w_desc))
-         .alias("cnt_part"),
-        F.when(F.col("tie") == 1, F.min(act_v).over(w_asc))
-         .when(F.col("tie") == -1, F.min(act_v).over(w_desc))
-         .alias("min_part"),
-    ).filter(F.col("tie") != 0)
-    return (scored.groupBy("okey")
+    is_act = (F.col("tie") == 0).cast("long")
+    act_v = F.when(F.col("tie") == 0, F.col("v"))
+    branch_b = (actual.unionByName(probe_prev)
+                .select("okey", "st", "tie",
+                        F.sum(is_act).over(w_desc).alias("cnt_part"),
+                        F.min(act_v).over(w_desc).alias("min_part"))
+                .filter(F.col("tie") == -1)
+                .select("okey", "st", F.lit(None).cast("double").alias("p"),
+                        "cnt_part", "min_part"))
+    return (branch_a.unionByName(branch_b)
+            .groupBy("okey")
             .agg(F.first("st").alias("o_orderstatus"),
-                 F.first("p").alias("o_totalprice"),
+                 F.max("p").alias("o_totalprice"),
                  F.sum("cnt_part").alias("n_within_10k"),
                  F.min("min_part").alias("min_within_10k"))
             .select(F.col("okey").alias("o_orderkey"), "o_orderstatus",
