@@ -106,6 +106,27 @@ KEYS = [
     ("q_tpch_q14_promo", 1.38),
     ("q_tpch_q19_brand_bands", 0.77),
     ("q_tpch_q6_forecast", 0.31),
+    # sixth wave: subquery/merge/window/sessionize families (bases from
+    # the r9c scale_curve runs); range_frame base is the bucket-merge
+    # twin (the native rangeBetween form measured 116 s at 100×).
+    ("q_win_range_frame", 10.84),
+    ("q_win_lag_lead", 1.2),
+    ("q_win_sliding_avg", 2.14),
+    ("q_win_ntile_cume", 1.79),
+    ("q_win_first_last", 1.68),
+    ("q_win_time_range", 1.79),
+    ("q_subq_scalar", 0.3),
+    ("q_subq_in", 0.25),
+    ("q_subq_correlated", 2.17),
+    ("q_merge_upsert", 1.51),
+    ("q_merge_scd2", 0.75),
+    ("q_evt_sessionize", 2.08),
+    ("q_evt_attribution", 1.79),
+    ("q_sql_recursive_cte", 3.38),
+    ("q_ts_ewma", 1.53),
+    ("q_ts_cusum", 2.19),
+    ("q_ts_zscore_rolling", 5.75),
+    ("q_ts_drawdown", 1.99),
 ]
 
 
