@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fits_broadcast, load_table
 from ..llm.hashing import sql_md5_long
 from ..numerics import (DEC, davg, dsum, dsum9, sql_davg, sql_dec2dbl,
                         sql_dsum, sql_dsum9)
@@ -246,7 +246,6 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem — the fact never shuffles; past them AQE's shuffled joins
     run, with orders cut to ~3% (year × ASIA) before its orderkey
     exchange."""
-    from ..catalog import fits_broadcast
     yr_lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
     yr_hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
     re = (load_table(spark, sf_dir, "region")
@@ -316,7 +315,6 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear).  The quarter-reduced orders relation (~4%, 2 narrow cols)
     broadcasts into lineitem while footer stats say it fits, so the
     fact side never shuffles before its per-customer partial agg."""
-    from ..catalog import fits_broadcast
     q_lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
     q_hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
     cu = load_table(spark, sf_dir, "customer")
@@ -538,7 +536,6 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE's shuffled path with part pruned to (p_partkey, p_type); the
     conditional/total ratio is one global aggregate — a single-row
     result with no final shuffle beyond the 2-phase partial merge."""
-    from ..catalog import fits_broadcast
     lo = F.lit("1996-09-01 00:00:00").cast("timestamp_ntz")
     hi = F.lit("1996-10-01 00:00:00").cast("timestamp_ntz")
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)

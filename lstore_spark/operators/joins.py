@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fits_broadcast, load_table
 from ..numerics import dsum, sql_dsum
 from ..registry import query
 from ..scale import salted_join
@@ -410,7 +410,6 @@ def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor).  The dim chain reduces orders BEFORE the orderkey
     shuffle (date filter ~30% × ASIA/EUROPE ~40%), so the one big
     exchange moves ~12% of orders either way."""
-    from ..catalog import fits_broadcast
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))

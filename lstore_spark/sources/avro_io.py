@@ -221,12 +221,23 @@ def record_codec(schema: dict):
     return encode_row, decode_row
 
 
-def _is_ts_field(ftype) -> bool:
+def _ts_logical_of(ftype) -> str | None:
+    """'timestamp-micros' / 'local-timestamp-micros' / None for a field
+    type node (unions unwrapped)."""
     if isinstance(ftype, dict):
-        return ftype.get("logicalType") in _TS_LOGICAL
+        lt = ftype.get("logicalType")
+        return lt if lt in _TS_LOGICAL else None
     if isinstance(ftype, list):
-        return any(_is_ts_field(t) for t in ftype if t != "null")
-    return False
+        for t in ftype:
+            if t != "null":
+                lt = _ts_logical_of(t)
+                if lt:
+                    return lt
+    return None
+
+
+def _is_ts_field(ftype) -> bool:
+    return _ts_logical_of(ftype) is not None
 
 
 # ------------------------------------------------------------ container file
@@ -283,47 +294,65 @@ def write_avro_file(path: str, schema: dict, rows, codec: str = "deflate",
     return n_total
 
 
+def _stream_varint(fh) -> int | None:
+    """One zigzag long from a file handle, or None at clean EOF (a byte-
+    at-a-time read — negligible next to block decode, and it keeps the
+    reader's memory O(block) instead of O(file))."""
+    u, shift = 0, 0
+    first = True
+    while True:
+        b = fh.read(1)
+        if not b:
+            if first:
+                return None
+            raise ValueError("truncated varint")
+        first = False
+        u |= (b[0] & 0x7F) << shift
+        if not (b[0] & 0x80):
+            return unzigzag(u)
+        shift += 7
+
+
 def read_avro_file(path: str):
     """Yield row tuples from an Object Container File (schema subset
-    above; null + deflate codecs).  The per-block sync marker is
-    verified — a torn or mis-framed file fails loudly, never yields
-    garbage rows."""
+    above; null + deflate codecs).  Streams block-by-block — peak memory
+    is one compressed + one decompressed block, never the whole file
+    (the sink writes one container per FACT partition, so files can be
+    multi-GB).  The per-block sync marker is verified — a torn or
+    mis-framed file fails loudly, never yields garbage rows."""
     with open(path, "rb") as fh:
-        data = fh.read()
-    if data[:4] != MAGIC:
-        raise ValueError(f"not an avro container file: {path}")
-    cur = _Cursor(data)
-    cur.pos = 4
-    meta = {}
-    while True:
-        n = cur.read_long()
-        if n == 0:
-            break
-        if n < 0:  # negative block count: abs count + byte size follows
-            cur.read_long()
-            n = -n
-        for _ in range(n):
-            k = cur.read_string()
-            meta[k] = cur.read_bytes()
-    schema = json.loads(meta[b"avro.schema"] if b"avro.schema" in meta
-                        else meta["avro.schema"])
-    codec = meta.get("avro.codec", b"null").decode()
-    sync = data[cur.pos:cur.pos + 16]
-    cur.pos += 16
-    _, decode_row = record_codec(schema)
-    while cur.pos < len(data):
-        n_rows = cur.read_long()
-        n_bytes = cur.read_long()
-        payload = data[cur.pos:cur.pos + n_bytes]
-        cur.pos += n_bytes
-        if data[cur.pos:cur.pos + 16] != sync:
-            raise ValueError(f"sync marker mismatch in {path}")
-        cur.pos += 16
-        if codec == "deflate":
-            payload = zlib.decompress(payload, wbits=-15)
-        bcur = _Cursor(payload)
-        for _ in range(n_rows):
-            yield decode_row(bcur)
+        if fh.read(4) != MAGIC:
+            raise ValueError(f"not an avro container file: {path}")
+        meta = {}
+        while True:
+            n = _stream_varint(fh)
+            if n is None or n == 0:
+                break
+            if n < 0:  # negative map-block count: byte size follows
+                _stream_varint(fh)
+                n = -n
+            for _ in range(n):
+                klen = _stream_varint(fh)
+                k = fh.read(klen).decode("utf-8")
+                vlen = _stream_varint(fh)
+                meta[k] = fh.read(vlen)
+        schema = json.loads(meta["avro.schema"])
+        codec = meta.get("avro.codec", b"null").decode()
+        sync = fh.read(16)
+        _, decode_row = record_codec(schema)
+        while True:
+            n_rows = _stream_varint(fh)
+            if n_rows is None:
+                return  # clean EOF at a block boundary
+            n_bytes = _stream_varint(fh)
+            payload = fh.read(n_bytes)
+            if len(payload) != n_bytes or fh.read(16) != sync:
+                raise ValueError(f"sync marker mismatch in {path}")
+            if codec == "deflate":
+                payload = zlib.decompress(payload, wbits=-15)
+            bcur = _Cursor(payload)
+            for _ in range(n_rows):
+                yield decode_row(bcur)
 
 
 def avro_schema_of(path: str) -> dict:
@@ -382,12 +411,29 @@ def write_avro(df: DataFrame, out_dir: str, codec: str = "deflate") -> dict:
     partition, executor-side, tmp+rename published (task-retry-safe: a
     retried task republishes the same partition id and the last rename
     wins — no torn file is ever visible).  No row moves through the
-    driver.  Returns the Avro schema used."""
+    driver.  Ships the package zip to workers first — the executor
+    closure imports this module, and worker PYTHONPATH carries no
+    assumptions (same discipline as lstore_log.register; review r9
+    reproduced a ModuleNotFoundError without it).  Returns the Avro
+    schema used."""
+    register(df.sparkSession)
     schema = spark_to_avro_schema(df)
-    ts_cols = [i for i, f in enumerate(schema["fields"])
+    # (column index, is_tz_aware) per timestamp column.  TIMESTAMP_NTZ
+    # (local-timestamp-micros) encodes the naive wall clock directly.
+    # TIMESTAMP (timestamp-micros) is UTC-since-epoch per the Avro spec,
+    # and PySpark hands the closure tz-NAIVE datetimes rendered in the
+    # Python worker's OS-LOCAL time zone (fromtimestamp conversion —
+    # NOT spark.sql.session.timeZone, which only governs SQL rendering
+    # and literal parsing), so astimezone() — which interprets a naive
+    # datetime in the OS zone — recovers the exact UTC instant on any
+    # host (review r9: encoding the wall clock as UTC directly was off
+    # by the zone offset; pinned by test_tz_aware_timestamp_*).
+    ts_cols = [(i, _ts_logical_of(f["type"]) == "timestamp-micros")
+               for i, f in enumerate(schema["fields"])
                if _is_ts_field(f["type"])]
 
     def _write_partition(rows) -> None:
+        import datetime as _dt
         import os as _os
 
         from pyspark import TaskContext
@@ -398,16 +444,22 @@ def write_avro(df: DataFrame, out_dir: str, codec: str = "deflate") -> dict:
         pid, attempt = tc.partitionId(), tc.taskAttemptId()
         tmp = _os.path.join(out_dir, f".part-{pid:05d}.avro.tmp-{attempt}")
         final = _os.path.join(out_dir, f"part-{pid:05d}.avro")
+        epoch_naive = _dt.datetime(1970, 1, 1)
+        epoch_utc = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        us = _dt.timedelta(microseconds=1)
 
         def to_tuples():
             for r in rows:
                 t = list(r)
-                for i in ts_cols:
-                    if t[i] is not None:  # datetime -> epoch micros
-                        import datetime as _dt
-                        v = t[i]
-                        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-                        t[i] = (v - epoch) // _dt.timedelta(microseconds=1)
+                for i, tz_aware in ts_cols:
+                    v = t[i]
+                    if v is None:
+                        continue
+                    if tz_aware:
+                        t[i] = (v.astimezone(_dt.timezone.utc)
+                                - epoch_utc) // us
+                    else:
+                        t[i] = (v - epoch_naive) // us
                 yield tuple(t)
 
         write_avro_file(tmp, schema, to_tuples(), codec=codec)
@@ -483,19 +535,29 @@ class AvroReader(DataSourceReader):
         import datetime as _dt
 
         from lstore_spark.sources.avro_io import (_is_ts_field,
+                                                  _ts_logical_of,
                                                   avro_schema_of,
                                                   read_avro_file)
 
         schema = avro_schema_of(partition.path)
-        ts_cols = [i for i, f in enumerate(schema["fields"])
+        # timestamp-micros (tz-aware) longs are UTC instants; Spark
+        # expects naive datetimes from a Python source in the worker's
+        # OS-LOCAL zone (the mirror of the sink's astimezone encoding),
+        # which .astimezone() onto a UTC-aware datetime produces.
+        ts_cols = [(i, _ts_logical_of(f["type"]) == "timestamp-micros")
+                   for i, f in enumerate(schema["fields"])
                    if _is_ts_field(f["type"])]
-        epoch = _dt.datetime(1970, 1, 1)
+        epoch_naive = _dt.datetime(1970, 1, 1)
+        epoch_utc = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
         for row in read_avro_file(partition.path):
             if ts_cols:
                 row = list(row)
-                for i in ts_cols:
+                for i, tz_aware in ts_cols:
                     if row[i] is not None:
-                        row[i] = epoch + _dt.timedelta(microseconds=row[i])
+                        us = _dt.timedelta(microseconds=row[i])
+                        row[i] = ((epoch_utc + us).astimezone()
+                                  .replace(tzinfo=None)
+                                  if tz_aware else epoch_naive + us)
                 row = tuple(row)
             yield row
 

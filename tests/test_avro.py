@@ -129,3 +129,38 @@ def test_roundtrip_matches_parquet(spark, sf_dir):
                     "value", "props"))
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_tz_aware_timestamp_encodes_utc_micros(spark, tmp_path):
+    """TIMESTAMP (tz-aware, Avro timestamp-micros) must land in the file
+    as UTC-since-epoch (review r9: encoding the closure's naive wall
+    clock as UTC directly was off by the zone offset for any external
+    consumer; PySpark hands closures naive datetimes in the worker's
+    OS-local zone, recovered via astimezone()).  A non-UTC SESSION zone
+    exercises the literal-parsing path too: noon parsed under
+    America/New_York (UTC−4 on this date) must store as 16:00 UTC.
+    Pins the raw stored long AND the Spark-level round-trip."""
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [(1, "2024-06-01 12:00:00")], "id bigint, s string"
+        ).select("id", F.col("s").cast("timestamp").alias("ts"))
+        out = str(tmp_path / "avro_tz")
+        write_avro(df, out)
+        import glob
+
+        from lstore_spark.sources.avro_io import register
+        (_, raw_us), = [r for f in sorted(glob.glob(out + "/*.avro"))
+                        for r in read_avro_file(f)]
+        # noon New York summer time = 16:00 UTC
+        assert raw_us == 1717257600000000, raw_us
+        register(spark)
+        back = (spark.read.format("lstore_avro")
+                .option("path", out).load())
+        assert back.schema["ts"].dataType.simpleString() == "timestamp"
+        assert [tuple(r) for r in back.collect()] == \
+            [tuple(r) for r in df.collect()]
+    finally:
+        spark.conf.set(key, old)

@@ -497,10 +497,14 @@ def test_range_frame_twin_matches_native_window(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    import os
+
     from lstore_spark.catalog import load_table
     from lstore_spark.registry import QUERIES
 
-    for d in [sf_dir, "/root/testdata/sf0.1"]:
+    big = "/root/testdata/sf0.1"
+    dirs = [sf_dir] + ([big] if os.path.isdir(big) and big != sf_dir else [])
+    for d in dirs:
         got = sorted(map(tuple, QUERIES["q_win_range_frame"](spark, d)
                          .collect()))
         od = load_table(spark, d, "orders")
@@ -512,3 +516,26 @@ def test_range_frame_twin_matches_native_window(spark, sf_dir):
             F.min("o_totalprice").over(w).alias("min_within_10k"),
         ).collect()))
         assert got == want, f"twin diverges from native window at {d}"
+
+
+def test_broadcast_gate_false_branches_match_oracle(spark, sf_dir, monkeypatch):
+    """The four stats-gated queries must stay CORRECT on their shuffled
+    fallback plans: at every pinned test scale fits_broadcast is True,
+    so without this the gate-False branches (including Q14's join-order
+    flip) would first execute mid-probe at 1000×.  Forcing the gate
+    False and re-running oracle parity pins both sides."""
+    import duckdb
+
+    import lstore_spark.catalog as cat
+    from lstore_spark.registry import ORACLE, QUERIES
+    from tests.oracle_check import compare
+
+    monkeypatch.setattr(cat, "fits_broadcast", lambda *a, **k: False)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    for key in ["q_join_multiway_star", "q_tpch_q5_local_supplier",
+                "q_tpch_q10_returns", "q_tpch_q14_promo"]:
+        r = compare(key, QUERIES[key](spark, sf_dir), con, ORACLE[key])
+        assert r.ok, f"{key} wrong on the gate-False plan: {r.detail}"
