@@ -993,8 +993,21 @@ def q_llm_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles per doc *before* explode (no distinct shuffle), and the only
     shuffle is the groupBy on colliding (train, eval) pairs — a set that
     is ~empty for clean corpora.  Nothing quadratic, corpus never
-    re-shuffles."""
+    re-shuffles.
+
+    The replicated scale FIXTURES violate the tiny-benchmark premise in
+    two ways, so the broadcasts are stats-gated rather than forced:
+    src0 (the stand-in eval set) is 10% of the corpus at every SF (~19
+    distinct shingle rows per corpus doc — past ~1M docs that build
+    side must shuffle, not broadcast), and key-shifted replication
+    gives every contaminated (train, eval) pair k² replica twins, so
+    the OUTPUT grows quadratically in the replication factor — an
+    artifact of the fixture, not the plan (BASELINE.md session VII
+    measures the production fixed-eval shape alongside)."""
+    from ..catalog import fits_broadcast
     docs = load_table(spark, sf_dir, "documents")
+    # ~10% of docs are src0; ~188 distinct 3-shingles per fixture doc
+    ev_fits = fits_broadcast(sf_dir, "documents", 0.1 * 188)
     shingles = F.expr("""
         array_distinct(transform(
           sequence(1, greatest(size(ts) - 2, 1)),
@@ -1008,7 +1021,7 @@ def q_llm_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = sh.filter(F.col("source") != "src0").select(
         F.col("doc_id").alias("train_id"), "shingle")
     evtot = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
-    hits = (tr.join(F.broadcast(ev), "shingle")
+    hits = (tr.join(F.broadcast(ev) if ev_fits else ev, "shingle")
             .groupBy("train_id", "eval_id")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= 3))
