@@ -510,14 +510,39 @@ GROUP BY doc_id
 def q_llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min portable-hash over 3-word shingles (the
     k=1 winnowing/MinHash primitive), oracle-checkable because the hash is
-    built from md5 hex digits identically in both engines (hashing.py)."""
+    built from md5 hex digits identically in both engines (hashing.py).
+
+    Shape: a pure per-doc PROJECTION — the shingle set lives in an array
+    expression, so min-hash = array_min over a transform and the
+    distinct count = size(array_distinct(...)); zero exchanges, zero
+    explode.  The first form exploded shingles into a (doc, shingle)-
+    grain groupBy whose count-distinct shuffled 94M shingle strings at
+    100×, and inlining sql_md5_long re-evaluated md5 once PER HEX DIGIT
+    (12× per shingle — ~1.1B md5 calls); hashing through a two-level
+    transform evaluates md5 exactly once per shingle.  The token and
+    shingle arrays bind as single-element-transform LAMBDA variables —
+    aliased projection columns would collapse-inline into every
+    consumer (the _SPARK_TOKENS macro's O(tokens²) re-split trap; a
+    column-alias draft of this shape ran 50 s at 10× from exactly
+    that)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = (docs.select("doc_id", tokens_col().alias("ts"))
-          .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES3_TS)).alias("sh")))
-    return sh.groupBy("doc_id").agg(
-        F.expr(f"min({sql_md5_long('sh')})").alias("fingerprint"),
-        F.countDistinct("sh").alias("n_shingles"),
-    )
+    # conv(hex, 16, 10) parses the 12 leading md5 digits in ONE call —
+    # the hex-digit-sum form (oracle side, hashing.sql_md5_long) costs
+    # 12 substr+instr string ops per shingle, which at 94M shingles
+    # (100×) is ~1.1B interpreted ops; values are identical.
+    one = f"""
+      transform(array(({_SPARK_TOKENS})), ts ->
+        transform(array(({_SPARK_SHINGLES3_TS})), sh ->
+          struct(
+            array_min(transform(sh, s ->
+              CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT)))
+              AS fingerprint,
+            CAST(size(array_distinct(sh)) AS BIGINT) AS n_shingles
+          )))[0][0]"""  # [] is 0-based in Spark SQL (element_at is 1-based)
+    return (docs
+            .filter(F.size(tokens_col()) >= 3)  # oracle emits no row else
+            .select("doc_id", F.expr(one).alias("r"))
+            .select("doc_id", "r.fingerprint", "r.n_shingles"))
 
 
 _PACK_BUDGET = 512  # tokens per training sequence bin
