@@ -127,6 +127,18 @@ KEYS = [
     ("q_ts_cusum", 2.19),
     ("q_ts_zscore_rolling", 5.75),
     ("q_ts_drawdown", 1.99),
+    # seventh wave: LLM text/dedup tail (bases from the r9c runs after
+    # the fingerprint rewrite).  fingerprint (31.4 s) and simhash
+    # (26.2 s) stay out: both measured linear at 100× (the per-shingle
+    # md5 / per-token bit-sum work itself) and project ~300 s each.
+    ("q_llm_text_langid", 5.46),
+    ("q_llm_text_quality", 7.32),
+    ("q_llm_text_pack", 2.63),
+    ("q_llm_text_pack_bpe", 3.68),
+    ("q_llm_text_split", 0.84),
+    ("q_llm_filter_cascade", 7.91),
+    ("q_llm_dedup_editdist", 0.45),
+    ("q_llm_dedup_jaccard_ngram", 0.64),
 ]
 
 
