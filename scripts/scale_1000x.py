@@ -139,6 +139,40 @@ KEYS = [
     ("q_llm_filter_cascade", 7.91),
     ("q_llm_dedup_editdist", 0.45),
     ("q_llm_dedup_jaccard_ngram", 0.64),
+    ("q_llm_text_repetition", 27.21),
+    # eighth wave: agg tail + embeddings family + text-analysis tail
+    # (bases from the r9c wave-8 run).  Deliberately absent, with their
+    # 100× certification standing in: q_llm_emb_pq_encode (116.6 s at
+    # 100×, growth 5.79 — the exact-decimal oracle-parity exhibit; the
+    # production encode is the vectorized index-build path),
+    # q_llm_text_perplexity (28.6) and q_llm_text_lm_score (23.0) and
+    # q_llm_knn_label (19.5) — growth ≤9 certified at 100×, each
+    # projects 2-4 min of certified-linear work at 1000×.
+    ("q_agg_global", 13.46),
+    ("q_agg_having", 1.52),
+    ("q_agg_stats", 0.38),
+    ("q_agg_collect", 0.27),
+    ("q_agg_percentiles", 0.6),
+    ("q_agg_mode", 1.62),
+    ("q_agg_rollup", 1.71),
+    ("q_agg_approx_distinct", 5.93),
+    ("q_agg_approx_distinct_merge", 3.62),
+    ("q_agg_linreg_trend", 0.97),
+    ("q_evt_ab_test", 2.67),
+    ("q_llm_emb_quantize", 1.71),
+    ("q_llm_emb_binarize", 1.69),
+    ("q_llm_emb_whiten", 1.13),
+    ("q_llm_emb_matryoshka", 1.68),
+    ("q_llm_emb_norm_stats", 0.94),
+    ("q_llm_emb_centroid", 8.74),
+    ("q_llm_emb_ivf_assign", 26.85),
+    ("q_llm_sim_threshold_pairs", 1.42),
+    ("q_llm_text_ngrams", 16.3),
+    ("q_llm_text_redact", 10.65),
+    ("q_llm_text_length_profile", 0.22),
+    ("q_llm_corpus_shard", 2.7),
+    ("q_llm_mix_sources", 2.61),
+    ("q_llm_sample_stratified", 2.56),
 ]
 
 
