@@ -173,6 +173,24 @@ KEYS = [
     ("q_llm_corpus_shard", 2.7),
     ("q_llm_mix_sources", 2.61),
     ("q_llm_sample_stratified", 2.56),
+    # ninth (completeness) wave: scan/filter/sort/setop/fn/stream tail
+    ("q_scan_from_offset", 0.5),
+    ("q_scan_tail_window", 0.44),
+    ("q_scan_latest_by_key", 1.31),
+    ("q_filter_conjunction", 0.74),
+    ("q_filter_disjunction_in", 0.41),
+    ("q_filter_like_regex", 0.32),
+    ("q_filter_null_handling", 0.29),
+    ("q_project_prune", 0.32),
+    ("q_sort_multi_key", 0.4),
+    ("q_limit_offset", 1.18),
+    ("q_set_intersect", 1.92),
+    ("q_set_intersect_all", 2.03),
+    ("q_set_except", 2.35),
+    ("q_set_except_all", 1.4),
+    ("q_set_union_all", 0.26),
+    ("q_stream_tumbling_count", 1.56),
+    ("q_fn_variant", 3.42),
 ]
 
 
