@@ -191,6 +191,14 @@ KEYS = [
     ("q_set_union_all", 0.26),
     ("q_stream_tumbling_count", 1.56),
     ("q_fn_variant", 3.42),
+    # tenth wave: the UDF surface (Arrow/pickle batch throughput)
+    ("q_udf_scalar_python", 0.44),
+    ("q_udf_pandas_scalar", 1.25),
+    ("q_udf_grouped_map", 4.5),
+    ("q_udaf_pandas_grouped_agg", 4.65),
+    ("q_udaf_pandas_window", 1.01),
+    ("q_udtf_flatmap", 0.28),
+    ("q_udtf_python_native", 0.39),
 ]
 
 
