@@ -235,15 +235,19 @@ def table_rows(sf_dir: str, name: str) -> int:
 BROADCAST_ROW_CAP = 20_000_000
 
 
-def fits_broadcast(sf_dir: str, table: str, selectivity: float = 1.0,
+def fits_broadcast(sf_dir: str, table: str, row_factor: float = 1.0,
                    cap: int = BROADCAST_ROW_CAP) -> bool:
     """CBO-style broadcast decision from parquet footer stats (no
-    pre-scan): does ``table``, reduced by a documented ``selectivity``,
-    fit the build-side row cap?  Selectivities are the query's own
-    filter fractions (e.g. a date window × a region cut) — estimates in
-    the same sense an optimizer's column histograms are, erring
-    conservative."""
-    return table_rows(sf_dir, table) * selectivity <= cap
+    pre-scan): does ``table``, scaled by ``row_factor``, fit the
+    build-side row cap?  ``row_factor`` is the query's estimated
+    build-side rows per base-table row — a filter selectivity in
+    (0, 1] (e.g. a date window × a region cut), or a fan-out
+    multiplier > 1 when the broadcast side is a DERIVED relation
+    bigger than its base table (e.g. llm/dedup.py's exploded shingle
+    set at ~18.8 rows per document).  Estimates in the same sense an
+    optimizer's column histograms are, erring conservative; values > 1
+    are deliberate and MUST NOT be clamped (ADVICE r10)."""
+    return table_rows(sf_dir, table) * row_factor <= cap
 
 
 _TS_UNIT_CACHE: dict[str, str] = {}

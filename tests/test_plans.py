@@ -527,15 +527,32 @@ def test_broadcast_gate_false_branches_match_oracle(spark, sf_dir, monkeypatch):
     import duckdb
 
     import lstore_spark.catalog as cat
+    import lstore_spark.operators.analytics as analytics_mod
+    import lstore_spark.operators.joins as joins_mod
     from lstore_spark.registry import ORACLE, QUERIES
     from tests.oracle_check import compare
 
-    monkeypatch.setattr(cat, "fits_broadcast", lambda *a, **k: False)
+    # operators/analytics.py and operators/joins.py bind fits_broadcast
+    # by name at import time, so patching only the catalog module would
+    # leave their gates live (ADVICE r10) — patch every consuming module
+    # plus the catalog (llm/dedup.py imports inside the function body).
+    calls = []
+
+    def gate(*a, **k):
+        calls.append(a)
+        return False
+
+    monkeypatch.setattr(cat, "fits_broadcast", gate)
+    monkeypatch.setattr(analytics_mod, "fits_broadcast", gate)
+    monkeypatch.setattr(joins_mod, "fits_broadcast", gate)
+
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     for key in ["q_join_multiway_star", "q_tpch_q5_local_supplier",
                 "q_tpch_q10_returns", "q_tpch_q14_promo"]:
+        calls.clear()
         r = compare(key, QUERIES[key](spark, sf_dir), con, ORACLE[key])
+        assert calls, f"{key} never consulted the patched gate — vacuous"
         assert r.ok, f"{key} wrong on the gate-False plan: {r.detail}"
