@@ -22,12 +22,15 @@ Shape (the part that matters at 100 TB):
   vectorized-UDF pattern proven on the LSH/IVF hot paths.  Pure
   projection over the scan: no shuffle, scan-bound scaling.
 
-No DuckDB oracle is possible (BPE's iterative merge loop is not
-expressible in SQL), so ``q_llm_text_pack_bpe`` is a rows-only key —
-its correctness evidence is pytest parity against an independent
-pure-Python reference encoder over every fixture doc, plus the BPE
-losslessness property (concatenating a word's tokens reproduces the
-word exactly).
+BPE's iterative merge loop has no SQL form, so the oracle instead
+freezes the tokenizer AS DATA (r10, VERDICT r9 #4): a pure-Python
+pass trains the merge table and encodes the corpus's distinct words
+into a (word, n_tok) vocab parquet (``build_vocab_fixture``), and the
+DuckDB oracle joins exploded tokens to it — hash-grading the whole
+distributed packing pipeline.  Encoder correctness itself stays
+pytest-pinned: parity against an independent reference encoder over
+every fixture doc, plus the BPE losslessness property (concatenating
+a word's tokens reproduces the word exactly).
 """
 
 from __future__ import annotations
@@ -151,15 +154,106 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str,
     return docs.select("doc_id", n_bpe_tokens("text").alias("n_tok"))
 
 
-@query("q_llm_text_pack_bpe")
+def build_vocab_fixture(sf_dir: str) -> str:
+    """Freeze the tokenizer as a fixture (VERDICT r9 #4): train the
+    merge table and encode every distinct corpus word in PURE PYTHON
+    (pyarrow read, ``train_bpe``/``encode_word`` — no Spark, no DuckDB),
+    writing a (word, n_tok) parquet under the fixture-fingerprinted
+    scratch dir.  With the per-word cost frozen as data, the packing
+    pipeline (tokenize → explode → join → per-doc sum → running-sum
+    window → bin stats) becomes fully SQL-expressible, so the DuckDB
+    oracle can hash-grade ``q_llm_text_pack_bpe`` end-to-end.  The
+    engine-independent Python encoder here is the SAME independence
+    class as the pytest reference encoder — the driver comparison
+    still pits Spark's distributed execution against DuckDB's.
+    Memoized via the scratch ``_SUCCESS`` marker; the content
+    fingerprint in the dir name invalidates on fixture regeneration.
+    Returns the vocab parquet path."""
+    import collections
+    import os
+
+    from ..catalog import scratch_dir
+    out, built = scratch_dir("bpevocab1", sf_dir)
+    path = os.path.join(out, "vocab.parquet")
+    if built and os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    train_counts: collections.Counter = collections.Counter()
+    vocab: set[str] = set()
+    for doc_id, text in zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column("text").to_pylist()):
+        words = [w for w in (text or "").split(" ") if w]
+        vocab.update(words)
+        if doc_id < _TRAIN_DOCS:
+            train_counts.update(words)
+    ranks = {p: i for i, p in enumerate(train_bpe(dict(train_counts)))}
+    words = sorted(vocab)
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(
+        pa.table({"word": words,
+                  "n_tok": [len(encode_word(w, ranks)) for w in words]}),
+        path)
+    with open(os.path.join(out, "_SUCCESS"), "w"):
+        pass
+    return path
+
+
+def _pack_bpe_oracle() -> str:
+    """Lazy DuckDB oracle for ``q_llm_text_pack_bpe`` (resolved at
+    first ``ORACLE[key]`` access — see ``registry._OracleMap``): joins
+    the corpus's exploded tokens to the frozen vocab fixture and runs
+    the identical packing math as q_llm_text_pack's oracle.  Bound: the
+    embedded vocab path is built for the sweep fixture
+    (``$LSTORE_SPARK_TEST_SF``, default sf0.01 — the driver's grade
+    scale, also conftest's and scripts/check.py's default), matching
+    how those harnesses register their DuckDB views."""
+    import os
+
+    from .text import _DUCK_TOKENS
+    sf_dir = os.environ.get("LSTORE_SPARK_TEST_SF", "/root/testdata/sf0.01")
+    path = build_vocab_fixture(sf_dir)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.tok AS word
+  FROM documents, unnest({_DUCK_TOKENS}) AS t(tok)
+),
+cnt AS (
+  SELECT d.doc_id, COALESCE(s.n_tok, 0) AS n_tok
+  FROM documents d
+  LEFT JOIN (
+    SELECT doc_id, CAST(SUM(v.n_tok) AS BIGINT) AS n_tok
+    FROM tok JOIN read_parquet('{path}') v USING (word)
+    GROUP BY doc_id
+  ) s USING (doc_id)
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+  FROM cnt
+)
+SELECT CAST(floor((cum_tok - 1) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM cum GROUP BY 1
+"""
+
+
+@query("q_llm_text_pack_bpe", oracle=_pack_bpe_oracle)
 def q_llm_text_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing billed in REAL tokenizer tokens: the exact
     q_llm_text_pack plan (stable-order running sum, cut a bin every
     _PACK_BUDGET tokens, per-bin stats) with the whitespace count
-    swapped for the BPE count.  Rows-only by necessity (BPE's merge
-    loop has no SQL form); parity + losslessness are pytest-pinned in
-    tests/test_llm.py, and the whitespace twin keeps the packing MATH
-    itself oracle-checked."""
+    swapped for the BPE count.  Hash-graded since r10: the frozen
+    vocab fixture (``build_vocab_fixture``) gives the DuckDB oracle
+    the true per-word BPE cost, so the driver verifies the packing
+    end-to-end; encoder-vs-reference parity + losslessness stay
+    pytest-pinned in tests/test_llm.py."""
     docs = load_table(spark, sf_dir, "documents")
     counts = bpe_token_counts(spark, sf_dir, docs)
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding,

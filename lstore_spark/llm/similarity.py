@@ -648,6 +648,162 @@ def q_llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", F.col("cand_id").alias("id_b"), "cos_sim", "rank")
 
 
+# ---------------------------------------------------------------------------
+# Portable hyperplane-LSH twin (VERDICT r9 #4): the production key above is
+# rows-only by necessity (xxhash64 planes + salted bucket windows are
+# engine-specific), so this twin runs the SAME pipeline shape — signature →
+# band buckets → bucket self-join → exact cosine re-rank → top-k — with
+# every stage deterministic and DuckDB-expressible:
+#   * planes are FIXED Rademacher (±1) vectors derived from md5 at module
+#     load and embedded as '0'/'1' literals in both dialects;
+#   * the signature dot runs over the embedding QUANTIZED to integers
+#     (round(x·1e6) as BIGINT), so the sign is exact integer arithmetic —
+#     bit-identical across engines, no float-accumulation-order tail like
+#     the ROUND-6-guarded cosine keys tolerate;
+#   * a bounded slice (vec_id < 200) keeps the oracle's all-candidate
+#     re-rank cheap, exactly like q_llm_dedup_minhash_portable's bound.
+_LSH_PORTABLE_PLANES = 16     # 4 bands × 4 bits
+_LSH_PORTABLE_BANDS = 4
+_LSH_PORTABLE_DIM = 64
+_LSH_PORTABLE_BOUND = 200
+
+
+def _lsh_portable_plane_bits() -> list[str]:
+    """Plane p = first 64 bits of md5('lsh-plane:<p>') as a '0'/'1'
+    string; bit d picks +1/-1 for dimension d (a Rademacher hyperplane,
+    a standard SimHash/SRP plane family)."""
+    import hashlib
+    out = []
+    for p in range(_LSH_PORTABLE_PLANES):
+        h = int(hashlib.md5(f"lsh-plane:{p}".encode()).hexdigest(), 16)
+        out.append(format(h >> 64, "064b"))
+    return out
+
+
+def _lsh_portable_bucket_exprs() -> tuple[list[str], list[str]]:
+    """(spark_buckets, duck_buckets): per band, a concat of 4 sign-bit
+    CASEs over the quantized column ``qe``.  The ONLY dialect difference
+    is array indexing (element_at is 1-based in Spark SQL; DuckDB list
+    indexing is 1-based via []) — the arithmetic text is otherwise
+    identical, so both engines evaluate the same exact integer dot."""
+    planes = _lsh_portable_plane_bits()
+
+    def duck_dot(bits: str) -> str:
+        terms = "".join(f" {'+' if bits[d] == '1' else '-'} qe[{d + 1}]"
+                        for d in range(_LSH_PORTABLE_DIM))
+        return f"(0{terms})"
+
+    def spark_dot(bits: str) -> str:
+        # A flat 64-term sum here janino-overflows whole-stage codegen
+        # (ANSI overflow-checked ops × 1024 terms → a 15k-line class);
+        # the HOF fold stays compact, and integer adds are order-exact
+        # so the fold is bit-identical to DuckDB's flat sum.
+        return (f"aggregate(sequence(1, {_LSH_PORTABLE_DIM}), 0L, "
+                f"(acc, i) -> acc + (CASE WHEN substr('{bits}', i, 1) = '1' "
+                f"THEN element_at(qe, i) ELSE -element_at(qe, i) END))")
+
+    def bit(dot: str) -> str:
+        return f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)"
+
+    r = _LSH_PORTABLE_PLANES // _LSH_PORTABLE_BANDS
+    spark_b, duck_b = [], []
+    for b in range(_LSH_PORTABLE_BANDS):
+        band = planes[b * r:(b + 1) * r]
+        spark_b.append("concat(" + ", ".join(
+            bit(spark_dot(p)) for p in band) + ")")
+        duck_b.append(" || ".join(bit(duck_dot(p)) for p in band))
+    return spark_b, duck_b
+
+
+_LSH_PORTABLE_QUANT = ("CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) "
+                       "AS BIGINT)")
+
+
+def _lsh_portable_oracle() -> str:
+    _, duck_buckets = _lsh_portable_bucket_exprs()
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {expr} AS bucket FROM sl"
+        for b, expr in enumerate(duck_buckets))
+    return f"""
+WITH sl AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> {_LSH_PORTABLE_QUANT}) AS qe
+  FROM embeddings WHERE vec_id < {_LSH_PORTABLE_BOUND}
+),
+bk AS (
+    {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(
+           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+           / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+              * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+           6) AS cos_sim
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings b ON b.vec_id = c.id_b
+  CROSS JOIN generate_series(1, {_LSH_PORTABLE_DIM}) AS g(i)
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, cos_sim, rn AS rank
+FROM (
+  SELECT id_a, id_b, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY id_a
+                            ORDER BY cos_sim DESC, id_b) AS rn
+  FROM pairs
+) WHERE rn <= 5
+"""
+
+
+@query("q_llm_sim_lsh_topk_portable", oracle=_lsh_portable_oracle)
+def q_llm_sim_lsh_topk_portable(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Hash-grade twin of ``q_llm_sim_lsh_topk`` (see the block comment
+    above for the portability design).  Same distributed shape as the
+    production key: signature is a pure projection over the scan, the
+    candidate join is an equi shuffle on (band, bucket) with no
+    crossJoin, the re-rank is ``partitioned_topk`` — only the plane
+    family and the slice bound differ."""
+    spark_buckets, _ = _lsh_portable_bucket_exprs()
+    em = (load_table(spark, sf_dir, "embeddings")
+          .filter(F.col("vec_id") < _LSH_PORTABLE_BOUND))
+    bk = (
+        em.select(
+            "vec_id",
+            F.expr(f"transform(embedding, x -> {_LSH_PORTABLE_QUANT})")
+            .alias("qe"))
+        .select("vec_id",
+                F.posexplode(F.array(*[F.expr(b) for b in spark_buckets]))
+                .alias("band", "bucket"))
+    )
+    a = bk.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+    b = bk.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    ea = em.select(F.col("vec_id").alias("_ia"),
+                   F.col("embedding").alias("a_emb"),
+                   _norm("embedding").alias("a_norm"))
+    eb = em.select(F.col("vec_id").alias("cand_id"),
+                   F.col("embedding").alias("b_emb"),
+                   _norm("embedding").alias("b_norm"))
+    scored = (
+        cand.join(ea, cand["id_a"] == ea["_ia"])
+        .join(eb, cand["id_b"] == eb["cand_id"])
+        .select("id_a", "cand_id",
+                cosine_with_norms("a_emb", "b_emb", "a_norm", "b_norm")
+                .alias("cos_sim"))
+    )
+    return partitioned_topk(scored, "id_a", 5).select(
+        "id_a", F.col("cand_id").alias("id_b"), "cos_sim", "rank")
+
+
 @query("q_llm_sim_ivf_topk")  # rows-only: approximate (nprobe < n_lists by design)
 def q_llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN search — the other classic scale path next

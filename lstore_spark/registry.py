@@ -16,7 +16,26 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLE: dict[str, str] = {}
+
+
+class _OracleMap(dict):
+    """``ORACLE`` values are DuckDB SQL strings, or zero-arg callables
+    resolved (and memoized in place) on first ``__getitem__`` — for
+    oracles whose SQL embeds a fixture-derived artifact that must be
+    built lazily from the CURRENT testdata (e.g. the frozen BPE vocab
+    table in ``llm/bpe.py``: building it at import time would put a
+    corpus read on every ``import lstore_spark``).  Consumers keep
+    using plain ``ORACLE[key]`` / ``key in ORACLE`` unchanged."""
+
+    def __getitem__(self, key: str) -> str:
+        val = super().__getitem__(key)
+        if callable(val):
+            val = val().strip()
+            super().__setitem__(key, val)
+        return val
+
+
+ORACLE: dict[str, str] = _OracleMap()
 
 # Pins (persist()ed relations) created while building the CURRENT query,
 # released when the NEXT registered query is invoked.  Rationale (ADVICE
@@ -55,9 +74,11 @@ def release_pins() -> None:
             pass  # session already stopped — nothing to release
 
 
-def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
-    """Register ``fn`` under ``name``; ``oracle`` is DuckDB SQL or None
-    (None → driver records the weaker rows-only check)."""
+def query(name: str, oracle=None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name``; ``oracle`` is DuckDB SQL, a
+    zero-arg callable returning DuckDB SQL (resolved lazily — see
+    ``_OracleMap``), or None (None → driver records the weaker
+    rows-only check)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -72,7 +93,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
         QUERIES[name] = wrapped
         if oracle is not None:
-            ORACLE[name] = oracle.strip()
+            ORACLE[name] = oracle if callable(oracle) else oracle.strip()
         return wrapped
 
     return deco
@@ -216,6 +237,7 @@ NEW_KEYS: frozenset = frozenset({
     "q_llm_emb_kmeans_portable", "q_llm_dedup_substring",
     "q_llm_text_repetition", "q_llm_mix_sources",
     "q_source_avro_roundtrip",  # r9: the pure-Python Avro codec
+    "q_llm_sim_lsh_topk_portable",  # r10: deterministic-plane LSH twin
 })
 
 
@@ -231,6 +253,12 @@ def sweep_order(keys=None) -> list[str]:
         heavy = 1 if k in HEAVY_KEYS else 0
         if k in DRIVER_CHECKED and k not in DRIVER_GREEN:
             return (0, heavy, 0)
+        if k in DRIVER_ROWS_SEEN and k in ORACLE:
+            # Rows-only evidence but an oracle EXISTS now (added after
+            # the key's last driver visit — the r10 no_oracle→hash
+            # flips): front it with the never-checked oracle tier so
+            # the first hash grade lands in the very next sweep.
+            return (1, heavy, 1)
         if k in DRIVER_GREEN or k in DRIVER_ROWS_SEEN:
             # Green, or rows-only with rows already seen (as certified
             # as the driver can make it) — rolling staleness re-checks.
