@@ -68,8 +68,46 @@ def calibration_probe(n: int = 2_000_000) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _pcal_work(n: int) -> int:
+    # module-level so ProcessPoolExecutor can pickle it
+    acc = 0
+    for i in range(n):
+        acc += i ^ (i >> 3)
+    return acc
+
+
+def parallel_calibration_probe(n: int = 400_000, workers: int = 16) -> float:
+    """All-core fixed-work probe (r10): ``workers`` processes each run a
+    constant loop; reports the WALL time for the batch.  The single-
+    thread probe above can stay rock-stable (0.13 s) while the host's
+    PARALLEL capacity drifts — CPU steal on a shared VM, frequency
+    drop under sustained all-core load, a noisy neighbor — which is
+    exactly the regime a 32-thread Spark stage runs in.  Together the
+    two probes separate 'code regressed' from 'host parallel capacity
+    shrank': query inflation with BOTH probes stable is code; inflation
+    tracking this probe (single-thread stable) is the host."""
+    import concurrent.futures as cf
+
+    t0 = time.perf_counter()
+    with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+        assert all(r != 0 for r in ex.map(_pcal_work, [n] * workers))
+    return round(time.perf_counter() - t0, 4)
+
+
+def _steal_jiffies() -> int | None:
+    """Cumulative CPU-steal jiffies from /proc/stat (field 8) — nonzero
+    growth during the run means the hypervisor withheld cycles."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if parts[0] == "cpu" and len(parts) > 8 else None
+    except (OSError, ValueError):
+        return None
+
+
 def host_snapshot() -> dict:
-    """Load average + free memory at measurement time (VERDICT r8 #5)."""
+    """Load average + free memory + steal counter at measurement time
+    (VERDICT r8 #5; steal added r10 for the drift thread)."""
     try:
         load1, load5, load15 = os.getloadavg()
     except OSError:
@@ -84,7 +122,8 @@ def host_snapshot() -> dict:
     except OSError:
         pass
     return {"loadavg_1m": load1, "loadavg_5m": load5,
-            "loadavg_15m": load15, "mem_available_kb": mem_avail_kb}
+            "loadavg_15m": load15, "mem_available_kb": mem_avail_kb,
+            "steal_jiffies": _steal_jiffies()}
 
 
 def run_once(spark, key: str) -> float:
@@ -129,9 +168,13 @@ def main() -> None:
     pq_codebook(spark, SF_DIR)
     times: dict[str, float] = {}
     calib0 = calibration_probe()
+    pcal0 = parallel_calibration_probe()
+    steal0 = _steal_jiffies()
     for key in HEADLINE:
         times[key] = round(run_once(spark, key), 3)
     calib1 = calibration_probe()
+    pcal1 = parallel_calibration_probe()
+    steal1 = _steal_jiffies()
     # Spark-side fixed-work probe: re-run the FIRST headline key after
     # the whole sequence.  Its delta vs times["q_agg_groupby_hash"]
     # exposes in-session JVM inflation (GC/broadcast pressure) that a
@@ -154,6 +197,15 @@ def main() -> None:
         # JSON instead of narrated.
         "host": host_snapshot(),
         "calibration_sec": {"before": calib0, "after": calib1},
+        # r10 drift instrumentation: the single-thread probe can be
+        # stable while PARALLEL capacity drifts (CPU steal on a shared
+        # VM, all-core frequency, noisy neighbor) — the regime a
+        # 32-thread Spark stage actually runs in.  Query inflation that
+        # tracks THIS probe (single-thread stable) is the host.
+        "parallel_calibration_sec": {"before": pcal0, "after": pcal1},
+        "steal_jiffies_delta": (steal1 - steal0
+                                if steal0 is not None and steal1 is not None
+                                else None),
         "spark_probe_rerun_sec": spark_probe,
     }
     print(json.dumps(out), flush=True)
