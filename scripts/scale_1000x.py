@@ -199,6 +199,19 @@ KEYS = [
     ("q_udaf_pandas_window", 1.01),
     ("q_udtf_flatmap", 0.28),
     ("q_udtf_python_native", 0.39),
+    # eleventh wave (r10, VERDICT r9 #6): measure the last four keys
+    # that previously carried only a certified-linear-at-100×
+    # projection, so no key is left "projected".  Expect ~3-5 min each
+    # (growth ~9-10 of linear per-token/per-shingle work).  The fifth
+    # projection, q_llm_text_contamination, needs no probe: its
+    # PRODUCTION fixed-eval shape was measured 3.3/3.3/21.9/33.7 s at
+    # 1×/10×/100×/1000× in r9 (scale_curve_r9_1000x.json); only the
+    # test fixture's k²-replica-pair OUTPUT growth is unprobed, and
+    # that is an artifact of key-shifted replication, not the plan.
+    ("q_llm_text_fingerprint", 31.43),
+    ("q_llm_dedup_simhash", 26.17),
+    ("q_llm_text_perplexity", 28.62),
+    ("q_llm_text_lm_score", 22.99),
 ]
 
 
