@@ -998,3 +998,81 @@ def test_char_entropy_vectorized_long_doc_overflow(spark):
     assert vec == exp
     assert vec[1] == (1, 0.0)
     assert vec[2] == (4, 2.0)
+
+
+def test_bpe_vocab_fixture_parity_memo_and_invalidation(spark, sf_dir,
+                                                        tmp_path):
+    """The r10 oracle artifact: (a) the pure-Python vocab fixture's
+    (word, n_tok) rows equal the SPARK-trained encoder's per-word
+    counts (the two training paths — pyarrow/Counter vs the
+    explode+groupBy job — must freeze the same tokenizer); (b) a
+    second call is memoized (same path, no rewrite); (c) a DIFFERENT
+    corpus yields a different scratch path with its own vocabulary —
+    the fingerprint invalidation that keeps a regenerated fixture from
+    being scored with a stale merge table."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lstore_spark.llm.bpe import (build_vocab_fixture, corpus_merges,
+                                      encode_word)
+
+    path = build_vocab_fixture(sf_dir)
+    tbl = pq.read_table(path)
+    vocab = dict(zip(tbl.column("word").to_pylist(),
+                     tbl.column("n_tok").to_pylist()))
+    ranks = {p: i for i, p in enumerate(corpus_merges(spark, sf_dir))}
+    assert vocab, "empty vocab fixture"
+    for w, n in vocab.items():
+        assert n == len(encode_word(w, ranks)), w
+
+    mtime = os.path.getmtime(path)
+    assert build_vocab_fixture(sf_dir) == path
+    assert os.path.getmtime(path) == mtime, "memoized call rewrote"
+
+    other = tmp_path / "fx"
+    other.mkdir()
+    spark.createDataFrame(
+        [(0, "aa bb aa bb"), (1, "cc dd cc dd")],
+        "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(other / "documents.parquet"))
+    path2 = build_vocab_fixture(str(other))
+    assert path2 != path, "fingerprint failed to fork the scratch dir"
+    words2 = set(pq.read_table(path2).column("word").to_pylist())
+    assert words2 == {"aa", "bb", "cc", "dd"}
+
+
+def test_lsh_portable_twin_planes_and_output_contract(spark, sf_dir):
+    """The r10 hash-grade LSH twin: (a) the md5-derived planes are
+    stable and well-formed (16 × 64 bits, not degenerate); (b) the
+    query's output respects the pipeline contract — id_a < id_b inside
+    the slice bound, rank 1..5 dense per id_a ordered by
+    (cos_sim DESC, id_b), cosine in [-1, 1]; (c) two invocations are
+    bit-identical (no hidden nondeterminism — the property the oracle
+    hash relies on)."""
+    from lstore_spark.llm.similarity import (_LSH_PORTABLE_BOUND,
+                                             _lsh_portable_plane_bits)
+
+    planes = _lsh_portable_plane_bits()
+    assert planes == _lsh_portable_plane_bits()
+    assert len(planes) == 16
+    for p in planes:
+        assert len(p) == 64 and set(p) <= {"0", "1"}
+        assert 0 < p.count("1") < 64, "degenerate plane"
+
+    rows = QUERIES["q_llm_sim_lsh_topk_portable"](spark, sf_dir).collect()
+    assert rows, "twin returned no candidate pairs"
+    by_a: dict = {}
+    for r in rows:
+        assert r.id_a < r.id_b < _LSH_PORTABLE_BOUND
+        assert -1.0 <= r.cos_sim <= 1.0
+        by_a.setdefault(r.id_a, []).append(r)
+    for id_a, grp in by_a.items():
+        grp.sort(key=lambda r: r.rank)
+        assert [r.rank for r in grp] == list(range(1, len(grp) + 1))
+        assert len(grp) <= 5
+        key = [(-r.cos_sim, r.id_b) for r in grp]
+        assert key == sorted(key), f"rank order broken for id_a={id_a}"
+
+    again = QUERIES["q_llm_sim_lsh_topk_portable"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -189,3 +189,32 @@ def test_filter_cascade_observed_metrics_match_relation(spark, sf_dir):
     assert rel["min_length"] == (got["n0"], got["k1"])
     assert rel["repetition"] == (got["k1"], got["k2"])
     assert rel["exact_dedup"] == (got["k2"], got["k3"])
+
+
+def test_oracle_map_resolves_callables_lazily_and_memoizes():
+    """r10: ORACLE values may be zero-arg callables (the BPE vocab
+    oracle builds a fixture-derived artifact) resolved on first
+    __getitem__ and memoized in place — consumers always see str."""
+    m = registry._OracleMap()
+    calls = []
+
+    def build():
+        calls.append(1)
+        return "  SELECT 1  "
+
+    m["lazy"] = build
+    m["plain"] = "SELECT 2"
+    assert m["lazy"] == "SELECT 1"
+    assert m["lazy"] == "SELECT 1"
+    assert calls == [1], "callable resolved more than once"
+    assert m["plain"] == "SELECT 2"
+    assert all(isinstance(m[k], str) for k in m)
+
+
+def test_registered_lazy_oracles_resolve_to_sql():
+    """Every registered oracle — including lazy ones — must resolve to
+    non-empty SQL text mentioning a FROM clause (catches a callable
+    that returns None/empty under a missing-fixture edge)."""
+    for key in list(registry.ORACLE):
+        sql = registry.ORACLE[key]
+        assert isinstance(sql, str) and "FROM" in sql.upper(), key
