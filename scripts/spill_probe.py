@@ -53,7 +53,12 @@ def _stages(app_id: str) -> list[dict]:
 
 def main() -> None:
     wanted = sys.argv[1:]
-    keys = [k for k in KEYS if not wanted or any(w in k for w in wanted)]
+    if wanted:
+        # exact registry keys win; otherwise substring-filter the default pair
+        keys = [k for k in wanted if k in QUERIES] or [
+            k for k in KEYS if any(w in k for w in wanted)]
+    else:
+        keys = list(KEYS)
     spark = _get_spark_with_ui()
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId
