@@ -319,6 +319,24 @@ def test_ann_recall_floors_at_100x(spark):
             assert q >= 0.9, f"{method}: {q} below 0.9 on near-twins"
 
 
+@_pytest.mark.skipif(
+    not (_os.path.isdir("/tmp/sf1000x")
+         and _os.environ.get("LSTORE_SPARK_RUN_1000X")),
+    reason="needs /tmp/sf1000x AND LSTORE_SPARK_RUN_1000X=1 (opt-in: "
+           "~15 min — run alongside the big-SF sweeps, not the "
+           "default suite)")
+def test_ann_recall_floors_at_1000x(spark):
+    """r10: the same quality-ratio floors certified one more decade up
+    (2M vectors) — the ANN scale paths must stay sublinear AND right.
+    Opt-in via LSTORE_SPARK_RUN_1000X; the r10 certification run is
+    ledgered in BASELINE.md."""
+    from scripts.ann_recall_100x import compute_recalls
+
+    got = compute_recalls(spark, "/tmp/sf1000x")
+    for method, q in got.items():
+        assert q >= 0.9, f"{method}: quality ratio {q} below 0.9 at 1000x"
+
+
 def test_cbo_statistics_drive_join_reorder(spark, sf_dir):
     """'Let Catalyst optimize' includes cost-based join reordering for
     ad-hoc SQL: with ANALYZE TABLE statistics and spark.sql.cbo on,
