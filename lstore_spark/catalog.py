@@ -127,6 +127,39 @@ def scratch_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
     return out, os.path.exists(os.path.join(out, "_SUCCESS"))
 
 
+def build_tmp_dir(final: str) -> str:
+    """PID-suffixed staging path for a directory artifact that will be
+    published with ``publish_dir`` — build the whole artifact here,
+    then rename.  Cleans any leftover staging dir from a crashed prior
+    run of this same PID slot."""
+    import shutil
+
+    tmp = f"{final}.build_p{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    return tmp
+
+
+def publish_dir(tmp: str, final: str) -> None:
+    """Atomically publish a fully-built directory artifact: one rename
+    from the staging path to the shared final path.  If another process
+    won the race (``final`` appeared between our existence check and
+    the rename), discard our staging copy and use the winner's — under
+    this protocol a directory only ever EXISTS at its final path
+    complete, so the loser never reads a torn artifact.  This replaces
+    writing Spark jobs directly into the shared final dir, where two
+    concurrent sessions (pytest while bench runs — the scenario
+    ``fresh_scratch_dir``'s PID suffix exists for) would interleave
+    ``mode("overwrite")`` deletes with each other's live writes
+    (review r10).  Same commit idea as ``pq_codebook``'s single-file
+    tmp+``os.replace``, lifted to multi-file artifacts."""
+    import shutil
+
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def fixture_fingerprint(sf_dir: str) -> str:
     """10-hex content fingerprint of a fixture dir: path + (name, size,
     mtime) of every parquet entry, recursing one level into
@@ -181,17 +214,24 @@ def fresh_scratch_dir(tag: str, sf_dir: str) -> str:
     disjoint dirs, so one session's wipe can never yank files out from
     under the other's read; dirs left by processes that no longer exist
     are reaped opportunistically, keeping the bounded-footprint goal."""
+    import re
     import shutil
 
     base, _ = scratch_dir(tag, sf_dir)
     out = f"{base}_p{os.getpid()}"
-    parent, prefix = os.path.dirname(base), os.path.basename(base) + "_p"
+    # Reap dead-PID dirs across EVERY fingerprint of this tag, not just
+    # the current one: fixture regeneration changes the fingerprint in
+    # the dir name, and fingerprint-scoped reaping would let old-
+    # fingerprint dirs accumulate forever (review r10 — the same
+    # unbounded-footprint class ADVICE r7 fixed, via fingerprint churn).
+    pat = re.compile(
+        rf"^lstore_spark_{re.escape(tag)}_[0-9a-f]{{10}}_p(\d+)$")
+    parent = os.path.dirname(base)
     try:
         for name in os.listdir(parent):
+            m = pat.match(name)
             stale = os.path.join(parent, name)
-            if (name.startswith(prefix) and stale != out
-                    and name[len(prefix):].isdigit()
-                    and not _pid_alive(int(name[len(prefix):]))):
+            if m and stale != out and not _pid_alive(int(m.group(1))):
                 shutil.rmtree(stale, ignore_errors=True)
     except OSError:
         pass
@@ -210,20 +250,51 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-_ROWS_CACHE: dict[str, int] = {}
+def _path_sig(path: str):
+    """Cheap stat signature of one table file (or directory-style
+    table): changes when the fixture is regenerated in place.  Folded
+    into every path-keyed metadata cache below so a regenerated fixture
+    can never be served a stale row count / ts unit / file-index — the
+    per-table grain of the same invalidation discipline
+    ``fixture_fingerprint`` applies to whole-dir scratch keys (review
+    r10: the caches predated the fingerprint and missed it)."""
+    try:
+        if os.path.isdir(path):
+            with os.scandir(path) as parts:
+                return tuple(sorted(
+                    (p.name, p.stat().st_size, p.stat().st_mtime_ns)
+                    for p in parts if p.is_file()))
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return None
+
+
+_ROWS_CACHE: dict[tuple, int] = {}
 
 
 def table_rows(sf_dir: str, name: str) -> int:
     """Exact table row count from parquet footer metadata — a driver-side
     catalog read, no Spark job.  Replaces the ``df.count()`` pre-scans
     that sized LSH parameters (VERDICT r2 item 7): at 100 TB a sizing
-    count must come from table statistics, not a full extra scan."""
+    count must come from table statistics, not a full extra scan.
+    Handles directory-style tables (Spark-written part-files) by
+    summing part footers — the layout ``fixture_fingerprint`` already
+    supports (review r10: this path used to raise on directories)."""
     path = path_of(sf_dir, name)
-    n = _ROWS_CACHE.get(path)
+    key = (path, _path_sig(path))
+    n = _ROWS_CACHE.get(key)
     if n is None:
         import pyarrow.parquet as pq
-        n = pq.ParquetFile(path).metadata.num_rows
-        _ROWS_CACHE[path] = n
+        if os.path.isdir(path):
+            n = 0
+            with os.scandir(path) as parts:
+                for p in parts:
+                    if p.is_file() and p.name.endswith(".parquet"):
+                        n += pq.ParquetFile(p.path).metadata.num_rows
+        else:
+            n = pq.ParquetFile(path).metadata.num_rows
+        _ROWS_CACHE[key] = n
     return n
 
 
@@ -250,17 +321,20 @@ def fits_broadcast(sf_dir: str, table: str, row_factor: float = 1.0,
     return table_rows(sf_dir, table) * row_factor <= cap
 
 
-_TS_UNIT_CACHE: dict[str, str] = {}
+_TS_UNIT_CACHE: dict[tuple, str] = {}
 
 
 def events_ts_unit(path: str) -> str:
     """Physical unit of ``events.ts`` in this parquet file: 'ns' or 'us'.
 
-    One driver-side footer read via pyarrow, cached per path — at cluster
-    scale this is catalog metadata, not a data scan.  Falls back to 'us'
-    (the current generator encoding) if the footer can't be sniffed.
+    One driver-side footer read via pyarrow, cached per (path, stat
+    signature) — at cluster scale this is catalog metadata, not a data
+    scan, and the signature invalidates on in-place regeneration.
+    Falls back to 'us' (the current generator encoding) if the footer
+    can't be sniffed.
     """
-    unit = _TS_UNIT_CACHE.get(path)
+    key = (path, _path_sig(path))
+    unit = _TS_UNIT_CACHE.get(key)
     if unit is None:
         try:
             import pyarrow.parquet as pq
@@ -268,15 +342,18 @@ def events_ts_unit(path: str) -> str:
             unit = "ns" if "[ns]" in t else "us"
         except Exception:
             unit = "us"
-        _TS_UNIT_CACHE[path] = unit
+        _TS_UNIT_CACHE[key] = unit
     return unit
 
 
 # DataFrames are immutable logical plans, so caching them per
-# (session, sf_dir, table) is safe and shaves the reader-construction +
-# file-listing cost off every query in a sweep (the driver's CORRECTNESS
-# sweep is overhead-dominated at sf0.01 — VERDICT r1 item 2).
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (session, sf_dir, table, file-stat signature) is safe and shaves the
+# reader-construction + file-listing cost off every query in a sweep
+# (the driver's CORRECTNESS sweep is overhead-dominated at sf0.01 —
+# VERDICT r1 item 2).  The stat signature invalidates on in-place
+# fixture regeneration: the cached plan carries an eager file index,
+# so a path-only key would serve stale file lists (review r10).
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -285,12 +362,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events`` comes back with ``ts`` as TIMESTAMP_NTZ at microsecond
     precision — exactly what DuckDB's view of the same parquet sees.
     """
-    key = (id(spark), sf_dir.rstrip("/"), name)
+    path = path_of(sf_dir, name)
+    key = (id(spark), sf_dir.rstrip("/"), name, _path_sig(path))
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
     tune(spark)
-    path = path_of(sf_dir, name)
     if name == "events":
         if events_ts_unit(path) == "ns":
             df = spark.read.schema(SCHEMAS[name]).parquet(path).withColumn(

@@ -193,12 +193,24 @@ def _write_index(spark: SparkSession, idx: str, corpus) -> None:
 
 def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
     """Train + route + encode + write the index if absent; returns its
-    path.  Runs eagerly (it is a batch job, not a query plan)."""
+    path.  Runs eagerly (it is a batch job, not a query plan).
+
+    Commit protocol (review r10): the index is built in a PID-staged
+    tmp dir and published with one atomic rename
+    (``catalog.publish_dir``), so a concurrent session that loses the
+    build race reads the winner's COMPLETE index instead of a shared
+    dir two Spark jobs are overwriting under each other."""
+    import shutil
+
+    from ..catalog import build_tmp_dir, publish_dir
     idx = ann_index_dir(sf_dir)
     if not os.path.exists(os.path.join(idx, "postings", "_SUCCESS")):
+        shutil.rmtree(idx, ignore_errors=True)   # crashed half-write
+        tmp = build_tmp_dir(idx)
         em = load_table(spark, sf_dir, "embeddings")
-        _write_index(spark, idx, em.filter(F.col("vec_id") >= 10)
+        _write_index(spark, tmp, em.filter(F.col("vec_id") >= 10)
                      .select("vec_id", "label", "embedding"))
+        publish_dir(tmp, idx)
     return idx
 
 
@@ -514,22 +526,33 @@ def update_ann_index(spark: SparkSession, sf_dir: str) -> str:
     honest caveat — is quantizer STALENESS: batch vectors outside the
     base's SQ8 bounds clamp to the edge codes, and a drifted corpus
     eventually needs retrain+rebuild."""
+    import shutil
+
+    from ..catalog import build_tmp_dir, publish_dir
     base = ann_base_dir(sf_dir)
     em = load_table(spark, sf_dir, "embeddings")
     if not os.path.exists(os.path.join(base, "postings", "_SUCCESS")):
-        _write_index(spark, base,
+        # staged build + atomic publish, same protocol as
+        # build_ann_index (review r10)
+        shutil.rmtree(base, ignore_errors=True)
+        tmp = build_tmp_dir(base)
+        _write_index(spark, tmp,
                      em.filter((F.col("vec_id") >= 10)
                                & (F.col("vec_id") < _UPDATE_SPLIT))
                      .select("vec_id", "label", "embedding"))
+        publish_dir(tmp, base)
     delta = os.path.join(base, "postings_delta")
     if not os.path.exists(os.path.join(delta, "_SUCCESS")):
+        shutil.rmtree(delta, ignore_errors=True)
+        tmp = build_tmp_dir(delta)
         cvecs = (spark.read.parquet(os.path.join(base, "centroids"))
                  .select(F.col("list_id").alias("label"), "cvec"))
         bounds = spark.read.parquet(os.path.join(base, "bounds"))
         batch = (em.filter(F.col("vec_id") >= _UPDATE_SPLIT)
                  .select("vec_id", "embedding"))
         _route_encode_postings(batch, cvecs, bounds) \
-            .write.mode("overwrite").partitionBy("list_id").parquet(delta)
+            .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+        publish_dir(tmp, delta)
     return base
 
 
@@ -643,16 +666,22 @@ def merge_ann_index(spark: SparkSession, sf_dir: str) -> str:
     the swap is a vacuum-schedule decision (q_maint_retention_purge's
     shape), and this shared exhibit store keeps them so the update key
     stays independently replayable."""
+    import shutil
+
+    from ..catalog import build_tmp_dir, publish_dir
     base = update_ann_index(spark, sf_dir)
     merged = os.path.join(base, "postings_merged")
     if not os.path.exists(os.path.join(merged, "_SUCCESS")):
+        shutil.rmtree(merged, ignore_errors=True)
+        tmp = build_tmp_dir(merged)
         posts = spark.read.schema(_POSTING_SCHEMA) \
             .parquet(os.path.join(base, "postings"))
         delta = spark.read.schema(_POSTING_SCHEMA) \
             .parquet(os.path.join(base, "postings_delta"))
         (posts.unionByName(delta)
          .sortWithinPartitions("list_id", "cand_id")
-         .write.mode("overwrite").partitionBy("list_id").parquet(merged))
+         .write.mode("overwrite").partitionBy("list_id").parquet(tmp))
+        publish_dir(tmp, merged)
     return merged
 
 

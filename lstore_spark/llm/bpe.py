@@ -192,10 +192,16 @@ def build_vocab_fixture(sf_dir: str) -> str:
     ranks = {p: i for i, p in enumerate(train_bpe(dict(train_counts)))}
     words = sorted(vocab)
     os.makedirs(out, exist_ok=True)
+    # tmp + atomic replace (pq_codebook's commit protocol): a reader in
+    # a concurrent session can never see a half-written vocab file, and
+    # racing builders produce byte-identical content so last-wins is
+    # safe (review r10)
+    tmp = f"{path}.tmp{os.getpid()}"
     pq.write_table(
         pa.table({"word": words,
                   "n_tok": [len(encode_word(w, ranks)) for w in words]}),
-        path)
+        tmp)
+    os.replace(tmp, path)
     with open(os.path.join(out, "_SUCCESS"), "w"):
         pass
     return path

@@ -367,6 +367,29 @@ _DUCK_SHINGLES_OR_WHOLE = """
          ELSE [array_to_string(ts, ' ')] END"""
 
 
+def portable_minhash_spark_cols() -> list:
+    """The per-permutation portable-MinHash columns (``mh0..mh{K-1}``)
+    over a ``shs`` shingle-array column — the single definition shared
+    by ``q_llm_dedup_minhash_portable`` and the streaming twin
+    ``q_stream_dedup_near`` (review r10: the expression block was
+    inlined in both, so a K or salt change could silently desynchronize
+    the batch≡stream equivalence their tests assert)."""
+    return [
+        F.expr(f"array_min(transform(shs, s -> md5(concat('{p}:', s))))")
+        .alias(f"mh{p}")
+        for p in range(_PORTABLE_MINHASH_K)
+    ]
+
+
+def portable_minhash_duck_exprs() -> list[str]:
+    """DuckDB spellings of ``portable_minhash_spark_cols`` — kept
+    adjacent so the two dialects stay in lockstep."""
+    return [
+        f"list_min(list_transform(shs, s -> md5('{p}:' || s))) AS mh{p}"
+        for p in range(_PORTABLE_MINHASH_K)
+    ]
+
+
 @query(
     "q_llm_dedup_minhash_portable",
     oracle=f"""
@@ -377,9 +400,7 @@ sh AS (
   SELECT doc_id, ({_DUCK_SHINGLES_OR_WHOLE}) AS shs FROM tok
 )
 SELECT doc_id,
-       {", ".join(
-           f"list_min(list_transform(shs, s -> md5('{p}:' || s))) AS mh{p}"
-           for p in range(_PORTABLE_MINHASH_K))}
+       {", ".join(portable_minhash_duck_exprs())}
 FROM sh
 """,
 )
@@ -396,13 +417,7 @@ def q_llm_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
         .select("doc_id", F.expr(_SPARK_SHINGLES_OR_WHOLE).alias("shs"))
-        .select(
-            "doc_id",
-            *[F.expr(
-                f"array_min(transform(shs, s -> md5(concat('{p}:', s))))"
-              ).alias(f"mh{p}")
-              for p in range(_PORTABLE_MINHASH_K)],
-        )
+        .select("doc_id", *portable_minhash_spark_cols())
     )
 
 
@@ -444,7 +459,9 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("tok"))
     bits = tok.groupBy("doc_id").agg(
-        *[F.expr(s.replace(" AS ", " AS ")) for s in _simhash_bit_sums()])
+        # the bit-sum SQL text is deliberately engine-identical — no
+        # dialect translation happens (or is needed) here
+        *[F.expr(s) for s in _simhash_bit_sums()])
     return bits.select("doc_id", F.expr(_SIMHASH_FP).alias("simhash16"))
 
 

@@ -913,10 +913,14 @@ s AS (
 )
 SELECT source, n_docs, sum_tokens,
        ROUND(sqrt(CAST(sum_tokens AS DOUBLE))
-             / SUM(sqrt(CAST(sum_tokens AS DOUBLE))) OVER (), 6)
+             / {sql_dec2dbl(
+                 f"SUM({sql_round9_dec('sqrt(CAST(sum_tokens AS DOUBLE))')})"
+                 " OVER ()")}, 6)
          AS mix_weight,
        CAST(trunc(sqrt(CAST(sum_tokens AS DOUBLE))
-                  / SUM(sqrt(CAST(sum_tokens AS DOUBLE))) OVER ()
+                  / {sql_dec2dbl(
+                      f"SUM({sql_round9_dec('sqrt(CAST(sum_tokens AS DOUBLE))')})"
+                      " OVER ()")}
                   * SUM(n_docs) OVER ()) AS BIGINT) AS docs_budget
 FROM s
 """,
@@ -940,7 +944,14 @@ def q_llm_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum("n_tok").alias("sum_tokens")))
     w = Window.partitionBy()
     rt = F.sqrt(F.col("sum_tokens").cast("double"))
-    weight = rt / F.sum(rt).over(w)
+    # Per-row sqrt is correctly rounded (IEEE 754) hence bit-identical
+    # across engines, but the SUM of those doubles is order-dependent —
+    # the aggregated-float class numerics.py exists for (review r10:
+    # this was the one raw-double aggregate left outside the
+    # discipline).  Round at the 1e-9 grain and sum exactly as decimal;
+    # the single decimal→double cast back is deterministic.
+    den = F.sum(round9_dec(rt)).over(w).cast("double")
+    weight = rt / den
     return s.select(
         "source", "n_docs", "sum_tokens",
         F.round(weight, 6).alias("mix_weight"),

@@ -377,12 +377,21 @@ def q_maint_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("value").cast("long").alias("vq"))
     out, built = scratch_dir("zorder1", sf_dir)
     if not built:
+        # staged build + atomic publish: a concurrent session that
+        # loses the race reads the winner's complete rewrite instead
+        # of a dir two jobs overwrite under each other (review r10)
+        import shutil
+
+        from ..catalog import build_tmp_dir, publish_dir
+        shutil.rmtree(out, ignore_errors=True)
+        tmp = build_tmp_dir(out)
         (
             ev.withColumn("_z", zorder_key("user_id", "vq"))
             .repartitionByRange(8, "_z")
             .sortWithinPartitions("_z")
-            .write.mode("overwrite").parquet(out)
+            .write.mode("overwrite").parquet(tmp)
         )
+        publish_dir(tmp, out)
     return spark.read.parquet(out).select("event_id", "user_id", "vq")
 
 
@@ -459,7 +468,14 @@ def q_source_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", F.col("ts").cast("date").alias("d"))
     out, built = scratch_dir("dpp1", sf_dir)
     if not built:
-        ev.repartition("d").write.mode("overwrite").partitionBy("d").parquet(out)
+        # staged build + atomic publish (review r10, same as zorder1)
+        import shutil
+
+        from ..catalog import build_tmp_dir, publish_dir
+        shutil.rmtree(out, ignore_errors=True)
+        tmp = build_tmp_dir(out)
+        ev.repartition("d").write.mode("overwrite").partitionBy("d").parquet(tmp)
+        publish_dir(tmp, out)
     fact = spark.read.parquet(out)
     daily = (ev.filter(F.col("event_type") == "purchase")
              .groupBy("d").agg(F.count(F.lit(1)).alias("n")))

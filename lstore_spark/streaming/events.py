@@ -217,11 +217,10 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dedup_oracle() -> str:
-    from ..llm.dedup import (_DUCK_SHINGLES_OR_WHOLE, _PORTABLE_MINHASH_K)
+    from ..llm.dedup import (_DUCK_SHINGLES_OR_WHOLE, _PORTABLE_MINHASH_K,
+                             portable_minhash_duck_exprs)
     from ..llm.text import _DUCK_TOKENS
-    sig_exprs = ", ".join(
-        f"list_min(list_transform(shs, s -> md5('{p}:' || s))) AS mh{p}"
-        for p in range(_PORTABLE_MINHASH_K))
+    sig_exprs = ", ".join(portable_minhash_duck_exprs())
     sig_names = ", ".join(f"mh{p}" for p in range(_PORTABLE_MINHASH_K))
     return f"""
 WITH tok AS (
@@ -257,7 +256,8 @@ def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     as minhash_signatures); the dedup is one exchange on the 8-hash
     signature key.  Streaming state holds one row per distinct signature
     inside the watermark horizon, not per document."""
-    from ..llm.dedup import _PORTABLE_MINHASH_K, _SPARK_SHINGLES_OR_WHOLE
+    from ..llm.dedup import (_PORTABLE_MINHASH_K, _SPARK_SHINGLES_OR_WHOLE,
+                             portable_minhash_spark_cols)
     from ..llm.text import _SPARK_TOKENS
 
     docs = load_table(spark, sf_dir, "documents")
@@ -265,13 +265,7 @@ def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
         .select("doc_id", F.expr(_SPARK_SHINGLES_OR_WHOLE).alias("shs"))
-        .select(
-            "doc_id",
-            *[F.expr(
-                f"array_min(transform(shs, s -> md5(concat('{p}:', s))))"
-              ).alias(f"mh{p}")
-              for p in range(_PORTABLE_MINHASH_K)],
-        )
+        .select("doc_id", *portable_minhash_spark_cols())
     )
     w = Window.partitionBy(*sig_cols).orderBy("doc_id")
     return (sig.withColumn("rn", F.row_number().over(w))

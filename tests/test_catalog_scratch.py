@@ -1,0 +1,93 @@
+"""Pins for the r10 review fixes in catalog.py: directory-style
+table_rows, stat-signature cache invalidation, tag-wide dead-PID
+reaping, and the atomic publish protocol for shared dir artifacts."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lstore_spark import catalog
+
+
+def _write_docs(sf_dir: str, rows: list[tuple[int, str]],
+                as_dir: bool = False) -> None:
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": [r[1] for r in rows]})
+    path = os.path.join(sf_dir, "documents.parquet")
+    if as_dir:
+        os.makedirs(path, exist_ok=True)
+        half = len(rows) // 2
+        pq.write_table(t.slice(0, half), os.path.join(path, "part-0.parquet"))
+        pq.write_table(t.slice(half), os.path.join(path, "part-1.parquet"))
+    else:
+        pq.write_table(t, path)
+
+
+def test_table_rows_directory_style_table(tmp_path):
+    """table_rows must sum part-file footers for Spark-written
+    directory-style tables (review r10: it used to raise
+    IsADirectoryError, crashing every stats-gated broadcast decision
+    on that layout)."""
+    _write_docs(str(tmp_path), [(i, f"doc {i}") for i in range(7)],
+                as_dir=True)
+    assert catalog.table_rows(str(tmp_path), "documents") == 7
+
+
+def test_metadata_caches_invalidate_on_regeneration(tmp_path):
+    """Row-count metadata must track in-place fixture regeneration: the
+    cache key folds in the file stat signature (review r10 — a
+    path-only key served stale counts after a regenerate)."""
+    _write_docs(str(tmp_path), [(i, "x") for i in range(3)])
+    assert catalog.table_rows(str(tmp_path), "documents") == 3
+    # rewrite the fixture at the SAME path with more rows
+    _write_docs(str(tmp_path), [(i, "x") for i in range(5)])
+    assert catalog.table_rows(str(tmp_path), "documents") == 5
+
+
+def test_load_table_invalidates_on_regeneration(spark, tmp_path):
+    """The cached DataFrame carries an eager file index; a regenerated
+    fixture at the same path must produce a fresh plan, not stale file
+    lists (review r10)."""
+    _write_docs(str(tmp_path), [(1, "one")])
+    assert catalog.load_table(spark, str(tmp_path), "documents").count() == 1
+    _write_docs(str(tmp_path), [(1, "one"), (2, "two"), (3, "three")])
+    assert catalog.load_table(spark, str(tmp_path), "documents").count() == 3
+
+
+def test_fresh_scratch_reaper_spans_fingerprints(tmp_path, monkeypatch):
+    """Dead-PID scratch dirs from OLD fixture fingerprints must be
+    reaped too (review r10: fingerprint-scoped reaping let regenerated
+    fixtures leak one dir set per regeneration forever)."""
+    monkeypatch.setenv("LSTORE_SPARK_SCRATCH_ROOT", str(tmp_path))
+    _write_docs(str(tmp_path), [(1, "a")])
+    # a dead-PID dir under a DIFFERENT (old) fingerprint of the same tag
+    dead = tmp_path / "lstore_spark_sink_0123456789_p999999999"
+    dead.mkdir()
+    out = catalog.fresh_scratch_dir("sink", str(tmp_path))
+    assert not dead.exists(), "old-fingerprint dead-PID dir not reaped"
+    # live dirs (our own) survive
+    assert os.path.isdir(out)
+
+
+def test_publish_dir_atomic_and_loser_discards(tmp_path):
+    """publish_dir: winner's rename lands the artifact; a loser's
+    publish leaves the winner's copy intact and removes the loser's
+    staging dir (review r10 — replaces concurrent overwrite writes
+    into a shared live dir)."""
+    final = str(tmp_path / "artifact")
+    tmp_a = catalog.build_tmp_dir(final)
+    os.makedirs(tmp_a)
+    open(os.path.join(tmp_a, "winner"), "w").close()
+    catalog.publish_dir(tmp_a, final)
+    assert os.path.exists(os.path.join(final, "winner"))
+
+    tmp_b = f"{final}.build_p_loser"
+    os.makedirs(tmp_b)
+    open(os.path.join(tmp_b, "loser"), "w").close()
+    catalog.publish_dir(tmp_b, final)
+    assert os.path.exists(os.path.join(final, "winner")), "winner clobbered"
+    assert not os.path.exists(os.path.join(final, "loser"))
+    assert not os.path.exists(tmp_b), "staging dir leaked"

@@ -218,3 +218,35 @@ def test_registered_lazy_oracles_resolve_to_sql():
     for key in list(registry.ORACLE):
         sql = registry.ORACLE[key]
         assert isinstance(sql, str) and "FROM" in sql.upper(), key
+
+
+def test_fixture_token_counts_within_oracle_lateral_caps():
+    """Nine DuckDB oracles expand per-token elements through a CONSTANT
+    lateral — `range(1, 256)` (shingles / n-grams / rolling windows in
+    llm/dedup.py, llm/text.py, functions/udfs.py) and `range(0, 64)`
+    (chunk spans, stride 24) — because DuckDB 1.0 can't take a lateral
+    column arg in generate_series, while the Spark side is unbounded
+    (`sequence(1, size(ts) ...)`).  The pair silently diverges if a
+    regenerated fixture ever ships a document past the cap: Spark would
+    emit elements the oracle never generates and a CORRECT engine
+    result would grade as a mismatch (review r10).  This guard turns
+    that silent divergence into a loud failure at the fixture boundary.
+    Today's fixtures max out at ~100 whitespace tokens (2.5x headroom);
+    the 64-chunk cap binds only past 24*63+32 ≈ 1500 tokens, so 250 is
+    the operative ceiling for both."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path, columns=["text"])
+        mx = max(len([w for w in (s or "").split(" ") if w])
+                 for s in t.column("text").to_pylist())
+        assert mx <= 250, (
+            f"{sf}: max doc tokens {mx} exceeds the safety margin for "
+            "the range(1, 256) lateral caps in the DuckDB oracles — "
+            "raise every capped oracle lateral in lockstep (grep "
+            "'range(1, 256)') before accepting this fixture")
