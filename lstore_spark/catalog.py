@@ -160,6 +160,22 @@ def publish_dir(tmp: str, final: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def clear_incomplete_dir(final: str, marker: str = "_SUCCESS") -> None:
+    """Remove a shared artifact dir ONLY if it exists without its
+    completion marker — crashed half-write debris from the pre-r10
+    in-place protocol.  Never removes a marker-complete artifact: a
+    concurrent session may have published one between the caller's
+    gate check and this call, and deleting it would yank files out
+    from under the winner's lazily-evaluated readers (review r10
+    follow-up to publish_dir — the build branch must not hold an
+    unconditional rmtree)."""
+    import shutil
+
+    if (os.path.isdir(final)
+            and not os.path.exists(os.path.join(final, marker))):
+        shutil.rmtree(final, ignore_errors=True)
+
+
 def fixture_fingerprint(sf_dir: str) -> str:
     """10-hex content fingerprint of a fixture dir: path + (name, size,
     mtime) of every parquet entry, recursing one level into

@@ -200,12 +200,10 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
     (``catalog.publish_dir``), so a concurrent session that loses the
     build race reads the winner's COMPLETE index instead of a shared
     dir two Spark jobs are overwriting under each other."""
-    import shutil
-
-    from ..catalog import build_tmp_dir, publish_dir
+    from ..catalog import build_tmp_dir, clear_incomplete_dir, publish_dir
     idx = ann_index_dir(sf_dir)
     if not os.path.exists(os.path.join(idx, "postings", "_SUCCESS")):
-        shutil.rmtree(idx, ignore_errors=True)   # crashed half-write
+        clear_incomplete_dir(idx, os.path.join("postings", "_SUCCESS"))
         tmp = build_tmp_dir(idx)
         em = load_table(spark, sf_dir, "embeddings")
         _write_index(spark, tmp, em.filter(F.col("vec_id") >= 10)
@@ -526,15 +524,13 @@ def update_ann_index(spark: SparkSession, sf_dir: str) -> str:
     honest caveat — is quantizer STALENESS: batch vectors outside the
     base's SQ8 bounds clamp to the edge codes, and a drifted corpus
     eventually needs retrain+rebuild."""
-    import shutil
-
-    from ..catalog import build_tmp_dir, publish_dir
+    from ..catalog import build_tmp_dir, clear_incomplete_dir, publish_dir
     base = ann_base_dir(sf_dir)
     em = load_table(spark, sf_dir, "embeddings")
     if not os.path.exists(os.path.join(base, "postings", "_SUCCESS")):
         # staged build + atomic publish, same protocol as
         # build_ann_index (review r10)
-        shutil.rmtree(base, ignore_errors=True)
+        clear_incomplete_dir(base, os.path.join("postings", "_SUCCESS"))
         tmp = build_tmp_dir(base)
         _write_index(spark, tmp,
                      em.filter((F.col("vec_id") >= 10)
@@ -543,7 +539,7 @@ def update_ann_index(spark: SparkSession, sf_dir: str) -> str:
         publish_dir(tmp, base)
     delta = os.path.join(base, "postings_delta")
     if not os.path.exists(os.path.join(delta, "_SUCCESS")):
-        shutil.rmtree(delta, ignore_errors=True)
+        clear_incomplete_dir(delta)
         tmp = build_tmp_dir(delta)
         cvecs = (spark.read.parquet(os.path.join(base, "centroids"))
                  .select(F.col("list_id").alias("label"), "cvec"))
@@ -666,13 +662,11 @@ def merge_ann_index(spark: SparkSession, sf_dir: str) -> str:
     the swap is a vacuum-schedule decision (q_maint_retention_purge's
     shape), and this shared exhibit store keeps them so the update key
     stays independently replayable."""
-    import shutil
-
-    from ..catalog import build_tmp_dir, publish_dir
+    from ..catalog import build_tmp_dir, clear_incomplete_dir, publish_dir
     base = update_ann_index(spark, sf_dir)
     merged = os.path.join(base, "postings_merged")
     if not os.path.exists(os.path.join(merged, "_SUCCESS")):
-        shutil.rmtree(merged, ignore_errors=True)
+        clear_incomplete_dir(merged)
         tmp = build_tmp_dir(merged)
         posts = spark.read.schema(_POSTING_SCHEMA) \
             .parquet(os.path.join(base, "postings"))

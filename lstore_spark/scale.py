@@ -185,6 +185,30 @@ def purge_before(spark: SparkSession, path: str, cutoff_day: str) -> int:
     return dropped
 
 
+def reap_dead_warehouse_tables(spark: SparkSession, prefix: str) -> None:
+    """Remove managed-table dirs named ``<prefix>p<pid>`` whose owning
+    process is gone — the warehouse-side twin of
+    ``catalog.fresh_scratch_dir``'s reaper, for PID-scoped bucketed
+    exhibit tables (review r10: fixed shared names let one session's
+    DROP+rmtree yank bucket files out from under another's live join;
+    PID scoping fixes the clobber, this reaper bounds the leak)."""
+    import re
+    import shutil
+
+    from .catalog import _pid_alive
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    pat = re.compile(rf"^{re.escape(prefix)}p(\d+)$")
+    try:
+        for name in os.listdir(warehouse):
+            m = pat.match(name)
+            if m and not _pid_alive(int(m.group(1))):
+                shutil.rmtree(os.path.join(warehouse, name),
+                              ignore_errors=True)
+    except OSError:
+        pass
+
+
 def write_bucketed_pair(spark: SparkSession,
                         lineitem: DataFrame, orders: DataFrame,
                         n_buckets: int = 8,

@@ -185,7 +185,11 @@ def write_segments(df: DataFrame, seg_dir: str) -> None:
     shared filesystem / object store mount; locally it's tmpfs.
 
     The closure is self-contained (stdlib only) so it pickles by value —
-    no worker-side package import needed."""
+    no worker-side package import needed.  That deployment boundary is
+    why the serialization logic here deliberately DUPLICATES
+    ``_stage_partition`` (the DataSource path, which imports this
+    module on workers anyway) instead of calling it;
+    tests/test_lstore_sink.py pins the two byte-identical."""
 
     # capture the module constant into a local so the serialized closure
     # and the test-rig writer always share one cap (ADVICE r5: a literal
@@ -540,6 +544,11 @@ class LstoreLogStreamWriter(DataSourceStreamWriter):
 class LstoreLogReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
+        if not self.path:
+            # same contract as the writers: a missing/typo'd path option
+            # must error, not os.listdir(None) → scan the driver's cwd
+            # and return an empty frame (review r10)
+            raise ValueError("lstore_log reader requires .option('path', dir)")
         self.version = options.get("version")  # time travel (manifest id)
         self._lo = None  # offset >= _lo (from pushed filters)
         self._hi = None  # offset <= _hi
@@ -665,6 +674,11 @@ class LstoreLogStreamReader(DataSourceStreamReader):
 
     def __init__(self, options):
         self.path = options.get("path")
+        if not self.path:
+            # match the batch reader/writers (review r10): error loudly
+            # instead of listing the driver's cwd via os.listdir(None)
+            raise ValueError(
+                "lstore_log stream reader requires .option('path', dir)")
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -996,7 +1010,6 @@ def snapshot_store(seg_dir: str) -> int:
     time-travel error, not silent row loss.  Returns the version id."""
     import json
     import uuid
-    segs = sorted(f for f in os.listdir(seg_dir) if f.endswith(".seg"))
     # Version minting is CAS, not max+1-then-replace: os.replace would
     # silently overwrite a manifest a concurrent publisher minted with
     # the same id, REDEFINING a pinned snapshot (VERDICT r6 #1).  The
@@ -1006,6 +1019,13 @@ def snapshot_store(seg_dir: str) -> int:
     # the number of concurrent publishers.
     tmp = os.path.join(seg_dir, f"manifest-{uuid.uuid4().hex[:8]}.json.tmp")
     while True:
+        # Re-list SEGMENTS inside the loop too, not just versions: a
+        # publisher that loses the race may be retrying after new
+        # segments were committed and the winning manifest captured
+        # them — republishing its pre-race list under a HIGHER version
+        # would make the newest snapshot silently pin FEWER committed
+        # segments than an older one (review r10).
+        segs = sorted(f for f in os.listdir(seg_dir) if f.endswith(".seg"))
         versions = [int(f[len("manifest-v"):-len(".json")])
                     for f in os.listdir(seg_dir)
                     if f.startswith("manifest-v") and f.endswith(".json")]

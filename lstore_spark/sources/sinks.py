@@ -56,7 +56,18 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.repartition("event_type")
         .sortWithinPartitions("day")
         .write.mode("overwrite")
-        .option("parquet.bloom.filter.enabled#event_type", "true")
+        # Bloom filters on the data columns (the claimed pbloom analog;
+        # 'day' is the partition-local sort key the docstring names).
+        # Two review-r10 traps measured directly against this runtime's
+        # parquet-hadoop 1.16: (a) the old target 'enabled#event_type'
+        # was a silent no-op — event_type is the hive-PARTITION column
+        # and never appears inside the files; (b) the per-column
+        # 'parquet.bloom.filter.enabled#<col>' form is ALSO silently
+        # ignored by this writer (verified by byte-identical outputs),
+        # while the global enable + adaptive sizing below demonstrably
+        # writes right-sized bitsets (file grows by the bloom bytes).
+        .option("parquet.bloom.filter.enabled", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
         .partitionBy("event_type")
         .parquet(out)
     )
@@ -182,14 +193,23 @@ def q_source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     their join key removes the dominant shuffle of every order-grain
     query — the single highest-leverage physical design choice.  Oracle
     recomputes from the raw tables, proving bucketed write→read fidelity."""
-    from ..scale import write_bucketed_pair
+    from ..scale import reap_dead_warehouse_tables, write_bucketed_pair
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # PID-scoped table names: a fixed shared name let one session's
+    # DROP + rmtree yank the bucket files out from under another
+    # session's live join (review r10 — the same two-session scenario
+    # fresh_scratch_dir defends against); the reaper bounds the
+    # per-dead-PID warehouse footprint.
+    pid = os.getpid()
+    li_t, od_t = f"lineitem_bkt_q_p{pid}", f"orders_bkt_q_p{pid}"
+    reap_dead_warehouse_tables(spark, "lineitem_bkt_q_")
+    reap_dead_warehouse_tables(spark, "orders_bkt_q_")
     write_bucketed_pair(spark, li, od, n_buckets=8,
-                        li_table="lineitem_bkt_q", od_table="orders_bkt_q")
-    li_b = spark.table("lineitem_bkt_q").hint("merge")
-    od_b = spark.table("orders_bkt_q")
+                        li_table=li_t, od_table=od_t)
+    li_b = spark.table(li_t).hint("merge")
+    od_b = spark.table(od_t)
     return (
         li_b.join(od_b, li_b.l_orderkey == od_b.o_orderkey)
         .groupBy("o_orderpriority")
@@ -229,7 +249,13 @@ def q_maint_compact_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
        .write.mode("overwrite")
        .partitionBy("day")
        .parquet(store))
-    out, _plan = compact_store(spark, store)
+    # compacted output INSIDE the PID-scoped store (underscore prefix =
+    # invisible to the store's own parquet listing), so the scratch
+    # reaper covers it; the old sibling default (<store>_compacted)
+    # escaped the reap pattern and leaked a fixture-sized dir per dead
+    # PID (review r10)
+    out, _plan = compact_store(spark, store,
+                               out=os.path.join(store, "_compacted"))
     back = spark.read.parquet(out)
     return back.groupBy("day").agg(
         F.count(F.lit(1)).alias("n"),
@@ -380,10 +406,8 @@ def q_maint_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         # staged build + atomic publish: a concurrent session that
         # loses the race reads the winner's complete rewrite instead
         # of a dir two jobs overwrite under each other (review r10)
-        import shutil
-
-        from ..catalog import build_tmp_dir, publish_dir
-        shutil.rmtree(out, ignore_errors=True)
+        from ..catalog import build_tmp_dir, clear_incomplete_dir, publish_dir
+        clear_incomplete_dir(out)
         tmp = build_tmp_dir(out)
         (
             ev.withColumn("_z", zorder_key("user_id", "vq"))
@@ -469,10 +493,8 @@ def q_source_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, built = scratch_dir("dpp1", sf_dir)
     if not built:
         # staged build + atomic publish (review r10, same as zorder1)
-        import shutil
-
-        from ..catalog import build_tmp_dir, publish_dir
-        shutil.rmtree(out, ignore_errors=True)
+        from ..catalog import build_tmp_dir, clear_incomplete_dir, publish_dir
+        clear_incomplete_dir(out)
         tmp = build_tmp_dir(out)
         ev.repartition("d").write.mode("overwrite").partitionBy("d").parquet(tmp)
         publish_dir(tmp, out)

@@ -524,24 +524,31 @@ def q_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(processingTime="100 milliseconds")
         .start()
     )
-    sink = spark.table("q_stream_follow_sink")
-    # Publish gate: stage k+1 goes live only after the sink shows stage
-    # k fully consumed — forces ≥3 distinct micro-batches.  The deadline
-    # only bounds the gating loop; the final drain is unconditional
-    # (processAllAvailable blocks until the cursor reaches the tail), so
-    # a slow machine delays the key but can never truncate its result.
-    next_stage, deadline = 1, time.time() + 120
-    while next_stage < 3 and time.time() < deadline:
-        if sink.count() >= cum[next_stage - 1]:
+    # try/finally: an error anywhere in the gate loop or drain must
+    # still stop the 100ms-triggered query — a leaked active query
+    # keeps scanning the scratch dir AND blocks every later invocation
+    # of this key on the duplicate queryName (review r10)
+    try:
+        sink = spark.table("q_stream_follow_sink")
+        # Publish gate: stage k+1 goes live only after the sink shows
+        # stage k fully consumed — forces ≥3 distinct micro-batches.
+        # The deadline only bounds the gating loop; the final drain is
+        # unconditional (processAllAvailable blocks until the cursor
+        # reaches the tail), so a slow machine delays the key but can
+        # never truncate its result.
+        next_stage, deadline = 1, time.time() + 120
+        while next_stage < 3 and time.time() < deadline:
+            if sink.count() >= cum[next_stage - 1]:
+                publish(next_stage)
+                next_stage += 1
+            else:
+                time.sleep(0.1)
+        while next_stage < 3:  # deadline hit: publish the rest anyway
             publish(next_stage)
             next_stage += 1
-        else:
-            time.sleep(0.1)
-    while next_stage < 3:  # deadline hit: publish remaining stages anyway
-        publish(next_stage)
-        next_stage += 1
-    q.processAllAvailable()
-    q.stop()
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table("q_stream_follow_sink")
 
 

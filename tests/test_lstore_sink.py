@@ -931,3 +931,79 @@ def test_corrupt_manifest_fails_loudly_never_narrows(spark, tmp_path):
     with open(p, "wb") as f:
         f.write(good)  # restore — pinned read works again
     assert manifest_segments(d, v) == ["part-00000.seg", "part-00001.seg"]
+
+
+def test_closure_and_datasource_serializers_byte_identical(spark, tmp_path):
+    """write_segments' self-contained closure and the DataSource path's
+    _stage_partition are two DELIBERATE copies of the segment
+    serializer with different deployment boundaries (the closure
+    pickles by value so workers need no package import; the DataSource
+    path imports the module anyway).  The trade is documented in
+    write_segments' docstring — this test pins the non-negotiable part:
+    identical rows must produce byte-identical segment files and
+    identical key-index sidecars through BOTH paths (review r10)."""
+    import json
+
+    from lstore_spark.sources.lstore_log import register, write_segments
+
+    df = (
+        spark.range(64)
+        .select(
+            F.col("id").alias("offset"),
+            F.array(F.col("id"), F.col("id") * 3, F.lit(7)).alias("ints"),
+            F.array(
+                F.encode(F.concat(F.lit("k"), (F.col("id") % 5).cast("string")),
+                         "UTF-8"),
+                F.encode(F.col("id").cast("string"), "UTF-8"),
+            ).alias("blobs"),
+        )
+        .coalesce(1)  # one partition, stable row order from range()
+    )
+    a, b = tmp_path / "closure", tmp_path / "datasource"
+    a.mkdir(), b.mkdir()
+    write_segments(df, str(a))
+    register(spark)
+    df.write.format("lstore_log").option("path", str(b)).mode("append").save()
+
+    seg_a = [f for f in os.listdir(a) if f.endswith(".seg")]
+    seg_b = [f for f in os.listdir(b) if f.endswith(".seg")]
+    assert len(seg_a) == 1 and len(seg_b) == 1
+    bytes_a = (a / seg_a[0]).read_bytes()
+    bytes_b = (b / seg_b[0]).read_bytes()
+    assert bytes_a == bytes_b, (
+        "segment serializers drifted: closure and DataSource paths "
+        "produced different bytes for identical rows")
+    idx_a = json.loads((a / (seg_a[0][:-4] + ".idx")).read_text())
+    idx_b = json.loads((b / (seg_b[0][:-4] + ".idx")).read_text())
+    assert idx_a == idx_b
+
+
+def test_parquet_bloom_options_actually_write_blooms(spark, tmp_path):
+    """q_sink_parquet claims parquet bloom filters (the pbloom-index
+    analog).  This runtime's parquet-hadoop 1.16 SILENTLY ignores the
+    per-column 'parquet.bloom.filter.enabled#<col>' form (review r10 —
+    the exhibit shipped a no-op for rounds), so the sink now uses
+    global enable + adaptive sizing.  Pin that the recipe actually
+    materializes bitsets via the only signal pyarrow exposes: the
+    written bytes must GROW by the bloom sections."""
+    import glob
+    import os
+
+    df = spark.range(20000).select(
+        (F.col("id") % 365).cast("int").alias("day"),
+        F.col("id").alias("v"))
+
+    def written(path, with_bloom: bool) -> int:
+        w = df.coalesce(1).write.mode("overwrite")
+        if with_bloom:
+            w = (w.option("parquet.bloom.filter.enabled", "true")
+                 .option("parquet.bloom.filter.adaptive.enabled", "true"))
+        w.parquet(path)
+        return sum(os.path.getsize(f)
+                   for f in glob.glob(path + "/*.parquet"))
+
+    plain = written(str(tmp_path / "plain"), False)
+    bloom = written(str(tmp_path / "bloom"), True)
+    assert bloom > plain, (
+        "bloom options wrote no extra bytes — the writer ignored them "
+        "(the exact silent no-op class review r10 found)")
