@@ -307,13 +307,17 @@ SELECT event_id,
        props->>'$.k' AS k_str,
        CAST(props->>'$.k' AS BIGINT) AS k_int,
        CAST(props->>'$.k' AS BIGINT) * 2 AS k_doubled,
-       json_valid(props) AS is_valid
+       COALESCE(json_valid(props), FALSE) AS is_valid
 FROM events
 """,
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload parsing — lstore blob payloads are app-encoded JSON;
-    this is the typed-extraction surface (SURVEY.md §1.2)."""
+    this is the typed-extraction surface (SURVEY.md §1.2).  is_valid is
+    pinned NULL-props → false in BOTH dialects (Spark's isNotNull gives
+    false natively; DuckDB's json_valid(NULL) is NULL, so the oracle
+    COALESCEs — the contract, not the currently-null-free data; review
+    r10)."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
     return ev.select(

@@ -469,19 +469,15 @@ def cms_sketch(df: DataFrame, key: str) -> DataFrame:
     (depth, bucket) aggregate partial-combines map-side, so the sketch
     costs one ≤ d·W-row shuffle regardless of input size — the same
     bounded-build argument as bloom_bitmap."""
-    spark = df.sparkSession
+    from ..scale import dense_array_agg
     w = _CMS_W
     pos = df.select(F.explode(F.array(*[
         F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(w))
         + F.lit(d * w)
         for d, s in enumerate(_CMS_SEEDS)])).alias("slot"))
     counts = pos.groupBy("slot").agg(F.count(F.lit(1)).alias("n"))
-    dense = (spark.range(len(_CMS_SEEDS) * w).withColumnRenamed("id", "slot")
-             .join(counts, "slot", "left")
-             .select("slot", F.coalesce("n", F.lit(0)).alias("n")))
-    return dense.agg(F.expr(
-        "transform(array_sort(collect_list(struct(slot, n))), "
-        "s -> s.n)").alias("cms"))
+    return dense_array_agg(counts, "slot", "n",
+                           len(_CMS_SEEDS) * w, "cms")
 
 
 def cms_estimate(key: str) -> "F.Column":

@@ -396,14 +396,22 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | (
         (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
     )
+    # stats-gated like q5/q10/q14 (review r10: these two were the last
+    # forced full-dim broadcasts — the exact shape the 1000× probe
+    # measured 2× over linear on q5 before its gate).  Nation slices
+    # are ≤25 rows, always broadcast.
+    su_fit = fits_broadcast(sf_dir, "supplier")
+    cu_fit = fits_broadcast(sf_dir, "customer")
     li_side = (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        li.join(F.broadcast(su) if su_fit else su,
+                li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(n1), su.s_nationkey == F.col("_sk"))
         .select("l_orderkey", "l_shipdate", "supp_nation",
                 rev.alias("_rev"))
     )
     od_side = (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(F.broadcast(cu) if cu_fit else cu,
+                od.o_custkey == cu.c_custkey)
         .join(F.broadcast(n2), cu.c_nationkey == F.col("_ck"))
         .select("o_orderkey", "cust_nation")
     )
@@ -481,14 +489,23 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("n_name").alias("supp_nation"))
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     zero = F.lit(0).cast(DEC)
+    # stats-gated like q5/q10/q14 (review r10 — see q7's note).
+    # ECONOMY is 1-of-6 p_type values (footer-checked at sf0.1:
+    # 3,337/20,000); supplier/customer gate at full grain.
+    pa_fit = fits_broadcast(sf_dir, "part", 0.17)
+    su_fit = fits_broadcast(sf_dir, "supplier")
+    cu_fit = fits_broadcast(sf_dir, "customer")
     li_side = (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        li.join(F.broadcast(pa) if pa_fit else pa,
+                li.l_partkey == pa.p_partkey, "left_semi")
+        .join(F.broadcast(su) if su_fit else su,
+              li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(n2), su.s_nationkey == F.col("_sk"))
         .select("l_orderkey", "supp_nation", vol.alias("_vol"))
     )
     od_side = (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(F.broadcast(cu) if cu_fit else cu,
+                od.o_custkey == cu.c_custkey)
         .join(F.broadcast(n1), cu.c_nationkey == F.col("_ck"), "left_semi")
         .select("o_orderkey", "o_orderdate")
     )
@@ -853,11 +870,16 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = F.last(obs_hour, ignorenulls=True).over(w_prev)
     nv = F.first("v", ignorenulls=True).over(w_next)
     nh = F.first(obs_hour, ignorenulls=True).over(w_next)
-    frac = ((F.unix_timestamp("hour_b") - F.unix_timestamp(ph))
-            / (F.unix_timestamp(nh) - F.unix_timestamp(ph)))
+    # identical ASSOCIATIVITY to the oracle's left-associative
+    # `pv + (nv - pv) * d1 / d2` — a (nv-pv)*(d1/d2) grouping is a
+    # DIFFERENT double expression that can round apart at the 6th
+    # decimal (review r10); "identical IEEE ops" requires the same
+    # operation tree, not just the same formula
+    d1 = F.unix_timestamp("hour_b") - F.unix_timestamp(ph)
+    d2 = F.unix_timestamp(nh) - F.unix_timestamp(ph)
     interp = (F.when(F.col("v").isNotNull(), F.col("v"))
               .when(pv.isNull() | nv.isNull(), F.coalesce(pv, nv))
-              .otherwise(pv + (nv - pv) * frac))
+              .otherwise(pv + (nv - pv) * d1 / d2))
     return j.select(
         "event_type",
         F.date_format("hour_b", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
@@ -1100,16 +1122,15 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [F.count(c).alias(f"nn_{c}"),
                  F.countDistinct(c).alias(f"nd_{c}")]
     wide = ev.agg(*aggs)
-    parts = [
-        wide.select(F.lit(c).alias("col"),
-                    F.col(f"nn_{c}").alias("n_nonnull"),
-                    F.col(f"nd_{c}").alias("n_distinct"))
-        for c in cols
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # stack() over the ONE wide agg row, same idiom as
+    # q_quality_constraints: the previous union-of-five-select branches
+    # re-ran the whole 10-aggregate scan per branch under Spark's
+    # no-CSE-across-branches rule (plan audit showed 10 exchanges /
+    # 20 agg nodes for one logical pass — review r10); this form is
+    # the single multi-aggregate scan the docstring promises.
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return wide.select(F.expr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_nonnull, n_distinct)"))
 
 
 _SAMPLE_HASH = sql_md5_long("concat('sample:42:', CAST(event_id AS {s}))", 8)
@@ -1162,12 +1183,21 @@ def q_evt_pathing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the window partitions by user_id (high cardinality), the
     transition aggregate has ≤ |types|² groups — partial-combined to
     almost nothing before the shuffle."""
-    ev = load_table(spark, sf_dir, "events")
+    return transition_counts(load_table(spark, sf_dir, "events"))
+
+
+def transition_counts(ev: DataFrame) -> DataFrame:
+    """(prev_type, next_type, n_trans) bigram transition counts over
+    each user's (ts, event_id)-ordered event sequence — the ONE
+    definition shared by q_evt_pathing (raw counts) and q_evt_markov
+    (row-normalized probabilities), so the sequencing contract
+    (event_id tie-break, NULL-lag drop) can never drift between them
+    (review r10 — the block was previously inlined in both)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type"))
     return (
-        seq.filter(F.col("prev_type").isNotNull())
+        ev.select("event_type",
+                  F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_trans"))
     )
@@ -1997,15 +2027,7 @@ def q_evt_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |types|²-row transition table — one extra (tiny) shuffle after
     the heavy lifting; the ratio divides exact integers so ROUND 6 is
     deterministic in both engines."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = (
-        ev.select("event_type",
-                  F.lag("event_type").over(w).alias("prev_type"))
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count(F.lit(1)).alias("n_trans"))
-    )
+    trans = transition_counts(load_table(spark, sf_dir, "events"))
     wp = Window.partitionBy("prev_type")
     wr = Window.partitionBy("prev_type").orderBy(
         F.col("n_trans").desc(), "next_type")
@@ -2310,8 +2332,14 @@ WITH s AS (
   WHERE e.event_type = 'purchase' AND e.ts > s.t0
   GROUP BY e.user_id
 ), d AS (
-  SELECT CAST(FLOOR(date_diff('second', s.t0, p.t1) / 3600.0) AS BIGINT)
-           AS hrs
+  -- elapsed-time floor from the microsecond delta, matching Spark's
+  -- timestampdiff(SECOND) EXACTLY.  DuckDB's date_diff('second')
+  -- counts SECOND-BOUNDARY CROSSINGS, which differs by 1 from the
+  -- elapsed floor whenever frac(t1) < frac(t0) — true for 72/150
+  -- converting users at sf0.01 (review r10); the hour bucketing only
+  -- agreed because no diff landed on a 3600s multiple.
+  SELECT CAST(FLOOR((epoch_us(p.t1) - epoch_us(s.t0)) / 3600000000.0)
+              AS BIGINT) AS hrs
   FROM p JOIN s ON p.user_id = s.user_id
 ), hist AS (
   SELECT hrs, COUNT(*) AS freq FROM d GROUP BY hrs
@@ -2332,9 +2360,12 @@ def q_evt_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     the counts-of-counts histogram (q_profile_key_skew's trick applied
     to a duration metric — the cumulative window runs over ≤ |distinct
     hour buckets| rows, never over users, so the percentile never
-    triggers a global sort at any user count).  The integer-seconds
-    timestamp diff (timestampdiff/date_diff) keeps the bucketing
-    float-free on both engines."""
+    triggers a global sort at any user count).  The duration is the
+    ELAPSED-TIME floor of the microsecond delta on both engines:
+    Spark's timestampdiff(SECOND) is that floor natively, and the
+    oracle derives it from epoch_us — NOT date_diff('second'), whose
+    boundary-crossing count differs by 1 for most fixture pairs
+    (review r10)."""
     ev = load_table(spark, sf_dir, "events")
     s = (ev.filter(F.col("event_type") == "signup")
          .groupBy("user_id").agg(F.min("ts").alias("t0")))

@@ -550,7 +550,7 @@ def bloom_bitmap(build: DataFrame, key: str,
     map).  GetArrayItem on a dense array is O(1); the sparse→dense fill
     is one left join against ``range(nwords)`` (word ids are dense by
     construction, so index == word)."""
-    spark = build.sparkSession
+    from ..scale import dense_array_agg
     nwords = mbits // 64
     pos = build.select(F.explode(F.array(*[
         F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(mbits))
@@ -560,12 +560,7 @@ def bloom_bitmap(build: DataFrame, key: str,
                      F.expr("shiftleft(CAST(1 AS BIGINT), "
                             "CAST(pos % 64 AS INT))").alias("bit"))
              .groupBy("word").agg(F.expr("bit_or(bit)").alias("bits")))
-    dense = (spark.range(nwords).withColumnRenamed("id", "word")
-             .join(words, "word", "left")
-             .select("word", F.coalesce("bits", F.lit(0)).alias("bits")))
-    return dense.agg(F.expr(
-        "transform(array_sort(collect_list(struct(word, bits))), "
-        "s -> s.bits)").alias("bloom"))
+    return dense_array_agg(words, "word", "bits", nwords, "bloom")
 
 
 def bloom_prune(probe: DataFrame, key: str, bloom_row: DataFrame,

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fits_broadcast, load_table
 from ..numerics import DEC, sql_dec2dbl
 from ..registry import pin, query
 
@@ -281,8 +281,13 @@ def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin enr: it feeds the base and delta branches; in the real
     # pipeline these are separate runs, but within this one-query demo
     # Spark would otherwise scan+join orders twice.  Serialized persist
-    # (not localCheckpoint): spillable at any scale.
-    enr = pin(od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    # (not localCheckpoint): spillable at any scale.  Customer
+    # broadcast is stats-gated like the TPC-H family (review r10: this
+    # was an ungated full-dim broadcast — the shape the 1000× probe
+    # measured 2× over linear before q5's gate).
+    cu_fit = fits_broadcast(sf_dir, "customer")
+    enr = pin(od.join(F.broadcast(cu) if cu_fit else cu,
+                      od.o_custkey == cu.c_custkey)
               .select("c_nationkey", "o_totalprice", "o_orderdate"))
 
     def partial(df: DataFrame) -> DataFrame:

@@ -72,7 +72,13 @@ def write_events_partitioned(events: DataFrame, path: str) -> None:
         .repartition("day")
         .sortWithinPartitions("ts")
         .write.mode("overwrite")
-        .option("parquet.bloom.filter.enabled#event_type", "true")
+        # global enable + adaptive sizing: this runtime's parquet-hadoop
+        # 1.16 silently ignores the per-column 'enabled#<col>' form
+        # (review r10, measured byte-identical output in sinks.py —
+        # same trap here); the global+adaptive pair demonstrably writes
+        # right-sized bitsets, covering event_type among the data cols
+        .option("parquet.bloom.filter.enabled", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
         .partitionBy("day")
         .parquet(path)
     )
@@ -237,3 +243,24 @@ def write_bucketed_pair(spark: SparkSession,
         .bucketBy(n_buckets, "o_orderkey").sortBy("o_orderkey")
         .format("parquet").saveAsTable(od_table)
     )
+
+
+def dense_array_agg(sparse: DataFrame, idx: str, val: str,
+                    n: int, alias: str) -> DataFrame:
+    """ONE-row dense ``array<long>`` from a sparse (idx, val) relation:
+    left-join against ``range(n)`` to zero-fill absent slots, then
+    collect in slot order.  The shared tail of both distributed
+    array-sketch builders — ``joins.bloom_bitmap`` (bit_or words) and
+    ``aggregates.cms_sketch`` (bucket counts) — extracted so the
+    hard-won lessons encoded there (DENSE array, never map<k,v>:
+    ``element_at`` on Spark's ArrayBasedMapData is a linear scan,
+    measured 126 s vs 27 s at the 100× fixture; struct-sort before
+    transform for a deterministic order) live in one place
+    (review r10)."""
+    spark = sparse.sparkSession
+    dense = (spark.range(n).withColumnRenamed("id", idx)
+             .join(sparse, idx, "left")
+             .select(idx, F.coalesce(val, F.lit(0)).alias(val)))
+    return dense.agg(F.expr(
+        f"transform(array_sort(collect_list(struct({idx}, {val}))), "
+        f"s -> s.{val})").alias(alias))
