@@ -107,18 +107,14 @@ def _train_quantizer(corpus):
     replaced, which held BlockManager storage for the session; both
     relations are deterministic, so a recompute after eviction is
     value-identical)."""
-    elems = corpus.select(
-        "label", F.posexplode("embedding").alias("i", "v")
-    ).select("label", "i", F.col("v").cast("double").alias("v"))
-    cent = elems.groupBy("label", "i").agg(
-        (F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
-         / F.count("v")).alias("c"))
-    cvecs = (
-        cent.groupBy("label")
-        .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), "
-                    "s -> s.c)").alias("cvec"))
-    )
-    cvecs = pin(cvecs)
+    # the SHARED two-layer centroid definition (embeddings.py): elems
+    # is reused below for the SQ8 bounds, so the layers are composed
+    # here instead of calling centroid_vectors (review r10 — this was
+    # an inlined copy whose equality with q_llm_emb_ivf_assign held
+    # only by copy-paste)
+    from .embeddings import centroid_from_elems, exploded_elems
+    elems = exploded_elems(corpus.select("label", "embedding"), "label")
+    cvecs = pin(centroid_from_elems(elems, "label"))
     step = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
         (F.col("hi") - F.col("lo")) / _LEVELS)
     bounds = (

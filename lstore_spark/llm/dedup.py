@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, table_rows
 from ..registry import query
-from .hashing import sql_md5_long
 from .similarity import cosine
 from .text import _DUCK_TOKENS, _SPARK_TOKENS
 
@@ -849,7 +848,7 @@ def semantic_dedup(em: DataFrame, n_clusters: int,
     # The norm rides along so the pairwise stage computes n norms, not
     # 2·|pairs| (cosine_with_norms ≡ cosine arithmetically — the oracle
     # still hash-matches).
-    from .similarity import _norm, cosine_with_norms
+    from .similarity import _norm
     v = (em.join(asg, "vec_id")
          .select("vec_id", "cluster", "embedding",
                  _norm("embedding").alias("_n"))
@@ -1042,7 +1041,13 @@ def q_llm_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("train_id", "eval_id")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= 3))
-    return (hits.join(F.broadcast(evtot), "eval_id")
+    # evtot is one row per EVAL doc (~10% of the corpus — it scales,
+    # exactly like ev above): gate it on the same stats instead of
+    # forcing the broadcast (review r10; factor 0.1 = the src0 share,
+    # vs ev's 0.1 × ~188 shingle fan-out)
+    ev_rows_fit = fits_broadcast(sf_dir, "documents", 0.1)
+    return (hits.join(F.broadcast(evtot) if ev_rows_fit else evtot,
+                      "eval_id")
             .select("train_id", "eval_id", "n_shared",
                     F.round(F.col("n_shared") / F.col("n_eval"), 6)
                      .alias("overlap_frac")))

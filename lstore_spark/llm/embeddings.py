@@ -31,7 +31,8 @@ WITH amax AS (
 SELECT vec_id, a AS amax,
        array_to_string(
          list_transform(embedding,
-             x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0 / a) AS INT)), ',')
+             x -> COALESCE(CAST(trunc(CAST(x AS DOUBLE) * 127.0
+                                      / NULLIF(a, 0)) AS INT), 0)), ',')
          AS q8
 FROM amax
 """,
@@ -50,12 +51,18 @@ def q_llm_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Joined to a CSV string: the driver canonicalizer can't hash array
     # cells (CORRECTNESS_r01 q_agg_collect TypeError); int elements
     # stringify identically in both engines.
+    # try_divide + coalesce: an all-zero vector (amax=0 — in-domain,
+    # q_llm_emb_norm_stats counts exactly these) must quantize to all
+    # zeros, not throw DIVIDE_BY_ZERO under the ANSI default (review
+    # r10); also keeps array_join from silently dropping NULL elements.
     return with_amax.select(
         "vec_id", "amax",
         F.array_join(
             F.expr("""
                 transform(embedding,
-                          x -> CAST(CAST(x AS DOUBLE) * 127.0D / amax AS INT))
+                          x -> coalesce(CAST(try_divide(
+                                 CAST(x AS DOUBLE) * 127.0D, amax) AS INT),
+                               0))
             """),
             ",",
         ).alias("q8"),
@@ -91,9 +98,7 @@ def q_llm_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     order.  Shuffles once on (label, dim) — 640 groups regardless of
     corpus size; the re-assembly list is bounded by dim=64."""
     em = load_table(spark, sf_dir, "embeddings")
-    elems = em.select(
-        "label", F.posexplode("embedding").alias("i", "v")
-    ).select("label", "i", F.col("v").cast("double").alias("v"))
+    elems = exploded_elems(em.select("label", "embedding"), "label")
     dims = elems.groupBy("label", "i").agg(
         (F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
          / F.count("v")).alias("c"),
@@ -166,18 +171,8 @@ def q_llm_emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max_by`` per vector — one narrow shuffle of (vec_id, best) rows,
     nothing quadratic.  Tie-break: lowest candidate label."""
     em = load_table(spark, sf_dir, "embeddings")
-    elems = em.select(
-        "label", F.posexplode("embedding").alias("i", "v")
-    ).select("label", "i", F.col("v").cast("double").alias("v"))
-    cent = elems.groupBy("label", "i").agg(
-        (F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
-         / F.count("v")).alias("c"))
-    cvecs = (
-        cent.groupBy("label")
-        .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), "
-                    "s -> s.c)").alias("cvec"))
-        .select(F.col("label").alias("cand_label"), "cvec")
-    )
+    cvecs = (centroid_vectors(em.select("label", "embedding"), "label")
+             .select(F.col("label").alias("cand_label"), "cvec"))
     pairs = (
         em.select("vec_id", F.col("label").alias("own_label"), "embedding")
         .crossJoin(F.broadcast(cvecs))
@@ -195,18 +190,37 @@ def q_llm_emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- k-means
 
-def centroid_vectors(df: DataFrame, key: str) -> DataFrame:
-    """(key, embedding) → (key, cvec array<double>): exact-decimal
-    per-dimension means, re-assembled in dimension order.  One shuffle
-    on (key, i) — |clusters|·dim groups regardless of corpus size."""
-    elems = df.select(key, F.posexplode("embedding").alias("i", "v")) \
-              .select(key, "i", F.col("v").cast("double").alias("v"))
+def exploded_elems(df: DataFrame, key: str) -> DataFrame:
+    """(key, embedding) → (key, i, v double): the posexplode layer of
+    every centroid computation, exposed separately so builders that
+    need the element relation for MORE than the mean (SQ8 bounds in
+    ann_index._train_quantizer, per-dim counts in q_llm_emb_centroid)
+    share one definition instead of re-inlining it (review r10)."""
+    return (df.select(key, F.posexplode("embedding").alias("i", "v"))
+            .select(key, "i", F.col("v").cast("double").alias("v")))
+
+
+def centroid_from_elems(elems: DataFrame, key: str) -> DataFrame:
+    """(key, i, v) → (key, cvec): exact-decimal per-dimension means,
+    re-assembled in dimension order."""
     cent = elems.groupBy(key, "i").agg(
         (F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
          / F.count("v")).alias("c"))
     return cent.groupBy(key).agg(
         F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
         .alias("cvec"))
+
+
+def centroid_vectors(df: DataFrame, key: str) -> DataFrame:
+    """(key, embedding) → (key, cvec array<double>): exact-decimal
+    per-dimension means, re-assembled in dimension order.  One shuffle
+    on (key, i) — |clusters|·dim groups regardless of corpus size.
+    THE single centroid definition: q_llm_emb_ivf_assign, pq_codebook,
+    ann_index's quantizer, and the kmeans keys all route through here
+    (or the two layers above), so the 'same deterministic quantizer'
+    parity their docstrings promise is structural, not copy-paste
+    (review r10)."""
+    return centroid_from_elems(exploded_elems(df, key), key)
 
 
 def assign_nearest(em: DataFrame, cvecs: DataFrame, key: str) -> DataFrame:
@@ -349,9 +363,13 @@ vec AS (
   FROM embeddings
 ),
 pairs AS (
+  -- ROUND 6 like every other key in the IVF/kmeans family: the Spark
+  -- side (assign_nearest -> cosine_with_norms) ranks ROUNDED cosines,
+  -- so an unrounded oracle ORDER BY could pick a different centroid
+  -- inside the 6th-decimal tie band (review r10)
   SELECT vec.vec_id, cent.label AS cand,
-         SUM(vec.v * cent.c)
-           / (sqrt(SUM(vec.v * vec.v)) * sqrt(SUM(cent.c * cent.c)))
+         ROUND(SUM(vec.v * cent.c)
+           / (sqrt(SUM(vec.v * vec.v)) * sqrt(SUM(cent.c * cent.c))), 6)
            AS cos_sim
   FROM vec JOIN cent ON vec.i = cent.i
   GROUP BY vec.vec_id, cent.label
@@ -636,15 +654,9 @@ def pq_codebook(spark: SparkSession, sf_dir: str):
                      dtype=np.float64)
     else:
         em = load_table(spark, sf_dir, "embeddings")
-        lab = em.select("label", F.posexplode("embedding").alias("i", "v")) \
-                .select("label", "i", F.col("v").cast("double").alias("v"))
-        cent = lab.groupBy("label", "i").agg(
-            (F.sum(F.col("v").cast(DEC)).cast("double") / F.count("v"))
-            .alias("c"))
         cb_rows = sorted(
-            cent.groupBy("label")
-            .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), "
-                        "s -> s.c)").alias("cvec")).collect(),
+            centroid_vectors(em.select("label", "embedding"),
+                             "label").collect(),
             key=lambda r: r.label)
         C = np.array([r.cvec for r in cb_rows], dtype=np.float64)
         import pyarrow as pa

@@ -40,15 +40,20 @@ def _norm(a: str) -> Column:
 
 
 def cosine(a: str, b: str) -> Column:
-    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+    # try_divide: a zero vector (norm 0 — in-domain, counted by
+    # q_llm_emb_norm_stats) must yield NULL cosine — folding into the
+    # module's pytest-pinned NULL-vector degrade-to-dropped path — not
+    # throw DIVIDE_BY_ZERO under Spark 4's ANSI default (review r10).
+    return F.round(F.try_divide(_dot(a, b), _norm(a) * _norm(b)), 6)
 
 
 def cosine_with_norms(a: str, b: str, na: str, nb: str) -> Column:
     """cosine() with the two norms precomputed as columns — same
     arithmetic (dot / (na·nb), rounded at 6), but each side's norm is
     evaluated once per ROW instead of once per PAIR.  For |Q| queries ×
-    |C| corpus the norm HOFs drop from 2·|Q|·|C| to |Q|+|C|."""
-    return F.round(_dot(a, b) / (F.col(na) * F.col(nb)), 6)
+    |C| corpus the norm HOFs drop from 2·|Q|·|C| to |Q|+|C|.
+    Zero-norm → NULL via try_divide, same contract as cosine()."""
+    return F.round(F.try_divide(_dot(a, b), F.col(na) * F.col(nb)), 6)
 
 
 def partitioned_topk(scored: DataFrame, key: str, k: int,

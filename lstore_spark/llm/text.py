@@ -250,10 +250,11 @@ WITH feat AS (
   FROM documents
 )
 SELECT doc_id, n_tok, n_stop,
-       CAST(n_chars AS DOUBLE) / n_tok AS avg_word_len,
-       CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+       CAST(n_chars AS DOUBLE) / NULLIF(n_tok, 0) AS avg_word_len,
+       CAST(n_stop AS DOUBLE) / NULLIF(n_tok, 0) AS stop_ratio,
        ROUND(LEAST(1.0, n_tok / 100.0) * 0.5
-             + LEAST(1.0, 5.0 * n_stop / n_tok) * 0.5, 6) AS quality_score
+             + LEAST(1.0, COALESCE(5.0 * n_stop / NULLIF(n_tok, 0), 0.0))
+               * 0.5, 6) AS quality_score
 FROM feat
 """,
 )
@@ -265,15 +266,22 @@ def q_llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(tokens_col())
     n_stop = F.size(F.expr(
         f"filter({_SPARK_TOKENS}, x -> array_contains(array({stop_list}), x))"))
+    # try_divide / NULLIF: an empty document (n_tok=0) must score, not
+    # throw DIVIDE_BY_ZERO under the ANSI default — this key IS the
+    # garbage-input gate (review r10).  Contract: ratios NULL, score
+    # falls back to the length component only; oracle mirrors.
     return docs.select(
         "doc_id",
         n_tok.alias("n_tok"),
         n_stop.alias("n_stop"),
-        (F.col("n_chars").cast("double") / n_tok).alias("avg_word_len"),
-        (n_stop.cast("double") / n_tok).alias("stop_ratio"),
+        F.try_divide(F.col("n_chars").cast("double"),
+                     n_tok).alias("avg_word_len"),
+        F.try_divide(n_stop.cast("double"), n_tok).alias("stop_ratio"),
         F.round(
             F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
-            + F.least(F.lit(1.0), F.lit(5.0) * n_stop / n_tok) * 0.5, 6
+            + F.least(F.lit(1.0),
+                      F.coalesce(F.try_divide(F.lit(5.0) * n_stop, n_tok),
+                                 F.lit(0.0))) * 0.5, 6
         ).alias("quality_score"),
     )
 
@@ -845,10 +853,12 @@ top AS (
   SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg FROM bgc GROUP BY 1
 )
 SELECT b.doc_id, b.n_tokens,
-       ROUND(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS distinct_ratio,
+       ROUND(COALESCE(CAST(b.n_distinct AS DOUBLE)
+                      / NULLIF(b.n_tokens, 0), 0.0), 6) AS distinct_ratio,
        ROUND(COALESCE(CAST(t.top_bg AS DOUBLE) / t.n_bg, 0.0), 6)
          AS top_bigram_frac,
-       CAST(CAST(b.n_distinct AS DOUBLE) / b.n_tokens >= 0.3
+       CAST(COALESCE(CAST(b.n_distinct AS DOUBLE)
+                     / NULLIF(b.n_tokens, 0), 0.0) >= 0.3
             AND COALESCE(CAST(t.top_bg AS DOUBLE) / t.n_bg, 0.0) <= 0.2
             AS BIGINT) AS keep
 FROM base b LEFT JOIN top t USING (doc_id)
@@ -890,9 +900,17 @@ def q_llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (acc, x) -> struct(x, {run}, greatest(acc.best, {run})),
                    acc -> acc.best) AS top_bg)))[0][0]"""
     r = docs.select("doc_id", F.expr(one).alias("r"))
-    dr = F.col("r.n_distinct").cast("double") / F.col("r.n_tokens")
-    tbf = F.coalesce(F.col("r.top_bg").cast("double") / F.col("r.n_bg"),
-                     F.lit(0.0))
+    # try_divide: under Spark 4's ANSI default a plain `/` THROWS
+    # DIVIDE_BY_ZERO for an empty (n_tokens=0) or 1-token (n_bg=0)
+    # document — exactly the degenerate text a repetition filter
+    # exists to judge (review r10).  Contract pinned 0.0 in both
+    # dialects (oracle: NULLIF + COALESCE).
+    dr = F.coalesce(
+        F.try_divide(F.col("r.n_distinct").cast("double"),
+                     F.col("r.n_tokens")), F.lit(0.0))
+    tbf = F.coalesce(
+        F.try_divide(F.col("r.top_bg").cast("double"), F.col("r.n_bg")),
+        F.lit(0.0))
     return r.select(
         "doc_id", F.col("r.n_tokens").alias("n_tokens"),
         F.round(dr, 6).alias("distinct_ratio"),
@@ -1027,8 +1045,13 @@ def cascade_flags(docs: DataFrame) -> DataFrame:
     f = docs.select(
         "doc_id",
         (F.size(tokens_col()) >= _CLEAN_MIN_TOK).alias("f1"),
-        (F.size(F.array_distinct(tokens_col())).cast("double")
-         / F.size(tokens_col()) >= 0.3).alias("f2"),
+        # try_divide: an empty doc must FAIL the gate, not throw
+        # DIVIDE_BY_ZERO under the ANSI default (review r10)
+        F.coalesce(
+            F.try_divide(F.size(F.array_distinct(tokens_col()))
+                         .cast("double"),
+                         F.size(tokens_col())) >= 0.3,
+            F.lit(False)).alias("f2"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
     heads = f.groupBy("h").agg(F.min("doc_id").alias("head_id"))
     return (f.join(heads, "h")
@@ -1042,8 +1065,8 @@ def cascade_flags(docs: DataFrame) -> DataFrame:
 WITH f AS (
   SELECT doc_id,
          (len({_DUCK_TOKENS}) >= {_CLEAN_MIN_TOK}) AS f1,
-         (CAST(len(list_distinct({_DUCK_TOKENS})) AS DOUBLE)
-            / len({_DUCK_TOKENS}) >= 0.3) AS f2,
+         COALESCE(CAST(len(list_distinct({_DUCK_TOKENS})) AS DOUBLE)
+            / NULLIF(len({_DUCK_TOKENS}), 0) >= 0.3, FALSE) AS f2,
          (doc_id = MIN(doc_id) OVER (
             PARTITION BY md5(lower(trim(text))))) AS f3
   FROM documents

@@ -1076,3 +1076,59 @@ def test_lsh_portable_twin_planes_and_output_contract(spark, sf_dir):
 
     again = QUERIES["q_llm_sim_lsh_topk_portable"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_degenerate_inputs_score_instead_of_throwing(spark, tmp_path):
+    """Spark 4's ANSI default turns double division by zero into a
+    DIVIDE_BY_ZERO crash, and the llm filters' whole purpose is judging
+    degenerate text / vectors (review r10: five quality/similarity
+    paths divided by token counts or norms with no guard).  Pin the
+    contract on a corpus of exactly the degenerate rows the fixtures
+    lack: empty doc, whitespace doc, one-token doc, zero vector."""
+    import os
+
+    docs = spark.createDataFrame(
+        [(0, "", 0, "src0"), (1, "   ", 3, "src0"),
+         (2, "word", 4, "src1"), (3, "a b a b a b", 11, "src1")],
+        "doc_id long, text string, n_chars long, source string")
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    docs.coalesce(1).write.parquet(str(fx / "documents.parquet"))
+    spark.createDataFrame(
+        [(0, [0.0] * 8, 0), (1, [1.0] * 8, 1)],
+        "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(fx / "embeddings.parquet"))
+
+    from lstore_spark.llm.text import cascade_flags
+    from lstore_spark.registry import QUERIES
+
+    rep = {r.doc_id: r for r in
+           QUERIES["q_llm_text_repetition"](spark, str(fx)).collect()}
+    assert rep[0].n_tokens == 0 and rep[0].distinct_ratio == 0.0
+    assert rep[2].top_bigram_frac == 0.0       # 1 token -> no bigrams
+    assert rep[0].keep == 0                     # empty doc fails the gate
+
+    qual = {r.doc_id: r for r in
+            QUERIES["q_llm_text_quality"](spark, str(fx)).collect()}
+    assert qual[0].avg_word_len is None and qual[0].stop_ratio is None
+    assert qual[0].quality_score == 0.0         # length component only
+
+    flags = {r.doc_id: r for r in
+             cascade_flags(spark.read.parquet(
+                 str(fx / "documents.parquet"))).collect()}
+    assert flags[0].f2 is False                 # empty doc FAILS, no crash
+
+    quant = {r.vec_id: r for r in
+             QUERIES["q_llm_emb_quantize"](spark, str(fx)).collect()}
+    assert quant[0].q8 == ",".join(["0"] * 8)   # zero vector -> all zeros
+
+    from pyspark.sql import functions as F
+
+    from lstore_spark.llm.similarity import cosine
+    em = spark.read.parquet(str(fx / "embeddings.parquet"))
+    pair = (em.alias("a").crossJoin(em.alias("b"))
+            .select(cosine("a.embedding", "b.embedding").alias("c"))
+            .collect())
+    # zero-vector pairs yield NULL (degrade-to-dropped), never a throw
+    assert any(r.c is None for r in pair)
+    assert any(r.c == 1.0 for r in pair)
