@@ -131,15 +131,19 @@ def load_all() -> None:
 #           never-checked, NOT as a regression — it can never hash-match)
 #   tier 5: never-driver-checked slow side-effect keys (tempdir writes,
 #           iterative k-means) — still ahead of every green
-#   tier 6: keys already green in their latest driver check (re-green pool)
-#   tier 7: green slow side-effect keys — budget truncation here costs
-#           the least evidence.
-# Within the two green tiers keys sort ascending by the round of their
-# latest driver check (VERDICT r5 #1): the re-check budget is a rolling
-# freshness window over ALL greens instead of re-proving the same
-# insertion-order prefix every round — without this, 77 keys sat on
-# round-1/round-3-era evidence while ~20 early-registered keys were
-# re-checked five times.
+#   tier 6: keys already green in their latest driver check (re-green pool,
+#           slow side-effect keys included).
+# The green tier sorts ascending by the round of the key's latest driver
+# check (VERDICT r5 #1): the re-check budget is a rolling freshness window
+# over ALL greens instead of re-proving the same insertion-order prefix
+# every round — without this, 77 keys sat on round-1/round-3-era evidence
+# while ~20 early-registered keys were re-checked five times.  Slow keys
+# used to form their own trailing tier 7, but that starved them absolutely
+# (VERDICT r10 #1: 17 side-effect keys pinned at r5-era evidence while
+# their on-disk protocols were rewritten in r10) — staleness is now the
+# primary green sort and slowness only a tie-break WITHIN a staleness
+# cohort, so a sweep budget can truncate slow keys of the current round
+# but can never starve a stale one behind fresher fast greens.
 
 
 def _driver_evidence() -> tuple[frozenset, frozenset, dict, frozenset]:
@@ -262,8 +266,11 @@ def sweep_order(keys=None) -> list[str]:
         if k in DRIVER_GREEN or k in DRIVER_ROWS_SEEN:
             # Green, or rows-only with rows already seen (as certified
             # as the driver can make it) — rolling staleness re-checks.
+            # Staleness first; slow/heavy only break ties inside one
+            # staleness cohort (see the tier comment: a trailing slow
+            # tier starved the side-effect keys at r5 evidence forever).
             stale = DRIVER_LATEST_ROUND.get(k, 0)
-            return (7, stale, heavy) if k in SLOW_KEYS else (6, stale, heavy)
+            return (6, stale, (1 if k in SLOW_KEYS else 0) + heavy)
         # --- never driver-checked from here down: all before any green ---
         if k in SLOW_KEYS:
             return (5, heavy, 0)

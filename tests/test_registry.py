@@ -57,6 +57,21 @@ def test_never_checked_sort_before_greens():
                 f"never-checked key {k} sorts after a green key")
 
 
+def test_green_pool_sorts_by_staleness_regardless_of_slowness():
+    """VERDICT r10 #1: the trailing slow tier starved 17 side-effect keys
+    at r5-era evidence behind every fresher fast green.  The executable
+    rule now: within the green/rows-seen re-check pool, a key whose
+    latest driver visit is STALER must precede every fresher one — slow
+    or not.  (Slowness may only break ties inside one staleness cohort.)"""
+    order = registry.sweep_order()
+    pool = [k for k in order
+            if k in registry.DRIVER_GREEN or k in registry.DRIVER_ROWS_SEEN]
+    rounds = [registry.DRIVER_LATEST_ROUND.get(k, 0) for k in pool]
+    assert rounds == sorted(rounds), (
+        "green re-check pool is not staleness-ordered — a stale key "
+        "sorts behind a fresher one")
+
+
 def test_regressions_sort_first():
     """A key whose latest oracle-grade driver check failed must lead the
     sweep (re-prove fixes before anything else)."""
