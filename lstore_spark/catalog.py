@@ -151,12 +151,20 @@ def publish_dir(tmp: str, final: str) -> None:
     ``fresh_scratch_dir``'s PID suffix exists for) would interleave
     ``mode("overwrite")`` deletes with each other's live writes
     (review r10).  Same commit idea as ``pq_codebook``'s single-file
-    tmp+``os.replace``, lifted to multi-file artifacts."""
+    tmp+``os.replace``, lifted to multi-file artifacts.
+
+    A failed rename only means 'lost the race' when the winner's
+    artifact actually EXISTS at ``final`` — any other OSError (EXDEV
+    staging on a different filesystem, permissions, missing parent)
+    must re-raise, not silently discard the only copy and leave callers
+    to fail later with an unrelated missing-path error (ADVICE r10)."""
     import shutil
 
     try:
         os.rename(tmp, final)
     except OSError:
+        if not os.path.isdir(final):
+            raise
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -286,7 +294,23 @@ def _path_sig(path: str):
         return None
 
 
-_ROWS_CACHE: dict[tuple, int] = {}
+# Metadata caches are keyed by path, holding only the LATEST (stat
+# signature, value) pair per path: in-place fixture regeneration then
+# REPLACES the entry instead of accumulating one per signature — the
+# old scheme leaked every superseded signature's entry (including cached
+# DataFrame plans holding eager file indexes) for the session's lifetime
+# (ADVICE r10).
+_ROWS_CACHE: dict[str, tuple] = {}
+
+
+def _sig_cached(cache: dict, key, sig, build):
+    """latest-signature-wins memo: one live entry per key."""
+    hit = cache.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    val = build()
+    cache[key] = (sig, val)
+    return val
 
 
 def table_rows(sf_dir: str, name: str) -> int:
@@ -296,22 +320,36 @@ def table_rows(sf_dir: str, name: str) -> int:
     count must come from table statistics, not a full extra scan.
     Handles directory-style tables (Spark-written part-files) by
     summing part footers — the layout ``fixture_fingerprint`` already
-    supports (review r10: this path used to raise on directories)."""
+    supports (review r10: this path used to raise on directories).
+    A directory table that is NESTED (hive-partitioned) or holds zero
+    part files raises instead of answering 0: a silent 0 would make
+    ``fits_broadcast`` unconditionally true and force broadcasts of
+    arbitrarily large tables (ADVICE r10)."""
     path = path_of(sf_dir, name)
-    key = (path, _path_sig(path))
-    n = _ROWS_CACHE.get(key)
-    if n is None:
+
+    def build() -> int:
         import pyarrow.parquet as pq
         if os.path.isdir(path):
             n = 0
+            n_files = 0
             with os.scandir(path) as parts:
                 for p in parts:
+                    if p.is_dir():
+                        raise ValueError(
+                            f"table_rows({path}): nested/partitioned "
+                            "layout — top-level footer summing would "
+                            "undercount; stat the real layout instead")
                     if p.is_file() and p.name.endswith(".parquet"):
                         n += pq.ParquetFile(p.path).metadata.num_rows
-        else:
-            n = pq.ParquetFile(path).metadata.num_rows
-        _ROWS_CACHE[key] = n
-    return n
+                        n_files += 1
+            if n_files == 0:
+                raise ValueError(
+                    f"table_rows({path}): directory holds no parquet "
+                    "part files")
+            return n
+        return pq.ParquetFile(path).metadata.num_rows
+
+    return _sig_cached(_ROWS_CACHE, path, _path_sig(path), build)
 
 
 # Build-side row cap for stats-gated broadcast decisions.  The gated
@@ -337,39 +375,138 @@ def fits_broadcast(sf_dir: str, table: str, row_factor: float = 1.0,
     return table_rows(sf_dir, table) * row_factor <= cap
 
 
-_TS_UNIT_CACHE: dict[tuple, str] = {}
+# --- bucketed order-grain layout (VERDICT r10 #2) --------------------------
+# The round-10 1000× spill audit left exactly two residual spill shapes:
+# q_tpch_q18_large_orders' per-order rollup (257 s, 60+8 GB map+reduce
+# spill at 32-wide) and q_agg_global's exact-distinct branch (43.8 s,
+# ~65 GB map-side spill) — and measured that pre-bucketing lineitem and
+# orders on orderkey erases both (10× faster, zero spill:
+# scripts/bucket_q18_1000x.py, scripts/bucket_distinct_1000x.py).  This
+# block promotes that measured lever into the DEFAULT plan: a one-time
+# maintenance rewrite (``build_bucket_layout``) publishes bucketed+sorted
+# parquet per table under a fixture-fingerprinted scratch artifact, and
+# order-grain queries route onto it through ``bucketed_table`` when (and
+# only when) a marker-complete layout exists — the same stats-gated
+# fall-back discipline as ``fits_broadcast``.  Readers register the files
+# as an EXTERNAL bucketed catalog table (Spark recovers bucket ids from
+# the bucketed writer's file names), so a fresh plain session — the
+# driver's — compiles the exchange-free plans with no carried state.
+
+BUCKET_LAYOUT_TAG = "bktlay1"  # format version: bump when the write changes
+BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+# ~2.5M rows/bucket reproduces the measured 256-bucket layout at the
+# 600M-row 1000× fixture; small fixtures floor at 8 buckets so the plan
+# shape (bucketed scan, zero exchanges) is still exercised locally.
+BUCKET_TARGET_ROWS = 2_500_000
+
+
+def bucket_layout_n(sf_dir: str) -> int:
+    """Bucket count for this fixture's layout, from footer stats.  Both
+    tables share it (a co-located join needs equal bucket counts), sized
+    off lineitem — the larger side."""
+    import math
+
+    rows = table_rows(sf_dir, "lineitem")
+    return max(8, min(256, math.ceil(rows / BUCKET_TARGET_ROWS)))
+
+
+def build_bucket_layout(spark: SparkSession, sf_dir: str,
+                        tables: tuple = ("lineitem", "orders"),
+                        n_buckets: int | None = None) -> dict[str, str]:
+    """One-time maintenance rewrite: publish each table bucketed+sorted
+    on its order key (one file per bucket — the ``repartition`` makes
+    each writer task own exactly one bucket).  Atomic under the
+    ``build_tmp_dir``/``publish_dir`` protocol; a marker-complete layout
+    is never rebuilt.  Returns {table: layout_dir}.  At 100 TB this is
+    the OPTIMIZE-style rewrite you run once so every order-grain rollup
+    and fact⋈fact join thereafter compiles with zero exchanges."""
+    import json
+
+    n = n_buckets or bucket_layout_n(sf_dir)
+    out: dict[str, str] = {}
+    for t in tables:
+        key = BUCKET_KEYS[t]
+        final, done = scratch_dir(f"{BUCKET_LAYOUT_TAG}_{t}", sf_dir)
+        if not done:
+            clear_incomplete_dir(final)
+            tmp = build_tmp_dir(final)
+            tbl = f"lstore_bktbuild_{t}_p{os.getpid()}"
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (load_table(spark, sf_dir, t)
+             .repartition(n, key)
+             .write.bucketBy(n, key).sortBy(key)
+             .option("path", tmp).format("parquet").saveAsTable(tbl))
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # external: files stay
+            with open(os.path.join(tmp, "_LAYOUT"), "w") as fh:
+                json.dump({"n_buckets": n, "key": key}, fh)
+            publish_dir(tmp, final)
+        out[t] = final
+    return out
+
+
+def bucketed_table(spark: SparkSession, sf_dir: str,
+                   table: str) -> DataFrame | None:
+    """The bucketed layout of ``table`` if a marker-complete artifact
+    exists for the CURRENT fixture fingerprint, else None (callers fall
+    back to the plain parquet plan).  Registration is an external
+    CLUSTERED BY table over the published files — per-session catalog
+    metadata only, no data movement."""
+    import json
+
+    final, done = scratch_dir(f"{BUCKET_LAYOUT_TAG}_{table}", sf_dir)
+    if not done:
+        return None
+    try:
+        with open(os.path.join(final, "_LAYOUT")) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    tune(spark)
+    name = f"lstore_bkt_{table}_{fixture_fingerprint(sf_dir)}"
+    if not spark.catalog.tableExists(name):
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                         for f in SCHEMAS[table].fields)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet "
+            f"CLUSTERED BY ({meta['key']}) SORTED BY ({meta['key']}) "
+            f"INTO {meta['n_buckets']} BUCKETS LOCATION '{final}'")
+    return spark.table(name)
+
+
+_TS_UNIT_CACHE: dict[str, tuple] = {}
 
 
 def events_ts_unit(path: str) -> str:
     """Physical unit of ``events.ts`` in this parquet file: 'ns' or 'us'.
 
-    One driver-side footer read via pyarrow, cached per (path, stat
-    signature) — at cluster scale this is catalog metadata, not a data
-    scan, and the signature invalidates on in-place regeneration.
-    Falls back to 'us' (the current generator encoding) if the footer
-    can't be sniffed.
+    One driver-side footer read via pyarrow, cached per path with a stat
+    signature (latest wins — see the cache block comment) — at cluster
+    scale this is catalog metadata, not a data scan, and the signature
+    invalidates on in-place regeneration.  Falls back to 'us' (the
+    current generator encoding) if the footer can't be sniffed.
     """
-    key = (path, _path_sig(path))
-    unit = _TS_UNIT_CACHE.get(key)
-    if unit is None:
+
+    def build() -> str:
         try:
             import pyarrow.parquet as pq
             t = str(pq.ParquetFile(path).schema_arrow.field("ts").type)
-            unit = "ns" if "[ns]" in t else "us"
+            return "ns" if "[ns]" in t else "us"
         except Exception:
-            unit = "us"
-        _TS_UNIT_CACHE[key] = unit
-    return unit
+            return "us"
+
+    return _sig_cached(_TS_UNIT_CACHE, path, _path_sig(path), build)
 
 
 # DataFrames are immutable logical plans, so caching them per
-# (session, sf_dir, table, file-stat signature) is safe and shaves the
-# reader-construction + file-listing cost off every query in a sweep
+# (session, sf_dir, table) with a file-stat signature is safe and shaves
+# the reader-construction + file-listing cost off every query in a sweep
 # (the driver's CORRECTNESS sweep is overhead-dominated at sf0.01 —
 # VERDICT r1 item 2).  The stat signature invalidates on in-place
 # fixture regeneration: the cached plan carries an eager file index,
-# so a path-only key would serve stale file lists (review r10).
-_TABLE_CACHE: dict[tuple, DataFrame] = {}
+# so a signature-less key would serve stale file lists (review r10) —
+# and latest-signature-wins eviction keeps regeneration churn from
+# accumulating dead plans (ADVICE r10).
+_TABLE_CACHE: dict[tuple, tuple] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -379,23 +516,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     precision — exactly what DuckDB's view of the same parquet sees.
     """
     path = path_of(sf_dir, name)
-    key = (id(spark), sf_dir.rstrip("/"), name, _path_sig(path))
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    tune(spark)
-    if name == "events":
-        if events_ts_unit(path) == "ns":
-            df = spark.read.schema(SCHEMAS[name]).parquet(path).withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast(TimestampNTZType()),
-            )
-        else:
-            df = spark.read.schema(EVENTS_LOGICAL).parquet(path)
-    else:
-        df = spark.read.schema(SCHEMAS[name]).parquet(path)
-    _TABLE_CACHE[key] = df
-    return df
+
+    def build() -> DataFrame:
+        tune(spark)
+        if name == "events":
+            if events_ts_unit(path) == "ns":
+                return spark.read.schema(SCHEMAS[name]).parquet(path).withColumn(
+                    "ts",
+                    F.timestamp_micros(F.expr("ts div 1000")).cast(TimestampNTZType()),
+                )
+            return spark.read.schema(EVENTS_LOGICAL).parquet(path)
+        return spark.read.schema(SCHEMAS[name]).parquet(path)
+
+    return _sig_cached(_TABLE_CACHE, (id(spark), sf_dir.rstrip("/"), name),
+                       _path_sig(path), build)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -46,8 +46,19 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     normal 32-partition hash aggregate and sends only count partials to
     the final row: 247 → 64 s.  (At 100 TB you'd reach for
     approx_count_distinct — q_agg_approx_distinct is that exhibit —
-    but THIS key's contract is the exact count.)"""
+    but THIS key's contract is the exact count.)
+
+    When the bucketed orderkey layout exists (catalog.build_bucket_layout
+    — the one-time OPTIMIZE-style rewrite), the distinct branch reads it
+    instead: the scan arrives pre-hash-partitioned on l_orderkey, so the
+    distinct compiles with ZERO exchanges and its ~65 GB map-side spill
+    at 1000× disappears (43.8 → 3.7-5.6 s measured,
+    scripts/bucket_distinct_1000x.py; VERDICT r10 #2).  Falls back to
+    the plain-parquet two-phase distinct otherwise."""
+    from ..catalog import bucketed_table
+
     li = load_table(spark, sf_dir, "lineitem")
+    li_bkt = bucketed_table(spark, sf_dir, "lineitem")
     base = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("l_extendedprice"), "sum_price"),
@@ -57,7 +68,8 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
     )
-    nord = (li.select("l_orderkey").distinct()
+    nord = ((li_bkt if li_bkt is not None else li)
+            .select("l_orderkey").distinct()
             .agg(F.count(F.lit(1)).alias("n_orders")))
     return base.crossJoin(nord).select(
         "n_rows", "n_orders", "sum_price", "avg_qty",

@@ -125,6 +125,41 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert j.count() > 0
 
 
+def test_bucket_layout_routes_q18_and_global_distinct(spark, sf_dir):
+    """VERDICT r10 #2 pinned: when catalog.build_bucket_layout has
+    published the orderkey layout, the two residual 1000× spill shapes
+    must compile onto it BY DEFAULT with zero orderkey exchanges —
+    q_tpch_q18_large_orders' rollup+join chain and q_agg_global's
+    exact-distinct branch — and return exactly the plain-parquet rows."""
+    from lstore_spark import catalog
+    from lstore_spark.registry import QUERIES
+
+    q18 = QUERIES["q_tpch_q18_large_orders"]
+    qag = QUERIES["q_agg_global"]
+    # Plain-parquet reference results (layout not built yet: pytest's
+    # scratch root is fresh per session).
+    base18 = sorted(map(tuple, q18(spark, sf_dir).collect()))
+    baseag = [tuple(r) for r in qag(spark, sf_dir).collect()]
+
+    dirs = catalog.build_bucket_layout(spark, sf_dir)
+    for d in dirs.values():
+        assert os.path.exists(os.path.join(d, "_SUCCESS")), d
+    assert catalog.bucketed_table(spark, sf_dir, "lineitem") is not None
+
+    routed18 = q18(spark, sf_dir)
+    plan18 = _plan(routed18)
+    assert "Exchange hashpartitioning(l_orderkey" not in plan18, plan18[:1500]
+    assert "Exchange hashpartitioning(o_orderkey" not in plan18, plan18[:1500]
+    assert "Bucketed: true" in plan18, "q18 did not route onto the layout"
+    assert sorted(map(tuple, routed18.collect())) == base18
+
+    routedag = qag(spark, sf_dir)
+    planag = _plan(routedag)
+    assert "Exchange hashpartitioning(l_orderkey" not in planag, planag[:1500]
+    assert "Bucketed: true" in planag, "distinct did not route onto the layout"
+    assert [tuple(r) for r in routedag.collect()] == baseag
+
+
 @needs_sfbig
 def test_hyperplane_lsh_scale_recall_and_occupancy(spark):
     """VERDICT r1 #6: LSH sizing must hold at 20k vectors, not just the
