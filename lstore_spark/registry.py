@@ -103,7 +103,7 @@ def load_all() -> None:
     """Import every operator module so registration side effects run."""
     from .operators import aggregates, analytics, filters, joins, mutations, scans, setops, sorts, windows  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
-    from .streaming import events, stateful  # noqa: F401
+    from .streaming import consumers, events, stateful  # noqa: F401
     from .llm import ann_index, bpe, dedup, embeddings, multimodal, similarity, text  # noqa: F401
     from .sources import avro_io, lstore_log, sinks  # noqa: F401
 
@@ -242,6 +242,7 @@ NEW_KEYS: frozenset = frozenset({
     "q_llm_text_repetition", "q_llm_mix_sources",
     "q_source_avro_roundtrip",  # r9: the pure-Python Avro codec
     "q_llm_sim_lsh_topk_portable",  # r10: deterministic-plane LSH twin
+    "q_stream_consumer_groups",  # r11: named durable cursors + lag
 })
 
 

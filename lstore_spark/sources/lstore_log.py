@@ -589,9 +589,17 @@ class LstoreLogReader(DataSourceReader):
                 for f in os.listdir(self.path)
                 if f.endswith(".seg")
             )
-        return [InputPartition(f) for f in files if self._keep(f)]
+        kept = [InputPartition(f) for f in files if self._keep(f)]
+        # Zero partitions is not a shape the Python DataSource API
+        # accepts (Spark still schedules one task and hands read() a
+        # None partition — found when a caught-up consumer's cursor
+        # pruned EVERY sealed segment): ship one explicit empty
+        # partition instead.
+        return kept or [InputPartition(None)]
 
     def read(self, partition):
+        if partition is None or partition.value is None:
+            return  # the explicit empty partition: no segments to scan
         yield from read_segment_file(partition.value)
 
 

@@ -1,0 +1,251 @@
+"""Named consumer groups over the segment store (VERDICT r10 #3).
+
+lstore's consumption model [UNVERIFIED: pub — the reference mount is
+empty; reconstructed from public esdb/lstore message-queue semantics]:
+N named consumers tail the shared append-only log, each owning a
+DURABLE committed offset, and the store reports per-group lag
+(committed vs tail).  The engine already had the single-cursor
+equivalent — ``q_stream_follow``'s monotone offset cursor plus
+Structured Streaming checkpoint resume — but no surface for several
+independent named consumers.  This module adds it, storage-side:
+
+- a cursor is one JSON file per group under ``<store>/_cursors/``,
+  committed by the single-file tmp+``os.replace`` protocol (same
+  discipline as ``catalog.publish_dir`` / ``pq_codebook``), so a crash
+  mid-commit can never tear it and a restarted consumer resumes from
+  the last fully-committed offset — at-least-once delivery, exactly
+  like a Kafka group cursor;
+- ``poll`` reads records past the cursor through the pushdown reader,
+  so sealed segments whose trailer range lies at-or-below the cursor
+  are pruned at PLANNING time: a caught-up consumer touches O(new
+  data), never O(log);
+- ``lag_report`` is the broker's lag relation: (grp, committed_offset,
+  tail_offset, lag_offsets, lag_records).  The tail comes from sealed
+  trailer stats (a manifest-grade metadata read); the record lag rides
+  ONE shared scan with one conditional aggregate per group.
+
+Scale: cursor I/O is O(#groups) driver-side metadata; polls are
+segment-pruned scans; the lag scan is a single linear pass shared by
+all groups.  Nothing here is per-record driver work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import fresh_scratch_dir, load_table
+from ..registry import query
+from ..sources.lstore_log import (events_as_segment_rows, register,
+                                  segment_stats, write_segments)
+
+CURSOR_DIR = "_cursors"
+_GROUP_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_.-]{0,63}$")
+
+
+def _cursor_path(store: str, group: str) -> str:
+    if not _GROUP_RE.match(group):
+        raise ValueError(f"invalid consumer group name: {group!r}")
+    return os.path.join(store, CURSOR_DIR, f"{group}.json")
+
+
+def ensure_group(store: str, group: str) -> None:
+    """Register ``group`` with no consumed offset (cursor = -1) if it
+    does not already exist — the 'create consumer group' verb.  An
+    existing cursor is left untouched."""
+    path = _cursor_path(store, group)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if not os.path.exists(path):
+        _write_cursor(path, -1)
+
+
+def groups(store: str) -> list[str]:
+    """All registered group names (cursor files present), sorted."""
+    d = os.path.join(store, CURSOR_DIR)
+    try:
+        return sorted(n[:-5] for n in os.listdir(d) if n.endswith(".json"))
+    except OSError:
+        return []
+
+
+def committed_offset(store: str, group: str) -> int:
+    """The group's last durably committed offset; -1 when the group has
+    never committed (or does not exist) — deliver-from-the-beginning."""
+    try:
+        with open(_cursor_path(store, group)) as fh:
+            return int(json.load(fh)["offset"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def _write_cursor(path: str, offset: int) -> None:
+    # Single-file atomic commit: build under a PID-suffixed tmp, publish
+    # with one os.replace.  A reader never sees a torn cursor; a crash
+    # between write and replace leaves only a tmp, which the try/finally
+    # reaps (ADVICE r10's bpe-staging lesson applied from the start).
+    tmp = f"{path}.tmp{os.getpid()}"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump({"offset": int(offset)}, fh)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def commit_offset(store: str, group: str, offset: int) -> int:
+    """Durably commit ``offset`` for ``group`` (atomic, monotone).
+    Committing below the current cursor raises — lstore cursors only
+    move forward; a consumer that wants replay uses a NEW group.
+    Returns the committed offset."""
+    if offset is None:
+        raise ValueError(f"commit_offset({group}): offset is None "
+                         "(empty poll? commit nothing instead)")
+    cur = committed_offset(store, group)
+    if offset < cur:
+        raise ValueError(
+            f"commit_offset({group}): {offset} regresses below the "
+            f"committed cursor {cur}")
+    path = _cursor_path(store, group)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    _write_cursor(path, offset)
+    return offset
+
+
+def tail_offset(store: str) -> int:
+    """Max record offset in the store, from sealed trailer stats — a
+    metadata read, one tail seek per segment, no data scan.  An
+    unsealed/legacy segment (no trailer) falls back to a driver-side
+    read of THAT file only; -1 for an empty store."""
+    from ..sources.lstore_log import read_segment_file
+
+    tail = -1
+    try:
+        names = [n for n in os.listdir(store) if n.endswith(".seg")]
+    except OSError:
+        return -1
+    for n in names:
+        p = os.path.join(store, n)
+        stats = segment_stats(p)
+        if stats is not None:
+            tail = max(tail, stats[1])
+        else:
+            tail = max([tail] + [rec[0] for rec in read_segment_file(p)])
+    return tail
+
+
+def poll(spark: SparkSession, store: str, group: str,
+         max_records: int | None = None) -> DataFrame:
+    """Records past the group's cursor, in segment schema (offset, ints,
+    blobs, key).  Reads through the pushdown reader so fully-consumed
+    sealed segments are pruned at planning time.  ``max_records`` bounds
+    the batch to the LOWEST unconsumed offsets (a TakeOrdered — the
+    broker's max-poll-records): consume, process, then
+    ``commit_offset(store, group, batch max offset)``."""
+    cur = committed_offset(store, group)
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    raw = (spark.read.format("lstore_log")
+           .option("path", store).option("pushdown", "true").load()
+           .filter(F.col("offset") > cur))
+    if max_records is not None:
+        raw = raw.orderBy("offset").limit(max_records)
+    return raw
+
+
+def lag_report(spark: SparkSession, store: str,
+               names: list[str] | None = None) -> DataFrame:
+    """The broker lag relation: one row per group with its committed
+    offset, the store tail, offset-units lag, and the exact unconsumed
+    record count.  One shared scan, one conditional aggregate per group
+    (the 1-row aggregate is unstacked JVM-side — no driver collect)."""
+    names = groups(store) if names is None else names
+    if not names:
+        raise ValueError(f"lag_report: no consumer groups under {store}")
+    cursors = [(g, committed_offset(store, g)) for g in names]
+    tail = tail_offset(store)
+    register(spark)
+    raw = (spark.read.format("lstore_log").option("path", store).load())
+    one = raw.agg(*[
+        F.sum((F.col("offset") > F.lit(c)).cast("long")).alias(f"_lag_{i}")
+        for i, (_g, c) in enumerate(cursors)])
+    stack_args = ", ".join(
+        f"'{g}', CAST({c} AS BIGINT), _lag_{i}"
+        for i, (g, c) in enumerate(cursors))
+    return (one.select(F.expr(
+        f"stack({len(cursors)}, {stack_args}) "
+        "AS (grp, committed_offset, lag_records)"))
+        .select(
+            "grp", "committed_offset",
+            F.lit(tail).cast("long").alias("tail_offset"),
+            (F.lit(tail).cast("long") - F.col("committed_offset"))
+            .alias("lag_offsets"),
+            F.coalesce(F.col("lag_records"), F.lit(0).cast("long"))
+            .alias("lag_records"))
+        .orderBy("grp"))
+
+
+@query(
+    "q_stream_consumer_groups",
+    oracle="""
+WITH base AS (SELECT event_id FROM events WHERE event_id < 900),
+     t AS (SELECT MAX(event_id) AS tail FROM base),
+     a AS (SELECT MAX(event_id) AS c FROM base),
+     b AS (SELECT MAX(event_id) AS c
+           FROM (SELECT event_id FROM base ORDER BY event_id LIMIT 400))
+SELECT * FROM (
+  SELECT 'alpha' AS grp, a.c AS committed_offset, t.tail AS tail_offset,
+         t.tail - a.c AS lag_offsets,
+         (SELECT COUNT(*) FROM base WHERE event_id > a.c) AS lag_records
+  FROM a, t
+  UNION ALL
+  SELECT 'bravo', b.c, t.tail, t.tail - b.c,
+         (SELECT COUNT(*) FROM base WHERE event_id > b.c)
+  FROM b, t
+  UNION ALL
+  SELECT 'charlie', CAST(-1 AS BIGINT), t.tail,
+         t.tail + 1, (SELECT COUNT(*) FROM base)
+  FROM t
+) ORDER BY grp
+""",
+)
+def q_stream_consumer_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named consumer groups with durable cursors + lag accounting —
+    the last lstore message-queue parity surface (VERDICT r10 #3,
+    [UNVERIFIED: pub]).  Three consumers tail one segment store:
+    'alpha' drains everything in one poll and commits the tail;
+    'bravo' takes two bounded polls of 200 records (committing after
+    each — its cursor lands on the 400th-smallest offset); 'charlie'
+    is registered but never polls.  The returned relation is the
+    broker's lag report, and the oracle recomputes every cursor and
+    lag from the raw events — proving poll boundaries, monotone
+    commits, and the shared-scan lag aggregation all agree with the
+    declarative definition."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 900)
+          .select("event_id", "ts", "user_id", "event_type"))
+    store = fresh_scratch_dir("congrp", sf_dir)
+    shaped = (events_as_segment_rows(ev)
+              .repartitionByRange(4, "offset")
+              .sortWithinPartitions("offset"))
+    write_segments(shaped, store)
+    register(spark)
+
+    for g in ("alpha", "bravo", "charlie"):
+        ensure_group(store, g)
+    # alpha: one unbounded poll, commit the batch's max offset (the
+    # 1-value agg collect is the consumer's own ack — k-bounded).
+    hi = poll(spark, store, "alpha").agg(F.max("offset")).first()[0]
+    commit_offset(store, "alpha", hi)
+    # bravo: two bounded polls, commit after each — at-least-once
+    # consumption in max-poll-records batches.
+    for _ in range(2):
+        got = (poll(spark, store, "bravo", max_records=200)
+               .agg(F.max("offset")).first()[0])
+        if got is not None:
+            commit_offset(store, "bravo", got)
+    return lag_report(spark, store)

@@ -1,0 +1,121 @@
+"""Named consumer groups (q_stream_consumer_groups): durable atomic
+cursors, at-least-once crash-resume, caught-up-consumer segment pruning,
+and the lag relation's recount — the message-queue contract the key's
+oracle can't see from one snapshot."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lstore_spark.sources.lstore_log import write_segment
+from lstore_spark.streaming import consumers as cg
+
+
+@pytest.fixture()
+def store(tmp_path):
+    """A 4-segment store with offsets 0..399, 100 per sealed segment."""
+    d = tmp_path / "store"
+    d.mkdir()
+    for i in range(4):
+        write_segment(str(d / f"{i:05d}.seg"),
+                      [(o, [o, o * 2], [f"t{o % 3}".encode()])
+                       for o in range(i * 100, (i + 1) * 100)])
+    return str(d)
+
+
+def test_commit_is_monotone_and_durable(store):
+    cg.ensure_group(store, "g1")
+    assert cg.committed_offset(store, "g1") == -1
+    cg.commit_offset(store, "g1", 150)
+    assert cg.committed_offset(store, "g1") == 150
+    with pytest.raises(ValueError):
+        cg.commit_offset(store, "g1", 120)  # cursors never move back
+    cg.commit_offset(store, "g1", 150)  # idempotent re-commit is fine
+    cg.commit_offset(store, "g1", 399)
+    assert cg.committed_offset(store, "g1") == 399
+    with pytest.raises(ValueError):
+        cg.commit_offset(store, "g1", None)  # empty poll must not commit
+    with pytest.raises(ValueError):
+        cg.ensure_group(store, "../escape")  # names are path components
+
+
+def test_crashed_commit_leaves_cursor_intact_and_resumes(store, spark):
+    """The crash-resume contract: a consumer that dies between poll and
+    commit re-receives the batch (at-least-once); a commit torn mid-write
+    (stale tmp debris, even unreadable garbage) never corrupts the
+    durable cursor; the next commit supersedes cleanly."""
+    cg.ensure_group(store, "g2")
+    cg.commit_offset(store, "g2", 99)
+    cursor = cg._cursor_path(store, "g2")
+    # crash debris: a half-written tmp from a dead PID + plain garbage
+    with open(cursor + ".tmp999999", "w") as fh:
+        fh.write('{"offset": 9')  # torn JSON
+    assert cg.committed_offset(store, "g2") == 99  # unaffected
+    # a consumer restarting after the crash polls from the COMMITTED
+    # cursor — the unacked batch is redelivered
+    first = sorted(r.offset for r in
+                   cg.poll(spark, store, "g2", max_records=50)
+                   .select("offset").collect())
+    assert first == list(range(100, 150))
+    again = sorted(r.offset for r in
+                   cg.poll(spark, store, "g2", max_records=50)
+                   .select("offset").collect())
+    assert again == first, "uncommitted poll must redeliver"
+    cg.commit_offset(store, "g2", first[-1])
+    nxt = sorted(r.offset for r in
+                 cg.poll(spark, store, "g2", max_records=50)
+                 .select("offset").collect())
+    assert nxt == list(range(150, 200)), "committed poll must advance"
+    # the cursor file itself is valid JSON at all times
+    with open(cursor) as fh:
+        assert json.load(fh)["offset"] == 149
+
+
+def test_caught_up_consumer_prunes_sealed_segments(store):
+    """A consumer at offset 299 must plan a read of ONE segment file
+    (the tail), not four — the whole point of cursors over sealed
+    trailer stats."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from lstore_spark.sources.lstore_log import LstoreLogPushdownReader
+
+    cg.ensure_group(store, "g3")
+    cg.commit_offset(store, "g3", 299)
+    r = LstoreLogPushdownReader({"path": store})
+    r.pushFilters([GreaterThan(("offset",), cg.committed_offset(store, "g3"))])
+    assert len(r.partitions()) == 1, "caught-up poll must touch only the tail"
+
+
+def test_lag_report_matches_recount(store, spark):
+    """lag_records from the shared-scan conditional aggregate must equal
+    an independent per-group recount, and groups() must enumerate every
+    registered cursor."""
+    for g, off in (("a", 399), ("b", 250), ("c", -1)):
+        cg.ensure_group(store, g)
+        if off >= 0:
+            cg.commit_offset(store, g, off)
+    assert cg.groups(store) == ["a", "b", "c"]
+    assert cg.tail_offset(store) == 399
+    rel = {r.grp: r for r in cg.lag_report(spark, store).collect()}
+    for g in ("a", "b", "c"):
+        c = cg.committed_offset(store, g)
+        assert rel[g].committed_offset == c
+        assert rel[g].tail_offset == 399
+        assert rel[g].lag_offsets == 399 - c
+        assert rel[g].lag_records == len([o for o in range(400) if o > c])
+
+
+def test_groups_are_independent(store, spark):
+    """One group's commit must not move another's cursor — the
+    N-consumer property q_stream_follow's single cursor lacked."""
+    cg.ensure_group(store, "x")
+    cg.ensure_group(store, "y")
+    cg.commit_offset(store, "x", 399)
+    assert cg.committed_offset(store, "y") == -1
+    n_y = cg.poll(spark, store, "y").count()
+    assert n_y == 400
+    assert cg.poll(spark, store, "x").count() == 0
