@@ -255,7 +255,7 @@ def fresh_scratch_dir(tag: str, sf_dir: str) -> str:
         for name in os.listdir(parent):
             m = pat.match(name)
             stale = os.path.join(parent, name)
-            if m and stale != out and not _pid_alive(int(m.group(1))):
+            if m and stale != out and _reapable(stale, int(m.group(1))):
                 shutil.rmtree(stale, ignore_errors=True)
     except OSError:
         pass
@@ -272,6 +272,28 @@ def _pid_alive(pid: int) -> bool:
     except PermissionError:
         return True  # exists, owned by someone else
     return True
+
+
+# Age backstop for the PID-keyed reapers: after OS PID reuse an
+# UNRELATED live process can hold a dead session's number, making its
+# dirs unreapable on liveness alone (ADVICE r10).  Sessions here live
+# hours; anything past 2 days is debris regardless of what now owns the
+# recycled PID.
+_REAP_AGE_SECS = 2 * 24 * 3600
+
+
+def _reapable(path: str, pid: int) -> bool:
+    """A PID-suffixed scratch/warehouse dir is reapable when its owner
+    is dead, OR when it is older than the age backstop (PID-reuse can
+    make a dead session's dir look owned forever)."""
+    if not _pid_alive(pid):
+        return True
+    import time
+
+    try:
+        return time.time() - os.stat(path).st_mtime > _REAP_AGE_SECS
+    except OSError:
+        return False  # vanished mid-check: nothing to reap
 
 
 def _path_sig(path: str):

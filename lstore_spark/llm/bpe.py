@@ -43,6 +43,10 @@ from ..registry import query
 from .text import _PACK_BUDGET, tokens_col
 
 _TRAIN_DOCS = 200   # training-sample slice (doc_id bound)
+# Hard ceiling on distinct training words the driver will ever hold —
+# ~1M words ≈ tens of MB, far under any sane driver heap, far over any
+# 200-doc sample's real vocabulary (VERDICT r10 #6).
+_TRAIN_WORD_CAP = 1_000_000
 _N_MERGES = 200     # merge-table size (toy-scale GPT-2 analog)
 
 
@@ -115,10 +119,24 @@ def corpus_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     key = fixture_fingerprint(sf_dir)
     if key not in _MERGE_CACHE:
         docs = load_table(spark, sf_dir, "documents")
+        # The driver pull is bounded by the distinct-word count of the
+        # fixed _TRAIN_DOCS-doc sample — but that bound lives in the
+        # FIXTURE, so a regenerated corpus with giant documents could
+        # silently turn this into a driver OOM.  limit(cap+1) bounds
+        # what can ever reach the driver; crossing the cap fails loudly
+        # with the fix (shrink the sample / pre-prune rare words)
+        # instead of stalling the session (VERDICT r10 #6).
         rows = (docs.filter(F.col("doc_id") < _TRAIN_DOCS)
                 .select(F.explode(tokens_col()).alias("w"))
                 .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+                .limit(_TRAIN_WORD_CAP + 1)
                 .collect())
+        if len(rows) > _TRAIN_WORD_CAP:
+            raise ValueError(
+                f"corpus_merges: >{_TRAIN_WORD_CAP:,} distinct words in "
+                f"the {_TRAIN_DOCS}-doc training sample of {sf_dir} — "
+                "refusing the driver-side pull; shrink _TRAIN_DOCS or "
+                "pre-prune hapax words before training")
         _MERGE_CACHE[key] = train_bpe({r.w: r.c for r in rows})
     return _MERGE_CACHE[key]
 
@@ -195,13 +213,26 @@ def build_vocab_fixture(sf_dir: str) -> str:
     # tmp + atomic replace (pq_codebook's commit protocol): a reader in
     # a concurrent session can never see a half-written vocab file, and
     # racing builders produce byte-identical content so last-wins is
-    # safe (review r10)
+    # safe (review r10).  Stale ``.tmp*`` siblings from builders that
+    # crashed between write and replace are reaped first, and our own
+    # tmp is unlinked on failure — this single-file twin previously
+    # leaked its staging file forever on a crash (ADVICE r10).
+    for stale in os.listdir(out):
+        if stale.startswith("vocab.parquet.tmp"):
+            try:
+                os.unlink(os.path.join(out, stale))
+            except OSError:
+                pass  # concurrent builder just replaced/removed it
     tmp = f"{path}.tmp{os.getpid()}"
-    pq.write_table(
-        pa.table({"word": words,
-                  "n_tok": [len(encode_word(w, ranks)) for w in words]}),
-        tmp)
-    os.replace(tmp, path)
+    try:
+        pq.write_table(
+            pa.table({"word": words,
+                      "n_tok": [len(encode_word(w, ranks)) for w in words]}),
+            tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     with open(os.path.join(out, "_SUCCESS"), "w"):
         pass
     return path

@@ -201,16 +201,16 @@ def reap_dead_warehouse_tables(spark: SparkSession, prefix: str) -> None:
     import re
     import shutil
 
-    from .catalog import _pid_alive
+    from .catalog import _reapable
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
     pat = re.compile(rf"^{re.escape(prefix)}p(\d+)$")
     try:
         for name in os.listdir(warehouse):
             m = pat.match(name)
-            if m and not _pid_alive(int(m.group(1))):
-                shutil.rmtree(os.path.join(warehouse, name),
-                              ignore_errors=True)
+            full = os.path.join(warehouse, name)
+            if m and _reapable(full, int(m.group(1))):
+                shutil.rmtree(full, ignore_errors=True)
     except OSError:
         pass
 

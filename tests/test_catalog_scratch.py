@@ -72,6 +72,56 @@ def test_fresh_scratch_reaper_spans_fingerprints(tmp_path, monkeypatch):
     assert os.path.isdir(out)
 
 
+def test_table_rows_refuses_nested_or_empty_directory_tables(tmp_path):
+    """ADVICE r10: a hive-partitioned (nested) or part-file-less
+    directory table must raise, not answer 0 — a silent 0 makes
+    fits_broadcast unconditionally true."""
+    import pytest
+
+    nested = tmp_path / "nested"
+    part = nested / "documents.parquet" / "day=2026-01-01"
+    part.mkdir(parents=True)
+    pq.write_table(pa.table({"doc_id": pa.array([1], pa.int64())}),
+                   str(part / "part-0.parquet"))
+    with pytest.raises(ValueError, match="nested"):
+        catalog.table_rows(str(nested), "documents")
+
+    empty = tmp_path / "empty"
+    (empty / "documents.parquet").mkdir(parents=True)
+    with pytest.raises(ValueError, match="no parquet"):
+        catalog.table_rows(str(empty), "documents")
+
+
+def test_reapable_age_backstop(tmp_path):
+    """ADVICE r10: PID reuse can make a dead session's dir look owned
+    forever — a dir older than the age backstop is reapable even when
+    its recorded PID is alive (ours is)."""
+    d = tmp_path / "old_dir"
+    d.mkdir()
+    me = os.getpid()
+    assert not catalog._reapable(str(d), me), "fresh live-PID dir reaped"
+    past = os.stat(d).st_mtime - catalog._REAP_AGE_SECS - 60
+    os.utime(d, (past, past))
+    assert catalog._reapable(str(d), me), "age backstop did not trigger"
+    assert catalog._reapable(str(d), 999999999), "dead PID must reap"
+
+
+def test_publish_dir_reraises_non_race_failures(tmp_path):
+    """ADVICE r10: an os.rename failure with NO winner at the final
+    path (missing parent here) must re-raise the original OSError —
+    silently discarding the staged build left callers to fail later
+    with an unrelated missing-path error."""
+    import pytest
+
+    tmp = tmp_path / "staged"
+    tmp.mkdir()
+    open(tmp / "data", "w").close()
+    final = str(tmp_path / "no_such_parent" / "artifact")
+    with pytest.raises(OSError):
+        catalog.publish_dir(str(tmp), final)
+    assert os.path.exists(tmp / "data"), "staged copy must survive"
+
+
 def test_publish_dir_atomic_and_loser_discards(tmp_path):
     """publish_dir: winner's rename lands the artifact; a loser's
     publish leaves the winner's copy intact and removes the loser's

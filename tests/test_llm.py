@@ -1042,6 +1042,54 @@ def test_bpe_vocab_fixture_parity_memo_and_invalidation(spark, sf_dir,
     assert words2 == {"aa", "bb", "cc", "dd"}
 
 
+def test_bpe_trainer_refuses_oversized_driver_pull(spark, sf_dir,
+                                                   monkeypatch):
+    """VERDICT r10 #6: corpus_merges' distinct-word collect is
+    sample-bounded by the fixture, so the guard must fail LOUDLY (not
+    driver-OOM) if a regenerated corpus ever pushes the training
+    sample's vocabulary past the cap.  Shrink the cap below the real
+    fixture vocabulary and require the refusal; then confirm the
+    normal-cap path still trains (and memoizes) fine."""
+    from lstore_spark.llm import bpe
+
+    monkeypatch.setattr(bpe, "_TRAIN_WORD_CAP", 5)
+    monkeypatch.setattr(bpe, "_MERGE_CACHE", {})
+    with pytest.raises(ValueError, match="distinct words"):
+        bpe.corpus_merges(spark, sf_dir)
+
+    monkeypatch.setattr(bpe, "_TRAIN_WORD_CAP", 1_000_000)
+    merges = bpe.corpus_merges(spark, sf_dir)
+    assert merges, "normal-cap training must still produce merges"
+
+
+def test_bpe_vocab_fixture_reaps_stale_tmp(tmp_path):
+    """ADVICE r10: a builder that crashed between write_table and
+    os.replace leaks `vocab.parquet.tmp<pid>` forever; the next build
+    must reap stale staging files and leave only the published vocab."""
+    import os
+
+    from lstore_spark.llm.bpe import build_vocab_fixture
+
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(
+        pa.table({"doc_id": [0, 1], "text": ["aa bb", "cc dd"]}),
+        str(fx / "documents.parquet"))
+    # First build just to learn the scratch dir, then simulate a crash.
+    path = build_vocab_fixture(str(fx))
+    out = os.path.dirname(path)
+    debris = os.path.join(out, "vocab.parquet.tmp999999")
+    with open(debris, "wb") as fh:
+        fh.write(b"torn")
+    os.unlink(os.path.join(out, "_SUCCESS"))  # force a rebuild
+    assert build_vocab_fixture(str(fx)) == path
+    assert not os.path.exists(debris), "stale staging file not reaped"
+    leftovers = [n for n in os.listdir(out) if ".tmp" in n]
+    assert not leftovers, leftovers
+
+
 def test_lsh_portable_twin_planes_and_output_contract(spark, sf_dir):
     """The r10 hash-grade LSH twin: (a) the md5-derived planes are
     stable and well-formed (16 × 64 bits, not degenerate); (b) the
