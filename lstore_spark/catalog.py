@@ -274,26 +274,51 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-# Age backstop for the PID-keyed reapers: after OS PID reuse an
-# UNRELATED live process can hold a dead session's number, making its
-# dirs unreapable on liveness alone (ADVICE r10).  Sessions here live
-# hours; anything past 2 days is debris regardless of what now owns the
-# recycled PID.
-_REAP_AGE_SECS = 2 * 24 * 3600
+# PID-reuse disambiguation for the PID-keyed reapers (ADVICE r10): an
+# unrelated live process holding a dead session's recycled number would
+# make its dirs unreapable on liveness alone.  /proc start-time settles
+# it exactly: the dir's true owner started BEFORE ever writing the dir,
+# so a live PID whose process started AFTER the dir's last write cannot
+# be the owner — it is a recycle, and the dir is debris.  (A blunt
+# mtime-age backstop was rejected in review r11: it would let a newly
+# started process delete a live multi-day session's quiescent dirs.)
+# Where /proc is unavailable the age fallback applies, kept generous.
+_REAP_AGE_SECS = 7 * 24 * 3600
+_REAP_START_SLACK = 300  # clock/jiffy rounding headroom
+
+
+def _pid_start_epoch(pid: int) -> float | None:
+    """Process start time as a unix epoch (Linux /proc), else None."""
+    try:
+        with open("/proc/stat") as fh:
+            btime = next(int(line.split()[1]) for line in fh
+                         if line.startswith("btime "))
+        with open(f"/proc/{pid}/stat") as fh:
+            # field 22 = starttime in clock ticks since boot; fields
+            # split after the parenthesized comm (which may hold spaces)
+            after_comm = fh.read().rsplit(")", 1)[1].split()
+        ticks = int(after_comm[19])  # field 22 overall = index 19 here
+        return btime + ticks / os.sysconf("SC_CLK_TCK")
+    except (OSError, StopIteration, IndexError, ValueError):
+        return None
 
 
 def _reapable(path: str, pid: int) -> bool:
     """A PID-suffixed scratch/warehouse dir is reapable when its owner
-    is dead, OR when it is older than the age backstop (PID-reuse can
-    make a dead session's dir look owned forever)."""
+    is dead, or when the live process holding that PID started after
+    the dir's last write (PID recycle — not the owner)."""
     if not _pid_alive(pid):
         return True
-    import time
-
     try:
-        return time.time() - os.stat(path).st_mtime > _REAP_AGE_SECS
+        mtime = os.stat(path).st_mtime
     except OSError:
         return False  # vanished mid-check: nothing to reap
+    start = _pid_start_epoch(pid)
+    if start is not None:
+        return start > mtime + _REAP_START_SLACK
+    import time
+
+    return time.time() - mtime > _REAP_AGE_SECS
 
 
 def _path_sig(path: str):

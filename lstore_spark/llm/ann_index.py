@@ -288,14 +288,15 @@ def q_llm_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("code_sum").alias("sum_codes"))
 
 
-# Per-(index, fixture) memo for the search LUT: ~164k driver-side
-# Decimal.quantize calls (~0.25 s) otherwise re-run on EVERY search
-# invocation against an immutable published index — measured 17% of the
-# warm sf0.1 search and the bulk of its 1.23× bench excess (VERDICT r10
-# #4b).  Entries are ~1.3 MB each and keyed on the index path (which
-# already folds the fixture fingerprint) plus the query slice's source
-# fingerprint, so regeneration rotates the key.
-_LUT_CACHE: dict[tuple, list] = {}
+# Per-index memo for the search LUT: ~164k driver-side Decimal.quantize
+# calls (~0.25 s) otherwise re-run on EVERY search invocation against an
+# immutable published index — measured 17% of the warm sf0.1 search and
+# the bulk of its 1.23× bench excess (VERDICT r10 #4b).  Keyed by index
+# path with the fixture fingerprint as a latest-wins SIGNATURE
+# (catalog._sig_cached), so in-place regeneration replaces the ~1.3 MB
+# entry instead of accumulating one per fingerprint (review r11 — the
+# same superseded-signature leak class the catalog caches fixed).
+_LUT_CACHE: dict[str, tuple] = {}
 
 
 def _search_adc_lut(sf_dir: str, idx: str) -> list[tuple[int, list[int]]]:
@@ -326,10 +327,11 @@ def _search_adc_lut(sf_dir: str, idx: str) -> list[tuple[int, list[int]]]:
     from ..catalog import fixture_fingerprint
     from .similarity import read_query_slice
 
-    memo_key = (os.path.abspath(idx), fixture_fingerprint(sf_dir))
+    memo_key = os.path.abspath(idx)
+    memo_sig = fixture_fingerprint(sf_dir)
     hit = _LUT_CACHE.get(memo_key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] == memo_sig:
+        return hit[1]
 
     b = pqt.read_table(os.path.join(idx, "bounds")).to_pylist()[0]
     lo = np.array(b["lo"], dtype=np.float64)
@@ -356,7 +358,7 @@ def _search_adc_lut(sf_dir: str, idx: str) -> list[tuple[int, list[int]]]:
                 f"(query {qid}); corpus/query magnitudes exceed the "
                 "SQ8 search's design range")
         rows.append((int(qid), flat))
-    _LUT_CACHE[memo_key] = rows
+    _LUT_CACHE[memo_key] = (memo_sig, rows)
     return rows
 
 

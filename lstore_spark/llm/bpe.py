@@ -214,11 +214,18 @@ def build_vocab_fixture(sf_dir: str) -> str:
     # a concurrent session can never see a half-written vocab file, and
     # racing builders produce byte-identical content so last-wins is
     # safe (review r10).  Stale ``.tmp*`` siblings from builders that
-    # crashed between write and replace are reaped first, and our own
-    # tmp is unlinked on failure — this single-file twin previously
-    # leaked its staging file forever on a crash (ADVICE r10).
+    # crashed between write and replace are reaped first — but ONLY
+    # dead owners' files: a pattern-wide unlink would yank a LIVE
+    # concurrent builder's in-flight staging file out from under its
+    # os.replace (review r11).  Our own tmp is unlinked on failure —
+    # this single-file twin previously leaked its staging file forever
+    # on a crash (ADVICE r10).
+    from ..catalog import _pid_alive
     for stale in os.listdir(out):
         if stale.startswith("vocab.parquet.tmp"):
+            pid_part = stale[len("vocab.parquet.tmp"):]
+            if pid_part.isdigit() and _pid_alive(int(pid_part)):
+                continue  # a live builder's in-flight staging file
             try:
                 os.unlink(os.path.join(out, stale))
             except OSError:

@@ -101,18 +101,30 @@ def commit_offset(store: str, group: str, offset: int) -> int:
     """Durably commit ``offset`` for ``group`` (atomic, monotone).
     Committing below the current cursor raises — lstore cursors only
     move forward; a consumer that wants replay uses a NEW group.
-    Returns the committed offset."""
+    Returns the committed offset.
+
+    The monotonicity check and the write happen under a per-group
+    flock: without it, two committers' read-check-write sequences can
+    interleave and the later os.replace silently moves the durable
+    cursor BACKWARDS past a higher concurrent commit (review r11).
+    The lock is advisory and local-FS scoped — matching the store's
+    single-host segment layout; a shared-nothing deployment would put
+    the cursor in a CAS-capable object store."""
     if offset is None:
         raise ValueError(f"commit_offset({group}): offset is None "
                          "(empty poll? commit nothing instead)")
-    cur = committed_offset(store, group)
-    if offset < cur:
-        raise ValueError(
-            f"commit_offset({group}): {offset} regresses below the "
-            f"committed cursor {cur}")
     path = _cursor_path(store, group)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    _write_cursor(path, offset)
+    import fcntl
+
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        cur = committed_offset(store, group)
+        if offset < cur:
+            raise ValueError(
+                f"commit_offset({group}): {offset} regresses below the "
+                f"committed cursor {cur}")
+        _write_cursor(path, offset)
     return offset
 
 

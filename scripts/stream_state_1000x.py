@@ -146,6 +146,13 @@ def run_shape(spark, name: str, src_glob: str) -> dict:
     q.awaitTermination()
     wall = round(time.time() - t0, 1)
     prog = [json.loads(str(p)) for p in q.recentProgress]
+    ids = [pr["batchId"] for pr in prog]
+    if ids and (min(ids) != 0 or len(set(ids)) != max(ids) + 1):
+        raise RuntimeError(
+            f"{name}: progress history truncated (batches {min(ids)}–"
+            f"{max(ids)}, {len(set(ids))} retained) — raise "
+            "spark.sql.streaming.numRecentProgressUpdates; a partial "
+            "census must not feed BASELINE.md")
     batches = []
     for pr in prog:
         ops = pr.get("stateOperators") or [{}]
@@ -193,6 +200,11 @@ def main() -> None:
     spark = get_spark("stream-state-1000x", cpus="32",
                       shuffle_partitions="32")
     spark.sparkContext.setLogLevel("ERROR")
+    # recentProgress retains only ~100 updates by default — a census
+    # over more chunks than that would silently drop its earliest
+    # batches and mis-state the peaks (review r11).
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+                   str(max(256, n_chunks * 2)))
     src = tempfile.mkdtemp(prefix="stream_state_1000x_")
     results = []
     try:

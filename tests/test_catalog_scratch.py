@@ -92,18 +92,29 @@ def test_table_rows_refuses_nested_or_empty_directory_tables(tmp_path):
         catalog.table_rows(str(empty), "documents")
 
 
-def test_reapable_age_backstop(tmp_path):
-    """ADVICE r10: PID reuse can make a dead session's dir look owned
-    forever — a dir older than the age backstop is reapable even when
-    its recorded PID is alive (ours is)."""
-    d = tmp_path / "old_dir"
+def test_reapable_pid_recycle_detection(tmp_path):
+    """ADVICE r10 / review r11: PID reuse can make a dead session's dir
+    look owned forever.  The /proc start-time check settles it exactly:
+    a live PID that STARTED AFTER the dir's last write is a recycle
+    (reapable); one that started before it may be the owner (kept, even
+    if the dir has been quiescent for days — the blunt age rule's false
+    positive)."""
+    d = tmp_path / "dir"
     d.mkdir()
     me = os.getpid()
-    assert not catalog._reapable(str(d), me), "fresh live-PID dir reaped"
+    assert not catalog._reapable(str(d), me), "fresh live-owner dir reaped"
+    # dir last written long before this process started → recycle
     past = os.stat(d).st_mtime - catalog._REAP_AGE_SECS - 60
     os.utime(d, (past, past))
-    assert catalog._reapable(str(d), me), "age backstop did not trigger"
+    assert catalog._reapable(str(d), me), "post-start mtime not treated as recycle"
     assert catalog._reapable(str(d), 999999999), "dead PID must reap"
+    # a process started BEFORE the dir's mtime (PID 1, up since boot)
+    # could be the owner: never reaped while alive, however old the dir
+    d2 = tmp_path / "dir2"
+    d2.mkdir()
+    if catalog._pid_start_epoch(1) is not None:
+        assert not catalog._reapable(str(d2), 1), \
+            "possible live owner reaped"
 
 
 def test_publish_dir_reraises_non_race_failures(tmp_path):
