@@ -95,7 +95,8 @@ def path_of(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-def scratch_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
+def scratch_dir(tag: str, sf_dir: str,
+                key: str | None = None) -> tuple[str, bool]:
     """Deterministic per-fixture scratch dir for derived artifacts
     (layout rewrites, ANN indexes): ``/tmp/lstore_spark_<tag>_<hash>``
     keyed on the fixture path.  Returns (path, already_built) where
@@ -122,7 +123,9 @@ def scratch_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
     # never-reused scratch dirs behind; default stays /tmp so
     # cross-session artifact reuse for the real fixtures still works.
     root = os.environ.get("LSTORE_SPARK_SCRATCH_ROOT", tempfile.gettempdir())
-    key = fixture_fingerprint(sf_dir)
+    # callers that already computed the fingerprint pass it in (review
+    # r11: the hot routing path stat-scanned the fixture dir twice)
+    key = key or fixture_fingerprint(sf_dir)
     out = os.path.join(root, f"lstore_spark_{tag}_{key}")
     return out, os.path.exists(os.path.join(out, "_SUCCESS"))
 
@@ -500,7 +503,8 @@ def bucketed_table(spark: SparkSession, sf_dir: str,
     metadata only, no data movement."""
     import json
 
-    final, done = scratch_dir(f"{BUCKET_LAYOUT_TAG}_{table}", sf_dir)
+    fp = fixture_fingerprint(sf_dir)
+    final, done = scratch_dir(f"{BUCKET_LAYOUT_TAG}_{table}", sf_dir, key=fp)
     if not done:
         return None
     try:
@@ -509,7 +513,7 @@ def bucketed_table(spark: SparkSession, sf_dir: str,
     except (OSError, ValueError):
         return None
     tune(spark)
-    name = f"lstore_bkt_{table}_{fixture_fingerprint(sf_dir)}"
+    name = f"lstore_bkt_{table}_{fp}"
     if not spark.catalog.tableExists(name):
         cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                          for f in SCHEMAS[table].fields)
@@ -552,8 +556,22 @@ def events_ts_unit(path: str) -> str:
 # fixture regeneration: the cached plan carries an eager file index,
 # so a signature-less key would serve stale file lists (review r10) —
 # and latest-signature-wins eviction keeps regeneration churn from
-# accumulating dead plans (ADVICE r10).
+# accumulating dead plans (ADVICE r10).  Session churn has its own
+# eviction (review r11): entries are keyed by id(spark), and a process
+# that stops and recreates sessions (notebook, repeated in-process
+# runs) would otherwise pin every dead session's plans — and the dead
+# session itself, via the DataFrame — forever; a weakref per session id
+# lets each insert purge entries whose session was collected.
 _TABLE_CACHE: dict[tuple, tuple] = {}
+_SESSION_REFS: dict[int, object] = {}  # id(spark) -> weakref.ref
+
+
+def _purge_dead_sessions() -> None:
+    dead = [sid for sid, ref in _SESSION_REFS.items() if ref() is None]
+    for sid in dead:
+        del _SESSION_REFS[sid]
+        for key in [k for k in _TABLE_CACHE if k[0] == sid]:
+            del _TABLE_CACHE[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -575,6 +593,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return spark.read.schema(EVENTS_LOGICAL).parquet(path)
         return spark.read.schema(SCHEMAS[name]).parquet(path)
 
+    import weakref
+
+    _purge_dead_sessions()
+    _SESSION_REFS.setdefault(id(spark), weakref.ref(spark))
     return _sig_cached(_TABLE_CACHE, (id(spark), sf_dir.rstrip("/"), name),
                        _path_sig(path), build)
 

@@ -66,7 +66,7 @@ DEC9 = "DECIMAL(30,12)"
 
 
 def round9_dec(col: Column) -> Column:
-    return F.round(col, 9).cast("decimal(30,12)")
+    return F.round(col, 9).cast(DEC9.lower())
 
 
 def dsum9(col: Column) -> Column:

@@ -114,7 +114,13 @@ def compact_partition(spark: SparkSession, path: str, day: str,
     shutil.rmtree(old, ignore_errors=True)
     (df.repartition(target_files)
        .sortWithinPartitions("ts")
-       .write.mode("overwrite").parquet(tmp))
+       .write.mode("overwrite")
+       # compaction must PRESERVE the store's bloom filters (review
+       # r11): a plain rewrite silently stripped the pbloom analog,
+       # costing point predicates their block skipping post-OPTIMIZE
+       .option("parquet.bloom.filter.enabled", "true")
+       .option("parquet.bloom.filter.adaptive.enabled", "true")
+       .parquet(tmp))
     os.rename(part, old)
     os.rename(tmp, part)
     shutil.rmtree(old)
@@ -169,6 +175,9 @@ def compact_store(spark: SparkSession, path: str,
         .drop("__salt")
         .sortWithinPartitions("ts")
         .write.mode("overwrite")
+        # same bloom preservation as compact_partition (review r11)
+        .option("parquet.bloom.filter.enabled", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
         .partitionBy("day")
         .parquet(out)
     )

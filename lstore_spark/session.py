@@ -41,14 +41,19 @@ _RUNTIME_CONFS = {
     # lstore's indexed-segment block skipping (SURVEY.md §4.2).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
-    # Shuffle width: AQE coalesces batch plans at runtime, but STREAMING
-    # state shuffles have no AQE — an externally-created session at the
-    # stock 200 partitions spins 200 state-store tasks per micro-batch
-    # (measured 14.2 s → 2.1 s for the applyInPandasWithState key on the
-    # driver's plain session).  Sized to cores here; a real cluster
-    # overrides via SPARK_GRAFT_SHUFFLE to ~2-3× total cores.
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
 }
+
+# Shuffle width: AQE coalesces batch plans at runtime, but STREAMING
+# state shuffles have no AQE — an externally-created session at the
+# stock 200 partitions spins 200 state-store tasks per micro-batch
+# (measured 14.2 s → 2.1 s for the applyInPandasWithState key on the
+# driver's plain session).  Handled OUTSIDE _RUNTIME_CONFS: tune()
+# replaces only the STOCK default, so a width chosen deliberately — a
+# get_spark(shuffle_partitions=8) test session, a cluster profile at
+# 2-3× total cores — is never clobbered (review r11: the old dict entry
+# silently overrode the get_spark parameter and every conftest session
+# actually ran at 32).
+_STOCK_SHUFFLE = "200"
 
 
 def tune(spark: SparkSession) -> SparkSession:
@@ -60,6 +65,12 @@ def tune(spark: SparkSession) -> SparkSession:
             # Static conf on this build / read-only — keep going; every
             # critical conf above is dynamic on Spark 4.1.
             pass
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == _STOCK_SHUFFLE:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    except Exception:
+        pass
     return spark
 
 

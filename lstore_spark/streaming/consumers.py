@@ -56,11 +56,18 @@ def _cursor_path(store: str, group: str) -> str:
 def ensure_group(store: str, group: str) -> None:
     """Register ``group`` with no consumed offset (cursor = -1) if it
     does not already exist — the 'create consumer group' verb.  An
-    existing cursor is left untouched."""
+    existing cursor is left untouched.  The exists-check and the write
+    share commit_offset's per-group flock: unlocked, a preempted
+    ensure_group could overwrite a cursor a concurrent consumer had
+    just committed, regressing it to -1 (review r11)."""
+    import fcntl
+
     path = _cursor_path(store, group)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    if not os.path.exists(path):
-        _write_cursor(path, -1)
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if not os.path.exists(path):
+            _write_cursor(path, -1)
 
 
 def groups(store: str) -> list[str]:
@@ -250,9 +257,13 @@ def q_stream_consumer_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     for g in ("alpha", "bravo", "charlie"):
         ensure_group(store, g)
     # alpha: one unbounded poll, commit the batch's max offset (the
-    # 1-value agg collect is the consumer's own ack — k-bounded).
+    # 1-value agg collect is the consumer's own ack — k-bounded).  An
+    # empty slice polls None — commit nothing, like bravo's loop
+    # (review r11: an unguarded None commit would crash the key where
+    # the oracle returns a well-formed zero-progress relation).
     hi = poll(spark, store, "alpha").agg(F.max("offset")).first()[0]
-    commit_offset(store, "alpha", hi)
+    if hi is not None:
+        commit_offset(store, "alpha", hi)
     # bravo: two bounded polls, commit after each — at-least-once
     # consumption in max-poll-records batches.
     for _ in range(2):

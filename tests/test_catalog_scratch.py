@@ -133,6 +133,27 @@ def test_publish_dir_reraises_non_race_failures(tmp_path):
     assert os.path.exists(tmp / "data"), "staged copy must survive"
 
 
+def test_session_honors_requested_shuffle_width(spark):
+    """review r11: get_spark(shuffle_partitions=8) was silently
+    overridden back to 32 by the runtime-conf loop and tune() — the
+    whole suite ran at a width nobody asked for.  tune() must replace
+    only the STOCK default (200), never a deliberate setting."""
+    from lstore_spark.session import tune
+
+    key = "spark.sql.shuffle.partitions"
+    assert spark.conf.get(key) == "8", \
+        "conftest's explicit width was clobbered"
+    tune(spark)
+    assert spark.conf.get(key) == "8", "tune() clobbered a deliberate width"
+    try:
+        spark.conf.set(key, "200")  # an untuned plain session's stock value
+        tune(spark)
+        assert spark.conf.get(key) != "200", \
+            "tune() must still fix the stock default"
+    finally:
+        spark.conf.set(key, "8")
+
+
 def test_publish_dir_atomic_and_loser_discards(tmp_path):
     """publish_dir: winner's rename lands the artifact; a loser's
     publish leaves the winner's copy intact and removes the loser's
