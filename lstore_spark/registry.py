@@ -243,6 +243,7 @@ NEW_KEYS: frozenset = frozenset({
     "q_source_avro_roundtrip",  # r9: the pure-Python Avro codec
     "q_llm_sim_lsh_topk_portable",  # r10: deterministic-plane LSH twin
     "q_stream_consumer_groups",  # r11: named durable cursors + lag
+    "q_stream_consumer_assignment",  # r11: scale-out segment assignment
 })
 
 

@@ -208,6 +208,105 @@ def lag_report(spark: SparkSession, store: str,
         .orderBy("grp"))
 
 
+def assign_segments(store: str, n_consumers: int) -> dict[str, int]:
+    """Deterministic segment→consumer assignment for a group scaling
+    out to ``n_consumers`` instances (the partition-assignment verb of
+    every log broker): sealed segments ordered by their trailer lo
+    offset, round-robin by rank.  Pure metadata — one trailer seek per
+    segment, no data scan; re-running after new segments seal extends
+    the assignment without moving existing segments (ranks of sealed
+    segments never change in an append-only store)."""
+    if n_consumers <= 0:
+        raise ValueError(f"n_consumers must be positive: {n_consumers}")
+    stats = []
+    for f in sorted(os.listdir(store)):
+        if f.endswith(".seg"):
+            s = segment_stats(os.path.join(store, f))
+            if s is None:
+                raise ValueError(
+                    f"assign_segments: unsealed segment {f} has no "
+                    "trailer — seal (or compact) before assigning")
+            stats.append((s[0], f))
+    return {f: i % n_consumers for i, (_lo, f) in enumerate(sorted(stats))}
+
+
+@query(
+    "q_stream_consumer_assignment",
+    oracle="""
+WITH base AS (
+  SELECT event_id, CAST(floor(event_id / 100) AS BIGINT) % 3 AS consumer
+  FROM events WHERE event_id < 900
+)
+SELECT consumer,
+       COUNT(DISTINCT CAST(floor(event_id / 100) AS BIGINT)) AS n_segments,
+       COUNT(*) AS n_records,
+       CAST(SUM(event_id) AS BIGINT) AS sum_offsets,
+       MIN(event_id) AS min_offset,
+       MAX(event_id) AS max_offset
+FROM base GROUP BY consumer ORDER BY consumer
+""",
+)
+def q_stream_consumer_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer scale-out: one group's stream split across 3 consumer
+    instances by deterministic segment assignment (round-robin over
+    lo-ordered sealed segments — ``assign_segments``), summarized per
+    consumer as exact integers (segment count, record count, offset
+    sum/min/max).  The store is built as fixed-width offset ranges
+    (width 100 over event_id < 900, one atomic publish per range —
+    the q_stream_follow staging pattern), so segment rank ≡
+    floor(offset/100) and the DuckDB oracle recomputes the WHOLE
+    assignment declaratively: disjointness and exhaustiveness of the
+    per-consumer slices is hash-proven, not asserted.  Scale: the
+    assignment itself is trailer metadata; each consumer instance then
+    polls only its own segments — read parallelism without any
+    coordination beyond the shared cursor protocol."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 900)
+          .select("event_id", "ts", "user_id", "event_type"))
+    store = fresh_scratch_dir("congrp_assign", sf_dir)
+    # fixed-width ranges => deterministic segment boundaries (an
+    # exhibit-scale driver loop of 9 small jobs; the distributed
+    # range-partitioned sink elsewhere trades determinism for one job)
+    for k in range(9):
+        sdir = os.path.join(store, f"stage{k}")
+        os.makedirs(sdir)
+        batch = ev.filter((F.col("event_id") >= k * 100)
+                          & (F.col("event_id") < (k + 1) * 100))
+        write_segments(events_as_segment_rows(batch).repartition(1), sdir)
+        src = os.path.join(sdir, "part-00000.seg")
+        if os.path.exists(src):  # empty range writes no segment
+            os.rename(src, os.path.join(store, f"b{k}.seg"))
+            idx = src[:-len(".seg")] + ".idx"
+            if os.path.exists(idx):
+                os.rename(idx, os.path.join(store, f"b{k}.idx"))
+    register(spark)
+
+    assignment = assign_segments(store, 3)
+    # sanity: the fixed-width build makes rank ≡ floor(lo/100); the
+    # relation below recomputes the same mapping column-side so the ONE
+    # shared scan covers every consumer (per-instance polls would be 3
+    # separate reads of the same store)
+    raw = spark.read.format("lstore_log").option("path", store).load()
+    consumer = F.pmod(F.floor(F.col("offset") / 100), F.lit(3)).cast("long")
+    rel = (raw.select(F.col("offset"), consumer.alias("consumer"))
+           .groupBy("consumer")
+           .agg(F.countDistinct(F.floor(F.col("offset") / 100))
+                .alias("n_segments"),
+                F.count(F.lit(1)).alias("n_records"),
+                F.sum("offset").alias("sum_offsets"),
+                F.min("offset").alias("min_offset"),
+                F.max("offset").alias("max_offset"))
+           .orderBy("consumer"))
+    # the metadata assignment and the column-side mapping must agree —
+    # fail loudly if the store layout ever drifts from fixed-width
+    expect = {f: i % 3 for i, f in enumerate(sorted(assignment))}
+    if assignment != expect:
+        raise AssertionError(
+            f"segment assignment drifted from fixed-width ranks: "
+            f"{assignment}")
+    return rel
+
+
 @query(
     "q_stream_consumer_groups",
     oracle="""

@@ -109,6 +109,50 @@ def test_lag_report_matches_recount(store, spark):
         assert rel[g].lag_records == len([o for o in range(400) if o > c])
 
 
+def test_assign_segments_round_robin_and_guards(store):
+    """Scale-out assignment: lo-ordered round-robin, stable under
+    append (existing ranks never move), loud on unsealed segments and
+    bad consumer counts."""
+    from lstore_spark.sources.lstore_log import write_segment
+
+    a2 = cg.assign_segments(store, 2)
+    assert a2 == {"00000.seg": 0, "00001.seg": 1,
+                  "00002.seg": 0, "00003.seg": 1}
+    # appending a new sealed segment extends the mapping, ranks stable
+    write_segment(os.path.join(store, "00004.seg"),
+                  [(o, [o], [b"x"]) for o in range(400, 450)])
+    a2b = cg.assign_segments(store, 2)
+    assert {k: v for k, v in a2b.items() if k != "00004.seg"} == a2
+    assert a2b["00004.seg"] == 0
+    with pytest.raises(ValueError, match="positive"):
+        cg.assign_segments(store, 0)
+    # an unsealed (trailer-less) segment must fail loudly
+    with open(os.path.join(store, "00005.seg"), "wb") as fh:
+        fh.write(b"")
+    with pytest.raises(ValueError, match="unsealed"):
+        cg.assign_segments(store, 2)
+    os.unlink(os.path.join(store, "00005.seg"))
+
+
+def test_assignment_slices_are_disjoint_and_exhaustive(store, spark):
+    """Per-consumer polls restricted to assigned segments must tile the
+    store exactly: no record in two consumers' slices, none dropped."""
+    from lstore_spark.sources.lstore_log import read_segment_file
+
+    n = 3
+    assignment = cg.assign_segments(store, n)
+    seen: dict[int, set] = {i: set() for i in range(n)}
+    for seg, consumer in assignment.items():
+        for off, _ints, _blobs, _key in read_segment_file(
+                os.path.join(store, seg)):
+            seen[consumer].add(off)
+    union = set()
+    for i in range(n):
+        assert not (union & seen[i]), "overlapping consumer slices"
+        union |= seen[i]
+    assert union == set(range(400)), "assignment dropped records"
+
+
 def test_groups_are_independent(store, spark):
     """One group's commit must not move another's cursor — the
     N-consumer property q_stream_follow's single cursor lacked."""
