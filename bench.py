@@ -64,7 +64,8 @@ def calibration_probe(n: int = 2_000_000) -> float:
     acc = 0
     for i in range(n):
         acc += i ^ (i >> 3)
-    assert acc != 0
+    if acc == 0:  # consume acc without assert (stripped under -O)
+        raise RuntimeError("calibration loop optimized away")
     return round(time.perf_counter() - t0, 4)
 
 
@@ -90,7 +91,12 @@ def parallel_calibration_probe(n: int = 400_000, workers: int = 16) -> float:
 
     t0 = time.perf_counter()
     with cf.ProcessPoolExecutor(max_workers=workers) as ex:
-        assert all(r != 0 for r in ex.map(_pcal_work, [n] * workers))
+        # NOT inside an assert: `python -O` strips assert statements,
+        # which would silently skip the ex.map and time an idle pool
+        # (review r11)
+        results = list(ex.map(_pcal_work, [n] * workers))
+    if not all(r != 0 for r in results):
+        raise RuntimeError("parallel calibration work optimized away")
     return round(time.perf_counter() - t0, 4)
 
 

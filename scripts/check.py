@@ -19,7 +19,9 @@ from lstore_spark.registry import ORACLE, QUERIES  # noqa: E402
 from lstore_spark.session import get_spark  # noqa: E402
 from tests.oracle_check import compare, duck_connect  # noqa: E402
 
-SF_DIR = os.environ.get("LSTORE_SPARK_TEST_SF", "/root/testdata/sf0.01")
+from tests.oracle_check import default_sf_dir  # noqa: E402
+
+SF_DIR = default_sf_dir()
 
 # Keys whose OUTPUT (not plan) is quadratic in input size: at the ~sf1
 # sweep the theta join alone emits 21M pairs — far past what the
@@ -56,16 +58,22 @@ def _maybe_sample(key: str, df, sql: str):
 ANN_RECALL_FLOORS = {"lsh": 0.2, "ivf": 0.35, "pq_adc": 0.1}
 
 
-def check_ann_recall(spark) -> list[str]:
+def check_ann_recall(spark) -> tuple[int, list[str]]:
     """Recall of each approximate search vs the exact brute-force top-k,
-    at whatever SF the sweep runs.  Returns failure lines (empty=green)."""
+    at whatever SF the sweep runs.  Returns (n_checks, failure lines) —
+    the count is derived from the report() calls actually made, so
+    adding a fourth floor can't silently skew the summary accounting
+    (review r11: the caller hardcoded 3)."""
     exact_rows = QUERIES["q_llm_sim_cosine_topk"](spark, SF_DIR).collect()
     exact = {(r.query_id, r.cand_id) for r in exact_rows}
     exact3 = {(min(r.query_id, r.cand_id), max(r.query_id, r.cand_id))
               for r in exact_rows if r.rank <= 3}
     fails: list[str] = []
+    n_checks = 0
 
     def report(name: str, got: set, base: set) -> None:
+        nonlocal n_checks
+        n_checks += 1
         rec = len(base & got) / max(len(base), 1)
         ok = rec >= ANN_RECALL_FLOORS[name]
         line = (f"{'OK ' if ok else 'FAIL'} recall_{name:27s} {rec:6.3f}  "
@@ -103,7 +111,7 @@ def check_ann_recall(spark) -> list[str]:
     pq = {(r.query_id, r.cand_id)
           for r in QUERIES["q_llm_emb_pq_adc"](spark, SF_DIR).collect()}
     report("pq_adc", pq, l2_exact)
-    return fails
+    return n_checks, fails
 
 
 def main() -> int:
@@ -139,7 +147,6 @@ def main() -> int:
                 n = df.count()
                 status = "OK " if n > 0 else "FAIL"
                 extra = f"rows-only n={n}"
-                res = None
         except Exception as e:
             status = "ERR "
             extra = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
@@ -153,17 +160,25 @@ def main() -> int:
         else:
             n_fail += 1
             failures.append(line)
-    if os.environ.get("LSTORE_SPARK_BIG") and not filters:
-        rf = check_ann_recall(spark)
-        n_ok += 3 - len(rf)
-        n_fail += len(rf)
-        failures.extend(rf)
-    print(f"\n{n_ok}/{n_ok + n_fail} passing")
-    if failures:
-        print("FAILURES:")
-        for f in failures:
-            print(" ", f)
-    spark.stop()
+    # try/finally: a recall-phase crash must still print the summary of
+    # per-key results already earned and stop the session (review r11)
+    try:
+        if os.environ.get("LSTORE_SPARK_BIG") and not filters:
+            n_rc, rf = check_ann_recall(spark)
+            n_ok += n_rc - len(rf)
+            n_fail += len(rf)
+            failures.extend(rf)
+    except Exception as e:  # noqa: BLE001 - summarize, then re-signal
+        n_fail += 1
+        failures.append(f"ERR  recall-phase {type(e).__name__}: "
+                        f"{str(e).splitlines()[0][:160]}")
+    finally:
+        print(f"\n{n_ok}/{n_ok + n_fail} passing")
+        if failures:
+            print("FAILURES:")
+            for f in failures:
+                print(" ", f)
+        spark.stop()
     return 1 if n_fail else 0
 
 

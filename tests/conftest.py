@@ -7,7 +7,9 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = os.environ.get("LSTORE_SPARK_TEST_SF", "/root/testdata/sf0.01")
+from tests.oracle_check import default_sf_dir
+
+SF_DIR = default_sf_dir()
 
 
 @pytest.fixture(scope="session", autouse=True)

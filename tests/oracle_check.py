@@ -18,6 +18,15 @@ import numpy as np
 from lstore_spark.catalog import TABLE_NAMES
 
 
+def default_sf_dir() -> str:
+    """The harness-wide default grade fixture — ONE definition (review
+    r11: conftest, check.py and plan_audit each re-derived it, so a
+    moved default could silently point them at different data)."""
+    import os
+
+    return os.environ.get("LSTORE_SPARK_TEST_SF", "/root/testdata/sf0.01")
+
+
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -139,7 +148,17 @@ def compare(key: str, spark_df, con, sql: str, max_report: int = 5) -> CompareRe
     cd = canon_rows(d_cols, d_rows)
     if cs != cd:
         res.ok = False
-        diffs = [(a, b) for a, b in zip(cs, cd) if a != b]
-        res.detail = f"values: {len(diffs)} differing rows (of {len(cs)})"
-        res.mismatches = diffs[:max_report]
+        # Multiset diff, not positional zip: both lists are sorted, so
+        # one inserted/missing row would shift every later pair and a
+        # zip would report N bogus "differences" of unrelated rows
+        # (review r11).  Report rows genuinely private to each side.
+        import collections
+        only_s = collections.Counter(cs) - collections.Counter(cd)
+        only_d = collections.Counter(cd) - collections.Counter(cs)
+        res.detail = (f"values: {sum(only_s.values())} spark-only / "
+                      f"{sum(only_d.values())} duck-only rows "
+                      f"(of {len(cs)})")
+        res.mismatches = list(zip(
+            sorted(only_s.elements())[:max_report],
+            sorted(only_d.elements())[:max_report]))
     return res
