@@ -550,11 +550,21 @@ class LstoreLogReader(DataSourceReader):
             # and return an empty frame (review r10)
             raise ValueError("lstore_log reader requires .option('path', dir)")
         self.version = options.get("version")  # time travel (manifest id)
+        # consumer scale-out (r11): an instance reads ONLY its assigned
+        # segment files — comma-separated basenames from
+        # streaming.consumers.assign_segments.  Missing files fail
+        # loudly below (an assignment names segments that must exist).
+        segs = options.get("segments")
+        self.segments = ({s.strip() for s in segs.split(",") if s.strip()}
+                         if segs else None)
         self._lo = None  # offset >= _lo (from pushed filters)
         self._hi = None  # offset <= _hi
         self._keys = None  # key ∈ _keys (conjunctive; None = unconstrained)
 
     def _keep(self, path: str) -> bool:
+        if (self.segments is not None
+                and os.path.basename(path) not in self.segments):
+            return False  # not this consumer instance's slice
         if self._keys is not None:
             ks = segment_keys(path)
             if ks is not None and not self._keys.intersection(ks):
@@ -589,6 +599,14 @@ class LstoreLogReader(DataSourceReader):
                 for f in os.listdir(self.path)
                 if f.endswith(".seg")
             )
+        if self.segments is not None:
+            present = {os.path.basename(f) for f in files}
+            missing = self.segments - present
+            if missing:
+                raise FileNotFoundError(
+                    f"assigned segments missing from {self.path}: "
+                    f"{sorted(missing)} — stale assignment (store "
+                    "compacted/purged since assign_segments ran?)")
         kept = [InputPartition(f) for f in files if self._keep(f)]
         # Zero partitions is not a shape the Python DataSource API
         # accepts (Spark still schedules one task and hands read() a

@@ -176,6 +176,32 @@ def poll(spark: SparkSession, store: str, group: str,
     return raw
 
 
+def poll_assigned(spark: SparkSession, store: str, group: str,
+                  consumer: int, n_consumers: int) -> DataFrame:
+    """One consumer INSTANCE's poll: records past the group cursor,
+    restricted to the instance's assigned segments (round-robin rank —
+    ``assign_segments``) via the reader's ``segments`` option, so each
+    of the group's N instances scans a disjoint file subset in its own
+    session — read parallelism with no coordination beyond the shared
+    cursor.  Cursor pruning composes: a sealed assigned segment wholly
+    at-or-below the cursor is still skipped at planning time."""
+    mine = [s for s, c in assign_segments(store, n_consumers).items()
+            if c == consumer]
+    cur = committed_offset(store, group)
+    register(spark)
+    if not mine:
+        # this instance owns nothing (more instances than segments):
+        # an empty relation in the store's schema
+        return (spark.read.format("lstore_log").option("path", store)
+                .load().filter(F.lit(False)))
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (spark.read.format("lstore_log")
+            .option("path", store)
+            .option("segments", ",".join(sorted(mine)))
+            .option("pushdown", "true").load()
+            .filter(F.col("offset") > cur))
+
+
 def lag_report(spark: SparkSession, store: str,
                names: list[str] | None = None) -> DataFrame:
     """The broker lag relation: one row per group with its committed

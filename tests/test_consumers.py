@@ -153,6 +153,37 @@ def test_assignment_slices_are_disjoint_and_exhaustive(store, spark):
     assert union == set(range(400)), "assignment dropped records"
 
 
+def test_poll_assigned_tiles_store_and_respects_cursor(store, spark):
+    """Per-instance polls through the reader's segments option must
+    tile the store exactly (disjoint, exhaustive), compose with the
+    group cursor, and fail loudly on a stale assignment."""
+    cg.ensure_group(store, "ga")
+    n = 3
+    parts = [sorted(r.offset for r in
+                    cg.poll_assigned(spark, store, "ga", i, n)
+                    .select("offset").collect())
+             for i in range(n)]
+    flat = [o for p in parts for o in p]
+    assert sorted(flat) == list(range(400)), "instances did not tile"
+    assert len(flat) == len(set(flat)), "overlapping instance slices"
+    # cursor composes: after committing past segment 0, instance 0
+    # (segments 0 and 3 of 4, round-robin over 2... use n=2) shrinks
+    cg.commit_offset(store, "ga", 99)
+    a0 = sorted(r.offset for r in
+                cg.poll_assigned(spark, store, "ga", 0, 2)
+                .select("offset").collect())
+    assert a0 == list(range(200, 300)), a0  # seg 0 consumed, seg 2 mine
+    # more instances than segments: empty relation, not an error
+    assert cg.poll_assigned(spark, store, "ga", 9, 10).count() == 0
+    # stale assignment (assigned file vanished) fails loudly
+    import pytest as _pt
+
+    from lstore_spark.sources.lstore_log import LstoreLogReader
+    r = LstoreLogReader({"path": store, "segments": "gone.seg"})
+    with _pt.raises(FileNotFoundError, match="gone.seg"):
+        r.partitions()
+
+
 def test_groups_are_independent(store, spark):
     """One group's commit must not move another's cursor — the
     N-consumer property q_stream_follow's single cursor lacked."""
