@@ -37,8 +37,18 @@ def test_codec_roundtrip(tmp_path, codec):
     p = str(tmp_path / f"t_{codec}.avro")
     n = write_avro_file(p, SCHEMA, iter(ROWS), codec=codec, block_rows=2)
     assert n == len(ROWS)
-    assert list(read_avro_file(p)) == ROWS
+    got = list(read_avro_file(p))
+    assert got == ROWS
     assert avro_schema_of(p) == SCHEMA
+    # tuple equality can't see the sign of negative zero (-0.0 == 0.0),
+    # so pin every float's sign bit explicitly (review r11: a codec
+    # normalizing -0.0 to +0.0 passed the equality above)
+    import math
+    for grow, wrow in zip(got, ROWS):
+        for gv, wv in zip(grow, wrow):
+            if isinstance(wv, float) and not math.isnan(wv):
+                assert math.copysign(1.0, gv) == math.copysign(1.0, wv), \
+                    f"float sign lost: {gv!r} vs {wv!r}"
 
 
 def test_torn_file_fails_loudly(tmp_path):

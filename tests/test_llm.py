@@ -167,6 +167,15 @@ def test_exact_dedup_keeps_min_doc_id(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     kept = out.agg(F.sum("n_copies")).collect()[0][0]
     assert kept == n_docs  # every doc accounted for exactly once
+    # the KEPT id must be the group MINIMUM, not any member (review
+    # r11: the old sum-only assertion passed under keep-max too) —
+    # recompute the expected min per normalized-text hash independently
+    docs = load_table(spark, sf_dir, "documents")
+    expect = {(r.h, r.m) for r in
+              docs.groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
+                  .agg(F.min("doc_id").alias("m")).collect()}
+    got = {(r.text_hash, r.doc_id) for r in out.collect()}
+    assert got == expect, "kept doc_id is not the per-group minimum"
 
 
 def test_oracle_range_caps_cover_corpus(duck):
@@ -184,7 +193,11 @@ def test_oracle_range_caps_cover_corpus(duck):
     assert mx <= 255, (
         f"max doc token count {mx} exceeds the range(1, 256) oracle cap — "
         "raise the caps in dedup/text/udfs oracles")
-    assert mx <= 1 + 64 * 24, "chunk-id oracle cap range(0, 64) exceeded"
+    # NOTE the chunk-id cap range(0, 64) binds only past 1 + 64·24 =
+    # 1537 tokens, which the 255 assertion above already excludes by a
+    # 6× margin — if that cap is ever RAISED past 1537, add an explicit
+    # chunk-cap assertion here (a second `mx <= 1537` line would be
+    # dead code today and was removed as such in review r11).
 
 
 def test_kmeans_invariants(spark, sf_dir):
@@ -575,6 +588,21 @@ def test_bpe_pack_bins_respect_budget_and_compress(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     total_chars = docs.agg(F.sum(F.length("text"))).collect()[0][0]
     assert sum(r.bin_tokens for r in rows) < total_chars
+    # coverage + budget (review r11: the old assertions passed even if
+    # half the corpus was dropped or bins ran at 10× the budget):
+    # every document lands in exactly one bin, and no bin exceeds the
+    # budget by more than one straddling document (the floor((cum-1)/B)
+    # binning's worst case)
+    from lstore_spark.llm.bpe import _PACK_BUDGET, bpe_token_counts
+    assert sum(r.n_docs for r in rows) == docs.count(), "docs dropped"
+    per_doc = bpe_token_counts(spark, sf_dir, docs)
+    max_doc, total_tok = per_doc.agg(
+        F.max("n_tok"), F.sum("n_tok")).collect()[0]
+    assert sum(r.bin_tokens for r in rows) == total_tok, "tokens dropped"
+    for r in rows:
+        assert r.bin_tokens <= _PACK_BUDGET + max_doc, (
+            f"bin {r.bin_id} holds {r.bin_tokens} tokens vs budget "
+            f"{_PACK_BUDGET} (+max doc {max_doc})")
 
 
 def test_cosine_topk_vectorized_fold_bit_identical_to_hof(spark, sf_dir):

@@ -260,16 +260,25 @@ def test_blob_key_sidecar_skips_segments(spark, tmp_path):
     kept = [os.path.basename(p.value) for p in r.partitions()]
     assert kept == ["00002.seg", "99999.seg"], kept
 
-    # end-to-end: pruned plan, exact rows
+    # end-to-end: pruned plan, exact rows — save/restore the session
+    # conf (session-scoped fixture: an unrestored set leaks into every
+    # later test, review r11)
     from lstore_spark.sources.lstore_log import register
     register(spark)
     key = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(key, None)
     spark.conf.set(key, "true")
-    df = (spark.read.format("lstore_log")
-          .option("path", str(seg)).option("pushdown", "true").load()
-          .filter(F.col("key") == "purchase"))
-    assert sorted(row.offset for row in df.select("offset").collect()) \
-        == list(range(200, 250))
+    try:
+        df = (spark.read.format("lstore_log")
+              .option("path", str(seg)).option("pushdown", "true").load()
+              .filter(F.col("key") == "purchase"))
+        assert sorted(row.offset for row in df.select("offset").collect()) \
+            == list(range(200, 250))
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def test_scan_log_by_type_prunes_segments(spark, sf_dir):
@@ -326,15 +335,24 @@ def test_pushdown_in_filters_prune(spark, tmp_path):
     kept2 = sorted(os.path.basename(p.value) for p in r2.partitions())
     assert kept2 == ["00001.seg", "00002.seg", "00003.seg"], kept2
 
-    # end-to-end: IN through Spark, exact rows back
+    # end-to-end: IN through Spark, exact rows back (conf save/restore:
+    # session-scoped fixture, review r11)
     from lstore_spark.sources.lstore_log import register
     register(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    df = (spark.read.format("lstore_log")
-          .option("path", str(seg)).option("pushdown", "true").load()
-          .filter(F.col("key").isin("purchase", "error")))
-    assert sorted(row.offset for row in df.select("offset").collect()) \
-        == list(range(200, 250)) + list(range(300, 350))
+    key = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = (spark.read.format("lstore_log")
+              .option("path", str(seg)).option("pushdown", "true").load()
+              .filter(F.col("key").isin("purchase", "error")))
+        assert sorted(row.offset for row in df.select("offset").collect()) \
+            == list(range(200, 250)) + list(range(300, 350))
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def test_torn_segment_fails_loudly_or_reads_as_unsealed(tmp_path):

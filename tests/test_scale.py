@@ -33,12 +33,23 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 
 
 def test_salted_join_deterministic(spark, sf_dir):
+    """The documented guarantee is a DETERMINISTIC salt (retries and
+    speculative tasks must agree).  Count equality across runs is a
+    tautology — the inner-join multiset is salt-independent (review
+    r11) — so the real assertion is on the plan: no nondeterministic
+    expression (rand/uuid/monotonically_increasing) anywhere in the
+    salted join's tree."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     cu = (load_table(spark, sf_dir, "customer")
           .select(F.col("c_custkey").alias("user_id"), "c_acctbal"))
-    a = scale.salted_join(ev, cu, "user_id").count()
+    joined = scale.salted_join(ev, cu, "user_id")
+    a = joined.count()
     b = scale.salted_join(ev, cu, "user_id").count()
     assert a == b
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    for nondet in ("rand(", "uuid(", "monotonically_increasing_id"):
+        assert nondet not in plan, f"nondeterministic salt: {nondet}"
+    assert "xxhash64" in plan, "deterministic hash salt missing from plan"
 
 
 def test_partitioned_events_prune(spark, sf_dir, tmp_path):
@@ -108,7 +119,11 @@ def test_two_consumer_groups_independent_offsets(spark, sf_dir, tmp_path):
     n_a = drain("a")
     # group b starts later — gets the full log independently
     n_b = drain("b")
-    assert n_a == n_b > 0
+    # both must see the WHOLE log, not merely the same subset (review
+    # r11: n_a == n_b alone also passes when a source regression drops
+    # the same rows for both groups)
+    n_log = spark.read.parquet(str(log_dir) + "/*.parquet").count()
+    assert n_a == n_b == n_log > 0
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):

@@ -22,12 +22,16 @@ def test_apply_in_pandas_with_state_running_agg(spark, sf_dir):
 
 
 def test_sample_seeded_bounds_and_stability(spark, sf_dir):
-    a = QUERIES["q_sample_seeded"](spark, sf_dir)
-    b = QUERIES["q_sample_seeded"](spark, sf_dir)
-    na, nb = a.count(), b.count()
-    assert na == nb  # same seed, same partitioning → same sample
+    # the contract is WHICH rows are selected (joinable hash-mod
+    # sample), not merely how many — compare row identities (review
+    # r11: count equality also passes a per-invocation reseed)
+    a = {r.event_id for r in
+         QUERIES["q_sample_seeded"](spark, sf_dir).collect()}
+    b = {r.event_id for r in
+         QUERIES["q_sample_seeded"](spark, sf_dir).collect()}
+    assert a == b  # same seed → the same sample, row for row
     total = load_table(spark, sf_dir, "events").count()
-    assert 0.05 * total < na < 0.15 * total
+    assert 0.05 * total < len(a) < 0.15 * total
 
 
 def test_event_time_ttl_sessionization_matches_batch(spark, sf_dir):

@@ -82,11 +82,69 @@ def test_stream_session_window_equals_batch(spark, sf_dir):
     assert _rows(out) == _rows(batch)
 
 
-def test_stream_watermark_drops_late(spark, sf_dir):
-    """Late-data policy: with a watermark, windows finalized before the
-    watermark reject late arrivals.  availableNow over sorted history
-    keeps everything (nothing is late); this asserts the plumbing runs
-    and produces the batch-twin aggregate totals."""
+def test_stream_watermark_rejects_late_row(spark, tmp_path):
+    """The late-drop policy itself (review r11: the plumbing test below
+    cannot fail on a watermark that never drops).  Empirical Spark
+    semantics, verified while building this test: a late row is only
+    rejected once its window's state has been EVICTED — the watermark
+    passing the window end takes effect one batch later — so the late
+    arrival is staged TWO batches after the watermark-advancing one.
+    The finalized 10:00 window must emit its on-time count exactly
+    once, never a duplicate resurrected by the late row, and the state
+    operator must report the drop."""
+    import json
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_file(name, ts_list):
+        import time
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(ts_list)], "id long, ts string"
+        ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+        df.coalesce(1).write.parquet(str(src / f"stage_{name}"))
+        part = next(f for f in (src / f"stage_{name}").iterdir()
+                    if f.name.endswith(".parquet"))
+        part.rename(src / f"{name}.parquet")
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    # batch 0: the 10:00 window's on-time rows + a 13:00 row that
+    # pushes the watermark to 12:50 (past the window's 11:00 end)
+    write_file("f1", ["2024-01-01 10:00:00", "2024-01-01 10:30:00",
+                      "2024-01-01 13:00:00"])
+    # batch 1: on-time only — the 10:00 window emits and evicts here
+    write_file("f2", ["2024-01-01 13:10:00"])
+    # batch 2: the LATE row into the evicted window + an on-time row
+    write_file("f3", ["2024-01-01 10:15:00", "2024-01-01 14:00:00"])
+
+    stream = (spark.readStream
+              .schema("id long, ts timestamp")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src) + "/*.parquet")
+              .withWatermark("ts", "10 minutes")
+              .groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    q = (stream.writeStream.format("memory").queryName("t_wm_late")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in json.loads(str(p)).get("stateOperators", []))
+    rows = sorted((r.w.start.strftime("%H:%M"), r.n)
+                  for r in spark.table("t_wm_late").collect()
+                  if r.w.start.strftime("%H:%M") == "10:00")
+    assert rows == [("10:00", 2)], (
+        f"late row accepted or window re-emitted: {rows}")
+    assert dropped == 1, f"watermark drop not recorded: {dropped}"
+
+
+def test_stream_watermark_plumbing_totals(spark, sf_dir):
+    """Watermark plumbing over sorted history: availableNow keeps
+    everything (nothing arrives late), so this asserts the stream runs
+    and matches the batch-twin totals — the drop policy itself is
+    pinned by test_stream_watermark_rejects_late_row above."""
     batch_total = (
         QUERIES["q_stream_tumbling_count"](spark, sf_dir)
         .agg(F.sum("n")).collect()[0][0]
@@ -139,7 +197,15 @@ def test_stream_checkpoint_resume_no_reprocess(spark, sf_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     sink = str(tmp_path / "sink")
     log_dir.mkdir()
-    shutil.copy(path_of(sf_dir, "events"), log_dir / "seg1.parquet")
+    # DISTINCT segment contents (review r11: a byte-identical seg2 made
+    # 'replayed seg1, missed seg2' indistinguishable from the correct
+    # outcome by count alone): seg1 = even event_ids, seg2 = odd.
+    ev = spark.read.parquet(path_of(sf_dir, "events"))
+    (ev.filter(F.col("event_id") % 2 == 0).coalesce(1)
+       .write.parquet(str(log_dir / "stage1")))
+    part1 = next(f for f in (log_dir / "stage1").iterdir()
+                 if f.name.endswith(".parquet"))
+    part1.rename(log_dir / "seg1.parquet")
 
     def drain():
         stream = (
@@ -158,12 +224,19 @@ def test_stream_checkpoint_resume_no_reprocess(spark, sf_dir, tmp_path):
     drain()
     n1 = spark.read.parquet(sink).count()
 
-    shutil.copy(path_of(sf_dir, "events"), log_dir / "seg2.parquet")
+    (ev.filter(F.col("event_id") % 2 == 1).coalesce(1)
+       .write.parquet(str(log_dir / "stage2")))
+    part2 = next(f for f in (log_dir / "stage2").iterdir()
+                 if f.name.endswith(".parquet"))
+    part2.rename(log_dir / "seg2.parquet")
     drain()
-    total = spark.read.parquet(sink).count()
 
     assert n1 > 0
-    assert total == 2 * n1, "restart must process exactly the new segment"
+    # row-SET comparison: every event exactly once — no seg1 replay, no
+    # seg2 loss (a count-only assertion passes under replay+loss)
+    got = sorted(r.event_id for r in spark.read.parquet(sink).collect())
+    want = sorted(r.event_id for r in ev.select("event_id").collect())
+    assert got == want, "restart replayed or lost rows"
 
 
 def test_stream_kill_mid_batch_restart_exactly_once(spark, tmp_path):
