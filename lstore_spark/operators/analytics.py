@@ -68,20 +68,23 @@ def ewma_num_den(w, value_col: str = "value", taps: int = 8):
 
 @query(
     "q_subq_scalar",
-    oracle="""
+    oracle=f"""
 SELECT o_orderkey, o_totalprice
 FROM orders
-WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM orders)
+WHERE o_totalprice > 1.9 * (
+  SELECT {sql_dec2dbl("SUM(CAST(o_totalprice AS DECIMAL(30,8)))")}
+         / COUNT(o_totalprice) FROM orders)
 """,
 )
 def q_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery: orders ≥1.9× the global average price.  The scalar
-    aggregate broadcasts (one row) — no correlated re-execution.
-    Comparison is on raw doubles: both engines compute avg() of the same
-    values; the 1.9× band keeps any last-ulp avg drift away from a
-    boundary row (prices have 2 decimals)."""
+    aggregate broadcasts (one row) — no correlated re-execution.  The
+    average is the exact-decimal davg (review r11): the old raw-double
+    form leaned on the 1.9× band to keep last-ulp partial-agg drift off
+    decision boundaries — probabilistic, where davg makes both engines
+    bit-identical for free."""
     od = load_table(spark, sf_dir, "orders")
-    avg_p = od.agg(F.avg("o_totalprice").alias("_avg"))
+    avg_p = od.agg(davg(F.col("o_totalprice"), "_avg"))
     return (
         od.crossJoin(F.broadcast(avg_p))
         .filter(F.col("o_totalprice") > 1.9 * F.col("_avg"))
@@ -115,20 +118,24 @@ def q_subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_subq_correlated",
-    oracle="""
+    oracle=f"""
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
 FROM orders o
 WHERE o.o_totalprice > 1.5 * (
-  SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+  SELECT {sql_dec2dbl("SUM(CAST(i.o_totalprice AS DECIMAL(30,8)))")}
+         / COUNT(i.o_totalprice)
+  FROM orders i WHERE i.o_custkey = o.o_custkey)
 """,
 )
 def q_subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery, decorrelated by hand the way Catalyst
     does: per-key aggregate + equi join (one shuffle, no per-row rescan).
-    1.5× band keeps float-avg ulps off decision boundaries."""
+    Per-customer averages in exact decimal (review r11 — same rationale
+    as q_subq_scalar: the 1.5× band was a probabilistic defense against
+    partial-agg ulp drift; davg removes the drift entirely)."""
     od = load_table(spark, sf_dir, "orders")
     per_cust = od.groupBy(F.col("o_custkey").alias("_ck")).agg(
-        F.avg("o_totalprice").alias("_avg"))
+        davg(F.col("o_totalprice"), "_avg"))
     return (
         od.join(per_cust, od.o_custkey == per_cust._ck)
         .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
@@ -158,17 +165,22 @@ LIMIT 10
 )
 def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): segment-filtered star join, grouped
-    revenue, top-10.  Plan: broadcast filtered customers, shuffle join
-    lineitem⋈orders, 2-phase agg, TakeOrdered."""
+    revenue, top-10.  Plan: broadcast filtered customers (stats-gated —
+    the BUILDING segment is ~20% of an SF-SCALED table, the same
+    footer-stat gate q5 applies; past the cap AQE's shuffled semi join
+    takes over, review r11), shuffle join lineitem⋈orders, 2-phase agg,
+    TakeOrdered."""
     cu = (load_table(spark, sf_dir, "customer")
           .filter(F.col("c_mktsegment") == "BUILDING"))
+    if fits_broadcast(sf_dir, "customer", 0.20):
+        cu = F.broadcast(cu)
     cut = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
     od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey, "left_semi")
+        .join(cu, od.o_custkey == cu.c_custkey, "left_semi")
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(rev, "revenue"))
         .select("l_orderkey", "revenue",
@@ -624,9 +636,13 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_total"))
     mx = per_supp.agg(F.max("_total").alias("_mx"))
+    # broadcast the ~1-row WINNER relation into supplier, not the
+    # SF-scaled supplier table into the winner (review r11: the old
+    # form built a |suppliers|-row hash table to probe with one row,
+    # and did it ungated)
+    top = per_supp.join(F.broadcast(mx), F.col("_total") == F.col("_mx"))
     return (
-        per_supp.join(F.broadcast(mx), F.col("_total") == F.col("_mx"))
-        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        su.join(F.broadcast(top), F.col("l_suppkey") == su.s_suppkey)
         .select("s_suppkey", "s_name",
                 F.col("_total").cast("double").alias("total_revenue"))
     )
@@ -661,7 +677,12 @@ def q_tpch_q19_brand_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(10, 30))
         | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(20, 50))
     )
+    # stats gate (review r11): the brand slice is ~12% of an SF-SCALED
+    # part table — same convention as q8's 0.17 part gate; past the cap
+    # AQE's shuffled join takes over
     pa = load_table(spark, sf_dir, "part").filter(part_arm)
+    if fits_broadcast(sf_dir, "part", 0.12):
+        pa = F.broadcast(pa)
     full_arm = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
          & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
@@ -672,7 +693,7 @@ def q_tpch_q19_brand_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        li.join(pa, li.l_partkey == pa.p_partkey)
         .filter(full_arm)
         .agg(dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
     )
@@ -737,13 +758,19 @@ GROUP BY cohort_day, day_offset
 def q_evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day; distinct active
     users per (cohort, day-offset ≤ 7).  The firsts table is a per-user
-    aggregate (broadcastable at any realistic user cardinality tier)."""
+    aggregate — broadcast under the footer-stat gate (review r11: the
+    old unconditional broadcast leaned on a docstring assertion; this
+    fixture family runs ~1 distinct user per 65 events, gated at 0.05
+    users/event to err conservative — a 1e9-user log falls back to the
+    shuffled join the q_evt_rfm docstring contemplates)."""
     ev = load_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
     firsts = ev.groupBy(F.col("user_id").alias("_uid")).agg(
         F.min(day).alias("cohort_day"))
+    if fits_broadcast(sf_dir, "events", 0.05):
+        firsts = F.broadcast(firsts)
     return (
-        ev.join(F.broadcast(firsts), ev.user_id == firsts._uid)
+        ev.join(firsts, ev.user_id == firsts._uid)
         .select("user_id", "cohort_day",
                 F.datediff(day, F.col("cohort_day")).alias("day_offset"))
         .filter(F.col("day_offset") <= 7)
@@ -1527,30 +1554,46 @@ def q_ts_missing_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic non-empty answer.
 
     Scale: a naive global LAG needs a total sort into ONE task.  This
-    plan blocks ids into 1024-id chunks: in-block gaps come from a
-    window partitioned by block (parallel), cross-block gaps from a LAG
-    over the per-block min/max summary — a series 1/1024 the corpus
-    size.  The oracle keeps the naive global form; both emit identical
-    ranges because consecutive surviving ids share a block or sit in
-    adjacent non-empty blocks."""
+    plan blocks ids into 1024-id chunks TWICE over: in-block gaps come
+    from a window partitioned by block (parallel); cross-block gaps
+    from a LAG over the per-block min/max summary partitioned by
+    SUPER-block (1024 blocks each, still parallel); only the
+    super-block boundaries — a series 1/1024² ≈ 1e-6 of the corpus —
+    ride a global LAG (review r11: the single-level form's global LAG
+    over |ids|/1024 summary rows was itself the unbounded-single-task
+    shape this query exists to avoid).  The relation is pinned: two
+    branches read it and Spark does no CSE across branches.  The oracle
+    keeps the naive global form; both emit identical ranges because a
+    boundary gap is reported at exactly one level (adjacent blocks in
+    one super-block, or adjacent super-blocks)."""
     ev = load_table(spark, sf_dir, "events")
-    pruned = (ev.filter(F.col("event_id") % 7 != 0)
-              .select("event_id", F.expr("event_id DIV 1024").alias("blk")))
+    pruned = pin(ev.filter(F.col("event_id") % 7 != 0)
+                 .select("event_id", F.expr("event_id DIV 1024").alias("blk")))
     w_in = Window.partitionBy("blk").orderBy("event_id")
     in_blk = (
         pruned.select("event_id",
                       F.lag("event_id").over(w_in).alias("prev_id"))
         .filter(F.col("event_id") - F.col("prev_id") > 1)
     )
-    summary = pruned.groupBy("blk").agg(
-        F.min("event_id").alias("mn"), F.max("event_id").alias("mx"))
-    w_blk = Window.orderBy("blk")
+    summary = (pruned.groupBy("blk")
+               .agg(F.min("event_id").alias("mn"),
+                    F.max("event_id").alias("mx"))
+               .withColumn("sblk", F.expr("blk DIV 1024")))
+    w_blk = Window.partitionBy("sblk").orderBy("blk")
     cross_blk = (
         summary.select(F.col("mn").alias("event_id"),
                        F.lag("mx").over(w_blk).alias("prev_id"))
         .filter(F.col("event_id") - F.col("prev_id") > 1)
     )
-    gaps = in_blk.unionByName(cross_blk)
+    ssummary = summary.groupBy("sblk").agg(
+        F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+    w_sblk = Window.orderBy("sblk")
+    cross_sblk = (
+        ssummary.select(F.col("mn").alias("event_id"),
+                        F.lag("mx").over(w_sblk).alias("prev_id"))
+        .filter(F.col("event_id") - F.col("prev_id") > 1)
+    )
+    gaps = in_blk.unionByName(cross_blk).unionByName(cross_sblk)
     return gaps.select(
         (F.col("prev_id") + 1).alias("gap_start"),
         (F.col("event_id") - 1).alias("gap_end"),
@@ -2268,8 +2311,11 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pa = (load_table(spark, sf_dir, "part")
           .filter(F.col("p_brand") == "Brand#1"))
-    li_b = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey,
-                   "left_semi")
+    # pinned: the threshold aggregate AND the probe side both read
+    # li_b, and Spark does no CSE across branches — unpinned, the scan
+    # + semi join ran twice (review r11)
+    li_b = pin(li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey,
+                       "left_semi"))
     thresholds = (
         li_b.groupBy(F.col("l_partkey").alias("t_partkey"))
         .agg((0.5 * (F.sum(F.col("l_quantity").cast(DEC)).cast("double")
@@ -2469,7 +2515,13 @@ def q_graph_rank_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("s")
           .agg(dsum9(F.lit(1.0) / F.col("dc")).alias("r")))
     sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
-    r1 = (edges.join(F.broadcast(s1.join(sdeg, "s")), "s")
+    # stats gate (review r11): the supplier-grain rank relation is one
+    # row per supplier, which SCALES with SF — same gate q5/q7/q8
+    # apply to supplier-sized broadcasts
+    srank = s1.join(sdeg, "s")
+    if fits_broadcast(sf_dir, "supplier"):
+        srank = F.broadcast(srank)
+    r1 = (edges.join(srank, "s")
           .groupBy("c")
           .agg(dsum9(F.col("r") / F.col("ds")).alias("rc")))
     return (r1.select(F.col("c").alias("custkey"),

@@ -558,7 +558,11 @@ def test_broadcast_gate_false_branches_match_oracle(spark, sf_dir, monkeypatch):
                 # review r10: the last three forced-broadcast sites
                 # gained the same gate — pin their shuffled fallbacks
                 "q_tpch_q7_volume", "q_tpch_q8_market_share",
-                "q_mv_incremental_refresh"]:
+                "q_mv_incremental_refresh",
+                # review r11: five more ungated forced broadcasts found
+                # and gated — pin their shuffled fallbacks too
+                "q_tpch_q3_shipping", "q_tpch_q19_brand_bands",
+                "q_evt_retention", "q_graph_rank_2hop"]:
         calls.clear()
         r = compare(key, QUERIES[key](spark, sf_dir), con, ORACLE[key])
         assert calls, f"{key} never consulted the patched gate — vacuous"
