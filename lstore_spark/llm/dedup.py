@@ -643,17 +643,39 @@ def dedup_clusters(doc_ids: DataFrame, pairs: DataFrame,
 
 @query("q_llm_dedup_clusters")  # rows-only: iterative algorithm (pytest-verified)
 def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup clustering: MinHash-LSH candidate pairs (est
-    Jaccard ≥ 0.5) → connected components → (doc_id, cluster_id,
-    is_cluster_head).  On the fixture (no planted dups) every doc is its
-    own head; planted-chain transitivity is asserted in tests/test_llm.py."""
+    """End-to-end dedup clustering: EXACT duplicates collapse first
+    (min-doc_id representative per normalized-text hash — one 2-phase
+    hash aggregate), MinHash-LSH candidate pairs (est Jaccard ≥ 0.5)
+    run over the REPRESENTATIVES, connected components label them, and
+    every member inherits its representative's cluster →
+    (doc_id, cluster_id, is_cluster_head).
+
+    The exact-collapse stage is load-bearing, not an optimization
+    (review r11): lsh_candidate_pairs' hot-bucket cap drops buckets
+    wider than 64 on the stated assumption that mega-buckets are
+    boilerplate 'exact dedup upstream already collapses' — without the
+    collapse, an exact-dup group of >64 members landed every band in a
+    dropped bucket and came back as singletons, silently.  With it, a
+    10⁵-copy boilerplate group is ONE representative in the LSH and the
+    whole group inherits one cluster id.  On the fixture (no dups) the
+    representatives are all docs and the output is unchanged;
+    planted-chain transitivity and the >64-wide-group contract are
+    asserted in tests/test_llm.py."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    hashed = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("_h"))
+    reps = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = docs.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
+    sig = minhash_signatures(rep_docs)
     pairs = lsh_candidate_pairs(sig, min_est_jaccard=0.5).select("id_a", "id_b")
-    labels = dedup_clusters(docs.select("doc_id"), pairs)
-    return labels.select(
-        "doc_id", "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_cluster_head"))
+    labels = dedup_clusters(rep_docs.select("doc_id"), pairs)
+    return (hashed.join(reps, "_h")
+            .join(labels.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+            .select(
+                "doc_id", "cluster_id",
+                (F.col("doc_id") == F.col("cluster_id"))
+                .alias("is_cluster_head")))
 
 
 _TAU_EMB_NEAR_DUP = 0.40  # fixture has random unit vectors (max cos≈0.51);
@@ -1262,10 +1284,19 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2 == 0).alias("is_base"))
     base_h = (f.filter("is_base").select("h").distinct()
               .withColumn("in_base", F.lit(True)))
+    # stats gate (review r11): base_h is ~half the corpus's distinct
+    # hashes — SF-scaled, not dimension-sized; past the footer-stat cap
+    # the seen-set membership join falls back to a shuffled join (at
+    # petabyte scale the documented lever is the bloom/CMS prune this
+    # key's docstring cites)
+    from ..catalog import fits_broadcast
+
+    if fits_broadcast(sf_dir, "documents", 0.5):
+        base_h = F.broadcast(base_h)
     inc = f.filter(~F.col("is_base")).select("doc_id", "h")
     heads = inc.groupBy("h").agg(F.min("doc_id").alias("head_id"))
     return (
-        inc.join(F.broadcast(base_h), "h", "left")
+        inc.join(base_h, "h", "left")
         .join(heads, "h")
         .select(
             "doc_id",

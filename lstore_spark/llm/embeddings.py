@@ -190,6 +190,17 @@ def q_llm_emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- k-means
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Widen a single/few-split fixture scan to the session parallelism
+    so the Arrow-batched UDF stage runs all-core.  Conditional (review
+    r11): at real scale the scan already carries ≥ that many splits and
+    the unconditional form added a full-corpus round-robin exchange at
+    exactly the volume where it costs; the partition-count probe is
+    plan metadata, no job."""
+    p = spark.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def exploded_elems(df: DataFrame, key: str) -> DataFrame:
     """(key, embedding) → (key, i, v double): the posexplode layer of
     every centroid computation, exposed separately so builders that
@@ -295,8 +306,21 @@ def assign_nearest_hierarchical(em: DataFrame, cvecs: DataFrame,
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
-    rows = sorted(cvecs.select(F.col(key).alias("k"), "cvec").collect(),
+    # Loud cap on the driver pull (review r11 — the BPE-trainer
+    # discipline): the caller's k scales with data (adaptive √n / n^2/3
+    # centroids), so an unguarded collect becomes a driver OOM exactly
+    # when the corpus grows; past the cap the persisted-quantizer path
+    # (llm/ann_index.py: train once, broadcast the codebook) is the
+    # documented lever.
+    cap = 1_000_000
+    rows = sorted(cvecs.limit(cap + 1)
+                  .select(F.col(key).alias("k"), "cvec").collect(),
                   key=lambda r: r.k)
+    if len(rows) > cap:
+        raise ValueError(
+            f"assign_nearest_hierarchical: >{cap:,} centroids — refusing "
+            "the driver-side codebook pull; persist the quantizer "
+            "(ann_index build path) instead")
     ids = np.array([r.k for r in rows], dtype=np.int64)
     C = np.array([r.cvec for r in rows], dtype=np.float64)
     dim = C.shape[1]
@@ -608,7 +632,7 @@ def q_llm_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[i] = codes[j]
         return pd.Series(out)
 
-    return (em.repartition(spark.sparkContext.defaultParallelism)
+    return (_spread(em, spark)
             .select("vec_id", codes_of("embedding").alias("codes"))
             .filter(F.col("codes").isNotNull())
             .select("vec_id",
@@ -857,11 +881,9 @@ def q_llm_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(out)
 
     # Spread the single-split fixture scan so the Arrow batches run
-    # 32-way (same rationale as the r5/r7 notes: at real scale the scan
-    # is already many splits and this repartition is a no-op by cost).
+    # 32-way (conditional — see _spread).
     codes_df = (
-        em.filter(F.col("vec_id") >= 10)
-        .repartition(spark.sparkContext.defaultParallelism)
+        _spread(em.filter(F.col("vec_id") >= 10), spark)
         .select(F.col("vec_id").alias("cand_id"),
                 pq_codes("embedding").alias("codes"))
         .filter(F.col("codes").isNotNull())
@@ -882,9 +904,12 @@ def q_llm_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+# try_element_at, not element_at: a short vector degrades to unset bits
+# instead of ANSI-throwing INVALID_ARRAY_INDEX (review r11 — the same
+# trap minhash's signature already dodges in dedup.py).
 _BQ_PACK_S = """
     aggregate(sequence(0, 31), CAST(0 AS BIGINT),
-              (acc, i) -> acc + IF(element_at(xe, i + {base} + 1) > 0,
+              (acc, i) -> acc + IF(try_element_at(xe, i + {base} + 1) > 0,
                                    shiftleft(CAST(1 AS BIGINT), i),
                                    CAST(0 AS BIGINT)))"""
 
@@ -922,7 +947,10 @@ def q_llm_emb_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no explode; the packed table is what ships to the ANN
     stage (q_llm_sim_hamming_topk)."""
     em = load_table(spark, sf_dir, "embeddings")
-    xe = em.select(
+    # NULL embeddings drop to match the oracle's unnest, which emits no
+    # row for them (review r11: the HOF otherwise fabricated an
+    # all-zeros signature that would rank as a genuine Hamming match)
+    xe = em.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("xe"))
     w1 = F.expr(_BQ_PACK_S.format(base=0))
@@ -977,7 +1005,13 @@ def q_llm_emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     head = F.expr("transform(slice(embedding, 1, 16), "
                   "x -> CAST(x AS DOUBLE))")
-    return (em.select("vec_id", head.alias("h"))
+    # NULL embeddings are dropped to match the oracle's unnest (which
+    # emits no rows for them — review r11: Spark otherwise fabricated a
+    # present-with-NULLs row); short vectors degrade via try_element_at
+    # instead of ANSI-throwing, and a zero head norm yields NULL
+    # components like DuckDB's x/0.0 — not NaN.
+    return (em.filter(F.col("embedding").isNotNull())
+            .select("vec_id", head.alias("h"))
             .select(
                 "vec_id", "h",
                 # Σv² in exact decimal WITHOUT a HOF accumulator (a decimal
@@ -986,13 +1020,17 @@ def q_llm_emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # two unrolled 8-term chunks peak at (37,8), each cast
                 # back to (30,8) exactly (values ≤ 8), then one add.
                 F.sqrt(F.expr(
-                    "CAST(CAST(CAST(h[0] * h[0] AS DECIMAL(30,8)) + CAST(h[1] * h[1] AS DECIMAL(30,8)) + CAST(h[2] * h[2] AS DECIMAL(30,8)) + CAST(h[3] * h[3] AS DECIMAL(30,8)) + CAST(h[4] * h[4] AS DECIMAL(30,8)) + CAST(h[5] * h[5] AS DECIMAL(30,8)) + CAST(h[6] * h[6] AS DECIMAL(30,8)) + CAST(h[7] * h[7] AS DECIMAL(30,8)) AS DECIMAL(30,8)) "
-                    "+ CAST(CAST(h[8] * h[8] AS DECIMAL(30,8)) + CAST(h[9] * h[9] AS DECIMAL(30,8)) + CAST(h[10] * h[10] AS DECIMAL(30,8)) + CAST(h[11] * h[11] AS DECIMAL(30,8)) + CAST(h[12] * h[12] AS DECIMAL(30,8)) + CAST(h[13] * h[13] AS DECIMAL(30,8)) + CAST(h[14] * h[14] AS DECIMAL(30,8)) + CAST(h[15] * h[15] AS DECIMAL(30,8)) AS DECIMAL(30,8)) "
+                    "CAST(CAST(CAST(try_element_at(h, 1) * try_element_at(h, 1) AS DECIMAL(30,8)) + CAST(try_element_at(h, 2) * try_element_at(h, 2) AS DECIMAL(30,8)) + CAST(try_element_at(h, 3) * try_element_at(h, 3) AS DECIMAL(30,8)) + CAST(try_element_at(h, 4) * try_element_at(h, 4) AS DECIMAL(30,8)) + CAST(try_element_at(h, 5) * try_element_at(h, 5) AS DECIMAL(30,8)) + CAST(try_element_at(h, 6) * try_element_at(h, 6) AS DECIMAL(30,8)) + CAST(try_element_at(h, 7) * try_element_at(h, 7) AS DECIMAL(30,8)) + CAST(try_element_at(h, 8) * try_element_at(h, 8) AS DECIMAL(30,8)) AS DECIMAL(30,8)) "
+                    "+ CAST(CAST(try_element_at(h, 9) * try_element_at(h, 9) AS DECIMAL(30,8)) + CAST(try_element_at(h, 10) * try_element_at(h, 10) AS DECIMAL(30,8)) + CAST(try_element_at(h, 11) * try_element_at(h, 11) AS DECIMAL(30,8)) + CAST(try_element_at(h, 12) * try_element_at(h, 12) AS DECIMAL(30,8)) + CAST(try_element_at(h, 13) * try_element_at(h, 13) AS DECIMAL(30,8)) + CAST(try_element_at(h, 14) * try_element_at(h, 14) AS DECIMAL(30,8)) + CAST(try_element_at(h, 15) * try_element_at(h, 15) AS DECIMAL(30,8)) + CAST(try_element_at(h, 16) * try_element_at(h, 16) AS DECIMAL(30,8)) AS DECIMAL(30,8)) "
                     "AS DOUBLE)")).alias("n"))
             .select(
                 "vec_id",
-                F.round(F.expr("h[0]") / F.col("n"), 6).alias("x0"),
-                F.round(F.expr("h[15]") / F.col("n"), 6).alias("x15"),
+                F.round(F.when(F.col("n") != 0.0,
+                               F.expr("try_element_at(h, 1)") / F.col("n")),
+                        6).alias("x0"),
+                F.round(F.when(F.col("n") != 0.0,
+                               F.expr("try_element_at(h, 16)") / F.col("n")),
+                        6).alias("x15"),
                 F.round("n", 6).alias("head_norm"),
                 F.lit(16).cast("long").alias("dims")))
 
@@ -1058,13 +1096,19 @@ def q_llm_emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("i") == 63,
                      F.sqrt(F.col("m2") - F.col("mu") * F.col("mu"))))
         .alias("sd63"))
-    x = F.expr("CAST(embedding[0] AS DOUBLE)")
-    y = F.expr("CAST(embedding[63] AS DOUBLE)")
+    # try_element_at: a short vector degrades to NULL components like
+    # DuckDB's out-of-bounds list extract, instead of ANSI-throwing;
+    # a zero/NULL sd yields NULL like DuckDB's x/0.0 (review r11).
+    x = F.expr("CAST(try_element_at(embedding, 1) AS DOUBLE)")
+    y = F.expr("CAST(try_element_at(embedding, 64) AS DOUBLE)")
     return (em.crossJoin(F.broadcast(p))
             .select("vec_id",
-                    F.round((x - F.col("mu0")) / F.col("sd0"), 6).alias("w0"),
-                    F.round((y - F.col("mu63")) / F.col("sd63"), 6)
-                    .alias("w63")))
+                    F.round(F.when(F.col("sd0") != 0.0,
+                                   (x - F.col("mu0")) / F.col("sd0")),
+                            6).alias("w0"),
+                    F.round(F.when(F.col("sd63") != 0.0,
+                                   (y - F.col("mu63")) / F.col("sd63")),
+                            6).alias("w63")))
 
 
 @query(

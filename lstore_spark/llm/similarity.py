@@ -125,7 +125,11 @@ def all_pairs_cosine_udf(M):
     The hash-critical ROUND(·, 6) stays with the CALLER as a JVM
     expression — Spark rounds HALF_UP on the exact decimal expansion,
     numpy rounds half-even on an approximation.  NULL/ragged rows map
-    to NULL (callers' explodes drop them)."""
+    to NULL (callers' explodes drop them); a ZERO-NORM vector on either
+    side maps that pair's cosine to NULL, matching DuckDB's x/0.0 →
+    NULL (review r11: the raw numpy divide produced NaN, which Spark
+    ranks ABOVE every real candidate — a zero vector would have been
+    rank 1 for every query)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, DoubleType
@@ -150,9 +154,17 @@ def all_pairs_cosine_udf(M):
                 col = V[:, d]
                 nacc = nacc + col * col
                 dots = dots + col[:, None] * M[None, :, d]
-            cos = dots / (np.sqrt(nacc)[:, None] * tn[None, :])
+            denom = np.sqrt(nacc)[:, None] * tn[None, :]
+            cos = np.divide(dots, denom,
+                            out=np.full_like(dots, np.nan),
+                            where=denom != 0)
             for i, j in zip(np.nonzero(ok)[0], range(len(cos))):
-                out[i] = cos[j]
+                row = cos[j]
+                if np.isnan(row).any():  # zero-norm pair(s): NULL them
+                    out[i] = [None if np.isnan(x) else float(x)
+                              for x in row]
+                else:
+                    out[i] = row
         return pd.Series(out)
 
     return cos_all
@@ -944,7 +956,9 @@ def q_llm_sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_table(spark, sf_dir, "embeddings")
     from .embeddings import _BQ_PACK_S
-    packed = (em.select(
+    # NULL embeddings drop (oracle's unnest emits no row; a fabricated
+    # all-zeros signature would rank as a real match — review r11)
+    packed = (em.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("xe"))
         .select("vec_id",

@@ -67,6 +67,67 @@ def test_short_docs_do_not_crash(spark):
     assert len(sigs) == 4  # every doc gets a signature, even degenerate ones
 
 
+def test_zero_norm_vector_cosine_is_null_not_nan(spark):
+    """review r11: a zero-norm vector made all_pairs_cosine_udf emit
+    NaN, which Spark ranks ABOVE every real candidate — the zero vector
+    would have been rank 1 for every query.  The contract now matches
+    DuckDB's x/0.0: NULL, which sorts last under DESC in both engines."""
+    import math
+
+    from lstore_spark.llm.similarity import all_pairs_cosine_udf
+
+    targets = [[1.0] + [0.0] * 63, [0.0] * 64]  # one real, one zero
+    fn = all_pairs_cosine_udf(targets)
+    df = spark.createDataFrame(
+        [(1, [1.0] + [0.0] * 63), (2, [0.0] * 64)],
+        "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r.c for r in
+            df.select("vec_id", fn("embedding").alias("c")).collect()}
+    # real query vs real target: cos=1; vs zero target: NULL
+    assert rows[1][0] == 1.0 and rows[1][1] is None
+    # zero query: NULL against everything (never NaN)
+    assert rows[2] == [None, None]
+    for arr in rows.values():
+        assert not any(isinstance(x, float) and math.isnan(x)
+                       for x in arr if x is not None)
+
+
+def test_dedup_clusters_wide_exact_group_survives_bucket_cap(spark,
+                                                             tmp_path):
+    """review r11: an exact-dup group WIDER than the LSH hot-bucket cap
+    (64) used to land every band in a dropped bucket and come back as
+    100 singletons.  The exact-collapse stage must return the whole
+    group as ONE cluster headed by its min doc_id — and distinct docs
+    must stay singletons."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lstore_spark.registry import QUERIES
+
+    text = ("boilerplate license header repeated verbatim across the "
+            "corpus " + "tok " * 40).strip()
+    rows = [(i, text) for i in range(100)]  # 100-wide exact group
+    rows += [(200 + i, f"unique document number {i} with words "
+              + " ".join(f"w{i}x{j}" for j in range(30)))
+             for i in range(5)]
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": ["t"] * len(rows),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    }), str(fx / "documents.parquet"))
+    got = {r.doc_id: (r.cluster_id, r.is_cluster_head)
+           for r in QUERIES["q_llm_dedup_clusters"](spark, str(fx)).collect()}
+    assert len(got) == 105, "docs dropped or duplicated"
+    for i in range(100):
+        assert got[i] == (0, i == 0), f"doc {i}: {got[i]}"
+    for i in range(5):
+        assert got[200 + i] == (200 + i, True), f"doc {200+i}: {got[200+i]}"
+
+
 def test_dedup_clusters_transitive(spark):
     """A~B and B~C (but never A~C directly) must land in one cluster —
     the transitivity that pairwise dedup misses."""
