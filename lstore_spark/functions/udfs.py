@@ -24,8 +24,8 @@ from ..registry import query
     "q_udf_scalar_python",
     oracle="""
 SELECT event_id,
-       CAST(props->>'$.k' AS BIGINT) AS k_parsed,
-       CASE WHEN CAST(props->>'$.k' AS BIGINT) >= 50 THEN 'hi' ELSE 'lo' END AS k_band
+       TRY_CAST(props->>'$.k' AS BIGINT) AS k_parsed,
+       CASE WHEN TRY_CAST(props->>'$.k' AS BIGINT) >= 50 THEN 'hi' ELSE 'lo' END AS k_band
 FROM events WHERE user_id < 40
 """,
 )
@@ -36,8 +36,15 @@ def q_udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(returnType=LongType())
     def parse_k(props: str) -> int:
+        # strict integer semantics, matching the oracle's TRY_CAST:
+        # a non-integer payload ('12.5', 'n/a', true) parses to NULL in
+        # BOTH engines instead of Python truncating where SQL errors
+        # (review r11)
         try:
-            return int(json.loads(props).get("k"))
+            v = json.loads(props).get("k")
+            if isinstance(v, bool) or not isinstance(v, int):
+                return None
+            return v
         except Exception:
             return None
 
@@ -201,7 +208,15 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
-        z = ((v - v.mean()) / v.std(ddof=1)).round(6)
+        std = v.std(ddof=1)
+        # NULL (not NaN) for single-row / zero-variance groups — the
+        # oracle's STDDEV_SAMP(1 row) -> NULL and x/0.0 -> NULL
+        # semantics; a float64 NaN would ride through Arrow as NaN and
+        # hash-drift (review r11)
+        if pd.isna(std) or std == 0.0:
+            z = pd.array([None] * len(v), dtype="Float64")
+        else:
+            z = ((v - v.mean()) / std).round(6).astype("Float64")
         return pd.DataFrame({
             "event_id": pdf["event_id"],
             "event_type": pdf["event_type"],
@@ -235,6 +250,8 @@ def q_udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string, tok_len int")
     class Tokenize:
         def eval(self, text: str):
+            if text is None:  # NULL text: no rows, like the oracle's
+                return        # unnest over a NULL token list (review r11)
             pos = 0
             for tok in text.split(" "):
                 if tok:
@@ -264,6 +281,8 @@ def q_udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(returnType=ArrayType(StringType()))
     def tokenize(text: str):
+        if text is None:  # explode drops the row, like unnest(NULL)
+            return []
         return [t for t in text.split(" ") if t]
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)

@@ -53,7 +53,7 @@ def q_llm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_source_binaryfile",
     oracle="""
 SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes, md5(text) AS blob_hex
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """,
 )
 def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,8 +71,12 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     → content fidelity end-to-end."""
     import os
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.unhex(F.md5("text")).alias("media"))
+    # NULL text synthesizes no media: no file, no row — matching the
+    # oracle's WHERE and keeping bytes(None) out of the writer
+    # (review r11)
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.unhex(F.md5("text")).alias("media"))
+            .filter(F.col("media").isNotNull()))
     out = fresh_scratch_dir("media", sf_dir)
 
     def write_blobs(rows) -> None:
@@ -116,7 +120,13 @@ def q_llm_langdist_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = ["src0", "src1", "src2", "src3", "src4"]
     bucketed = docs.withColumn(
         "src_bucket",
-        F.when(F.col("source").isin(srcs), F.col("source")).otherwise("other"))
+        # a NULL source lands in NO bucket (NULL src_bucket rows are
+        # ignored by every pivot column), matching the oracle's
+        # `source NOT IN (...)` evaluating to NULL for NULLs — the old
+        # otherwise('other') counted them where the oracle did not
+        # (review r11)
+        F.when(F.col("source").isin(srcs), F.col("source"))
+        .when(F.col("source").isNotNull(), F.lit("other")))
     return (
         bucketed.groupBy("lang")
         .pivot("src_bucket", srcs + ["other"])
@@ -162,7 +172,8 @@ def _hex_byte(expr: str, i: int) -> str:
 _RESIZE_MAX = 32  # thumbnail bound (longest edge)
 
 _MM_ORACLE = f"""
-WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+WITH h AS (SELECT doc_id, md5(text) AS m FROM documents
+           WHERE text IS NOT NULL),
 dims AS (
   SELECT doc_id,
          16 AS n_bytes,
@@ -192,8 +203,12 @@ def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything Spark-side is production-shaped: binary column, Arrow
     batches, per-partition decode loop, typed feature schema."""
     docs = load_table(spark, sf_dir, "documents")
-    with_blob = docs.select(
+    # no media -> no features row, both engines (review r11: a NULL
+    # blob crashed the decode loop where the oracle's CASE NULL
+    # accidentally fabricated a 'webp' row)
+    with_blob = (docs.select(
         "doc_id", F.unhex(F.md5("text")).cast(BinaryType()).alias("media"))
+        .filter(F.col("media").isNotNull()))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -242,7 +257,7 @@ WITH frames AS (
          md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':'
              || text) AS fhex
   FROM documents, range(0, {_N_FRAMES}) AS g(i)
-  WHERE i % {_FRAME_STRIDE} = 0
+  WHERE i % {_FRAME_STRIDE} = 0 AND text IS NOT NULL
 )
 SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
        16 AS frame_bytes, md5(fhex) AS frame_md5
@@ -259,7 +274,11 @@ def q_llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows through the Arrow batch iterator, exactly the real codec loop's
     shape (a real deployment swaps the splitter for ffmpeg keyframe
     extraction; schema and batching are unchanged)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text synthesizes no video: no frames in either engine
+    # (review r11: concat_ws SKIPS the NULL and fabricated real frame
+    # hashes where the oracle's || NULL-propagated)
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()))
     frame_hex = [
         F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
                           F.lit(str(i)), F.col("text")))

@@ -1052,7 +1052,12 @@ def cascade_flags(docs: DataFrame) -> DataFrame:
                          .cast("double"),
                          F.size(tokens_col())) >= 0.3,
             F.lit(False)).alias("f2"),
-        F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+        # NULL-text docs hash to a sentinel instead of NULL: the equi
+        # join below drops NULL keys (NULL != NULL), which would lose
+        # those docs from the cascade entirely while the oracle's
+        # PARTITION BY h keeps them grouped together (review r11)
+        F.coalesce(F.md5(F.lower(F.trim(F.col("text")))),
+                   F.lit("__null_text__")).alias("h"))
     heads = f.groupBy("h").agg(F.min("doc_id").alias("head_id"))
     return (f.join(heads, "h")
             .select("doc_id", "f1", "f2",

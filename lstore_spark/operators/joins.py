@@ -51,12 +51,17 @@ GROUP BY p_brand
 """,
 )
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact⋈dim with explicit broadcast: no shuffle of the 100 TB fact side;
-    part (filtered) ships to every executor once."""
+    """Fact⋈dim with explicit broadcast: no shuffle of the 100 TB fact
+    side; part (filtered, ~20% of an SF-SCALED table) ships to every
+    executor once — under the footer-stat gate, like every other
+    SF-scaled broadcast side in this file (review r11: this was the one
+    left ungated); past the cap AQE's shuffled join takes over."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    if fits_broadcast(sf_dir, "part", 0.2):
+        pa = F.broadcast(pa)
     return (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        li.join(pa, li.l_partkey == pa.p_partkey)
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n_items"),
              dsum(F.col("l_extendedprice"), "sum_price"))

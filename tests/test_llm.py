@@ -67,6 +67,48 @@ def test_short_docs_do_not_crash(spark):
     assert len(sigs) == 4  # every doc gets a signature, even degenerate ones
 
 
+def test_null_text_and_source_rows_flow_through(spark, tmp_path):
+    """review r11: NULL text/source rows crashed or silently diverged
+    several keys.  A fixture with planted NULLs must (a) not crash any
+    of the touched keys, and (b) honor the agreed contracts: no media →
+    no multimodal/frame rows; NULL-text docs stay IN the cascade
+    (grouped together); NULL source lands in no langdist bucket; the
+    UDTF/flatMap emit no tokens for NULL text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lstore_spark.registry import QUERIES
+
+    rows = [(i, f"document {i} with some words here", "en", "src0")
+            for i in range(20)]
+    rows += [(100, None, "en", "src0"), (101, None, None, None),
+             (102, "has text but null source", "en", None)]
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": [r[2] for r in rows],
+        "source": [r[3] for r in rows],
+        "n_chars": pa.array([len(r[1] or "") for r in rows], pa.int64()),
+    }), str(fx / "documents.parquet"))
+
+    mm = QUERIES["q_llm_multimodal_features"](spark, str(fx)).collect()
+    assert {r.doc_id for r in mm} == set(range(20)) | {102}, \
+        "no-media docs must emit no features row"
+    fr = QUERIES["q_llm_multimodal_framesample"](spark, str(fx)).collect()
+    assert not any(r.doc_id in (100, 101) for r in fr), \
+        "NULL text fabricated frames"
+    casc = QUERIES["q_llm_filter_cascade"](spark, str(fx)).collect()
+    n0 = next(r.n_in for r in casc if r.stage == "min_length")
+    assert n0 == 23, "NULL-text docs dropped from the cascade"
+    piv = {r.lang: r for r in
+           QUERIES["q_llm_langdist_pivot"](spark, str(fx)).collect()}
+    assert piv["en"].other == 0, "NULL source counted as 'other'"
+    toks = QUERIES["q_udtf_flatmap"](spark, str(fx)).collect()
+    assert not any(r.doc_id in (100, 101) for r in toks)
+
+
 def test_zero_norm_vector_cosine_is_null_not_nan(spark):
     """review r11: a zero-norm vector made all_pairs_cosine_udf emit
     NaN, which Spark ranks ABOVE every real candidate — the zero vector

@@ -562,7 +562,8 @@ def test_broadcast_gate_false_branches_match_oracle(spark, sf_dir, monkeypatch):
                 # review r11: five more ungated forced broadcasts found
                 # and gated — pin their shuffled fallbacks too
                 "q_tpch_q3_shipping", "q_tpch_q19_brand_bands",
-                "q_evt_retention", "q_graph_rank_2hop"]:
+                "q_evt_retention", "q_graph_rank_2hop",
+                "q_join_broadcast"]:
         calls.clear()
         r = compare(key, QUERIES[key](spark, sf_dir), con, ORACLE[key])
         assert calls, f"{key} never consulted the patched gate — vacuous"
