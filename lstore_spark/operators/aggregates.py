@@ -141,7 +141,12 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LC_M = 16384  # linear-counting bucket count (sketch hash space)
-_LC_HASH = sql_md5_long("concat('lc:', CAST(user_id AS {s}))", 8)
+# '||', not concat(): DuckDB's concat() SKIPS NULL inputs (yielding
+# 'lc:' for a NULL user and counting a phantom bucket) while Spark's
+# NULL-propagates — '||' NULL-propagates in both engines, so NULL users
+# drop from the sketch exactly like COUNT(DISTINCT user_id) drops them
+# (review r11).
+_LC_HASH = sql_md5_long("('lc:' || CAST(user_id AS {s}))", 8)
 
 
 @query(
@@ -306,7 +311,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(F.stddev_samp("value"), 6).alias("sd_value"),
         F.round(F.var_samp("value"), 6).alias("var_value"),
-        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        # nan->NULL: Spark's Pearson evaluates 0/0 = NaN on a
+        # zero-variance group with n>=2 where DuckDB returns NULL
+        # (review r11); ROUND keeps NaN, so null it explicitly
+        F.round(F.when(~F.isnan(F.corr(F.col("value"), u)),
+                       F.corr(F.col("value"), u)), 6).alias("corr_vu"),
         F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_vu"),
     )
 
@@ -416,8 +425,13 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sort."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    # IF(... NULL): rows whose event_type is NULL get a NULL ordering
+    # key, which max_by ignores — matching the oracle's arg_max, whose
+    # '||'-built key NULL-propagates (review r11: a NULL-typed modal
+    # group would otherwise win on Spark and lose on DuckDB)
     return c.groupBy("user_id").agg(
-        F.expr("max_by(event_type, struct(cnt, event_type))").alias("modal_type"),
+        F.expr("max_by(event_type, IF(event_type IS NULL, NULL, "
+               "struct(cnt, event_type)))").alias("modal_type"),
         F.max("cnt").alias("modal_cnt"),
     )
 
@@ -576,7 +590,10 @@ c AS (
 )
 SELECT q, ROUND(lo + (bucket + 0.5) * (hi - lo) / 256.0, 6) AS est,
        n AS n_values
-FROM c, b, (SELECT UNNEST([0.5, 0.9, 0.99]) AS q)
+FROM c, b, (SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+-- CAST AS DOUBLE: the literal list parses as DECIMAL(3,2), whose exact
+-- q*n differs from Spark's double(0.9)*n at an exact-boundary cum
+-- (review r11: cum == 900, n == 1000 selects different buckets)
 WHERE cum >= q * n AND cum - cnt < q * n
 """,
 )

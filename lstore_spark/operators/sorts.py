@@ -29,17 +29,21 @@ FROM (
 )
 def q_sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key ORDER BY with explicit nulls placement, witnessed by a
-    global position column.  At scale a global sort is a range-partitioned
-    exchange (Spark samples ranges); only dims get one here."""
+    global position column.  The position comes from
+    ``scale.global_row_number`` — range exchange + in-partition ranks +
+    broadcast offsets — because supplier SCALES with SF and the naive
+    global window serialized the whole relation into one task (review
+    r11); the unique s_suppkey tie-break makes the distributed rank
+    exactly the oracle's ROW_NUMBER."""
+    from ..scale import global_row_number
+
     su = load_table(spark, sf_dir, "supplier").withColumn(
         "nullable_nat", F.nullif(F.col("s_nationkey"), F.lit(0)))
     order = [F.col("nullable_nat").asc_nulls_last(),
              F.col("s_acctbal").desc(), F.col("s_suppkey").asc()]
-    w = Window.orderBy(*order)
-    return (
-        su.select("s_suppkey", "s_nationkey", "s_acctbal", "nullable_nat")
-        .withColumn("pos", F.row_number().over(w))
-    )
+    return global_row_number(
+        su.select("s_suppkey", "s_nationkey", "s_acctbal", "nullable_nat"),
+        order, alias="pos")
 
 
 @query(

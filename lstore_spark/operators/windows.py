@@ -233,16 +233,40 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 )
 def q_win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global deciles of account balance (unique tie-break on custkey).
-    Global window = single task; acceptable only because customer is a
-    dimension — facts never take an unpartitioned window."""
+
+    Customer SCALES with SF, so the naive unpartitioned window — one
+    task sorting the whole relation — is the scale disease this module's
+    header forbids (review r11).  With a UNIQUE total order, all three
+    functions are pure arithmetic over the global row number r and the
+    count n, so the key routes through ``scale.global_row_number``
+    (range exchange + in-partition ranks + broadcast offsets):
+    NTILE(k) by the exact first-(n mod k)-buckets-get-one-extra rule,
+    PERCENT_RANK = (r−1)/(n−1), CUME_DIST = r/n — bit-identical to the
+    window forms because no ties exist."""
+    from ..scale import global_row_number
+
     cu = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return cu.select(
-        "c_custkey", "c_acctbal",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-    )
+    ranked = global_row_number(
+        cu.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()], alias="_r")
+    n_row = cu.agg(F.count(F.lit(1)).alias("_n"))
+    k = 10
+    r, n = F.col("_r").cast("long"), F.col("_n").cast("long")
+
+    def idiv(a, b):  # exact integer div (double `/`+trunc can misround)
+        return ((a - a % b) / b).cast("long")
+
+    size, rem = idiv(n, F.lit(k)), n % k
+    big = rem * (size + 1)  # rows covered by the (size+1)-sized buckets
+    decile = (F.when(r <= big, idiv(r - 1, size + 1) + 1)
+              .otherwise(rem + idiv(r - big - 1, size) + 1))
+    return (ranked.crossJoin(F.broadcast(n_row))
+            .select(
+                "c_custkey", "c_acctbal",
+                decile.cast("int").alias("decile"),
+                F.when(n > 1, (r - 1).cast("double") / (n - 1))
+                .otherwise(F.lit(0.0)).alias("pct_rank"),
+                (r.cast("double") / n).alias("cume")))
 
 
 @query(

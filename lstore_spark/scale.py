@@ -254,6 +254,44 @@ def write_bucketed_pair(spark: SparkSession,
     )
 
 
+def global_row_number(df: DataFrame, order: list, alias: str = "pos",
+                      n_partitions: int | None = None) -> DataFrame:
+    """Total-order ROW_NUMBER without the single-task global window
+    (review r11: the naive ``Window.orderBy`` serializes the WHOLE
+    relation into one task — fine for fixed dims, a scale disease for
+    SF-scaled inputs).  Mechanics: a range exchange on the order key
+    (the same sampled-boundary machinery as a global ORDER BY), a
+    row_number WITHIN each range partition, and broadcast cumulative
+    partition offsets added back.  The result is invariant to where the
+    sampled boundaries land because the order is TOTAL — callers must
+    include a unique tie-break column.  Cost: two parallel exchanges +
+    one |partitions|-row aggregate, instead of one serial full sort."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    from .registry import pin
+
+    ranged = (df.repartitionByRange(n, *order)
+              .withColumn("_pid", F.spark_partition_id()))
+    w_in = Window.partitionBy("_pid").orderBy(*order)
+    # pinned: the offsets aggregate AND the result projection both read
+    # this relation, and Spark does no CSE across branches — unpinned,
+    # the range exchange + window would run twice
+    local = pin(ranged.withColumn("_r", F.row_number().over(w_in)))
+    # offsets: |partitions| rows — the only global window, bounded
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn("_off",
+                        F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+            .select("_pid", "_off"))
+    return (local.join(F.broadcast(offs), "_pid")
+            .withColumn("__grn", (F.col("_r") + F.col("_off")).cast("int"))
+            .drop("_pid", "_r", "_off")
+            .withColumnRenamed("__grn", alias))
+
+
 def dense_array_agg(sparse: DataFrame, idx: str, val: str,
                     n: int, alias: str) -> DataFrame:
     """ONE-row dense ``array<long>`` from a sparse (idx, val) relation:

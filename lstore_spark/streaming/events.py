@@ -329,6 +329,22 @@ def q_stream_stateful_runagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _attribution_slices(ev):
+    """The purchase/view projections + epoch-micros helper shared by the
+    three stream-stream join twins (inner/left/fullOuter) — one place so
+    a change to the attribution slice cannot silently diverge the trio
+    (review r11)."""
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
+    v = (ev.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_id"),
+                 F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return p, v, us
+
+
+
 @query(
     "q_stream_stream_join",
     oracle="""
@@ -349,13 +365,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_streaming.py — watermark + time-range bound is exactly
     what lets the state store evict old view rows at 100 TB."""
     ev = load_table(spark, sf_dir, "events")
-    p = (ev.filter(F.col("event_type") == "purchase")
-         .select(F.col("event_id").alias("purchase_id"),
-                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
-    v = (ev.filter(F.col("event_type") == "view")
-         .select(F.col("event_id").alias("view_id"),
-                 F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")))
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p, v, us = _attribution_slices(ev)
     return (
         p.join(v, (F.col("p_user") == F.col("v_user"))
                & (F.col("v_ts") <= F.col("p_ts"))
@@ -393,13 +403,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-range bound ⇒ state eviction), plus a per-row "matched" bit the
     state store keeps to decide null emission — no extra shuffle."""
     ev = load_table(spark, sf_dir, "events")
-    p = (ev.filter(F.col("event_type") == "purchase")
-         .select(F.col("event_id").alias("purchase_id"),
-                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
-    v = (ev.filter(F.col("event_type") == "view")
-         .select(F.col("event_id").alias("view_id"),
-                 F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")))
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p, v, us = _attribution_slices(ev)
     return (
         p.join(v, (F.col("p_user") == F.col("v_user"))
                & (F.col("v_ts") <= F.col("p_ts"))
@@ -440,13 +444,7 @@ def q_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner form (equi key + time-range eviction) plus one matched bit
     per buffered row on each side."""
     ev = load_table(spark, sf_dir, "events")
-    p = (ev.filter(F.col("event_type") == "purchase")
-         .select(F.col("event_id").alias("purchase_id"),
-                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
-    v = (ev.filter(F.col("event_type") == "view")
-         .select(F.col("event_id").alias("view_id"),
-                 F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")))
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p, v, us = _attribution_slices(ev)
     return (
         p.join(v, (F.col("p_user") == F.col("v_user"))
                & (F.col("v_ts") <= F.col("p_ts"))
@@ -489,8 +487,12 @@ def q_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("event_id") < 900)
           .select("event_id", "ts", "user_id", "event_type"))
-    lt = lambda n: F.sum((F.col("event_id") < n).cast("long"))  # noqa: E731
-    cum = ev.agg(lt(300), lt(600), F.count(F.lit(1))).first()
+    # coalesce(0): SUM over an EMPTY slice is NULL, and the publish
+    # gate's `sink.count() >= cum[k]` would raise TypeError on None
+    # instead of degrading to an empty result (review r11)
+    lt = lambda n: F.coalesce(  # noqa: E731
+        F.sum((F.col("event_id") < n).cast("long")), F.lit(0))
+    cum = ev.agg(lt(300), lt(600)).first()
 
     root = fresh_scratch_dir("follow", sf_dir)
     live = os.path.join(root, "live")
@@ -657,6 +659,10 @@ def q_stream_active_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day rollup — dedup state holds (day, user) keys inside the
     watermark horizon only."""
     ev = load_table(spark, sf_dir, "events")
-    return (ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+    # NULL users drop like the oracle's COUNT(DISTINCT user_id), which
+    # ignores NULL — distinct+count would have counted a (day, NULL)
+    # pair as a phantom user (review r11)
+    return (ev.filter(F.col("user_id").isNotNull())
+            .select(F.col("ts").cast("date").alias("day"), "user_id")
             .distinct()
             .groupBy("day").agg(F.count(F.lit(1)).alias("dau")))
