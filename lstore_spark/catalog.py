@@ -285,8 +285,11 @@ def _pid_alive(pid: int) -> bool:
 # be the owner — it is a recycle, and the dir is debris.  (A blunt
 # mtime-age backstop was rejected in review r11: it would let a newly
 # started process delete a live multi-day session's quiescent dirs.)
-# Where /proc is unavailable the age fallback applies, kept generous.
-_REAP_AGE_SECS = 7 * 24 * 3600
+# Where /proc is unavailable a LIVE pid is never reapable (liveness
+# only, the pre-r11 behavior) — an age heuristic there would reintroduce
+# exactly the rejected false positive for quiescent live sessions
+# (ADVICE r11); the cost is merely that recycled-PID debris persists
+# until its squatter exits on those platforms.
 _REAP_START_SLACK = 300  # clock/jiffy rounding headroom
 
 
@@ -319,9 +322,7 @@ def _reapable(path: str, pid: int) -> bool:
     start = _pid_start_epoch(pid)
     if start is not None:
         return start > mtime + _REAP_START_SLACK
-    import time
-
-    return time.time() - mtime > _REAP_AGE_SECS
+    return False  # no /proc: a live PID is never reapable
 
 
 def _path_sig(path: str):

@@ -662,8 +662,16 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted-chain transitivity and the >64-wide-group contract are
     asserted in tests/test_llm.py."""
     docs = load_table(spark, sf_dir, "documents")
+    # Sentinel, not raw md5: md5(NULL) is NULL and the hashed.join(reps)
+    # equi-join below drops NULL keys (NULL != NULL), which would make
+    # NULL-text docs vanish from the labeling entirely (ADVICE r11 —
+    # the same trap cascade_flags fixed with this sentinel).  All
+    # NULL-text docs collapse to one representative, which is correct:
+    # they are exact duplicates of each other (empty content).
     hashed = docs.select(
-        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("_h"))
+        "doc_id",
+        F.coalesce(F.md5(F.lower(F.trim(F.col("text")))),
+                   F.lit("__null_text__")).alias("_h"))
     reps = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep_id"))
     rep_docs = docs.join(
         reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
@@ -1117,7 +1125,15 @@ def q_llm_dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame
     component diameter ≤ 2 so label propagation converges in one
     round + one confirmation — identical components, identical labels
     (the root IS the min), and the recursive-CTE oracle agrees because
-    components are topology-independent."""
+    components are topology-independent.
+
+    NULL-text docs are SINGLETONS here, by SQL NULL semantics on both
+    sides (md5(NULL) is NULL, NULL != NULL kills the edge; the label
+    base is ALL docs, so they stay in the output unclustered).  The
+    non-portable twin instead groups NULL texts together via a
+    sentinel hash (ADVICE r11) — both contracts are deliberate: this
+    key certifies cross-engine parity, that one the production
+    'empty content is duplicate content' policy."""
     docs = load_table(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("h"))

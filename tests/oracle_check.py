@@ -158,7 +158,12 @@ def compare(key: str, spark_df, con, sql: str, max_report: int = 5) -> CompareRe
         res.detail = (f"values: {sum(only_s.values())} spark-only / "
                       f"{sum(only_d.values())} duck-only rows "
                       f"(of {len(cs)})")
-        res.mismatches = list(zip(
+        # zip_longest, not zip: a one-sided diff (extra/missing row on
+        # one side only) must still show its example rows, and when both
+        # sides have private rows the pairing is positional convenience,
+        # not a claimed row-to-row correspondence (ADVICE r11).
+        import itertools
+        res.mismatches = list(itertools.zip_longest(
             sorted(only_s.elements())[:max_report],
             sorted(only_d.elements())[:max_report]))
     return res

@@ -104,7 +104,7 @@ def test_reapable_pid_recycle_detection(tmp_path):
     me = os.getpid()
     assert not catalog._reapable(str(d), me), "fresh live-owner dir reaped"
     # dir last written long before this process started → recycle
-    past = os.stat(d).st_mtime - catalog._REAP_AGE_SECS - 60
+    past = os.stat(d).st_mtime - 30 * 24 * 3600
     os.utime(d, (past, past))
     assert catalog._reapable(str(d), me), "post-start mtime not treated as recycle"
     assert catalog._reapable(str(d), 999999999), "dead PID must reap"
@@ -115,6 +115,23 @@ def test_reapable_pid_recycle_detection(tmp_path):
     if catalog._pid_start_epoch(1) is not None:
         assert not catalog._reapable(str(d2), 1), \
             "possible live owner reaped"
+
+
+def test_reapable_without_proc_is_liveness_only(tmp_path, monkeypatch):
+    """ADVICE r11: on platforms without /proc start times there is no
+    way to distinguish a PID recycle from a quiescent live owner, so a
+    LIVE pid is never reapable there — an mtime-age fallback would let
+    a newly started process delete a live multi-week session's scratch
+    dir (the exact false positive the start-time path was built to
+    avoid).  Dead PIDs still reap."""
+    d = tmp_path / "dir"
+    d.mkdir()
+    ancient = os.stat(d).st_mtime - 365 * 24 * 3600
+    os.utime(d, (ancient, ancient))
+    monkeypatch.setattr(catalog, "_pid_start_epoch", lambda pid: None)
+    assert not catalog._reapable(str(d), os.getpid()), \
+        "live PID reaped on age alone without /proc evidence"
+    assert catalog._reapable(str(d), 999999999), "dead PID must still reap"
 
 
 def test_publish_dir_reraises_non_race_failures(tmp_path):

@@ -107,6 +107,16 @@ def test_null_text_and_source_rows_flow_through(spark, tmp_path):
     assert piv["en"].other == 0, "NULL source counted as 'other'"
     toks = QUERIES["q_udtf_flatmap"](spark, str(fx)).collect()
     assert not any(r.doc_id in (100, 101) for r in toks)
+    # ADVICE r11: the exact-collapse stage of dedup clustering hashed
+    # NULL text to NULL and the equi-join on the hash dropped those
+    # docs from the labeling entirely.  With the sentinel they stay in,
+    # collapse to ONE representative (NULL texts are exact duplicates
+    # of each other), and share a cluster.
+    clus = {r.doc_id: r.cluster_id
+            for r in QUERIES["q_llm_dedup_clusters"](spark, str(fx)).collect()}
+    assert set(clus) == set(range(20)) | {100, 101, 102}, \
+        "dedup_clusters must label every doc, including NULL text"
+    assert clus[100] == clus[101], "NULL-text docs must share a cluster"
 
 
 def test_zero_norm_vector_cosine_is_null_not_nan(spark):
