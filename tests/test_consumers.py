@@ -156,8 +156,8 @@ def test_assignment_slices_are_disjoint_and_exhaustive(store, spark):
 def test_poll_assigned_tiles_store_and_respects_cursor(store, spark):
     """Per-instance polls through the reader's segments option must
     tile the store exactly (disjoint, exhaustive), compose with the
-    group cursor, and fail loudly on a stale assignment."""
-    cg.ensure_group(store, "ga")
+    PER-SEGMENT cursors (ADVICE r11: never the shared scalar), and
+    fail loudly on a stale assignment."""
     n = 3
     parts = [sorted(r.offset for r in
                     cg.poll_assigned(spark, store, "ga", i, n)
@@ -166,13 +166,23 @@ def test_poll_assigned_tiles_store_and_respects_cursor(store, spark):
     flat = [o for p in parts for o in p]
     assert sorted(flat) == list(range(400)), "instances did not tile"
     assert len(flat) == len(set(flat)), "overlapping instance slices"
-    # cursor composes: after committing past segment 0, instance 0
-    # (segments 0 and 3 of 4, round-robin over 2... use n=2) shrinks
-    cg.commit_offset(store, "ga", 99)
+    # per-segment cursors compose: instance 0 of 2 owns segments 0 and
+    # 2; after fully committing segment 0 and half of segment 2, its
+    # next poll redelivers only segment 2's uncommitted suffix — the
+    # whole-segment prune is metadata-only, the partial one a pushdown
+    gen, asg = cg.rebalance(store, "ga", 2)
+    cg.commit_assigned(store, "ga", 0, gen,
+                       {"00000.seg": 99, "00002.seg": 249})
     a0 = sorted(r.offset for r in
-                cg.poll_assigned(spark, store, "ga", 0, 2)
+                cg.poll_assigned(spark, store, "ga", 0, generation=gen)
                 .select("offset").collect())
-    assert a0 == list(range(200, 300)), a0  # seg 0 consumed, seg 2 mine
+    assert a0 == list(range(250, 300)), a0
+    # ...and instance 1's slice is untouched by instance 0's commits
+    # (the at-least-once property the shared scalar cursor broke)
+    a1 = sorted(r.offset for r in
+                cg.poll_assigned(spark, store, "ga", 1, generation=gen)
+                .select("offset").collect())
+    assert a1 == list(range(100, 200)) + list(range(300, 400))
     # more instances than segments: empty relation, not an error
     assert cg.poll_assigned(spark, store, "ga", 9, 10).count() == 0
     # stale assignment (assigned file vanished) fails loudly
@@ -182,6 +192,87 @@ def test_poll_assigned_tiles_store_and_respects_cursor(store, spark):
     r = LstoreLogReader({"path": store, "segments": "gone.seg"})
     with _pt.raises(FileNotFoundError, match="gone.seg"):
         r.partitions()
+
+
+def test_commit_assigned_validates_ownership_range_and_monotone(store):
+    """Per-segment commits are all-or-nothing validated: ownership in
+    the CURRENT generation, offset inside the segment's sealed range,
+    and per-segment monotonicity.  A rejected batch writes nothing."""
+    gen, asg = cg.rebalance(store, "gb", 2)
+    assert asg == {"00000.seg": 0, "00001.seg": 1,
+                   "00002.seg": 0, "00003.seg": 1}
+    # not my segment
+    with pytest.raises(ValueError, match="not.*assigned"):
+        cg.commit_assigned(store, "gb", 0, gen, {"00001.seg": 150})
+    # outside the sealed range
+    with pytest.raises(ValueError, match="outside"):
+        cg.commit_assigned(store, "gb", 0, gen, {"00000.seg": 100})
+    # a batch with one bad entry writes NOTHING (the good entry too)
+    with pytest.raises(ValueError):
+        cg.commit_assigned(store, "gb", 0, gen,
+                           {"00000.seg": 50, "00002.seg": 999})
+    assert cg.committed_segment_offsets(store, "gb") == {}
+    cg.commit_assigned(store, "gb", 0, gen, {"00000.seg": 50})
+    with pytest.raises(ValueError, match="regresses"):
+        cg.commit_assigned(store, "gb", 0, gen, {"00000.seg": 49})
+    cg.commit_assigned(store, "gb", 0, gen, {"00000.seg": 99})
+    assert cg.committed_segment_offsets(store, "gb") == {"00000.seg": 99}
+
+
+def test_rebalance_fences_stale_generation(store, spark):
+    """A zombie instance from the previous generation can neither poll
+    nor commit after a rebalance — and surviving per-segment cursors
+    carry over, so nothing consumed pre-rebalance is redelivered."""
+    gen1, _ = cg.rebalance(store, "gc", 3)
+    cg.commit_assigned(store, "gc", 0, gen1, {"00000.seg": 99})
+    gen2, asg2 = cg.rebalance(store, "gc", 2)
+    assert gen2 == gen1 + 1
+    with pytest.raises(ValueError, match="fenced"):
+        cg.commit_assigned(store, "gc", 2, gen1, {"00002.seg": 299})
+    with pytest.raises(ValueError, match="fenced"):
+        cg.poll_assigned(spark, store, "gc", 2, generation=gen1)
+    # cursor survives: new owner of segment 0's rank (consumer 0 again)
+    # does not re-receive offsets 0-99
+    a0 = sorted(r.offset for r in
+                cg.poll_assigned(spark, store, "gc", 0, generation=gen2)
+                .select("offset").collect())
+    assert a0 == list(range(200, 300)), a0
+    # and the two new instances still tile the unconsumed remainder
+    a1 = sorted(r.offset for r in
+                cg.poll_assigned(spark, store, "gc", 1, generation=gen2)
+                .select("offset").collect())
+    assert sorted(a0 + a1) == list(range(100, 400))
+
+
+def test_crash_during_rebalance_leaves_generation_intact(store):
+    """Torn tmp debris from a rebalance that died mid-publish must not
+    corrupt the current membership doc; the next rebalance supersedes
+    cleanly."""
+    gen1, asg1 = cg.rebalance(store, "gd", 3)
+    gp = cg._gen_path(store, "gd")
+    with open(gp + ".tmp999999", "w") as fh:
+        fh.write('{"generation": 9')  # torn JSON from a dead PID
+    assert cg.membership(store, "gd") == (gen1, 3, asg1)
+    gen2, asg2 = cg.rebalance(store, "gd", 1)
+    assert gen2 == gen1 + 1
+    assert cg.membership(store, "gd") == (gen2, 1, asg2)
+
+
+def test_assigned_frontier_is_contiguous_consumption(store):
+    """The lag scalar for a partitioned group: largest X with all
+    offsets <= X committed, from per-segment cursors in lo order."""
+    gen, _ = cg.rebalance(store, "ge", 1)
+    assert cg.assigned_frontier(store, "ge") == -1
+    cg.commit_assigned(store, "ge", 0, gen, {"00001.seg": 199})
+    # segment 0 untouched: frontier stays before it
+    assert cg.assigned_frontier(store, "ge") == -1
+    cg.commit_assigned(store, "ge", 0, gen, {"00000.seg": 50})
+    assert cg.assigned_frontier(store, "ge") == 50
+    cg.commit_assigned(store, "ge", 0, gen, {"00000.seg": 99})
+    assert cg.assigned_frontier(store, "ge") == 199
+    cg.commit_assigned(store, "ge", 0, gen,
+                       {"00002.seg": 299, "00003.seg": 310})
+    assert cg.assigned_frontier(store, "ge") == 310
 
 
 def test_groups_are_independent(store, spark):
