@@ -266,13 +266,67 @@ def test_trimmed_mean_matches_numpy(spark, sf_dir):
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):
+    from lstore_spark.llm.multimodal import _blob_len
+
     a = QUERIES["q_llm_multimodal_features"](spark, sf_dir).collect()
     b = QUERIES["q_llm_multimodal_features"](spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     for r in a[:10]:
-        assert r.n_bytes == 16  # md5 payload
-        assert r.format in {"png", "jpeg", "webp"}
-        assert 64 <= r.width < 128 and 64 <= r.height < 128
+        assert r.format in {"png", "bmp", "gif"}
+        assert 8 <= r.width < 40 and 8 <= r.height < 40
+        # n_bytes is the real container size, not a fixed stand-in
+        assert r.n_bytes == _blob_len(r.format, r.width, r.height)
+
+
+def test_multimodal_containers_are_real_and_parse_back():
+    """VERDICT r11 #2: the decode step must measure something a third
+    party could verify from the blob bytes.  Round-trip every (format,
+    w, h) corner through synth → parse, and independently validate the
+    containers: PNG chunks CRC-check and the zlib scanlines decompress
+    to exactly (3w+1)·h bytes; BMP's declared file size and pixel-array
+    offset match the bytes; GIF's logical screen matches."""
+    import struct
+    import zlib
+
+    from lstore_spark.llm.multimodal import (
+        _blob_len, _make_bmp, _make_gif, _make_png, decode_image_header,
+        synth_media)
+
+    for w, h in [(8, 8), (8, 39), (39, 8), (39, 39), (17, 23)]:
+        for fmt, make in (("png", _make_png), ("bmp", _make_bmp),
+                          ("gif", _make_gif)):
+            blob = make(w, h)
+            assert decode_image_header(blob) == (fmt, w, h)
+            assert len(blob) == _blob_len(fmt, w, h)
+        png = _make_png(w, h)
+        # independent PNG validation: walk chunks, CRC each, inflate
+        pos, chunks = 8, {}
+        while pos < len(png):
+            (ln,) = struct.unpack(">I", png[pos:pos + 4])
+            tag = png[pos + 4:pos + 8]
+            data = png[pos + 8:pos + 8 + ln]
+            (crc,) = struct.unpack(">I", png[pos + 8 + ln:pos + 12 + ln])
+            assert crc == zlib.crc32(tag + data), f"bad CRC on {tag}"
+            chunks[tag] = data
+            pos += 12 + ln
+        assert list(chunks) == [b"IHDR", b"IDAT", b"IEND"]
+        assert len(zlib.decompress(chunks[b"IDAT"])) == (3 * w + 1) * h
+        bmp = _make_bmp(w, h)
+        size, _, _, off = struct.unpack("<IHHI", bmp[2:14])
+        assert size == len(bmp) and off == 54
+        assert len(bmp) - off == (3 * w + 3) // 4 * 4 * h
+        gif = _make_gif(w, h)
+        assert gif[:6] == b"GIF89a" and gif[-1:] == b"\x3b"
+    # seed-derived synthesis is deterministic and parseable
+    seed = bytes(range(16))
+    assert synth_media(seed) == synth_media(seed)
+    fmt, w, h = decode_image_header(synth_media(seed))
+    assert fmt == ("png", "bmp", "gif")[seed[0] % 3]
+    assert w == 8 + seed[1] % 32 and h == 8 + seed[2] % 32
+    # corrupt corpus fails loudly, never silent garbage rows
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown media container"):
+        decode_image_header(b"\xff\xd8\xff\xe0 not handled here")
 
 
 def test_exact_dedup_keeps_min_doc_id(spark, sf_dir):
