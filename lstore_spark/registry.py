@@ -244,6 +244,8 @@ NEW_KEYS: frozenset = frozenset({
     "q_llm_sim_lsh_topk_portable",  # r10: deterministic-plane LSH twin
     "q_stream_consumer_groups",  # r11: named durable cursors + lag
     "q_stream_consumer_assignment",  # r11: scale-out segment assignment
+    "q_stream_consumer_rebalance",  # r12: generation-fenced rebalance
+    "q_stream_runagg_jvm",  # r12: JVM-shape running-agg scale path
 })
 
 

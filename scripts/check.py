@@ -114,6 +114,49 @@ def check_ann_recall(spark) -> tuple[int, list[str]]:
     return n_checks, fails
 
 
+def _current_round() -> int:
+    """The build round this self-check runs in: one past the newest
+    CORRECTNESS_r*.json (the driver writes rN's file at round close, so
+    a check running now is rN+1 evidence).  Override with LSTORE_ROUND."""
+    import glob
+    import re
+
+    if os.environ.get("LSTORE_ROUND"):
+        return int(os.environ["LSTORE_ROUND"])
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [int(m.group(1)) for p in glob.glob(
+        os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)", os.path.basename(p)))]
+    return (max(rounds) + 1) if rounds else 1
+
+
+_LEDGER_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "selfcheck_ledger.json")
+
+
+def _ledger_record(key: str, ok: bool) -> None:
+    """Persist per-key self-check evidence (key → latest round + grade)
+    so EVIDENCE.md can show local freshness alongside driver rounds
+    (VERDICT r11 #8).  Best-effort: a ledger I/O failure never fails
+    the check itself."""
+    import json as _json
+
+    try:
+        try:
+            with open(_LEDGER_PATH) as fh:
+                led = _json.load(fh)
+        except (OSError, ValueError):
+            led = {}
+        led[key] = {"round": _current_round(), "ok": bool(ok),
+                    "ts": int(time.time())}
+        tmp = f"{_LEDGER_PATH}.tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump(led, fh, indent=0, sort_keys=True)
+        os.replace(tmp, _LEDGER_PATH)
+    except OSError:
+        pass
+
+
 def main() -> int:
     filters = sys.argv[1:]
     keys = sorted(
@@ -155,6 +198,7 @@ def main() -> int:
         dt = time.time() - t0
         line = f"{status} {key:34s} {dt:6.1f}s  {extra[:220]}"
         print(line, flush=True)
+        _ledger_record(key, status.strip() == "OK")
         if status.strip() == "OK":
             n_ok += 1
         else:

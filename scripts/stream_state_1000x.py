@@ -122,6 +122,17 @@ def shape_runagg(src):
                 GroupStateTimeout.NoTimeout)), "update"
 
 
+def shape_runagg_jvm(src):
+    # the JVM-native A/B twin of shape_runagg (VERDICT r11 #5): same
+    # per-user running totals, state in the JVM store, no Python path
+    v8 = (F.col("value").cast("decimal(30,8)")
+          * F.lit(100000000)).cast("long").alias("v8")
+    return (src.select("user_id", v8)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("v8").alias("sum_v8"))), "update"
+
+
 SHAPES = {
     "join": shape_join,
     "outer_join": shape_outer_join,
@@ -130,6 +141,7 @@ SHAPES = {
     "session": shape_session,
     "chained": shape_chained,
     "runagg": shape_runagg,
+    "runagg_jvm": shape_runagg_jvm,
 }
 
 
@@ -220,7 +232,9 @@ def main() -> None:
     finally:
         shutil.rmtree(src, ignore_errors=True)
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "stream_state_r11_1000x.json"), "w") as fh:
+    out_name = os.environ.get("STREAM_STATE_OUT",
+                              "stream_state_r12_1000x.json")
+    with open(os.path.join(here, out_name), "w") as fh:
         json.dump(results, fh, indent=1)
     spark.stop()
 
