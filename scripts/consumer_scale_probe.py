@@ -94,6 +94,36 @@ def main() -> None:
            for r in cg.lag_report(spark, store).collect()}
     lag_report_sec = round(time.time() - t0, 2)
 
+    # assigned-path probe (r12): a 4-instance generation over the same
+    # store; instance 0 commits its first half per-segment, then each
+    # instance polls its slice.  Records the metadata-level prune (how
+    # many assigned segments each poll actually schedules) plus walls —
+    # per-segment cursors must keep a caught-up instance's poll
+    # proportional to ITS unconsumed range, untouched by siblings.
+    from lstore_spark.sources.lstore_log import segment_stats
+    gen, asg = cg.rebalance(store, "fleet", 4)
+    mine0 = sorted(s for s, c in asg.items() if c == 0)
+    half = mine0[: len(mine0) // 2]
+    cg.commit_assigned(store, "fleet", 0, gen, {
+        s: segment_stats(os.path.join(store, s))[1] for s in half})
+    seg_cur = cg.committed_segment_offsets(store, "fleet")
+    assigned = {}
+    for inst in range(4):
+        mine = [s for s, c in asg.items() if c == inst]
+        need = [s for s in mine
+                if seg_cur.get(s, -1)
+                < segment_stats(os.path.join(store, s))[1]]
+        t0 = time.time()
+        n = cg.poll_assigned(spark, store, "fleet", inst,
+                             generation=gen).count()
+        assigned[f"inst{inst}"] = {
+            "assigned_segments": len(mine),
+            "scheduled_segments": len(need),
+            "rows": n,
+            "poll_sec": round(time.time() - t0, 2),
+        }
+    frontier = cg.assigned_frontier(store, "fleet")
+
     out = {
         "fixture": sf_dir,
         "rows": n_rows,
@@ -108,8 +138,16 @@ def main() -> None:
         "lag_report_sec": lag_report_sec,
         "lag": {g: {"committed": c, "lag_records": lr}
                 for g, (c, lr) in lag.items()},
+        "assigned_generation": gen,
+        "assigned_frontier": frontier,
+        "assigned_polls": assigned,
     }
     print(json.dumps(out), flush=True)
+    out_file = os.environ.get("CONSUMER_PROBE_OUT")
+    if out_file:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, out_file), "w") as fh:
+            json.dump(out, fh, indent=1)
     spark.stop()
 
 
