@@ -71,10 +71,14 @@ def ensure_group(store: str, group: str) -> None:
 
 
 def groups(store: str) -> list[str]:
-    """All registered group names (cursor files present), sorted."""
+    """All registered group names (cursor files present), sorted.
+    '@' entries are assigned-protocol state (membership docs,
+    per-segment cursor dirs, heartbeat dirs), not groups."""
     d = os.path.join(store, CURSOR_DIR)
     try:
-        return sorted(n[:-5] for n in os.listdir(d) if n.endswith(".json"))
+        return sorted(n[:-5] for n in os.listdir(d)
+                      if n.endswith(".json") and "@" not in n
+                      and ".tmp" not in n)
     except OSError:
         return []
 
@@ -90,18 +94,9 @@ def committed_offset(store: str, group: str) -> int:
 
 
 def _write_cursor(path: str, offset: int) -> None:
-    # Single-file atomic commit: build under a PID-suffixed tmp, publish
-    # with one os.replace.  A reader never sees a torn cursor; a crash
-    # between write and replace leaves only a tmp, which the try/finally
-    # reaps (ADVICE r10's bpe-staging lesson applied from the start).
-    tmp = f"{path}.tmp{os.getpid()}"
-    try:
-        with open(tmp, "w") as fh:
-            json.dump({"offset": int(offset)}, fh)
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    # atomic single-file commit (ADVICE r10's bpe-staging lesson
+    # applied from the start); see _atomic_json below for the shape
+    _atomic_json(path, {"offset": int(offset)})
 
 
 def commit_offset(store: str, group: str, offset: int) -> int:
@@ -187,36 +182,70 @@ def poll(spark: SparkSession, store: str, group: str,
 # consumed (ADVICE r11 — the at-least-once violation).  Assigned mode
 # therefore commits PER SEGMENT, exactly like Kafka's per-partition
 # offsets: segment files are the partitions, each carries its own
-# durable cursor under <store>/_cursors/<group>.segs/, and an
+# durable cursor under <store>/_cursors/<group>@segs/, and an
 # instance's commits can only ever touch segments it owns.
 #
-# Membership is generation-numbered (<group>.gen.json, atomic
+# Membership is generation-numbered (<group>@gen.json, atomic
 # tmp+replace under the group flock): ``rebalance`` publishes a new
 # assignment whenever instances join or leave, and ``commit_assigned``
 # FENCES — a commit carrying a stale generation raises instead of
 # writing, so an instance that kept polling after reassignment cannot
 # corrupt the new owners' progress.  (Polls are planning-time reads;
 # the commit is the fenced barrier, as in Kafka.)
+#
+# Protocol paths use '@', a character _GROUP_RE forbids in group names,
+# so no group's scalar cursor file can collide with another group's
+# membership doc (review r12: with a '.' separator, a group literally
+# named 'workers.gen' would clobber workers' membership doc — dots ARE
+# legal in group names); groups() additionally skips '@' entries so the
+# membership doc never reads as a phantom group.
 
 
 def _gen_path(store: str, group: str) -> str:
-    return _cursor_path(store, group)[:-5] + ".gen.json"
+    return _cursor_path(store, group)[:-5] + "@gen.json"
 
 
 def _seg_cursor_dir(store: str, group: str) -> str:
-    return _cursor_path(store, group)[:-5] + ".segs"
+    return _cursor_path(store, group)[:-5] + "@segs"
+
+
+def _atomic_json(path: str, doc: dict) -> None:
+    """Single-file atomic publish shared by every durable record in
+    this module (scalar cursors, per-segment cursors, membership docs,
+    heartbeats): build under a PID-suffixed tmp, one os.replace.  A
+    reader never sees a torn file; a crash between write and replace
+    leaves only a tmp, which the try/finally reaps."""
+    tmp = f"{path}.tmp{os.getpid()}"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _read_gen_doc(store: str, group: str) -> tuple[int, int, list, dict]:
+    """(generation, n_consumers, members, assignment); zeros/empties
+    when the group has never rebalanced — ONE parse shared by
+    membership/auto_rebalance (review r12)."""
+    try:
+        with open(_gen_path(store, group)) as fh:
+            doc = json.load(fh)
+        assignment = dict(doc["assignment"])
+        members = sorted(int(m) for m in doc.get(
+            "members", sorted(set(assignment.values()))))
+        return (int(doc["generation"]), int(doc["n_consumers"]),
+                members, assignment)
+    except (OSError, ValueError, KeyError):
+        return (0, 0, [], {})
 
 
 def membership(store: str, group: str) -> tuple[int, int, dict[str, int]]:
     """The group's current (generation, n_consumers, assignment).
     Generation 0 with an empty assignment = never rebalanced."""
-    try:
-        with open(_gen_path(store, group)) as fh:
-            doc = json.load(fh)
-        return (int(doc["generation"]), int(doc["n_consumers"]),
-                dict(doc["assignment"]))
-    except (OSError, ValueError, KeyError):
-        return (0, 0, {})
+    gen, n, _members, assignment = _read_gen_doc(store, group)
+    return (gen, n, assignment)
 
 
 def rebalance(store: str, group: str, n_consumers: int,
@@ -246,23 +275,20 @@ def rebalance(store: str, group: str, n_consumers: int,
         n_consumers = len(members)
     else:
         members = list(range(int(n_consumers)))
-    slots = assign_segments(store, n_consumers)
-    assignment = {seg: members[slot] for seg, slot in slots.items()}
     path = _gen_path(store, group)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path + ".lock", "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
-        gen, _, _ = membership(store, group)
-        doc = {"generation": gen + 1, "n_consumers": int(n_consumers),
-               "members": members, "assignment": assignment}
-        tmp = f"{path}.tmp{os.getpid()}"
-        try:
-            with open(tmp, "w") as fh:
-                json.dump(doc, fh)
-            os.replace(tmp, path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        # list segments INSIDE the lock: listed-before-lock, a stalled
+        # rebalancer could publish the newest generation from a
+        # pre-seal snapshot, silently dropping the newest segment from
+        # the current assignment (review r12)
+        slots = assign_segments(store, n_consumers)
+        assignment = {seg: members[slot] for seg, slot in slots.items()}
+        gen, _n, _m, _a = _read_gen_doc(store, group)
+        _atomic_json(path, {
+            "generation": gen + 1, "n_consumers": int(n_consumers),
+            "members": members, "assignment": assignment})
     return gen + 1, assignment
 
 
@@ -278,7 +304,7 @@ def rebalance(store: str, group: str, n_consumers: int,
 # fleet costs one directory listing, no generation churn.
 
 def _members_dir(store: str, group: str) -> str:
-    return _cursor_path(store, group)[:-5] + ".members"
+    return _cursor_path(store, group)[:-5] + "@members"
 
 
 def heartbeat(store: str, group: str, instance: int) -> None:
@@ -288,19 +314,8 @@ def heartbeat(store: str, group: str, instance: int) -> None:
 
     d = _members_dir(store, group)
     os.makedirs(d, exist_ok=True)
-    _write_heartbeat(os.path.join(d, f"{int(instance)}.json"),
-                     time.time())
-
-
-def _write_heartbeat(path: str, ts: float) -> None:
-    tmp = f"{path}.tmp{os.getpid()}"
-    try:
-        with open(tmp, "w") as fh:
-            json.dump({"ts": float(ts)}, fh)
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    _atomic_json(os.path.join(d, f"{int(instance)}.json"),
+                 {"ts": time.time()})
 
 
 def live_members(store: str, group: str, ttl_sec: float = 30.0) -> list[int]:
@@ -318,39 +333,44 @@ def live_members(store: str, group: str, ttl_sec: float = 30.0) -> list[int]:
         if not n.endswith(".json") or ".tmp" in n:
             continue
         try:
+            inst = int(n[:-5])  # a stray non-numeric name is not a
+            # live vote (review r12: it must never crash the detector)
             with open(os.path.join(d, n)) as fh:
                 ts = float(json.load(fh)["ts"])
         except (OSError, ValueError, KeyError):
-            continue  # torn tmp debris → not a live vote
+            continue  # torn tmp debris / foreign file → not a vote
         if now - ts <= ttl_sec:
-            out.append(int(n[:-5]))
+            out.append(inst)
     return sorted(out)
 
 
 def auto_rebalance(store: str, group: str,
                    ttl_sec: float = 30.0) -> tuple[int, dict]:
-    """Publish a new generation iff the live-member set (heartbeats
+    """Publish a new generation iff (a) the live-member set (heartbeats
     fresher than ``ttl_sec``) differs from the current generation's
-    members; otherwise return the current generation unchanged.  Run
-    by any instance (or a supervisor) on its poll cadence: when an
-    instance dies, the first caller after the TTL fences it and the
-    survivors pick up its segments.  Raises when NO member is live —
-    an empty fleet must be an operator decision, not a silent
+    member list, or (b) segments have sealed/vanished since the current
+    assignment was published (review r12: membership-only detection
+    left records in a newly sealed segment assigned to NOBODY forever
+    under a stable fleet — lag grew with every heartbeat green);
+    otherwise return the current generation unchanged.  Run by any
+    instance (or a supervisor) on its poll cadence: when an instance
+    dies, the first caller after the TTL fences it and the survivors
+    pick up its segments; when the log grows, the next caller extends
+    the assignment.  The steady-state cost is two directory listings —
+    no trailer seeks, no generation churn.  Raises when NO member is
+    live: an empty fleet must be an operator decision, not a silent
     zero-consumer generation."""
     live = live_members(store, group, ttl_sec)
     if not live:
         raise ValueError(
             f"auto_rebalance({group}): no live members within "
             f"{ttl_sec}s — refusing to publish an empty generation")
-    gen, _n, assignment = membership(store, group)
-    try:  # the doc's member list, NOT assignment.values(): an instance
-        # owning zero segments (more members than segments) must not
-        # read as a membership change on every call
-        with open(_gen_path(store, group)) as fh:
-            current = sorted(int(m) for m in json.load(fh)["members"])
-    except (OSError, ValueError, KeyError):
-        current = sorted(set(assignment.values())) if assignment else []
-    if live == current:
+    gen, _n, current, assignment = _read_gen_doc(store, group)
+    # an instance owning zero segments (more members than segments)
+    # sits in the doc's member list, so it does NOT read as a
+    # membership change on every call
+    sealed = {f for f in os.listdir(store) if f.endswith(".seg")}
+    if live == current and sealed == set(assignment):
         return gen, assignment
     return rebalance(store, group, len(live), members=live)
 
@@ -399,7 +419,6 @@ def commit_assigned(store: str, group: str, consumer: int, generation: int,
                 f"fenced (current is {cur_gen}) — this instance was "
                 "rebalanced away; rejoin and poll under the new "
                 "generation")
-        seg_cur = committed_segment_offsets(store, group)
         d = _seg_cursor_dir(store, group)
         os.makedirs(d, exist_ok=True)
         staged = []
@@ -418,7 +437,14 @@ def commit_assigned(store: str, group: str, consumer: int, generation: int,
                 raise ValueError(
                     f"commit_assigned({group}): offset {off} outside "
                     f"{seg}'s sealed range [{lo}, {hi}]")
-            prev = seg_cur.get(seg, -1)
+            # read only THIS segment's cursor (review r12: loading the
+            # whole cursor dir held the exclusive lock O(#segments) per
+            # commit, contradicting the O(touched) claim)
+            try:
+                with open(os.path.join(d, f"{seg}.json")) as fh:
+                    prev = int(json.load(fh)["offset"])
+            except (OSError, ValueError, KeyError):
+                prev = -1
             if off < prev:
                 raise ValueError(
                     f"commit_assigned({group}): {seg} offset {off} "
@@ -470,9 +496,14 @@ def poll_assigned(spark: SparkSession, store: str, group: str,
     union's branches cover disjoint files, so no byte is scanned twice.
 
     Pass ``generation`` (from ``rebalance``) to poll a managed group —
-    a stale generation raises immediately; or ``n_consumers`` for
-    static scale-out with no membership doc (assignment recomputed
-    deterministically, per-segment cursors still honored)."""
+    a stale generation raises immediately, and ``commit_assigned``
+    records durable per-segment progress.  ``n_consumers`` is the
+    STATIC mode: a one-shot parallel snapshot read with the assignment
+    recomputed deterministically and no membership doc — it READS any
+    per-segment cursors a prior managed run left behind, but offers no
+    commit path of its own (``commit_assigned`` requires a published
+    generation; durable progress means ``rebalance`` first — the
+    Kafka rule that only group members commit)."""
     if generation is not None:
         cur_gen, _n, assignment = membership(store, group)
         if generation != cur_gen:

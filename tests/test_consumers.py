@@ -331,3 +331,37 @@ def test_heartbeat_auto_rebalance_detects_dead_instance(store, spark):
             _json.dump({"ts": 1.0}, fh)
     with pytest.raises(ValueError, match="no live members"):
         cg.auto_rebalance(store, "gf", ttl_sec=30)
+
+
+def test_protocol_paths_cannot_collide_with_group_names(store):
+    """review r12: with '.'-separated protocol paths, a group literally
+    named 'workers.gen' would clobber workers' membership doc, and the
+    doc itself showed up as a phantom group.  '@' is outside the group
+    name alphabet, so collision is impossible by construction."""
+    gen1, _ = cg.rebalance(store, "workers", 2)
+    # a legal dotted group name no longer lands on the membership doc
+    cg.ensure_group(store, "workers.gen")
+    cg.commit_offset(store, "workers.gen", 42)
+    assert cg.membership(store, "workers")[0] == gen1, \
+        "scalar commit clobbered the membership doc"
+    # and the membership doc is not a phantom group
+    assert cg.groups(store) == ["workers.gen"]
+    assert cg.committed_offset(store, "workers.gen") == 42
+
+
+def test_auto_rebalance_extends_assignment_over_new_segments(store):
+    """review r12: a stable fleet must still pick up newly sealed
+    segments — lag must not grow green-heartbeated forever."""
+    cg.heartbeat(store, "gh", 0)
+    cg.heartbeat(store, "gh", 1)
+    gen1, asg1 = cg.auto_rebalance(store, "gh", ttl_sec=30)
+    assert set(asg1) == {f"{i:05d}.seg" for i in range(4)}
+    # steady state: no churn
+    assert cg.auto_rebalance(store, "gh", ttl_sec=30) == (gen1, asg1)
+    write_segment(os.path.join(store, "00004.seg"),
+                  [(o, [o], [b"x"]) for o in range(400, 450)])
+    gen2, asg2 = cg.auto_rebalance(store, "gh", ttl_sec=30)
+    assert gen2 == gen1 + 1, "new sealed segment must trigger a generation"
+    assert "00004.seg" in asg2
+    # existing ranks stable (append-only store): old segments unchanged
+    assert {s: c for s, c in asg2.items() if s != "00004.seg"} == asg1
