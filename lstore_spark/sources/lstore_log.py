@@ -135,7 +135,14 @@ def segment_stats(path: str) -> tuple[int, int] | None:
     # Stats may only DISABLE pruning, never redirect it (same contract
     # as segment_keys): a corrupted tail that happens to pass the three
     # sentinel checks but carries an inverted/negative range degrades to
-    # "unsealed — must scan" instead of skipping live rows.
+    # "unsealed — must scan" instead of skipping live rows.  Caveat
+    # (review r12): for a LEGACY trailer-less file the tail bytes are
+    # the last record's blob payload — user data — so a crafted/unlucky
+    # blob ending in a well-formed trailer (sentinels + 0<=lo<=hi) WOULD
+    # be believed; every writer in this module seals its files, so the
+    # exposure is limited to foreign/legacy segments, and the write
+    # paths reject negative offsets so data records can never collide
+    # with the sentinel space.
     if lo < 0 or lo > hi:
         return None
     return lo, hi
@@ -156,6 +163,13 @@ def write_segment(path: str, records: list[tuple[int, list[int], list[bytes]]]) 
         pass
     with open(path, "wb") as f:
         for offset, ints, blobs in records:
+            if offset < 0:
+                # negative offsets are the trailer sentinel space: the
+                # reader would silently skip such a record as a trailer
+                # (review r12) — reject at write time, loudly
+                raise ValueError(
+                    f"write_segment: offset {offset} < 0 collides with "
+                    "the stats-trailer sentinel; offsets must be >= 0")
             f.write(struct.pack("<qi", offset, len(ints)))
             for v in ints:
                 f.write(struct.pack("<q", v))
@@ -212,6 +226,12 @@ def write_segments(df: DataFrame, seg_dir: str) -> None:
         with open(tmp, "wb") as f:
             for r in rows:
                 off = r[0]
+                if off < 0:
+                    raise ValueError(
+                        f"write_segments: offset {off} < 0 collides "
+                        "with the stats-trailer sentinel (the reader "
+                        "would silently drop the row); offsets must "
+                        "be >= 0")
                 lo = off if lo is None else min(lo, off)
                 hi = off if hi is None else max(hi, off)
                 ints, blobs = list(r[1]), list(r[2])
@@ -298,6 +318,13 @@ def read_segment_file(path: str):
         pos += 8 * n_ints
         (n_blobs,) = struct.unpack_from("<i", data, pos)
         pos += 4
+        if n_blobs < 0:
+            # fail-loud like the blob-length path below: range(-1) would
+            # silently yield zero blobs and resume parsing mid-payload
+            # (review r12)
+            raise struct.error(
+                f"torn segment {path}: negative blob count {n_blobs} "
+                f"at offset {pos - 4}")
         blobs = []
         for _ in range(n_blobs):
             (blen,) = struct.unpack_from("<i", data, pos)
@@ -375,6 +402,12 @@ def _stage_partition(seg_dir: str, basename: str, iterator):
     with open(tmp_seg, "wb") as f:
         for r in iterator:
             off, ints, blobs = r[0], list(r[1]), list(r[2])
+            if off < 0:
+                raise ValueError(
+                    f"lstore_log writer: offset {off} < 0 collides "
+                    "with the stats-trailer sentinel (the reader "
+                    "would silently drop the row); offsets must be "
+                    ">= 0")
             lo = off if lo is None else min(lo, off)
             hi = off if hi is None else max(hi, off)
             if keys_ok and blobs:
@@ -492,7 +525,17 @@ class LstoreLogStreamWriter(DataSourceStreamWriter):
     q_stream_follow's source side."""
 
     def __init__(self, options):
+        import uuid
         self.path = options.get("path")
+        # Run-scoped token (review r12): taskAttemptId counters reset
+        # per Spark APPLICATION, so after a crash-restart a zombie task
+        # from the old run could share a `.stage-b-<pid>.seg.<attempt>`
+        # path with the new run's task and interleave writes into one
+        # staging file — the same class of collision the batch writer's
+        # job token closed.  Replay idempotence is unaffected: commit
+        # publishes first and then deletes any part-<batchId>-* names
+        # not in the fresh set, so a replay under a new token converges.
+        self.token = uuid.uuid4().hex[:8]
         if not self.path:
             raise ValueError(
                 "lstore_log stream writer requires .option('path', dir)")
@@ -501,10 +544,10 @@ class LstoreLogStreamWriter(DataSourceStreamWriter):
         from pyspark import TaskContext
         tc = TaskContext.get()
         # partitionId is batch-scoped; the epoch/batch id arrives in
-        # commit — stage under a task-unique name, publish under the
-        # batch-qualified name chosen at commit time.
-        return _stage_partition(self.path,
-                                f"b-{tc.partitionId():05d}", iterator)
+        # commit — stage under a run+task-unique name, publish under
+        # the batch-qualified name chosen at commit time.
+        return _stage_partition(
+            self.path, f"b-{self.token}-{tc.partitionId():05d}", iterator)
 
     def commit(self, messages, batchId: int) -> None:
         for m in messages:
@@ -565,6 +608,11 @@ class LstoreLogReader(DataSourceReader):
         if (self.segments is not None
                 and os.path.basename(path) not in self.segments):
             return False  # not this consumer instance's slice
+        if self._lo is None and self._hi is None and self._keys is None:
+            # no pushed predicates (the base reader always lands here):
+            # nothing can prune, so skip the per-segment trailer tail
+            # read — O(#segments) planning I/O for nothing (review r12)
+            return True
         if self._keys is not None:
             ks = segment_keys(path)
             if ks is not None and not self._keys.intersection(ks):
@@ -717,9 +765,17 @@ class LstoreLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         new = sorted(set(end["files"]) - set(start["files"]))
-        return [InputPartition(os.path.join(self.path, f)) for f in new]
+        # zero partitions is not a shape the Python DataSource API
+        # accepts (same as the batch reader, lines above): retention/
+        # compaction DELETING segments mid-tail makes the offsets
+        # differ while the file-set difference is empty — Spark still
+        # schedules one task with a None partition (review r12)
+        return ([InputPartition(os.path.join(self.path, f)) for f in new]
+                or [InputPartition(None)])
 
     def read(self, partition):
+        if partition is None or partition.value is None:
+            return  # the explicit empty partition: nothing new to scan
         yield from read_segment_file(partition.value)
 
     def commit(self, end: dict) -> None:
@@ -748,8 +804,21 @@ def _package_zip() -> str:
     return zpath
 
 
+_SHIPPED_APPS: set = set()  # applicationIds this process shipped the zip to
+
+
 def register(spark: SparkSession) -> None:
-    spark.sparkContext.addPyFile(_package_zip())  # workers import by reference
+    """Register the data source; ship the package zip at most once per
+    Spark application (review r12: every query key calls this, and
+    rebuilding + re-shipping the identical zip paid an os.walk + zip +
+    addPyFile per query).  The zip memo keys on applicationId — stable
+    for the context's lifetime, fresh after a restart — while the
+    (cheap, session-scoped) ``dataSource.register`` always runs so a
+    second session on the same context still gets the format."""
+    app = spark.sparkContext.applicationId
+    if app not in _SHIPPED_APPS:
+        spark.sparkContext.addPyFile(_package_zip())  # workers import this
+        _SHIPPED_APPS.add(app)
     spark.dataSource.register(LstoreLogDataSource)
 
 

@@ -1025,3 +1025,77 @@ def test_parquet_bloom_options_actually_write_blooms(spark, tmp_path):
     assert bloom > plain, (
         "bloom options wrote no extra bytes — the writer ignored them "
         "(the exact silent no-op class review r10 found)")
+
+
+def test_negative_offsets_rejected_at_every_write_path(spark, tmp_path):
+    """review r12: negative offsets live in the trailer-sentinel space —
+    the reader silently skips them as trailers, so a write must fail
+    loudly instead of producing a segment that loses rows on read."""
+    import pytest
+
+    from lstore_spark.sources.lstore_log import (register, write_segment,
+                                                 write_segments)
+
+    with pytest.raises(ValueError, match="offset -1"):
+        write_segment(str(tmp_path / "a.seg"), [(-1, [1], [b"x"])])
+    df = spark.createDataFrame(
+        [(-5, [1], [b"x"])], "offset long, ints array<long>, blobs array<binary>")
+    (tmp_path / "d1").mkdir()
+    (tmp_path / "d2").mkdir()
+    with pytest.raises(Exception, match="offset -5"):
+        write_segments(df.repartition(1), str(tmp_path / "d1"))
+    register(spark)
+    with pytest.raises(Exception, match="offset -5"):
+        (df.write.format("lstore_log")
+         .option("path", str(tmp_path / "d2")).mode("append").save())
+
+
+def test_negative_blob_count_fails_loudly(tmp_path):
+    """review r12: a corrupt n_blobs=-1 header must raise, not silently
+    parse zero blobs and resume mid-payload."""
+    import struct
+
+    import pytest
+
+    from lstore_spark.sources.lstore_log import read_segment_file
+
+    p = tmp_path / "bad.seg"
+    with open(p, "wb") as f:
+        f.write(struct.pack("<qi", 0, 1) + struct.pack("<q", 7)
+                + struct.pack("<i", -1))
+    with pytest.raises(struct.error, match="negative blob count"):
+        list(read_segment_file(str(p)))
+
+
+def test_stream_reader_survives_segment_deletion(tmp_path):
+    """review r12: retention deleting sealed segments mid-tail makes the
+    micro-batch's file-set difference EMPTY while the offsets differ —
+    the planned batch must read as empty, not crash on a None
+    partition (the batch reader's own documented API shape)."""
+    from lstore_spark.sources.lstore_log import (LstoreLogStreamReader,
+                                                 write_segment)
+
+    write_segment(str(tmp_path / "a.seg"), [(0, [0], [b"x"])])
+    write_segment(str(tmp_path / "b.seg"), [(1, [1], [b"y"])])
+    r = LstoreLogStreamReader({"path": str(tmp_path)})
+    start = {"files": ["a.seg", "b.seg"]}
+    (tmp_path / "b.seg").unlink()
+    end = r.latestOffset()
+    assert end != start  # a batch IS planned for the shrunken set
+    parts = r.partitions(start, end)
+    rows = [rec for p in parts for rec in r.read(p)]
+    assert rows == [], "deleted-only batch must yield nothing, not crash"
+
+
+def test_register_ships_zip_once_per_application(spark, monkeypatch):
+    """review r12: every key calls register(); the zip walk+ship must be
+    memoized per application while dataSource.register still runs."""
+    from lstore_spark.sources import lstore_log as mod
+
+    calls = []
+    monkeypatch.setattr(mod, "_package_zip",
+                        lambda: calls.append(1) or mod.__file__)
+    mod._SHIPPED_APPS.discard(spark.sparkContext.applicationId)
+    mod.register(spark)
+    mod.register(spark)
+    assert len(calls) == 1, "zip rebuilt/re-shipped on a repeat register"
