@@ -208,6 +208,32 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+# THE max-cosine routing CTE pair against the base-trained `cent`
+# relation, generated once (review r12: build/search/update each kept a
+# hand-written copy differing only in relation names and the rn bound —
+# ~40 duplicated lines whose ROUND(...,6) + (cos DESC, label) tie-break
+# discipline had to stay in lockstep by hand, the same copy-paste-parity
+# hazard r10 removed for the centroid definition).
+def _route_ctes(src: str, pairs: str, out: str,
+                out_id: str, rn_pred: str) -> str:
+    return f"""{pairs} AS (
+  SELECT {src}.vec_id, cent.label,
+         ROUND(SUM({src}.x * cent.c)
+               / (sqrt(SUM({src}.x * {src}.x))
+                  * sqrt(SUM(cent.c * cent.c))),
+               6) AS cos_sim
+  FROM {src} JOIN cent ON {src}.i = cent.i
+  GROUP BY {src}.vec_id, cent.label
+),
+{out} AS (
+  SELECT {out_id}, label AS list_id
+  FROM (SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, label) AS rn
+        FROM {pairs}) WHERE rn {rn_pred}
+)"""
+
+
 # Shared oracle CTEs mirroring the build step-for-step: corpus-trained
 # centroids, routing, SQ8 bounds and codes.  cent follows
 # q_llm_emb_ivf_assign's oracle; the floor/clamp encode matches
@@ -225,21 +251,7 @@ cent AS (
            / COUNT(x) AS c
   FROM vx GROUP BY label, i
 ),
-route_pairs AS (
-  SELECT vx.vec_id, cent.label,
-         ROUND(SUM(vx.x * cent.c)
-               / (sqrt(SUM(vx.x * vx.x)) * sqrt(SUM(cent.c * cent.c))),
-               6) AS cos_sim
-  FROM vx JOIN cent ON vx.i = cent.i
-  GROUP BY vx.vec_id, cent.label
-),
-route AS (
-  SELECT vec_id, label AS list_id
-  FROM (SELECT vec_id, label,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY cos_sim DESC, label) AS rn
-        FROM route_pairs) WHERE rn = 1
-),
+{_route_ctes("vx", "route_pairs", "route", "vec_id", "= 1")},
 bounds AS (
   SELECT i, MIN(x) AS lo,
          CASE WHEN MAX(x) = MIN(x) THEN CAST(0 AS DOUBLE)
@@ -281,7 +293,7 @@ def q_llm_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle recomputing the train+route+encode pipeline
     hash-checks the entire written artifact end-to-end."""
     idx = build_ann_index(spark, sf_dir)
-    posts = spark.read.parquet(os.path.join(idx, "postings"))
+    posts = _read_postings(spark, os.path.join(idx, "postings"))
     return posts.groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_postings"),
         F.sum("cand_id").alias("sum_cand"),
@@ -291,11 +303,12 @@ def q_llm_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-index memo for the search LUT: ~164k driver-side Decimal.quantize
 # calls (~0.25 s) otherwise re-run on EVERY search invocation against an
 # immutable published index — measured 17% of the warm sf0.1 search and
-# the bulk of its 1.23× bench excess (VERDICT r10 #4b).  Keyed by index
-# path with the fixture fingerprint as a latest-wins SIGNATURE
-# (catalog._sig_cached), so in-place regeneration replaces the ~1.3 MB
-# entry instead of accumulating one per fingerprint (review r11 — the
-# same superseded-signature leak class the catalog caches fixed).
+# the bulk of its 1.23× bench excess (VERDICT r10 #4b).  Keyed by the
+# FIXTURE path with (fingerprint, index path) as the latest-wins
+# signature: the index path itself embeds the fingerprint (scratch_dir
+# key), so keying by index path made the signature check vacuous and
+# leaked one ~1.3 MB entry per regeneration — exactly the accumulation
+# the r11 comment claimed to prevent (review r12).
 _LUT_CACHE: dict[str, tuple] = {}
 
 
@@ -324,11 +337,14 @@ def _search_adc_lut(sf_dir: str, idx: str) -> list[tuple[int, list[int]]]:
 
     import numpy as np
 
-    from ..catalog import fixture_fingerprint
     from .similarity import read_query_slice
 
-    memo_key = os.path.abspath(idx)
-    memo_sig = fixture_fingerprint(sf_dir)
+    memo_key = os.path.abspath(sf_dir)
+    # the index path already embeds the fixture fingerprint (it IS the
+    # scratch_dir key), so it serves as the latest-wins signature
+    # directly — no second stat sweep of the fixture dir per search
+    # (review r12; the sole caller passes idx = ann_index_dir(sf_dir))
+    memo_sig = os.path.abspath(idx)
     hit = _LUT_CACHE.get(memo_key)
     if hit is not None and hit[0] == memo_sig:
         return hit[1]
@@ -343,18 +359,27 @@ def _search_adc_lut(sf_dir: str, idx: str) -> list[tuple[int, list[int]]]:
     qt = read_query_slice(sf_dir)
     rows = []
     for qid, qv in zip(qt.vec_id, qt.embedding):
+        if qv is None or len(qv) != _DIM:
+            # degrade like every other path in the module (the cosine
+            # probes NULL such rows out): a NULL/short query embedding
+            # contributes no LUT and so no hits — review r12: the old
+            # np.asarray(None) raised an unrelated numpy IndexError
+            # where the Spark/oracle sides handled the row gracefully
+            continue
         qe = np.asarray(qv, dtype=np.float64)
         sq = (qe[:, None] - deq) ** 2            # IEEE elementwise
         flat = [int(Decimal(float(x)).quantize(q8, ROUND_HALF_UP)
                     .scaleb(8)) for x in sq.ravel()]
-        # Loud guard (the char-entropy overflow lesson): the gather
-        # sums 64 entries in int64 — refuse to build a LUT whose worst
-        # sum could wrap (needs |query − dequant| ≳ 4e4 per dim, far
-        # outside any real embedding range; failing loudly driver-side
-        # beats a silent wrap executor-side).
-        if max(flat, default=0) > (1 << 63) // _DIM - 1:
+        # Loud guard (the char-entropy overflow lesson), tightened r12:
+        # the parity proof above needs the 8-entry subgroup sums S_m
+        # « 2⁵³ (so double(S_m·1e-8) is within half a 1e-8 grain), a
+        # far stricter bound than mere int64 non-wrap — enforce THAT,
+        # or hash parity could silently drift by one grain while the
+        # old 2⁶³/64 guard stayed quiet (|query − dequant| ≳ 1.2e3 per
+        # dim trips this; still far outside any real embedding range).
+        if max(flat, default=0) > (1 << 53) // _SUB - 1:
             raise OverflowError(
-                "ADC LUT entry too large for the int64 gather-sum "
+                "ADC LUT entry too large for exact decimal parity "
                 f"(query {qid}); corpus/query magnitudes exceed the "
                 "SQ8 search's design range")
         rows.append((int(qid), flat))
@@ -371,21 +396,8 @@ qx AS (
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings WHERE vec_id < 10
 ),
-qroute_pairs AS (
-  SELECT qx.vec_id, cent.label,
-         ROUND(SUM(qx.x * cent.c)
-               / (sqrt(SUM(qx.x * qx.x)) * sqrt(SUM(cent.c * cent.c))),
-               6) AS cos_sim
-  FROM qx JOIN cent ON qx.i = cent.i
-  GROUP BY qx.vec_id, cent.label
-),
-probes AS (
-  SELECT vec_id AS query_id, label AS list_id
-  FROM (SELECT vec_id, label,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY cos_sim DESC, label) AS rn
-        FROM qroute_pairs) WHERE rn <= {_NPROBE}
-),
+{_route_ctes("qx", "qroute_pairs", "probes",
+             "vec_id AS query_id", f"<= {_NPROBE}")},
 -- asymmetric distance: per-(query, cand, 8-dim subgroup) exact-decimal
 -- sums of squared diffs against the dequantized code, each subgroup
 -- surfaced as an identical DOUBLE, then one decimal sum per pair.
@@ -459,7 +471,7 @@ def q_llm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Spark job."""
     idx = build_ann_index(spark, sf_dir)
     centroids = spark.read.parquet(os.path.join(idx, "centroids"))
-    postings = spark.read.parquet(os.path.join(idx, "postings"))
+    postings = _read_postings(spark, os.path.join(idx, "postings"))
 
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 10).select(
@@ -519,6 +531,14 @@ _UPDATE_SPLIT = 400  # base corpus: [10, 400); incremental batch: >= 400
 # inference would throw.
 _POSTING_SCHEMA = ("cand_id bigint, codes array<int>, "
                    "code_sum bigint, list_id int")
+
+
+def _read_postings(spark: SparkSession, path: str) -> DataFrame:
+    """THE posting-store read (review r12: build/search inferred the
+    schema while update/merge declared it, so an all-empty posting
+    store read fine on two paths and threw 'Unable to infer schema' on
+    the other two; one helper keeps the layout in one place)."""
+    return spark.read.schema(_POSTING_SCHEMA).parquet(path)
 
 
 def ann_base_dir(sf_dir: str) -> str:
@@ -582,22 +602,7 @@ batchx AS (
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings WHERE vec_id >= {_UPDATE_SPLIT}
 ),
-broute_pairs AS (
-  SELECT batchx.vec_id, cent.label,
-         ROUND(SUM(batchx.x * cent.c)
-               / (sqrt(SUM(batchx.x * batchx.x))
-                  * sqrt(SUM(cent.c * cent.c))),
-               6) AS cos_sim
-  FROM batchx JOIN cent ON batchx.i = cent.i
-  GROUP BY batchx.vec_id, cent.label
-),
-broute AS (
-  SELECT vec_id, label AS list_id
-  FROM (SELECT vec_id, label,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY cos_sim DESC, label) AS rn
-        FROM broute_pairs) WHERE rn = 1
-),
+{_route_ctes("batchx", "broute_pairs", "broute", "vec_id", "= 1")},
 bcodes AS (
   SELECT batchx.vec_id,
          CAST(LEAST(CAST({_LEVELS - 1} AS BIGINT),
@@ -644,11 +649,9 @@ def q_llm_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit schema on the reads: a fixture whose max vec_id falls
     # below _UPDATE_SPLIT yields an EMPTY delta segment (only _SUCCESS,
     # zero parquet files), where schema inference would throw.
-    posts = (spark.read.schema(_POSTING_SCHEMA)
-             .parquet(os.path.join(base, "postings"))
+    posts = (_read_postings(spark, os.path.join(base, "postings"))
              .withColumn("segment", F.lit("base")))
-    delta = (spark.read.schema(_POSTING_SCHEMA)
-             .parquet(os.path.join(base, "postings_delta"))
+    delta = (_read_postings(spark, os.path.join(base, "postings_delta"))
              .withColumn("segment", F.lit("delta")))
     return (
         posts.unionByName(delta)
@@ -684,10 +687,8 @@ def merge_ann_index(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(os.path.join(merged, "_SUCCESS")):
         clear_incomplete_dir(merged)
         tmp = build_tmp_dir(merged)
-        posts = spark.read.schema(_POSTING_SCHEMA) \
-            .parquet(os.path.join(base, "postings"))
-        delta = spark.read.schema(_POSTING_SCHEMA) \
-            .parquet(os.path.join(base, "postings_delta"))
+        posts = _read_postings(spark, os.path.join(base, "postings"))
+        delta = _read_postings(spark, os.path.join(base, "postings_delta"))
         (posts.unionByName(delta)
          .sortWithinPartitions("list_id", "cand_id")
          .write.mode("overwrite").partitionBy("list_id").parquet(tmp))
@@ -725,7 +726,7 @@ def q_llm_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction rewrote every posting of both generations byte-exactly
     (codes included, via sum_codes) and invented or dropped none."""
     merged = merge_ann_index(spark, sf_dir)
-    posts = spark.read.schema(_POSTING_SCHEMA).parquet(merged)
+    posts = _read_postings(spark, merged)
     return posts.groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_postings"),
         F.sum("cand_id").alias("sum_cand"),

@@ -702,6 +702,41 @@ def test_ann_index_build_is_reused_not_rewritten(spark, sf_dir):
     assert before == after
 
 
+def test_search_lut_memo_replaces_and_degrades_null_queries(spark, sf_dir,
+                                                            monkeypatch):
+    """review r12 pins: (a) the LUT memo is keyed by FIXTURE with the
+    index path as a latest-wins signature, so a regenerated fixture
+    (new index path) REPLACES the entry instead of accumulating one per
+    generation; (b) a NULL/short query embedding is dropped from the
+    LUT like every other degraded row, never an unrelated numpy crash."""
+    import types
+
+    from lstore_spark.llm import ann_index as ai
+    from lstore_spark.llm import similarity as sim
+
+    idx = ai.build_ann_index(spark, sf_dir)
+    ai._LUT_CACHE.clear()
+    first = ai._search_adc_lut(sf_dir, idx)
+    assert ai._search_adc_lut(sf_dir, idx) is first  # memo hit
+    assert list(ai._LUT_CACHE) == [__import__("os").path.abspath(sf_dir)]
+    # a 'regenerated fixture' arrives as a NEW index path: same key,
+    # new signature — the stale entry is REPLACED, not kept alongside
+    # (simulated by planting a stale signature; a real second index
+    # build would be expensive for a unit pin)
+    ai._LUT_CACHE[__import__("os").path.abspath(sf_dir)] = ("stale", [])
+    again = ai._search_adc_lut(sf_dir, idx)
+    assert again == first and len(ai._LUT_CACHE) == 1
+    # NULL / short queries degrade to dropped rows
+    real = sim.read_query_slice(sf_dir)
+    fake = types.SimpleNamespace(
+        vec_id=[7, 8, 9], embedding=[None, [1.0, 2.0], list(real.embedding[0])])
+    monkeypatch.setattr(sim, "read_query_slice", lambda _sf: fake)
+    ai._LUT_CACHE.clear()
+    rows = ai._search_adc_lut(sf_dir, idx)
+    assert [q for q, _ in rows] == [9], "NULL/short queries must drop"
+    ai._LUT_CACHE.clear()
+
+
 def test_bpe_udf_parity_with_reference_and_lossless(spark, sf_dir):
     """The rows-only BPE evidence: (a) the Arrow-batched UDF's per-doc
     token counts equal an INDEPENDENT pure-Python re-tokenization of
