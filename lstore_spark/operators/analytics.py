@@ -586,7 +586,10 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("l_partkey", vol.alias("_vol")))
     pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     li_fit = fits_broadcast(sf_dir, "lineitem", 0.012)
-    vol = F.col("_vol")
+    # post-projection volume column under its own name — rebinding
+    # `vol` here shadowed the lineitem expression above and worked only
+    # by statement order (review r12)
+    vol_col = F.col("_vol")
     zero = F.lit(0).cast(DEC)
     return (
         (pa.join(F.broadcast(li), li.l_partkey == pa.p_partkey)
@@ -594,9 +597,9 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol_col)
                         .otherwise(zero)).cast("double")
-                / F.sum(vol).cast("double"),
+                / F.sum(vol_col).cast("double"),
                 6,
             ).alias("promo_revenue_pct"))
     )
@@ -672,25 +675,28 @@ def q_tpch_q19_brand_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     part rows matching no arm never enter the hash table (the
     brand-disjunction is pushed to the part scan)."""
     li = load_table(spark, sf_dir, "lineitem")
-    part_arm = (
-        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
-        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(10, 30))
-        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(20, 50))
-    )
+    # ONE band list feeds BOTH predicates (review r12: the literals
+    # were written twice, so retuning a band in full_arm but not
+    # part_arm would prune qualifying part rows out of the hash table
+    # before the join — silently, since the oracle's constants would
+    # likely be edited in the same sitting and still agree)
+    bands = [("Brand#1", 1, 15, 1, 20),
+             ("Brand#7", 10, 30, 10, 35),
+             ("Brand#13", 20, 50, 20, 50)]
+    from functools import reduce
+    part_arm = reduce(lambda a, b: a | b, [
+        (F.col("p_brand") == br) & F.col("p_size").between(slo, shi)
+        for br, slo, shi, _qlo, _qhi in bands])
     # stats gate (review r11): the brand slice is ~12% of an SF-SCALED
     # part table — same convention as q8's 0.17 part gate; past the cap
     # AQE's shuffled join takes over
     pa = load_table(spark, sf_dir, "part").filter(part_arm)
     if fits_broadcast(sf_dir, "part", 0.12):
         pa = F.broadcast(pa)
-    full_arm = (
-        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
-         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
-        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(10, 30)
-           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 35))
-        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(20, 50)
-           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 50))
-    )
+    full_arm = reduce(lambda a, b: a | b, [
+        (F.col("p_brand") == br) & F.col("p_size").between(slo, shi)
+        & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi)
+        for br, slo, shi, qlo, qhi in bands])
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(pa, li.l_partkey == pa.p_partkey)
@@ -1852,7 +1858,19 @@ def q_agg_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x").cast(DEC) * F.col("y")).cast("double").alias("sxy"),
+        # x as decimal(9,0) × y as decimal(28,8) → decimal(38,8): the
+        # product fits Spark's 38-precision cap EXACTLY at scale 8.
+        # The old x.cast(DEC) * y hit p=30+38+1 > 38 and Spark silently
+        # reduced the result to decimal(38,6) — each term HALF_UP-
+        # rounded at 1e-6 (up to 5e-7/term) while DuckDB's BIGINT ×
+        # DECIMAL(38,8) stayed exact at scale 8, so the engines'
+        # sxy moments differed and the ROUND(...,6) slope equality was
+        # probabilistic (review r12, verified live in both engines).
+        # x ≤ ~366 fits (9,0); y overflowing (28,8) — |Σvalue| ≥ 1e20
+        # per (type, day) — would fail loudly under ANSI, not round.
+        F.sum(F.col("x").cast("decimal(9,0)")
+              * F.col("y").cast("decimal(28,8)"))
+        .cast("double").alias("sxy"),
     )
     slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
              / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
