@@ -43,10 +43,13 @@ def q_llm_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     because double→int casts agree across engines only for truncation.
     One scan, all HOFs — JVM-side, no shuffle."""
     em = load_table(spark, sf_dir, "embeddings")
-    amax = F.expr("""
-        aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),
-                  CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, v))
-    """).alias("amax")
+    # array_max, not a 0.0-seeded greatest-fold (review r12): the fold
+    # returned 0.0 for empty/all-NULL embeddings where the oracle's
+    # list_max returns NULL — array_max matches it exactly (NULL
+    # elements ignored, NULL on empty)
+    amax = F.expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    ).alias("amax")
     with_amax = em.select("vec_id", "embedding", amax)
     # Joined to a CSV string: the driver canonicalizer can't hash array
     # cells (CORRECTNESS_r01 q_agg_collect TypeError); int elements
@@ -342,7 +345,14 @@ def assign_nearest_hierarchical(em: DataFrame, cvecs: DataFrame,
     @F.pandas_udf(out_t)
     def route(vec):
         vals = vec.to_numpy()
-        ok = np.array([v is not None and len(v) == dim for v in vals])
+        # a correct-LENGTH vector containing NULL elements must also
+        # degrade to (NULL, NULL): astype turns None into nan, the
+        # cosines all go nan, and np.argmax over nans returns position
+        # 0 — a valid-LOOKING but arbitrary cluster (review r12)
+        ok = np.array([
+            v is not None and len(v) == dim
+            and not np.isnan(np.asarray(v, dtype=np.float64)).any()
+            for v in vals])
         cl = np.full(len(vals), None, dtype=object)
         cs = np.full(len(vals), None, dtype=object)
         if ok.any():
@@ -440,8 +450,9 @@ def q_llm_emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = assign_nearest(em, lab_cvecs, "ck").select("vec_id", "cluster")
     members = em.join(assign, "vec_id").select(
         F.col("cluster").alias("ck"), "embedding")
-    elems = members.select("ck", F.posexplode("embedding").alias("i", "v")) \
-                   .select("ck", "i", F.col("v").cast("double").alias("v"))
+    # the shared element relation (review r12: this was a verbatim
+    # re-inline of exploded_elems — the copy r10's refactor removed)
+    elems = exploded_elems(members, "ck")
     dims = elems.groupBy("ck", "i").agg(
         (F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
          / F.count("v")).alias("c"),
@@ -487,6 +498,10 @@ def q_llm_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             if changed == 0:
                 break
         prev = assign
+        if _ == max_iters - 1:
+            break  # a final-round centroid update feeds no further
+            # assignment — localCheckpoint would run the full corpus
+            # scan + (cluster, dim) shuffle eagerly for nothing (r12)
         cvecs = centroid_vectors(
             em.join(assign.select("vec_id", "cluster"), "vec_id")
             .select(F.col("cluster").alias("ck"), "embedding"),
@@ -565,9 +580,16 @@ cent AS (
   FROM lab GROUP BY label, i
 ),
 vx AS (
+  -- well-formed vectors only (review r12): Spark's encode DROPS
+  -- NULL/ragged/NULL-element vectors, so the oracle must too — the
+  -- old unrestricted unnest emitted partial codes for ragged vectors
+  -- and NULL-skipping sums for NULL elements, semantics no engine's
+  -- Spark side implements
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings
+  WHERE len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 d AS (
   SELECT vx.vec_id, cent.label, CAST(floor(vx.i / 8.0) AS INT) AS m,
@@ -624,7 +646,13 @@ def q_llm_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def codes_of(vec):
         vals = vec.to_numpy()
         dim = m_ * d_
-        ok = np.array([v is not None and len(v) == dim for v in vals])
+        # NULL-element vectors must also drop: astype turns None into
+        # nan and the argmin over nan distances returns code 0 — a
+        # valid-looking but arbitrary code (review r12)
+        ok = np.array([
+            v is not None and len(v) == dim
+            and not np.isnan(np.asarray(v, dtype=np.float64)).any()
+            for v in vals])
         out = [None] * len(vals)
         if ok.any():
             codes = pq_code_rows(np.stack(vals[ok]).astype(np.float64), C)
@@ -667,7 +695,10 @@ def pq_codebook(spark: SparkSession, sf_dir: str):
     C = _PQ_CB_CACHE.get(key)
     if C is not None:
         return C
-    out, built = scratch_dir("pqcb1", sf_dir)
+    # forward the fingerprint — scratch_dir would otherwise stat-scan
+    # the fixture a second time (review r12; the r11 `key` parameter
+    # exists for exactly this caller pattern)
+    out, built = scratch_dir("pqcb1", sf_dir, key=key)
     fpath = os.path.join(out, "codebook.parquet")
     if built:
         import pyarrow.parquet as pqt
@@ -755,9 +786,16 @@ cent AS (
   FROM lab GROUP BY label, i
 ),
 vx AS (
+  -- well-formed vectors only (review r12): Spark's encode DROPS
+  -- NULL/ragged/NULL-element vectors, so the oracle must too — the
+  -- old unrestricted unnest emitted partial codes for ragged vectors
+  -- and NULL-skipping sums for NULL elements, semantics no engine's
+  -- Spark side implements
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings
+  WHERE len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 d AS (
   SELECT vx.vec_id, cent.label, CAST(floor(vx.i / 8.0) AS INT) AS m,
@@ -856,6 +894,10 @@ def q_llm_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt = read_query_slice(sf_dir)
     lut_rows = []
     for qid, qv in zip(qt.vec_id, qt.embedding):
+        if qv is None or len(qv) != m_ * d_ or np.isnan(
+                np.asarray(qv, dtype=np.float64)).any():
+            continue  # degenerate QUERY vectors drop like corpus ones
+            # (review r12: np.asarray(None) - C crashed the driver)
         sq = (np.asarray(qv, dtype=np.float64) - C) ** 2  # (k, dim) IEEE
         flat = []
         for m in range(m_):
@@ -872,7 +914,13 @@ def q_llm_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pq_codes(vec):
         vals = vec.to_numpy()
         dim = m_ * d_
-        ok = np.array([v is not None and len(v) == dim for v in vals])
+        # NULL-element vectors must also drop: astype turns None into
+        # nan and the argmin over nan distances returns code 0 — a
+        # valid-looking but arbitrary code (review r12)
+        ok = np.array([
+            v is not None and len(v) == dim
+            and not np.isnan(np.asarray(v, dtype=np.float64)).any()
+            for v in vals])
         out = [None] * len(vals)
         if ok.any():
             codes = pq_code_rows(np.stack(vals[ok]).astype(np.float64), C)
@@ -947,10 +995,11 @@ def q_llm_emb_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no explode; the packed table is what ships to the ANN
     stage (q_llm_sim_hamming_topk)."""
     em = load_table(spark, sf_dir, "embeddings")
-    # NULL embeddings drop to match the oracle's unnest, which emits no
-    # row for them (review r11: the HOF otherwise fabricated an
-    # all-zeros signature that would rank as a genuine Hamming match)
-    xe = em.filter(F.col("embedding").isNotNull()).select(
+    # NULL **and empty** embeddings drop to match the oracle's unnest,
+    # which emits no row for either (review r11 caught NULL; review r12
+    # caught []: the HOF otherwise fabricated an all-zeros signature
+    # that would rank as a genuine Hamming match downstream)
+    xe = em.filter(F.size("embedding") > 0).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("xe"))
     w1 = F.expr(_BQ_PACK_S.format(base=0))
@@ -964,9 +1013,16 @@ def q_llm_emb_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_emb_matryoshka",
     oracle="""
 WITH vx AS (
+  -- complete heads only (review r12): a ragged (<16-dim) or
+  -- NULL-element head previously made the oracle emit partial-dims
+  -- rows while Spark emitted NULL-poisoned 16-dim rows — MRL
+  -- truncation is defined over vectors with a complete head, both
+  -- sides now drop the rest
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
+  WHERE len(embedding) >= 16
+    AND len(list_filter(embedding[1:16], x -> x IS NULL)) = 0
 ),
 head AS (SELECT vec_id, i, v FROM vx WHERE i <= 16),
 nrm AS (
@@ -1010,7 +1066,10 @@ def q_llm_emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     # present-with-NULLs row); short vectors degrade via try_element_at
     # instead of ANSI-throwing, and a zero head norm yields NULL
     # components like DuckDB's x/0.0 — not NaN.
-    return (em.filter(F.col("embedding").isNotNull())
+    return (em.filter(
+                (F.size("embedding") >= 16)
+                & (F.expr("size(filter(slice(embedding, 1, 16), "
+                          "x -> x IS NULL))") == 0))
             .select("vec_id", head.alias("h"))
             .select(
                 "vec_id", "h",
@@ -1044,12 +1103,16 @@ WITH vx AS (
   FROM embeddings
 ),
 st AS (
+  -- COUNT(v), not COUNT(*): the Spark side's davg divides by the
+  -- non-NULL count (the standard NULL-skipping mean), so a NULL
+  -- element in dim 0/63 previously diverged mu/sd between the
+  -- engines (review r12)
   SELECT i,
          CAST(CAST(SUM(CAST(v AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
-           / COUNT(*) AS mu,
+           / COUNT(v) AS mu,
          CAST(CAST(SUM(CAST(v * v AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
-           / COUNT(*) AS m2,
-         COUNT(*) AS n
+           / COUNT(v) AS m2,
+         COUNT(v) AS n
   FROM vx WHERE i IN (0, 63) GROUP BY i
 ),
 p AS (

@@ -1410,3 +1410,65 @@ def test_degenerate_inputs_score_instead_of_throwing(spark, tmp_path):
     # zero-vector pairs yield NULL (degrade-to-dropped), never a throw
     assert any(r.c is None for r in pair)
     assert any(r.c == 1.0 for r in pair)
+
+
+def test_degenerate_embeddings_flow_through(spark, tmp_path):
+    """review r12: NULL / empty / ragged / NULL-element embeddings must
+    degrade per each operator's documented contract — never crash, never
+    fabricate valid-looking rows, and match the oracle's semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lstore_spark.registry import QUERIES
+
+    good = [[float(i % 7) - 3.0 + j * 0.01 for i in range(64)]
+            for j in range(12)]
+    emb = good + [None, [], [1.0, 2.0], good[0][:32] + [None] + good[0][33:]]
+    n = len(emb)
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(emb, pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(n)], pa.int32()),
+    }), str(fx / "embeddings.parquet"))
+    # docs table exists for keys that join it
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": [f"doc {i}" for i in range(n)],
+        "lang": ["en"] * n, "source": ["src0"] * n,
+        "n_chars": pa.array([5] * n, pa.int64()),
+    }), str(fx / "documents.parquet"))
+    sf = str(fx)
+
+    qz = {r.vec_id: r for r in QUERIES["q_llm_emb_quantize"](spark, sf).collect()}
+    assert qz[12].amax is None and qz[13].amax is None  # NULL + empty
+    bz = {r.vec_id for r in QUERIES["q_llm_emb_binarize"](spark, sf).collect()}
+    assert 12 not in bz and 13 not in bz, \
+        "NULL/empty embeddings fabricated all-zero signatures"
+    mk = {r.vec_id for r in QUERIES["q_llm_emb_matryoshka"](spark, sf).collect()}
+    # 15's NULL element sits at dim 32 — OUTSIDE the 16-dim head, so
+    # its head is complete and it stays; 12/13/14 (NULL/empty/ragged) drop
+    assert mk == set(range(12)) | {15}, \
+        "matryoshka must keep exactly the complete clean heads"
+    pe = {r.vec_id for r in QUERIES["q_llm_emb_pq_encode"](spark, sf).collect()}
+    assert pe == set(range(12)), \
+        "pq_encode must drop NULL/ragged/NULL-element vectors"
+    # whiten emits every row (the stats just skip NULL elements)
+    wh = QUERIES["q_llm_emb_whiten"](spark, sf).count()
+    assert wh == n
+    # hierarchical router: NULL-element vector gets NULL cluster
+    from lstore_spark.catalog import load_table
+    from lstore_spark.llm.embeddings import (assign_nearest_hierarchical,
+                                             centroid_vectors)
+    em = load_table(spark, sf, "embeddings")
+    cv = centroid_vectors(
+        em.filter("vec_id < 12").select(F.col("label").alias("k"),
+                                        "embedding"), "k")
+    routed = {r.vec_id: r for r in assign_nearest_hierarchical(
+        em, cv.select(F.col("k"), "cvec"), "k", n_fine=3).collect()}
+    for bad in (12, 13, 14, 15):
+        assert routed[bad].cluster is None and routed[bad].cos_sim is None, \
+            f"degenerate vector {bad} routed to a cluster"
+    for okid in range(12):
+        assert routed[okid].cluster is not None
