@@ -693,16 +693,24 @@ _TAU_EMB_NEAR_DUP = 0.40  # fixture has random unit vectors (max cos≈0.51);
 @query(
     "q_llm_dedup_embcos",
     oracle=f"""
-WITH pairs AS (
+WITH wf AS (
+  -- well-formed vectors only (review r12, same contract as the
+  -- similarity oracles): the SUM-dot silently skips NULL terms, so a
+  -- ragged/NULL-element vector scored a real partial cosine here
+  -- while the Spark side's zip_with cosine NULLs and drops it
+  SELECT * FROM embeddings
+  WHERE vec_id < 2000 AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          ROUND(
            SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
            / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
               * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
            6) AS cos_sim
-  FROM embeddings a
-  JOIN embeddings b ON a.vec_id < b.vec_id
-                   AND a.vec_id < 2000 AND b.vec_id < 2000
+  FROM wf a
+  JOIN wf b ON a.vec_id < b.vec_id
   CROSS JOIN generate_series(1, 64) AS g(i)
   GROUP BY a.vec_id, b.vec_id
 )
@@ -732,7 +740,10 @@ def q_llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import hyperplane_candidate_pairs
 
     em = (load_table(spark, sf_dir, "embeddings")
-          .filter(F.col("vec_id") < 2000))
+          .filter((F.col("vec_id") < 2000)
+                  & (F.size("embedding") == 64)
+                  & (F.expr("size(filter(embedding, x -> x IS NULL))")
+                     == 0)))
     # Catalog-stats sizing, no pre-scan (VERDICT r2 item 7); the upper
     # bound only pushes the recall formula toward more bands.
     n = min(2000, table_rows(sf_dir, "embeddings"))

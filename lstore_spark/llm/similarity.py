@@ -105,11 +105,19 @@ def read_query_slice(sf_dir: str, bound: int = 10):
     float64 is exact (same as the JVM CAST).  Sorted by vec_id."""
     import os
 
+    import numpy as np
     import pyarrow.parquet as pq
     qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                        columns=["vec_id", "embedding"],
                        filters=[("vec_id", "<", bound)]).to_pandas()
-    return qt.sort_values("vec_id")
+    # well-formed queries only (review r12): a NULL/ragged/NULL-element
+    # query vector crashed np.stack in the downstream UDF factories —
+    # every oracle now restricts its query side the same way, so the
+    # dropped rows are absent from BOTH engines
+    keep = qt.embedding.map(
+        lambda v: v is not None and len(v) == 64
+        and not np.isnan(np.asarray(v, dtype=np.float64)).any())
+    return qt[keep].sort_values("vec_id")
 
 
 def all_pairs_cosine_udf(M):
@@ -144,7 +152,13 @@ def all_pairs_cosine_udf(M):
     @F.pandas_udf(ArrayType(DoubleType()))
     def cos_all(vec):
         vals = vec.to_numpy()
-        ok = np.array([v is not None and len(v) == dim for v in vals])
+        # NULL-element vectors drop whole (None row → posexplode emits
+        # nothing), matching the oracles' well-formed restriction — the
+        # nan path previously emitted all-NULL cos rows (review r12)
+        ok = np.array([
+            v is not None and len(v) == dim
+            and not np.isnan(np.asarray(v, dtype=np.float64)).any()
+            for v in vals])
         out = [None] * len(vals)
         if ok.any():
             V = np.stack(vals[ok]).astype(np.float64)
@@ -180,17 +194,29 @@ _DUCK_PAIRS = """
            / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
               * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
            6) AS cos_sim
-  FROM embeddings a
-  JOIN embeddings b ON {pair_cond}
+  FROM wf_embeddings a
+  JOIN wf_embeddings b ON {pair_cond}
   CROSS JOIN generate_series(1, 64) AS g(i)
   GROUP BY a.vec_id, b.vec_id
 """
+
+# Well-formed-vector CTE prepended to every _DUCK_PAIRS oracle (review
+# r12): the SUM-based dot silently SKIPS NULL terms, so a ragged or
+# NULL-element vector got a real partial-dot cosine from DuckDB while
+# every Spark path drops it — restricting both engines to well-formed
+# vectors makes 'degenerate rows drop' the single shared contract.
+_WF_CTE = """wf_embeddings AS (
+  SELECT * FROM embeddings
+  WHERE len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+)"""
 
 
 @query(
     "q_llm_sim_cosine_topk",
     oracle=f"""
-WITH pairs AS (
+WITH {_WF_CTE},
+pairs AS (
   {_DUCK_PAIRS.format(ida="query_id", idb="cand_id",
                       pair_cond="a.vec_id < 10 AND b.vec_id >= 10")}
 )
@@ -226,6 +252,16 @@ def q_llm_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the one step that must NOT move into the UDF).  Eager note: the
     10-row query slice is collected at DataFrame-build time (the
     documented ivf/LSH closure pattern)."""
+    return _brute_force_topk(spark, sf_dir, F.col("vec_id") >= 10)
+
+
+def _brute_force_topk(spark: SparkSession, sf_dir: str,
+                      corpus_pred: Column) -> DataFrame:
+    """THE exact brute-force top-k pipeline (query slice → vectorized
+    cosine UDF → posexplode → JVM ROUND → partitioned_topk), shared by
+    q_llm_sim_cosine_topk and q_llm_sim_filtered_topk — the two keys
+    differed only in the corpus predicate, ~15 hand-kept duplicate
+    lines of bit-parity-critical plumbing (review r12)."""
     import numpy as np
 
     em = load_table(spark, sf_dir, "embeddings")
@@ -236,7 +272,7 @@ def q_llm_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
     pairs = (
-        em.filter(F.col("vec_id") >= 10)
+        em.filter(corpus_pred)
         .select(F.col("vec_id").alias("cand_id"),
                 F.posexplode(cos_all("embedding")).alias("qi", "raw"))
         .select(F.element_at(qid_arr, F.col("qi") + 1).alias("query_id"),
@@ -249,7 +285,8 @@ def q_llm_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_llm_sim_filtered_topk",
     oracle=f"""
-WITH pairs AS (
+WITH {_WF_CTE},
+pairs AS (
   {_DUCK_PAIRS.format(ida="query_id", idb="cand_id",
                       pair_cond="a.vec_id < 10 AND b.vec_id >= 10 AND b.label IN (2, 5, 7)")}
 )
@@ -279,24 +316,9 @@ def q_llm_sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right numpy fold (bit-identical to the HOF fold), JVM-side
     ROUND, two-stage partitioned_topk — the filter changes WHICH rows
     are scored, never a value."""
-    import numpy as np
-
-    em = load_table(spark, sf_dir, "embeddings")
-    qt = read_query_slice(sf_dir)
-    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qt.embedding])
-    qids = [int(v) for v in qt.vec_id]
-    cos_all = all_pairs_cosine_udf(Q)
-
-    qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
-    pairs = (
-        em.filter((F.col("vec_id") >= 10) & F.col("label").isin(2, 5, 7))
-        .select(F.col("vec_id").alias("cand_id"),
-                F.posexplode(cos_all("embedding")).alias("qi", "raw"))
-        .select(F.element_at(qid_arr, F.col("qi") + 1).alias("query_id"),
-                "cand_id", F.round("raw", 6).alias("cos_sim"))
-    )
-    return partitioned_topk(pairs, "query_id", 5).select(
-        "query_id", "cand_id", "cos_sim", "rank")
+    return _brute_force_topk(
+        spark, sf_dir,
+        (F.col("vec_id") >= 10) & F.col("label").isin(2, 5, 7))
 
 
 _TAU_PAIRS = 0.30
@@ -305,7 +327,8 @@ _TAU_PAIRS = 0.30
 @query(
     "q_llm_sim_threshold_pairs",
     oracle=f"""
-WITH pairs AS (
+WITH {_WF_CTE},
+pairs AS (
   {_DUCK_PAIRS.format(ida="id_a", idb="id_b",
                       pair_cond="a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200")}
 )
@@ -322,7 +345,10 @@ def q_llm_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     honestly allocates many cheap 1-bit bands — at a production τ≈0.95
     it allocates selective multi-bit bands instead."""
     em = (load_table(spark, sf_dir, "embeddings")
-          .filter(F.col("vec_id") < 200))
+          .filter((F.col("vec_id") < 200)
+                  & (F.size("embedding") == 64)
+                  & (F.expr("size(filter(embedding, x -> x IS NULL))")
+                     == 0)))
     # Sizing estimate from catalog stats + the query's own slice bound —
     # no pre-scan (VERDICT r2 item 7); an upper bound only makes the
     # recall formula allocate ≥ as many bands (conservative direction).
@@ -330,12 +356,22 @@ def q_llm_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = hyperplane_candidate_pairs(
         em, "vec_id", "embedding", n_rows=n,
         tau=_TAU_PAIRS, target_recall=1.0 - 1e-6)
-    a = em.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
-    b = em.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
+    # per-ROW norm precompute (cosine_with_norms), not per-pair
+    # cosine(): the interpreted norm HOFs ran 2|pairs| times instead of
+    # |rows| times — the exact saving the helper's docstring quantifies
+    # and the sibling lsh_topk re-rank already takes (review r12)
+    a = em.select(F.col("vec_id").alias("id_a"),
+                  F.col("embedding").alias("a_emb"),
+                  _norm("embedding").alias("a_norm"))
+    b = em.select(F.col("vec_id").alias("id_b"),
+                  F.col("embedding").alias("b_emb"),
+                  _norm("embedding").alias("b_norm"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", cosine("a_emb", "b_emb").alias("cos_sim"))
+        .select("id_a", "id_b",
+                cosine_with_norms("a_emb", "b_emb", "a_norm", "b_norm")
+                .alias("cos_sim"))
         .filter(F.col("cos_sim") >= _TAU_PAIRS)
     )
 
@@ -343,7 +379,8 @@ def q_llm_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_llm_knn_label",
     oracle=f"""
-WITH pairs AS (
+WITH {_WF_CTE},
+pairs AS (
   {_DUCK_PAIRS.format(ida="query_id", idb="cand_id",
                       pair_cond="a.vec_id < 20 AND b.vec_id >= 20")}
 ),
@@ -371,7 +408,12 @@ def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN (k=10) majority-label classification of the first 20 vectors
     against the rest: two-stage partial top-k (``partitioned_topk``, no
     global per-query sort) → vote count → argmax with total tie-break."""
-    em = load_table(spark, sf_dir, "embeddings")
+    # well-formed vectors only, matching the oracle's wf_embeddings
+    # (review r12): a ragged/NULL-element row's zip_with cosine is NULL
+    # on this side while the oracle's SUM-dot scored it for real
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        (F.size("embedding") == 64)
+        & (F.expr("size(filter(embedding, x -> x IS NULL))") == 0))
     queries = em.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
         _norm("embedding").alias("q_norm"))
@@ -384,8 +426,12 @@ def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = partitioned_topk(pairs, "query_id", 10, payload=["label"])
     votes = knn.groupBy("query_id", "label").agg(
         F.count(F.lit(1)).alias("n_votes"))
+    # asc_nulls_last: DuckDB's ORDER BY label defaults to NULLS LAST
+    # while Spark's asc puts NULLS FIRST — a NULL-label group tying on
+    # votes would win here and lose in the oracle (review r12; label is
+    # schema-nullable)
     wv = Window.partitionBy("query_id").orderBy(
-        F.col("n_votes").desc(), F.col("label"))
+        F.col("n_votes").desc(), F.col("label").asc_nulls_last())
     return (
         votes.withColumn("vr", F.row_number().over(wv))
         .filter(F.col("vr") == 1)
@@ -544,7 +590,13 @@ def hyperplane_band_rows(df: DataFrame, id_col: str, vec_col: str,
     @F.pandas_udf(ArrayType(IntegerType()))
     def band_buckets(vec):
         vals = vec.to_numpy()
-        ok = np.array([v is not None and len(v) == dim for v in vals])
+        # NULL-element vectors get the NULL bucket array the docstring
+        # promises: nan dots compare False against 0, which previously
+        # minted a concrete all-zero-bits signature (review r12)
+        ok = np.array([
+            v is not None and len(v) == dim
+            and not np.isnan(np.asarray(v, dtype=np.float64)).any()
+            for v in vals])
         if not ok.any():
             return pd.Series([None] * len(vals))
         V = np.stack(vals[ok]).astype(np.float64)            # (m_ok, dim)
@@ -715,9 +767,14 @@ def _lsh_portable_bucket_exprs() -> tuple[list[str], list[str]]:
         # (ANSI overflow-checked ops × 1024 terms → a 15k-line class);
         # the HOF fold stays compact, and integer adds are order-exact
         # so the fold is bit-identical to DuckDB's flat sum.
+        # try_element_at: a ragged/empty vector degrades to a NULL dot
+        # (and thence a NULL signature) instead of ANSI-throwing
+        # INVALID_ARRAY_INDEX — the r11 trap the minhash signature
+        # already dodges (review r12); DuckDB's qe[i] is NULL there too
         return (f"aggregate(sequence(1, {_LSH_PORTABLE_DIM}), 0L, "
                 f"(acc, i) -> acc + (CASE WHEN substr('{bits}', i, 1) = '1' "
-                f"THEN element_at(qe, i) ELSE -element_at(qe, i) END))")
+                f"THEN try_element_at(qe, i) "
+                f"ELSE -try_element_at(qe, i) END))")
 
     def bit(dot: str) -> str:
         return f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)"
@@ -742,10 +799,20 @@ def _lsh_portable_oracle() -> str:
         f"SELECT vec_id, {b} AS band, {expr} AS bucket FROM sl"
         for b, expr in enumerate(duck_buckets))
     return f"""
-WITH sl AS (
+WITH wf AS (
+  -- well-formed vectors only (review r12): a ragged/NULL-element
+  -- vector's flat-sum dot is NULL and CASE NULL >= 0 mints the
+  -- all-zero bucket, while the re-rank's SUM-dot skips NULL terms —
+  -- both engines now drop the row at the door instead
+  SELECT * FROM embeddings
+  WHERE vec_id < {_LSH_PORTABLE_BOUND}
+    AND len(embedding) = {_LSH_PORTABLE_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+sl AS (
   SELECT vec_id, embedding,
          list_transform(embedding, x -> {_LSH_PORTABLE_QUANT}) AS qe
-  FROM embeddings WHERE vec_id < {_LSH_PORTABLE_BOUND}
+  FROM wf
 ),
 bk AS (
     {band_rows}
@@ -763,8 +830,8 @@ pairs AS (
               * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
            6) AS cos_sim
   FROM cand c
-  JOIN embeddings a ON a.vec_id = c.id_a
-  JOIN embeddings b ON b.vec_id = c.id_b
+  JOIN wf a ON a.vec_id = c.id_a
+  JOIN wf b ON b.vec_id = c.id_b
   CROSS JOIN generate_series(1, {_LSH_PORTABLE_DIM}) AS g(i)
   GROUP BY c.id_a, c.id_b
 )
@@ -789,7 +856,10 @@ def q_llm_sim_lsh_topk_portable(spark: SparkSession,
     family and the slice bound differ."""
     spark_buckets, _ = _lsh_portable_bucket_exprs()
     em = (load_table(spark, sf_dir, "embeddings")
-          .filter(F.col("vec_id") < _LSH_PORTABLE_BOUND))
+          .filter((F.col("vec_id") < _LSH_PORTABLE_BOUND)
+                  & (F.size("embedding") == _LSH_PORTABLE_DIM)
+                  & (F.expr("size(filter(embedding, x -> x IS NULL))")
+                     == 0)))
     bk = (
         em.select(
             "vec_id",
@@ -864,7 +934,11 @@ def q_llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    cvec_rows = sorted(cvecs.collect(), key=lambda r: r.list_id)
+    # NULL labels form no list (a NULL-keyed centroid crashed the
+    # sorted() below with a None<int TypeError — review r12); their
+    # corpus rows still score in whatever real lists they route to
+    cvec_rows = sorted(cvecs.filter(F.col("list_id").isNotNull()).collect(),
+                       key=lambda r: r.list_id)
     list_ids = np.array([r.list_id for r in cvec_rows], dtype=np.int64)
     dim = len(cvec_rows[0].cvec)
     C = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in cvec_rows])
@@ -875,7 +949,12 @@ def q_llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("int")
     def nearest_list(vec):
         vals = vec.to_numpy()
-        ok = np.array([v is not None and len(v) == dim for v in vals])
+        # NULL-element vectors must route to NULL, not list_ids[0]:
+        # np.argmax over an all-nan score row returns 0 (review r12)
+        ok = np.array([
+            v is not None and len(v) == dim
+            and not np.isnan(np.asarray(v, dtype=np.float64)).any()
+            for v in vals])
         out = [None] * len(vals)
         if ok.any():
             V = np.stack(vals[ok]).astype(np.float64)
@@ -952,13 +1031,12 @@ def q_llm_sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded; the finish is the same two-stage partitioned_topk as the
     exact cosine search — corpus-shuffle-free, the billion-vector
     shape.  Tie-break (hamming, cand_id), both engines."""
-    from ..catalog import load_table
-
     em = load_table(spark, sf_dir, "embeddings")
     from .embeddings import _BQ_PACK_S
-    # NULL embeddings drop (oracle's unnest emits no row; a fabricated
-    # all-zeros signature would rank as a real match — review r11)
-    packed = (em.filter(F.col("embedding").isNotNull()).select(
+    # NULL **and empty** embeddings drop (oracle's unnest emits no row
+    # for either; a fabricated all-zeros signature would rank as a real
+    # match — review r11 caught NULL, r12 caught [])
+    packed = (em.filter(F.size("embedding") > 0).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("xe"))
         .select("vec_id",
