@@ -192,13 +192,13 @@ def q_llm_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Stopword-ish markers per language for the n-gram language-ID heuristic.
-_LANG_MARKERS = {
-    "en": ["the", "a"],
-    "de": ["der", "die"],
-    "fr": ["le", "la"],
-    "es": ["el", "los"],
-    "zh": ["de5", "shi4"],
-}
+# Only the English marker list is scored: the synthetic fixture corpus
+# is English-ish, so the production per-language argmax is represented
+# by its plumbing with one language (review r12: the old dict carried
+# four never-read language entries that implied an argmax which does
+# not exist).  A real deployment extends this to per-language marker
+# scores -> greatest()/max_by argmax over the same shape.
+_EN_MARKERS = ["the", "a"]
 
 
 @query(
@@ -207,8 +207,7 @@ _LANG_MARKERS = {
 WITH scored AS (
   SELECT doc_id, lang,
          {" + ".join(f"len(list_filter({_DUCK_TOKENS}, x -> x = '{m}'))"
-                     for m in _LANG_MARKERS['en'])} AS en_score,
-         len({_DUCK_TOKENS}) AS n_tok
+                     for m in _EN_MARKERS)} AS en_score
   FROM documents
 )
 SELECT doc_id, lang,
@@ -225,7 +224,7 @@ def q_llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     en_score = sum(
         (F.size(F.expr(f"filter({_SPARK_TOKENS}, x -> x = '{m}')"))
-         for m in _LANG_MARKERS["en"]),
+         for m in _EN_MARKERS),
         F.lit(0),
     )
     return docs.select(
@@ -437,14 +436,16 @@ def q_llm_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirty = F.concat(
         F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"),
         F.lit("@example.com code 1234"))
+    # ONE dirty expression feeds both outputs (review r12: n_numbers
+    # re-spelled the synthetic-PII suffix as an inline SQL string —
+    # editing the PII in one copy would silently desynchronize the two)
     return docs.select(
         "doc_id",
         F.regexp_replace(
             F.regexp_replace(dirty, "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
             "[0-9]+", "<NUM>").alias("redacted"),
-        F.size(F.expr(
-            "regexp_extract_all(concat(text, ' contact: user', CAST(doc_id AS STRING), "
-            "'@example.com code 1234'), '[0-9]+', 0)")).alias("n_numbers"),
+        F.size(F.regexp_extract_all(dirty, F.lit("[0-9]+"), F.lit(0)))
+        .alias("n_numbers"),
     )
 
 
@@ -590,7 +591,6 @@ def q_llm_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard), keeping each window partition bounded; the fixture packs one
     logical shard."""
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding,
                                              Window.currentRow)
     cum = docs.select(
@@ -670,7 +670,8 @@ tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n FROM uni),
 nll AS (
   SELECT tok.doc_id,
          COUNT(*) AS n_tok,
-         CAST(CAST(SUM(CAST(-ln(uni.tf / tot.n) AS DECIMAL(30,8)))
+         CAST(CAST(SUM(CAST(ROUND(-ln(uni.tf / tot.n), 9)
+                            AS DECIMAL(30,12)))
               AS VARCHAR) AS DOUBLE) AS sum_nll
   FROM tok JOIN uni USING (term) CROSS JOIN tot
   GROUP BY tok.doc_id
@@ -686,9 +687,10 @@ def q_llm_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     unusual token distribution ⇒ candidate for filtering.  (A real KenLM
     scorer slots into the same join-against-broadcast-LM shape.)
 
-    Parity: per-token -ln(p) is identical double arithmetic on identical
-    inputs; the per-doc sum accumulates in exact decimal (order-
-    independent); one ROUND at the end.
+    Parity: per-token -ln(p) rounds at 1e-9 FIRST (the numerics.py libm
+    discipline — JVM Math.log vs libm log can differ by an ulp) and the
+    per-doc sum then accumulates in exact decimal (order-independent);
+    one final ROUND.
 
     Scale: unigram table aggregates small (vocab-sized) and broadcasts;
     the doc-side explode feeds one partial-combinable aggregate."""
@@ -700,7 +702,13 @@ def q_llm_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(F.broadcast(uni), "term")
         .crossJoin(F.broadcast(tot))
         .select("doc_id",
-                (-F.log(F.col("tf") / F.col("n"))).cast(DEC).alias("t"))
+                # round9_dec, not a bare decimal cast (review r12):
+                # numerics.py's libm discipline — JVM Math.log and
+                # DuckDB's libm log can differ by an ulp, and a bare
+                # CAST to 1e-8 decimal leaves parity hinging on that
+                # ulp landing away from a half-boundary; rounding at
+                # 1e-9 FIRST absorbs it in both engines
+                round9_dec(-F.log(F.col("tf") / F.col("n"))).alias("t"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tok"),
              F.sum("t").cast("double").alias("sum_nll"))
@@ -747,7 +755,8 @@ scored AS (
   WHERE bg.doc_id % 5 = 4
 )
 SELECT doc_id, COUNT(*) AS n_scored,
-       ROUND(CAST(CAST(SUM(CAST(-ln(p) AS DECIMAL(30,8))) AS VARCHAR)
+       ROUND(CAST(CAST(SUM(CAST(ROUND(-ln(p), 9) AS DECIMAL(30,12)))
+                  AS VARCHAR)
                   AS DOUBLE) / COUNT(*), 6) AS avg_nll,
        ROUND(CAST(CAST(SUM(hit) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
          AS bigram_hit_rate
@@ -820,7 +829,8 @@ def q_llm_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_scored"),
-             F.sum(F.expr("cast(-ln(p) as decimal(30,8))"))
+             # round9 first — the libm discipline (see perplexity, r12)
+             F.sum(F.expr("cast(round(-ln(p), 9) as decimal(30,12))"))
               .cast("double").alias("sum_nll"),
              F.sum("hit").cast("bigint").alias("hits"))
         .select("doc_id", "n_scored",
@@ -1052,16 +1062,17 @@ def cascade_flags(docs: DataFrame) -> DataFrame:
                          .cast("double"),
                          F.size(tokens_col())) >= 0.3,
             F.lit(False)).alias("f2"),
-        # NULL-text docs hash to a sentinel instead of NULL: the equi
-        # join below drops NULL keys (NULL != NULL), which would lose
-        # those docs from the cascade entirely while the oracle's
-        # PARTITION BY h keeps them grouped together (review r11)
-        F.coalesce(F.md5(F.lower(F.trim(F.col("text")))),
-                   F.lit("__null_text__")).alias("h"))
-    heads = f.groupBy("h").agg(F.min("doc_id").alias("head_id"))
-    return (f.join(heads, "h")
-            .select("doc_id", "f1", "f2",
-                    (F.col("doc_id") == F.col("head_id")).alias("f3")))
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+    # Window MIN — the oracle's own MIN OVER (PARTITION BY h) shape —
+    # instead of the r9-documented groupBy+join-back anti-pattern: one
+    # scan and one exchange (the join form tokenized and md5'd the
+    # corpus TWICE — the partial-agg below the aggregate side's
+    # exchange defeats ReuseExchange), and window partitioning groups
+    # NULL keys natively, so the r11 '__null_text__' sentinel patching
+    # the join's NULL-drop is no longer needed at all (review r12).
+    head = F.min("doc_id").over(Window.partitionBy("h"))
+    return f.select("doc_id", "f1", "f2",
+                    (F.col("doc_id") == head).alias("f3"))
 
 
 @query(
