@@ -389,15 +389,33 @@ def portable_minhash_duck_exprs() -> list[str]:
     ]
 
 
-@query(
-    "q_llm_dedup_minhash_portable",
-    oracle=f"""
-WITH tok AS (
+def portable_signature_ctes() -> str:
+    """The tok/sh CTE prefix of every portable-MinHash oracle — one
+    copy (review r12: q_stream_dedup_near's oracle re-spelled these
+    byte-for-byte, so a tokenizer/shingle change could silently
+    desynchronize the batch=stream near-dup pair from this key)."""
+    return f"""tok AS (
   SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
 ),
 sh AS (
   SELECT doc_id, ({_DUCK_SHINGLES_OR_WHOLE}) AS shs FROM tok
-)
+)"""
+
+
+def portable_signature_frame(docs):
+    """(doc_id, mh0..mh7): the full portable-MinHash signature
+    projection (tokens → shingles → per-permutation min md5) — the
+    Spark twin of portable_signature_ctes, shared with the streaming
+    near-dup key."""
+    return (docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
+            .select("doc_id", F.expr(_SPARK_SHINGLES_OR_WHOLE).alias("shs"))
+            .select("doc_id", *portable_minhash_spark_cols()))
+
+
+@query(
+    "q_llm_dedup_minhash_portable",
+    oracle=f"""
+WITH {portable_signature_ctes()}
 SELECT doc_id,
        {", ".join(portable_minhash_duck_exprs())}
 FROM sh
@@ -413,11 +431,7 @@ def q_llm_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same shape as the hot path: pure projection over the scan, no
     shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
-        .select("doc_id", F.expr(_SPARK_SHINGLES_OR_WHOLE).alias("shs"))
-        .select("doc_id", *portable_minhash_spark_cols())
-    )
+    return portable_signature_frame(docs)
 
 
 # SimHash: 16 bits from the first 4 md5 hex digits of each token,

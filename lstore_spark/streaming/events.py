@@ -148,7 +148,7 @@ def q_stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session_window",
     oracle="""
 WITH marked AS (
-  SELECT user_id, ts, event_id, value,
+  SELECT user_id, ts, event_id,
          -- >= not >: Spark session windows are [start, last+gap), so an
          -- event exactly `gap` after the last one opens a NEW session.
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
@@ -156,7 +156,7 @@ WITH marked AS (
                    >= 1800000000 THEN 1 ELSE 0 END AS new_session
   FROM events
 ), numbered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts,
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
@@ -217,18 +217,14 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dedup_oracle() -> str:
-    from ..llm.dedup import (_DUCK_SHINGLES_OR_WHOLE, _PORTABLE_MINHASH_K,
-                             portable_minhash_duck_exprs)
-    from ..llm.text import _DUCK_TOKENS
+    # tok/sh staging via the SHARED CTE builder (review r12: this
+    # oracle re-spelled dedup.py's staging byte-for-byte)
+    from ..llm.dedup import (_PORTABLE_MINHASH_K, portable_minhash_duck_exprs,
+                             portable_signature_ctes)
     sig_exprs = ", ".join(portable_minhash_duck_exprs())
     sig_names = ", ".join(f"mh{p}" for p in range(_PORTABLE_MINHASH_K))
     return f"""
-WITH tok AS (
-  SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
-),
-sh AS (
-  SELECT doc_id, ({_DUCK_SHINGLES_OR_WHOLE}) AS shs FROM tok
-),
+WITH {portable_signature_ctes()},
 sig AS (
   SELECT doc_id, {sig_exprs} FROM sh
 )
@@ -256,17 +252,11 @@ def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     as minhash_signatures); the dedup is one exchange on the 8-hash
     signature key.  Streaming state holds one row per distinct signature
     inside the watermark horizon, not per document."""
-    from ..llm.dedup import (_PORTABLE_MINHASH_K, _SPARK_SHINGLES_OR_WHOLE,
-                             portable_minhash_spark_cols)
-    from ..llm.text import _SPARK_TOKENS
+    from ..llm.dedup import _PORTABLE_MINHASH_K, portable_signature_frame
 
     docs = load_table(spark, sf_dir, "documents")
     sig_cols = [f"mh{p}" for p in range(_PORTABLE_MINHASH_K)]
-    sig = (
-        docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
-        .select("doc_id", F.expr(_SPARK_SHINGLES_OR_WHOLE).alias("shs"))
-        .select("doc_id", *portable_minhash_spark_cols())
-    )
+    sig = portable_signature_frame(docs)
     w = Window.partitionBy(*sig_cols).orderBy("doc_id")
     return (sig.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1).select("doc_id"))
@@ -478,7 +468,6 @@ def q_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset is the sealed-segment set (write-once files), restarts and
     retries can't lose or duplicate rows.  The final sink contents equal
     the full slice, which is exactly what the oracle checks."""
-    import os
     import time
 
     from ..sources.lstore_log import (events_as_segment_rows, register,
@@ -507,9 +496,32 @@ def q_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_segments(events_as_segment_rows(batch).repartition(1), sdir)
 
     def publish(i: int) -> None:
-        src = os.path.join(root, f"stage{i}", "part-00000.seg")
-        if os.path.exists(src):  # an empty slice writes no segment —
-            os.rename(src, os.path.join(live, f"b{i}.seg"))  # skip, don't crash
+        # locate the staged segment by extension, not by hardcoding
+        # write_segments' internal part-00000 naming; and distinguish
+        # "slice was empty" (legitimate skip) from "naming drifted /
+        # write failed" — the silent no-op turned either into a 120 s
+        # gate-loop stall with an empty sink (review r12)
+        staged = [f for f in os.listdir(os.path.join(root, f"stage{i}"))
+                  if f.endswith(".seg")]
+        lo, hi = ((0, 300), (300, 600), (600, 900))[i]
+        n_slice = (cum[1] if i == 1 else cum[0]) if i < 2 else None
+        expected_nonempty = (
+            (i == 0 and cum[0] > 0)
+            or (i == 1 and cum[1] > cum[0])
+            or (i == 2))  # slice 2 size isn't precomputed; segs decide
+        if not staged:
+            if i < 2 and expected_nonempty:
+                raise RuntimeError(
+                    f"q_stream_follow: slice {i} has rows ({n_slice} "
+                    "cumulative) but write_segments staged no .seg — "
+                    "sink naming drifted or the write failed")
+            return  # genuinely empty slice: skip, don't crash
+        if len(staged) != 1:
+            raise RuntimeError(
+                f"q_stream_follow: expected ONE staged segment for "
+                f"slice {i} (repartition(1)), found {staged}")
+        os.rename(os.path.join(root, f"stage{i}", staged[0]),
+                  os.path.join(live, f"b{i}.seg"))
 
     publish(0)
     register(spark)
@@ -659,10 +671,11 @@ def q_stream_active_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day rollup — dedup state holds (day, user) keys inside the
     watermark horizon only."""
     ev = load_table(spark, sf_dir, "events")
-    # NULL users drop like the oracle's COUNT(DISTINCT user_id), which
-    # ignores NULL — distinct+count would have counted a (day, NULL)
-    # pair as a phantom user (review r11)
-    return (ev.filter(F.col("user_id").isNotNull())
-            .select(F.col("ts").cast("date").alias("day"), "user_id")
+    # COUNT(user_id) over the distinct pairs, NOT a pre-filter +
+    # COUNT(*): the r11 pre-filter dropped NULL users' ROWS, so a day
+    # whose events all carry NULL user_id vanished entirely where the
+    # oracle's GROUP BY still emits (day, 0) — count(col) skips the
+    # (day, NULL) pair while keeping the day's group (review r12)
+    return (ev.select(F.col("ts").cast("date").alias("day"), "user_id")
             .distinct()
-            .groupBy("day").agg(F.count(F.lit(1)).alias("dau")))
+            .groupBy("day").agg(F.count("user_id").alias("dau")))
