@@ -134,9 +134,19 @@ def build_tmp_dir(final: str) -> str:
     """PID-suffixed staging path for a directory artifact that will be
     published with ``publish_dir`` — build the whole artifact here,
     then rename.  Cleans any leftover staging dir from a crashed prior
-    run of this same PID slot."""
+    run of this same PID slot, and reaps OTHER slots whose owner is
+    dead (review r12: '.build_p<pid>' matches no reaper pattern — the
+    '_p' adjacency the fresh_scratch_dir regex requires is broken by
+    '.build' — so a killed build leaked its fixture-sized staging dir
+    forever; same dead-or-recycled-PID rule as every other reaper)."""
+    import glob
+    import re
     import shutil
 
+    for stale in glob.glob(f"{glob.escape(final)}.build_p*"):
+        m = re.search(r"\.build_p(\d+)$", stale)
+        if m and _reapable(stale, int(m.group(1))):
+            shutil.rmtree(stale, ignore_errors=True)
     tmp = f"{final}.build_p{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     return tmp
@@ -274,6 +284,12 @@ def _pid_alive(pid: int) -> bool:
         return False
     except PermissionError:
         return True  # exists, owned by someone else
+    except OverflowError:
+        # an absurd PID suffix (crafted/junk dir in world-writable
+        # /tmp): no such process can exist, and OverflowError is NOT an
+        # OSError — unhandled it escaped the reaper loop and killed the
+        # calling query until the dir was hand-deleted (review r12)
+        return False
     return True
 
 
@@ -336,9 +352,14 @@ def _path_sig(path: str):
     try:
         if os.path.isdir(path):
             with os.scandir(path) as parts:
+                # subdir NAMES participate too (review r12): a layout
+                # change that only adds a partition directory must
+                # invalidate — file-only signatures served the old
+                # cached answer for the new layout
                 return tuple(sorted(
                     (p.name, p.stat().st_size, p.stat().st_mtime_ns)
-                    for p in parts if p.is_file()))
+                    if p.is_file() else (p.name, -1, -1)
+                    for p in parts))
         st = os.stat(path)
         return (st.st_size, st.st_mtime_ns)
     except OSError:
@@ -386,6 +407,13 @@ def table_rows(sf_dir: str, name: str) -> int:
             with os.scandir(path) as parts:
                 for p in parts:
                     if p.is_dir():
+                        if p.name.startswith(("_", ".")):
+                            # metadata debris (_temporary from a
+                            # crashed write, .ipynb_checkpoints...):
+                            # Spark's own file index skips these, so a
+                            # readable table must not crash the stats
+                            # gate over them (review r12)
+                            continue
                         raise ValueError(
                             f"table_rows({path}): nested/partitioned "
                             "layout — top-level footer summing would "
@@ -475,9 +503,16 @@ def build_bucket_layout(spark: SparkSession, sf_dir: str,
 
     n = n_buckets or bucket_layout_n(sf_dir)
     out: dict[str, str] = {}
+    # ONE fingerprint for the whole multi-table build (review r12): a
+    # per-iteration recompute both re-stat-scanned the fixture per
+    # table and — if a concurrent regeneration landed between the
+    # iterations — could publish the pair under DIFFERENT fingerprints,
+    # after which bucketed_table (one fp) forever saw a half-complete
+    # layout and silently fell back to the shuffled plan.
+    fp = fixture_fingerprint(sf_dir)
     for t in tables:
         key = BUCKET_KEYS[t]
-        final, done = scratch_dir(f"{BUCKET_LAYOUT_TAG}_{t}", sf_dir)
+        final, done = scratch_dir(f"{BUCKET_LAYOUT_TAG}_{t}", sf_dir, key=fp)
         if not done:
             clear_incomplete_dir(final)
             tmp = build_tmp_dir(final)
@@ -540,8 +575,21 @@ def events_ts_unit(path: str) -> str:
 
     def build() -> str:
         try:
+            import glob
+
             import pyarrow.parquet as pq
-            t = str(pq.ParquetFile(path).schema_arrow.field("ts").type)
+            target = path
+            if os.path.isdir(path):
+                # directory-style tables are first-class everywhere
+                # else in this module; ParquetFile(dir) raises and the
+                # blanket fallback mis-routed a NANOS directory table
+                # down the µs read path (review r12) — sniff the first
+                # part file's footer instead
+                parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+                if not parts:
+                    return "us"
+                target = parts[0]
+            t = str(pq.ParquetFile(target).schema_arrow.field("ts").type)
             return "ns" if "[ns]" in t else "us"
         except Exception:
             return "us"
@@ -558,17 +606,31 @@ def events_ts_unit(path: str) -> str:
 # so a signature-less key would serve stale file lists (review r10) —
 # and latest-signature-wins eviction keeps regeneration churn from
 # accumulating dead plans (ADVICE r10).  Session churn has its own
-# eviction (review r11): entries are keyed by id(spark), and a process
-# that stops and recreates sessions (notebook, repeated in-process
-# runs) would otherwise pin every dead session's plans — and the dead
-# session itself, via the DataFrame — forever; a weakref per session id
-# lets each insert purge entries whose session was collected.
+# eviction: entries are keyed by id(spark), and a process that stops
+# and recreates sessions (notebook, repeated in-process runs) would
+# otherwise pin every dead session's plans — and the dead session
+# itself, via the DataFrame — forever.  Deadness = STOPPED (the
+# context's _jsc is nulled by SparkContext.stop, verified on pyspark
+# 4.1.2), not collected: the r11 weakref scheme could never fire
+# because every cached DataFrame strongly references its session via
+# DataFrame._session, so ref() never returned None and the purge was
+# dead code — the exact leak it claimed to fix (review r12).
 _TABLE_CACHE: dict[tuple, tuple] = {}
 _SESSION_REFS: dict[int, object] = {}  # id(spark) -> weakref.ref
 
 
 def _purge_dead_sessions() -> None:
-    dead = [sid for sid, ref in _SESSION_REFS.items() if ref() is None]
+    dead = []
+    for sid, ref in _SESSION_REFS.items():
+        s = ref()
+        if s is None:
+            dead.append(sid)
+            continue
+        try:
+            if s.sparkContext._jsc is None:  # stopped session
+                dead.append(sid)
+        except Exception:  # torn-down internals — treat as dead
+            dead.append(sid)
     for sid in dead:
         del _SESSION_REFS[sid]
         for key in [k for k in _TABLE_CACHE if k[0] == sid]:

@@ -190,3 +190,80 @@ def test_publish_dir_atomic_and_loser_discards(tmp_path):
     assert os.path.exists(os.path.join(final, "winner")), "winner clobbered"
     assert not os.path.exists(os.path.join(final, "loser"))
     assert not os.path.exists(tmp_b), "staging dir leaked"
+
+
+def test_pid_alive_overflow_pid_is_dead(tmp_path):
+    """review r12: an absurd PID suffix (junk dir in world-writable
+    /tmp) raised OverflowError from os.kill — NOT an OSError — and
+    killed every query whose reaper hit it."""
+    huge = 10 ** 20
+    assert not catalog._pid_alive(huge)
+    d = tmp_path / f"lstore_spark_sinkx_0123456789_p{huge}"
+    d.mkdir()
+    assert catalog._reapable(str(d), huge)
+
+
+def test_table_rows_skips_metadata_debris_dirs(tmp_path):
+    """review r12: a crashed write's _temporary/ (or .checkpoints) in a
+    directory-style table must not crash the stats gate — Spark's own
+    reader skips underscore/dot-prefixed paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    d = tmp_path / "fx"
+    tbl = d / "orders.parquet"
+    tbl.mkdir(parents=True)
+    pq.write_table(pa.table({"o_orderkey": pa.array([1, 2, 3], pa.int64())}),
+                   str(tbl / "part-0.parquet"))
+    (tbl / "_temporary").mkdir()
+    (tbl / ".ipynb_checkpoints").mkdir()
+    assert catalog.table_rows(str(d), "orders") == 3
+    # a REAL nested layout still fails loudly
+    (tbl / "o_dt=2024").mkdir()
+    with pytest.raises(ValueError, match="nested"):
+        catalog.table_rows(str(d), "orders")
+
+
+def test_build_tmp_dir_reaps_dead_pid_slots(tmp_path, monkeypatch):
+    """review r12: a killed build's .build_p<pid> staging dir matched
+    no reaper pattern and leaked its fixture-sized contents forever."""
+    final = tmp_path / "lstore_spark_bkt_abc"
+    dead = tmp_path / "lstore_spark_bkt_abc.build_p999999999"
+    dead.mkdir()
+    (dead / "junk").write_text("x")
+    live_pid = os.getpid()
+    live = tmp_path / f"lstore_spark_bkt_abc.build_p{live_pid}x"  # not ours
+    tmp = catalog.build_tmp_dir(str(final))
+    assert not dead.exists(), "dead-PID staging slot not reaped"
+    assert tmp.endswith(f".build_p{live_pid}")
+
+
+def test_table_cache_purges_stopped_sessions():
+    """review r12: the r11 weakref purge could never fire (cached
+    DataFrames strongly pin their session via DataFrame._session), so
+    stopped sessions leaked for the process lifetime; deadness is now
+    STOPPED (sparkContext._jsc is None — what SparkContext.stop sets).
+    Simulated with stub sessions: actually stopping a second session
+    here would kill the suite's shared SparkContext."""
+    import types
+    import weakref
+
+    class _Stub:  # weakref-able stand-in with the probed attribute
+        def __init__(self, jsc):
+            self.sparkContext = types.SimpleNamespace(_jsc=jsc)
+
+    live, stopped = _Stub(jsc=object()), _Stub(jsc=None)
+    for s in (live, stopped):
+        catalog._SESSION_REFS[id(s)] = weakref.ref(s)
+        catalog._TABLE_CACHE[(id(s), "/fx", "region")] = ("sig", object())
+    catalog._purge_dead_sessions()
+    try:
+        assert (id(live), "/fx", "region") in catalog._TABLE_CACHE, \
+            "live session's plans must survive"
+        assert not any(k[0] == id(stopped) for k in catalog._TABLE_CACHE), \
+            "stopped session's cached plans not purged"
+        assert id(stopped) not in catalog._SESSION_REFS
+    finally:
+        catalog._SESSION_REFS.pop(id(live), None)
+        catalog._TABLE_CACHE.pop((id(live), "/fx", "region"), None)
