@@ -589,7 +589,18 @@ def events_ts_unit(path: str) -> str:
                 if not parts:
                     return "us"
                 target = parts[0]
-            t = str(pq.ParquetFile(target).schema_arrow.field("ts").type)
+            pf = pq.ParquetFile(target)
+            # physical INT96 (legacy Spark-written timestamps) reads
+            # natively as a timestamp — pyarrow reports it as
+            # timestamp[ns] too, but nanosAsLong does NOT apply to it,
+            # so the 'ns' raw-long path would crash the scan (review
+            # r12, found by the dir-style sniff extension)
+            ps = pf.schema
+            idx = next(i for i in range(len(ps.names))
+                       if ps.column(i).name == "ts")
+            if ps.column(idx).physical_type == "INT96":
+                return "us"
+            t = str(pf.schema_arrow.field("ts").type)
             return "ns" if "[ns]" in t else "us"
         except Exception:
             return "us"

@@ -59,3 +59,32 @@ def test_both_encodings_load_identically(spark, dual_dirs):
     assert dict(df.dtypes)["ts"] == "timestamp_ntz"
     years = {r.ts.year for r in df.select("ts").collect()}
     assert years == {2024}, f"wrong epoch interpretation: {years}"
+
+
+def test_events_ts_unit_sniffs_directory_tables(tmp_path):
+    """review r12: directory-style events tables are first-class
+    everywhere else, but ParquetFile(dir) raised and the blanket 'us'
+    fallback mis-routed NANOS directory tables; and the dir-sniff must
+    NOT misread legacy INT96 (Spark-written) timestamps as raw-long
+    nanos — pyarrow reports both as timestamp[ns], only INT64 NANOS
+    takes the nanosAsLong path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lstore_spark.catalog import events_ts_unit
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    t = pa.table({"event_id": pa.array([1], pa.int64()),
+                  "ts": pa.array([1700000000000000000],
+                                 pa.timestamp("ns"))})
+    pq.write_table(t, str(d / "part-0.parquet"),
+                   coerce_timestamps=None, allow_truncated_timestamps=False)
+    assert events_ts_unit(str(d)) == "ns"
+    # µs directory table
+    d2 = tmp_path / "events2.parquet"
+    d2.mkdir()
+    t2 = pa.table({"event_id": pa.array([1], pa.int64()),
+                   "ts": pa.array([1700000000000000], pa.timestamp("us"))})
+    pq.write_table(t2, str(d2 / "part-0.parquet"))
+    assert events_ts_unit(str(d2)) == "us"
