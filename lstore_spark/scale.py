@@ -194,7 +194,14 @@ def purge_before(spark: SparkSession, path: str, cutoff_day: str) -> int:
     base = path.removeprefix("file:")
     dropped = 0
     for entry in sorted(os.listdir(base)):
-        if entry.startswith("day=") and entry[4:] < cutoff_day:
+        if entry.startswith("day=") and (
+                entry[4:] < cutoff_day
+                or entry[4:] == "__HIVE_DEFAULT_PARTITION__"):
+            # the NULL-day partition sorts lexically ABOVE every ISO
+            # date ('_' > '9') so the < compare never dropped it, while
+            # the retention predicate CAST(ts AS DATE) >= cutoff is
+            # NULL for NULL ts — a NULL-ts row must purge with the
+            # expired data, not survive forever (review r12)
             shutil.rmtree(os.path.join(base, entry))
             dropped += 1
     return dropped

@@ -24,7 +24,7 @@ from ..registry import query
 # Layout rewrites (DPP, z-order) cache under catalog.scratch_dir so
 # repeated sweeps/bench runs reuse one copy instead of leaking a
 # fixture-sized mkdtemp per invocation (ADVICE r7); the versioned tags
-# (dpp1/zorder1) bust the cache if the producing code changes.
+# (dpp1/zorder2) bust the cache if the producing code changes.
 
 
 @query(
@@ -83,21 +83,31 @@ _RT_SCHEMA = StructType([
 ])
 
 
-@query(
-    "q_source_csv_roundtrip",
-    oracle="""
+_RT_ORACLE = """
 SELECT event_id, user_id, event_type, value
 FROM events WHERE event_id < 1000
-""",
+"""
+
+
+def _event_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE round-trip event slice (review r12: the filter+projection was
+    copy-pasted across the CSV/ORC/JSON/XML round-trips — changing the
+    bound or column set required four coordinated edits)."""
+    return (load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 1000)
+            .select("event_id", "user_id", "event_type", "value"))
+
+
+@query(
+    "q_source_csv_roundtrip",
+    oracle=_RT_ORACLE,
 )
 def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink+source round-trip: write an event slice as headered CSV,
     read it back under a declared schema; values must survive the text
     codec exactly (doubles round-trip via Spark's shortest-repr writer).
     Oracle compares against the original parquet — end-to-end fidelity."""
-    ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("event_id") < 1000)
-          .select("event_id", "user_id", "event_type", "value"))
+    ev = _event_slice(spark, sf_dir)
     out = fresh_scratch_dir("csv", sf_dir)
     ev.write.mode("overwrite").option("header", "true").csv(out)
     return spark.read.schema(_RT_SCHEMA).option("header", "true").csv(out)
@@ -105,19 +115,14 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_source_orc_roundtrip",
-    oracle="""
-SELECT event_id, user_id, event_type, value
-FROM events WHERE event_id < 1000
-""",
+    oracle=_RT_ORACLE,
 )
 def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink+source round-trip: the second columnar format Spark ships
     natively (row-group stats + optional blooms like parquet); an
     lstore-style store exported for a Hive-era consumer goes through
     exactly this path.  Oracle compares against the original parquet."""
-    ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("event_id") < 1000)
-          .select("event_id", "user_id", "event_type", "value"))
+    ev = _event_slice(spark, sf_dir)
     out = fresh_scratch_dir("orc", sf_dir)
     (ev.write.mode("overwrite")
        .option("orc.bloom.filter.columns", "event_type")
@@ -127,17 +132,12 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_source_json_roundtrip",
-    oracle="""
-SELECT event_id, user_id, event_type, value
-FROM events WHERE event_id < 1000
-""",
+    oracle=_RT_ORACLE,
 )
 def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink+source round-trip under a declared schema (the
     interchange format of every ingestion pipeline)."""
-    ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("event_id") < 1000)
-          .select("event_id", "user_id", "event_type", "value"))
+    ev = _event_slice(spark, sf_dir)
     out = fresh_scratch_dir("json", sf_dir)
     ev.write.mode("overwrite").json(out)
     return spark.read.schema(_RT_SCHEMA).json(out)
@@ -177,7 +177,7 @@ def q_source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_source_bucketed_join",
-    oracle=f"""
+    oracle="""
 SELECT o_orderpriority, COUNT(*) AS n_lines,
        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
          AS sum_qty
@@ -308,10 +308,11 @@ def q_maint_retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
        .partitionBy("day")
        .parquet(out))
     # Purge expired partitions by directory — no data read, no rewrite.
-    import os
-    for d in os.listdir(out):
-        if d.startswith("day=") and d[4:] < cutoff:
-            shutil.rmtree(os.path.join(out, d))
+    # THE purge implementation lives in scale.purge_before (review r12:
+    # this was an inline copy, so the NULL-day fix there would have
+    # missed this path).
+    from ..scale import purge_before
+    purge_before(spark, out, cutoff)
     back = spark.read.parquet(out)
     return back.groupBy("day").agg(
         F.count(F.lit(1)).alias("n"),
@@ -401,7 +402,7 @@ def q_maint_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id",
         F.floor("value").cast("long").alias("vq"))
-    out, built = scratch_dir("zorder1", sf_dir)
+    out, built = scratch_dir("zorder2", sf_dir)  # bumped r12: _z dropped from the artifact
     if not built:
         # staged build + atomic publish: a concurrent session that
         # loses the race reads the winner's complete rewrite instead
@@ -413,6 +414,10 @@ def q_maint_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.withColumn("_z", zorder_key("user_id", "vq"))
             .repartitionByRange(8, "_z")
             .sortWithinPartitions("_z")
+            # _z has done its job once the rows are ordered — persisting
+            # it inflated the cached fixture-sized artifact ~25% for a
+            # column no reader selects (review r12)
+            .drop("_z")
             .write.mode("overwrite").parquet(tmp)
         )
         publish_dir(tmp, out)
@@ -421,19 +426,14 @@ def q_maint_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_source_xml_roundtrip",
-    oracle="""
-SELECT event_id, user_id, event_type, value
-FROM events WHERE event_id < 1000
-""",
+    oracle=_RT_ORACLE,
 )
 def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink+source round-trip (Spark 4's built-in xml format, rowTag
     framing) under a declared schema — the enterprise-interchange path.
     Doubles survive via the same shortest-repr text codec as CSV/JSON;
     oracle compares against the original parquet."""
-    ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("event_id") < 1000)
-          .select("event_id", "user_id", "event_type", "value"))
+    ev = _event_slice(spark, sf_dir)
     out = fresh_scratch_dir("xml", sf_dir)
     (ev.write.mode("overwrite").format("xml")
        .option("rowTag", "event").save(out))
