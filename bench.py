@@ -3,11 +3,21 @@
 
 Prints exactly ONE JSON line on stdout:
   {"metric": "total_wall_sec", "value": N, "unit": "sec",
-   "queries": {key: sec, ...}, "sf": 0.1}
+   "queries": {key: sec, ...}, "sf": 0.1, ...}
 
 Each query is forced end-to-end with a noop-format write (full compute,
 no collect-to-driver cost in the measurement).  One JVM warm-up query
 runs first and is discarded.
+
+Quiet-window protocol (VERDICT r12 #4): the headline loop runs
+``$SPARK_GRAFT_BENCH_PASSES`` times (default 3) and each query reports
+its per-pass MEDIAN — every round since r10 has measured multi-second
+ambient swings on this shared host (hypervisor steal, noisy neighbors)
+that single-shot timings false-flag as regressions.  The JSON carries
+the evidence to adjudicate any residual drift: per-pass totals, per-
+query min (the host-noise floor), fixed-work calibration probes
+(single-thread + all-core) before/after, /proc/stat steal delta, and a
+Spark-side fixed-work re-run.
 """
 
 from __future__ import annotations
@@ -174,12 +184,22 @@ def main() -> None:
     # training aggregate inside its timed window.
     from lstore_spark.llm.embeddings import pq_codebook
     pq_codebook(spark, SF_DIR)
-    times: dict[str, float] = {}
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     calib0 = calibration_probe()
     pcal0 = parallel_calibration_probe()
     steal0 = _steal_jiffies()
-    for key in HEADLINE:
-        times[key] = round(run_once(spark, key), 3)
+    passes: list[dict[str, float]] = []
+    for _ in range(n_passes):
+        t: dict[str, float] = {}
+        for key in HEADLINE:
+            t[key] = round(run_once(spark, key), 3)
+        passes.append(t)
+    import statistics
+
+    times = {k: round(statistics.median(p[k] for p in passes), 3)
+             for k in HEADLINE}
+    times_min = {k: min(p[k] for p in passes) for k in HEADLINE}
+    pass_totals = [round(sum(p.values()), 3) for p in passes]
     calib1 = calibration_probe()
     pcal1 = parallel_calibration_probe()
     steal1 = _steal_jiffies()
@@ -199,6 +219,21 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        # Quiet-window evidence (VERDICT r12 #4): value/queries are
+        # per-query medians over the passes; the min is each query's
+        # observed noise floor, and the pass totals expose the ambient
+        # spread that a single-shot run would bake into one number.
+        # The FULL per-pass grid is included so any cold-vs-steady
+        # split is adjudicable from the JSON alone: pass 1 carries the
+        # per-process one-time costs (janino codegen compile, JIT,
+        # Python-pool shapes) — the historical single-shot methodology
+        # — while later passes measure the compile-once/run-many
+        # steady state that dominates at 100 TB.
+        "protocol": f"median-of-{n_passes}",
+        "pass_total_sec": pass_totals,
+        "spread_sec": round(max(pass_totals) - min(pass_totals), 3),
+        "queries_min": times_min,
+        "queries_per_pass": passes,
         # Environment evidence (VERDICT r8 #5): host load/memory plus a
         # fixed-work calibration probe timed before and after the
         # headline loop — contention claims are now checkable from the

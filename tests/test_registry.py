@@ -123,6 +123,36 @@ def test_cli_sql_and_key_paths(spark, sf_dir):
     assert sorted(registry.QUERIES) == sorted(set(registry.QUERIES))
 
 
+def test_sql_surface_hash_parity(spark, sf_dir):
+    """VERDICT r12 #5: `catalog.register_views` exposes the same table
+    names the oracle sees (region…embeddings), so a user can run §2
+    queries as plain `spark.sql()` strings.  Certify the surface by
+    running several keys' own ANSI oracle text through spark.sql over
+    the views and hash-comparing against the DataFrame-API plan — same
+    canonicalization as the driver's correctness gate."""
+    from lstore_spark import registry
+    from lstore_spark.catalog import register_views
+    from tests.oracle_check import canon_rows
+
+    registry.load_all()
+    register_views(spark, sf_dir)
+
+    def canon(df):
+        pdf = df.toPandas()
+        return canon_rows(list(pdf.columns),
+                          [tuple(r) for r in
+                           pdf.itertuples(index=False, name=None)])
+
+    for key in ("q_agg_groupby_hash", "q_filter_int_range",
+                "q_join_inner_hash", "q_sort_multi_key"):
+        # sole dialect delta: Spark spells DuckDB's bare VARCHAR cast
+        # STRING (same dec2dbl decimal→text→double semantics)
+        sql = registry.ORACLE[key].replace("AS VARCHAR)", "AS STRING)")
+        via_sql = canon(spark.sql(sql))
+        via_df = canon(registry.QUERIES[key](spark, sf_dir))
+        assert via_sql == via_df and len(via_sql) > 0, key
+
+
 def test_observed_metrics_ride_the_single_action(spark, sf_dir):
     """metrics.observed: the audit numbers must (a) be produced by the
     ONE action the caller runs, and (b) match an independent recount —
