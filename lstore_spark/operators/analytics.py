@@ -170,13 +170,27 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer-stat gate q5 applies; past the cap AQE's shuffled semi join
     takes over, review r11), shuffle join lineitem⋈orders, 2-phase agg,
     TakeOrdered."""
+    # When the bucketed orderkey layout exists, both fact scans read it
+    # (VERDICT r12 #6): the li⋈od merge needs no exchange and the
+    # (l_orderkey, o_orderdate) rollup is satisfied by the buckets'
+    # l_orderkey hash partitioning — the whole chain to TakeOrdered
+    # compiles with zero orderkey exchanges.  Plain parquet falls back
+    # to the broadcast+shuffle plan adjudicated at 1000×.
+    from ..catalog import bucketed_table
+
     cu = (load_table(spark, sf_dir, "customer")
           .filter(F.col("c_mktsegment") == "BUILDING"))
     if fits_broadcast(sf_dir, "customer", 0.20):
         cu = F.broadcast(cu)
     cut = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
-    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    od_b = bucketed_table(spark, sf_dir, "orders")
+    li_b = bucketed_table(spark, sf_dir, "lineitem")
+    od = (od_b if od_b is not None
+          else load_table(spark, sf_dir, "orders")).filter(
+        F.col("o_orderdate") < cut)
+    li = (li_b if li_b is not None
+          else load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipdate") > cut)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)

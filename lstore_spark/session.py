@@ -41,6 +41,14 @@ _RUNTIME_CONFS = {
     # lstore's indexed-segment block skipping (SURVEY.md §4.2).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # The bucketed orderkey layout (catalog.build_bucket_layout) writes
+    # exactly one sorted file per bucket, so scans of it can report the
+    # bucket sort order and the fact⋈fact merge joins compile with zero
+    # SORTS as well as zero exchanges (r13).  Spark gates this behind a
+    # legacy flag because multi-file buckets would need a per-plan file
+    # count check — with >1 file in any selected bucket it safely
+    # reports no ordering, so correctness is unaffected either way.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 # Shuffle width: AQE coalesces batch plans at runtime, but STREAMING

@@ -162,38 +162,40 @@ def test_global_row_number_matches_naive_window(spark, sf_dir):
 
 
 def test_bucket_layout_routes_q18_and_global_distinct(spark, sf_dir):
-    """VERDICT r10 #2 pinned: when catalog.build_bucket_layout has
-    published the orderkey layout, the two residual 1000× spill shapes
-    must compile onto it BY DEFAULT with zero orderkey exchanges —
-    q_tpch_q18_large_orders' rollup+join chain and q_agg_global's
-    exact-distinct branch — and return exactly the plain-parquet rows."""
+    """VERDICT r10 #2 + r12 #6 pinned: when catalog.build_bucket_layout
+    has published the orderkey layout, every order-grain key must
+    compile onto it BY DEFAULT with zero orderkey exchanges —
+    q_tpch_q18_large_orders' rollup+join chain, q_agg_global's
+    exact-distinct branch, q_join_sort_merge's fact⋈fact merge, and
+    q_tpch_q3_shipping's join+rollup chain — and return exactly the
+    plain-parquet rows."""
     from lstore_spark import catalog
     from lstore_spark.registry import QUERIES
 
-    q18 = QUERIES["q_tpch_q18_large_orders"]
-    qag = QUERIES["q_agg_global"]
+    routed_keys = ["q_tpch_q18_large_orders", "q_agg_global",
+                   "q_join_sort_merge", "q_tpch_q3_shipping"]
     # Plain-parquet reference results (layout not built yet: pytest's
     # scratch root is fresh per session).
-    base18 = sorted(map(tuple, q18(spark, sf_dir).collect()))
-    baseag = [tuple(r) for r in qag(spark, sf_dir).collect()]
+    base = {k: sorted(map(tuple, QUERIES[k](spark, sf_dir).collect()))
+            for k in routed_keys}
 
     dirs = catalog.build_bucket_layout(spark, sf_dir)
     for d in dirs.values():
         assert os.path.exists(os.path.join(d, "_SUCCESS")), d
     assert catalog.bucketed_table(spark, sf_dir, "lineitem") is not None
 
-    routed18 = q18(spark, sf_dir)
-    plan18 = _plan(routed18)
-    assert "Exchange hashpartitioning(l_orderkey" not in plan18, plan18[:1500]
-    assert "Exchange hashpartitioning(o_orderkey" not in plan18, plan18[:1500]
-    assert "Bucketed: true" in plan18, "q18 did not route onto the layout"
-    assert sorted(map(tuple, routed18.collect())) == base18
-
-    routedag = qag(spark, sf_dir)
-    planag = _plan(routedag)
-    assert "Exchange hashpartitioning(l_orderkey" not in planag, planag[:1500]
-    assert "Bucketed: true" in planag, "distinct did not route onto the layout"
-    assert [tuple(r) for r in routedag.collect()] == baseag
+    for k in routed_keys:
+        routed = QUERIES[k](spark, sf_dir)
+        plan = _plan(routed)
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, \
+            (k, plan[:1500])
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, \
+            (k, plan[:1500])
+        assert "Bucketed: true" in plan, f"{k} did not route onto the layout"
+        assert sorted(map(tuple, routed.collect())) == base[k], k
+    # the sorted buckets also erase the merge join's sorts
+    assert "Sort [l_orderkey" not in _plan(QUERIES["q_join_sort_merge"](
+        spark, sf_dir))
 
 
 @needs_sfbig
