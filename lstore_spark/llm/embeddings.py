@@ -468,13 +468,78 @@ def q_llm_emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_llm_emb_kmeans")
+_KMEANS_K, _KMEANS_MAX_ITERS = 8, 6
+
+
+def _kmeans_full_oracle() -> str:
+    """Closed-form SQL for the FULL iterative k-means (VERDICT r12 #7):
+    the Lloyd loop's fixpoint is ABSORBING — once assign_j equals
+    assign_{j-1}, cent(assign_j) = cent(assign_{j-1}) so every later
+    round reproduces the same assignment and cosines — which means an
+    oracle that always unrolls the maximum ``_KMEANS_MAX_ITERS`` rounds
+    returns exactly what the early-stopping Spark loop returns, for ANY
+    data-dependent convergence round.  Expressions mirror the
+    kmeans_update/kmeans_portable oracles cell-for-cell: dec2dbl
+    centroid means, ROUND-6 cosines, lowest-ck tie-break."""
+    parts = ["""
+WITH vec AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+seed AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ck, embedding
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+cent0 AS (
+  SELECT ck, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS c
+  FROM seed
+)"""]
+    for r in range(_KMEANS_MAX_ITERS):
+        src = f"cent{r}"
+        parts.append(f""",
+pairs{r} AS (
+  SELECT vec.vec_id, {src}.ck,
+         ROUND(SUM(vec.v * {src}.c)
+           / (sqrt(SUM(vec.v * vec.v)) * sqrt(SUM({src}.c * {src}.c))), 6)
+           AS cos_sim
+  FROM vec JOIN {src} ON vec.i = {src}.i
+  GROUP BY vec.vec_id, {src}.ck
+),
+asg{r} AS (
+  SELECT vec_id, ck AS cluster, cos_sim FROM (
+    SELECT vec_id, ck, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, ck) AS rn
+    FROM pairs{r}) WHERE rn = 1
+)""")
+        if r < _KMEANS_MAX_ITERS - 1:
+            parts.append(f""",
+cent{r + 1} AS (
+  SELECT a.cluster AS ck, v.i,
+         CAST(CAST(SUM(CAST(v.v AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(v.v) AS c
+  FROM asg{r} a JOIN vec v ON v.vec_id = a.vec_id
+  GROUP BY a.cluster, v.i
+)""")
+    parts.append(f"""
+SELECT vec_id, cluster, cos_sim FROM asg{_KMEANS_MAX_ITERS - 1}
+""")
+    return "".join(parts)
+
+
+@query("q_llm_emb_kmeans", oracle=_kmeans_full_oracle)
 def q_llm_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative spherical k-means (k=8): centroids seeded from the 8
     lowest vec_ids (deterministic — no random init), Lloyd-iterated to
-    assignment fixpoint or 6 rounds.  Rows-only key (the iteration
-    count is data-dependent, so no closed-form SQL oracle); determinism
-    and cluster-coverage invariants are pytest-asserted.
+    assignment fixpoint or 6 rounds.  Hash-grade as of r13 (VERDICT r12
+    #7): because the Lloyd fixpoint is absorbing, the fully-unrolled
+    6-round SQL (``_kmeans_full_oracle``) equals the early-stopping
+    loop's output exactly, whatever round convergence lands on —
+    graduating this key from the rows-only set the way r10 graduated
+    the LSH twin.  Determinism and cluster-coverage invariants remain
+    pytest-asserted.
 
     Scale: each round = broadcast-assign (one corpus scan) + one
     (cluster, dim)-cell shuffle; localCheckpoint caps lineage growth
@@ -482,7 +547,7 @@ def q_llm_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     k×dim centroid table."""
     from pyspark.sql import Window
     em = load_table(spark, sf_dir, "embeddings")
-    k, max_iters = 8, 6
+    k, max_iters = _KMEANS_K, _KMEANS_MAX_ITERS  # mirrored by the oracle
     w = Window.orderBy("vec_id")
     cvecs = (em.orderBy("vec_id").limit(k)
              .select((F.row_number().over(w) - 1).alias("ck"),
