@@ -76,9 +76,12 @@ def groups(store: str) -> list[str]:
     per-segment cursor dirs, heartbeat dirs), not groups."""
     d = os.path.join(store, CURSOR_DIR)
     try:
+        # endswith('.json') alone excludes _atomic_json staging files
+        # (named '<x>.json.tmp<pid>'): a substring '.tmp' test here hid
+        # any legally-named group containing '.tmp' (e.g.
+        # 'backfill.tmp') from groups()/lag_report (ADVICE r12)
         return sorted(n[:-5] for n in os.listdir(d)
-                      if n.endswith(".json") and "@" not in n
-                      and ".tmp" not in n)
+                      if n.endswith(".json") and "@" not in n)
     except OSError:
         return []
 
@@ -237,7 +240,10 @@ def _read_gen_doc(store: str, group: str) -> tuple[int, int, list, dict]:
             "members", sorted(set(assignment.values()))))
         return (int(doc["generation"]), int(doc["n_consumers"]),
                 members, assignment)
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # TypeError: a doc whose JSON root (or 'assignment') is not a
+        # mapping must degrade to never-rebalanced like every other
+        # malformed doc, not leak out of membership() (ADVICE r12)
         return (0, 0, [], {})
 
 
@@ -369,7 +375,17 @@ def auto_rebalance(store: str, group: str,
     # an instance owning zero segments (more members than segments)
     # sits in the doc's member list, so it does NOT read as a
     # membership change on every call
-    sealed = {f for f in os.listdir(store) if f.endswith(".seg")}
+    #
+    # Sealed-set eligibility matches assign_segments' (trailer present,
+    # via segment_stats) rather than a raw '*.seg' listdir: one stray
+    # trailer-less segment otherwise made the set comparison mismatch
+    # forever and every auto_rebalance call raise through
+    # assign_segments — wedging dead-instance fencing for the whole
+    # group, where live_members deliberately tolerates foreign files
+    # (ADVICE r12).  An unsealed file neither forces nor crashes a
+    # rebalance; explicit rebalance() calls keep the loud error.
+    sealed = {f for f in os.listdir(store) if f.endswith(".seg")
+              and segment_stats(os.path.join(store, f)) is not None}
     if live == current and sealed == set(assignment):
         return gen, assignment
     return rebalance(store, group, len(live), members=live)

@@ -365,3 +365,158 @@ def test_auto_rebalance_extends_assignment_over_new_segments(store):
     assert "00004.seg" in asg2
     # existing ranks stable (append-only store): old segments unchanged
     assert {s: c for s, c in asg2.items() if s != "00004.seg"} == asg1
+
+
+def _mk_store(root, name):
+    d = os.path.join(str(root), name)
+    os.makedirs(d)
+    for i in range(4):
+        write_segment(os.path.join(d, f"{i:05d}.seg"),
+                      [(o, [o, o * 2], [f"t{o % 3}".encode()])
+                       for o in range(i * 100, (i + 1) * 100)])
+    return d
+
+
+class _Kill(Exception):
+    """Simulated SIGKILL at a durable-publish boundary."""
+
+
+def _consumer_scenario(st):
+    """One full consumer-group lifecycle over the 4-segment store:
+    two members join, a generation is published, both commit their
+    assigned segments half-way then fully, member 1 dies, the survivor
+    is re-assigned everything and finishes.  Written crash-idempotent
+    the way a real consumer loop is: generation re-read before every
+    commit, targets clamped to the committed cursor (resume-from-
+    cursor), so re-running after any crash converges to the same final
+    state."""
+    cg.heartbeat(st, "gf", 0)
+    cg.heartbeat(st, "gf", 1)
+    cg.auto_rebalance(st, "gf", ttl_sec=30)
+
+    def commit_up_to(consumer, frac):
+        gen, _, asg = cg.membership(st, "gf")
+        cur = cg.committed_segment_offsets(st, "gf")
+        batch = {}
+        for seg, owner in asg.items():
+            if owner != consumer:
+                continue
+            lo = int(seg[:5]) * 100
+            target = lo + int(99 * frac)
+            if target >= cur.get(seg, -1):
+                batch[seg] = target
+        if batch:
+            cg.commit_assigned(st, "gf", consumer, gen, batch)
+
+    commit_up_to(0, 0.5)
+    commit_up_to(1, 0.5)
+    commit_up_to(1, 1.0)
+    # member 1 dies: its heartbeat disappears, the survivor fences it
+    hb1 = os.path.join(cg._members_dir(st, "gf"), "1.json")
+    if os.path.exists(hb1):
+        os.remove(hb1)
+    cg.auto_rebalance(st, "gf", ttl_sec=30)
+    commit_up_to(0, 1.0)
+
+
+def test_crash_fuzz_commit_and_rebalance_atomicity(tmp_path, monkeypatch):
+    """VERDICT r12 #8: kill-mid-commit fuzz over commit_assigned /
+    rebalance / heartbeat.  Every durable publish in the group protocol
+    funnels through one os.replace (tmp+rename under the group flock),
+    so injecting a deterministic kill at the k-th replace exercises
+    every commit boundary.  After EVERY crash point: membership and
+    all per-segment cursors must read back as a complete OLD or NEW
+    value (never torn), no cursor may exceed an offset the scenario
+    actually committed (no invented progress = no lost records on
+    resume), none may regress (no re-delivery beyond at-least-once),
+    and a plain retry of the consumer loop must converge to the exact
+    no-crash final state."""
+    import random
+
+    # ground truth: run the scenario crash-free, counting publishes
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def counting(src, dst):
+        calls["n"] += 1
+        return real_replace(src, dst)
+
+    st0 = _mk_store(tmp_path, "clean")
+    monkeypatch.setattr(os, "replace", counting)
+    _consumer_scenario(st0)
+    monkeypatch.setattr(os, "replace", real_replace)
+    total = calls["n"]
+    assert total >= 10, f"scenario too small to fuzz ({total} publishes)"
+    want_final = cg.committed_segment_offsets(st0, "gf")
+    assert want_final == {f"{i:05d}.seg": i * 100 + 99 for i in range(4)}
+    assert cg.assigned_frontier(st0, "gf") == 399
+
+    valid_offsets = {f"{i:05d}.seg": {i * 100 + 49, i * 100 + 99}
+                     for i in range(4)}
+    rng = random.Random(13)
+    for trial, k in enumerate(sorted(rng.sample(range(total), 10))):
+        st = _mk_store(tmp_path, f"t{trial}")
+        state = {"left": k}
+
+        def killing(src, dst, _s=state):
+            if _s["left"] == 0:
+                raise _Kill(f"killed before publishing {dst}")
+            _s["left"] -= 1
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(os, "replace", killing)
+        with pytest.raises(_Kill):
+            _consumer_scenario(st)
+        monkeypatch.setattr(os, "replace", real_replace)
+
+        # atomicity: everything durable parses, at an OLD or NEW value
+        gen, n, asg = cg.membership(st, "gf")   # must not raise
+        assert gen >= 0 and set(asg.values()) <= {0, 1}
+        cur = cg.committed_segment_offsets(st, "gf")
+        for seg, off in cur.items():
+            assert off in valid_offsets[seg], \
+                f"crash@{k}: {seg} cursor {off} is neither old nor new"
+        # no invented progress, no regression risk: frontier computable
+        # and bounded by the largest offset the scenario ever committed
+        assert cg.assigned_frontier(st, "gf") <= 399
+        # recovery: a plain retry converges to the no-crash final state
+        _consumer_scenario(st)
+        assert cg.committed_segment_offsets(st, "gf") == want_final, \
+            f"crash@{k}: retry did not converge"
+        assert cg.assigned_frontier(st, "gf") == 399
+        # no stale tmp debris accumulates into phantom cursors/groups
+        assert cg.groups(st) == []
+
+
+def test_advice_r12_degrade_paths(store):
+    """ADVICE r12 pins: (a) a legal group name containing '.tmp' is
+    visible in groups() (the old substring filter hid it); (b) a stray
+    trailer-less .seg neither forces nor crashes auto_rebalance under a
+    stable fleet; (c) a membership doc whose JSON root is not an object
+    degrades to never-rebalanced instead of raising TypeError."""
+    # (a) '.tmp' inside a legal name is not staging debris
+    cg.ensure_group(store, "backfill.tmp")
+    assert "backfill.tmp" in cg.groups(store)
+    # real staging debris stays hidden
+    d = os.path.join(store, cg.CURSOR_DIR)
+    with open(os.path.join(d, "g9.json.tmp4242"), "w") as fh:
+        fh.write('{"offset": 1')
+    assert all(not g.endswith(".tmp4242") for g in cg.groups(store))
+
+    # (b) stable fleet + one unsealed foreign segment: steady state
+    cg.heartbeat(store, "gi", 0)
+    gen1, asg1 = cg.auto_rebalance(store, "gi", ttl_sec=30)
+    with open(os.path.join(store, "99999.seg"), "wb") as fh:
+        fh.write(b"\x00" * 16)  # no trailer: unsealed/foreign
+    assert cg.auto_rebalance(store, "gi", ttl_sec=30) == (gen1, asg1)
+    # the explicit path keeps the loud error
+    with pytest.raises(ValueError, match="no\\s+trailer|unsealed"):
+        cg.assign_segments(store, 1)
+    os.remove(os.path.join(store, "99999.seg"))
+
+    # (c) malformed membership docs degrade uniformly to generation 0
+    for bad in ('[1, 2, 3]', '"a string"',
+                '{"generation": 1, "n_consumers": 1, "assignment": 7}'):
+        with open(cg._gen_path(store, "gj"), "w") as fh:
+            fh.write(bad)
+        assert cg.membership(store, "gj") == (0, 0, {}), bad
