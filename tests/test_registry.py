@@ -65,7 +65,13 @@ def test_green_pool_sorts_by_staleness_regardless_of_slowness():
     or not.  (Slowness may only break ties inside one staleness cohort.)"""
     order = registry.sweep_order()
     pool = [k for k in order
-            if k in registry.DRIVER_GREEN or k in registry.DRIVER_ROWS_SEEN]
+            if (k in registry.DRIVER_GREEN or k in registry.DRIVER_ROWS_SEEN)
+            # rows-only keys that GAINED an oracle since their last
+            # driver visit sit in the fronted first-hash tier, not the
+            # rolling green pool (e.g. the r13 kmeans graduation)
+            and not (k in registry.DRIVER_ROWS_SEEN
+                     and k not in registry.DRIVER_GREEN
+                     and k in registry.ORACLE)]
     rounds = [registry.DRIVER_LATEST_ROUND.get(k, 0) for k in pool]
     assert rounds == sorted(rounds), (
         "green re-check pool is not staleness-ordered — a stale key "
