@@ -560,6 +560,20 @@ def bucketed_table(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def routed_tables(spark: SparkSession, sf_dir: str,
+                  *tables: str) -> dict[str, DataFrame]:
+    """All-or-nothing bucketed routing (review r13): every requested
+    table's layout present for the current fingerprint → all bucketed;
+    any missing → ALL plain parquet.  A half-available layout must
+    never produce a mixed bucketed/plain join — that plan shape is
+    pinned nowhere and silently reintroduces the orderkey exchange on
+    one side while claiming the layout's zero-exchange contract."""
+    bkt = {t: bucketed_table(spark, sf_dir, t) for t in tables}
+    if all(df is not None for df in bkt.values()):
+        return bkt
+    return {t: load_table(spark, sf_dir, t) for t in tables}
+
+
 _TS_UNIT_CACHE: dict[str, tuple] = {}
 
 

@@ -472,8 +472,16 @@ def q_llm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = spark.read.parquet(os.path.join(idx, "centroids"))
     postings = _read_postings(spark, os.path.join(idx, "postings"))
 
+    lo, step, qmap = _search_lut_inputs(sf_dir, idx)
     em = load_table(spark, sf_dir, "embeddings")
-    queries = em.filter(F.col("vec_id") < 10).select(
+    # restrict the probe side to the WELL-FORMED query batch (the qmap
+    # keys): a NULL/short query embedding scores NULL cosine against
+    # every centroid yet still wins row_number ranks, and its probe
+    # rows then reached adc_gather where the dropped qmap entry raised
+    # KeyError — a crash where the module contract says degrade-to-
+    # dropped-rows (review r13)
+    queries = em.filter(F.col("vec_id") < 10).filter(
+        F.col("vec_id").isin(list(qmap)) if qmap else F.lit(False)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"))
     w = Window.partitionBy("query_id").orderBy(
@@ -490,7 +498,6 @@ def q_llm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    lo, step, qmap = _search_lut_inputs(sf_dir, idx)
     sig = os.path.abspath(idx)
     offs = np.arange(_DIM, dtype=np.int64) * _LEVELS
 

@@ -176,21 +176,16 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # l_orderkey hash partitioning — the whole chain to TakeOrdered
     # compiles with zero orderkey exchanges.  Plain parquet falls back
     # to the broadcast+shuffle plan adjudicated at 1000×.
-    from ..catalog import bucketed_table
+    from ..catalog import routed_tables
 
     cu = (load_table(spark, sf_dir, "customer")
           .filter(F.col("c_mktsegment") == "BUILDING"))
     if fits_broadcast(sf_dir, "customer", 0.20):
         cu = F.broadcast(cu)
     cut = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
-    od_b = bucketed_table(spark, sf_dir, "orders")
-    li_b = bucketed_table(spark, sf_dir, "lineitem")
-    od = (od_b if od_b is not None
-          else load_table(spark, sf_dir, "orders")).filter(
-        F.col("o_orderdate") < cut)
-    li = (li_b if li_b is not None
-          else load_table(spark, sf_dir, "lineitem")).filter(
-        F.col("l_shipdate") > cut)
+    t = routed_tables(spark, sf_dir, "lineitem", "orders")
+    od = t["orders"].filter(F.col("o_orderdate") < cut)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cut)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
@@ -230,13 +225,10 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     map+reduce spill this key showed at 1000×/32-wide (257 → 22.8-25.7 s
     measured, scripts/bucket_q18_1000x.py; VERDICT r10 #2).  Plain
     parquet falls back to today's shuffled plan."""
-    from ..catalog import bucketed_table
+    from ..catalog import routed_tables
 
-    od = bucketed_table(spark, sf_dir, "orders")
-    li = bucketed_table(spark, sf_dir, "lineitem")
-    if od is None or li is None:
-        od = load_table(spark, sf_dir, "orders")
-        li = load_table(spark, sf_dir, "lineitem")
+    t = routed_tables(spark, sf_dir, "lineitem", "orders")
+    od, li = t["orders"], t["lineitem"]
     cu = load_table(spark, sf_dir, "customer")
     per_order = (
         li.groupBy("l_orderkey")

@@ -88,14 +88,11 @@ def q_join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND zero sorts (the buckets are sorted on the key); plain parquet
     falls back to the shuffled plan (VERDICT r12 #6, extending the
     q18/agg_global routing)."""
-    from ..catalog import bucketed_table
+    from ..catalog import routed_tables
 
-    li_b = bucketed_table(spark, sf_dir, "lineitem")
-    od_b = bucketed_table(spark, sf_dir, "orders")
-    li = (li_b if li_b is not None
-          else load_table(spark, sf_dir, "lineitem")).hint("merge")
-    od = (od_b if od_b is not None
-          else load_table(spark, sf_dir, "orders")).filter(
+    t = routed_tables(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].hint("merge")
+    od = t["orders"].filter(
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (

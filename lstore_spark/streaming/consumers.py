@@ -255,7 +255,8 @@ def membership(store: str, group: str) -> tuple[int, int, dict[str, int]]:
 
 
 def rebalance(store: str, group: str, n_consumers: int,
-              members: list[int] | None = None) -> tuple[int, dict]:
+              members: list[int] | None = None,
+              tolerate_unsealed: bool = False) -> tuple[int, dict]:
     """Publish a NEW generation for ``group``: recompute the round-robin
     assignment over the sealed segments as of now, bump the generation,
     and atomically replace the membership doc (tmp + ``os.replace``
@@ -271,7 +272,12 @@ def rebalance(store: str, group: str, n_consumers: int,
     members let a survivor set keep its ids across generations — after
     instance 1 of {0,1,2} dies, generation N+1 is published with
     members=[0,2] and those two ids keep polling/committing as
-    themselves."""
+    themselves.
+
+    ``tolerate_unsealed`` skips trailer-less .seg files instead of
+    raising (auto_rebalance's liveness path — a stray unsealed file
+    must never wedge dead-instance fencing; review r13); the default
+    keeps the loud error for explicit operator calls."""
     import fcntl
 
     if members is not None:
@@ -289,7 +295,8 @@ def rebalance(store: str, group: str, n_consumers: int,
         # rebalancer could publish the newest generation from a
         # pre-seal snapshot, silently dropping the newest segment from
         # the current assignment (review r12)
-        slots = assign_segments(store, n_consumers)
+        slots = assign_segments(store, n_consumers,
+                                skip_unsealed=tolerate_unsealed)
         assignment = {seg: members[slot] for seg, slot in slots.items()}
         gen, _n, _m, _a = _read_gen_doc(store, group)
         _atomic_json(path, {
@@ -376,19 +383,27 @@ def auto_rebalance(store: str, group: str,
     # sits in the doc's member list, so it does NOT read as a
     # membership change on every call
     #
-    # Sealed-set eligibility matches assign_segments' (trailer present,
-    # via segment_stats) rather than a raw '*.seg' listdir: one stray
-    # trailer-less segment otherwise made the set comparison mismatch
-    # forever and every auto_rebalance call raise through
+    # Steady state stays two directory listings, no trailer seeks: the
+    # raw '*.seg' set normally equals the assignment exactly.  Only on
+    # a mismatch does sealed-set eligibility get re-derived the way
+    # assign_segments sees it (trailer present, via segment_stats): one
+    # stray trailer-less segment otherwise made the set comparison
+    # mismatch forever and every auto_rebalance call raise through
     # assign_segments — wedging dead-instance fencing for the whole
     # group, where live_members deliberately tolerates foreign files
     # (ADVICE r12).  An unsealed file neither forces nor crashes a
-    # rebalance; explicit rebalance() calls keep the loud error.
-    sealed = {f for f in os.listdir(store) if f.endswith(".seg")
-              and segment_stats(os.path.join(store, f)) is not None}
+    # rebalance — the publish path passes tolerate_unsealed so fencing
+    # proceeds even with a writer mid-seal (review r13); explicit
+    # rebalance() calls keep the loud error.
+    raw = {f for f in os.listdir(store) if f.endswith(".seg")}
+    if live == current and raw == set(assignment):
+        return gen, assignment
+    sealed = {f for f in raw
+              if segment_stats(os.path.join(store, f)) is not None}
     if live == current and sealed == set(assignment):
         return gen, assignment
-    return rebalance(store, group, len(live), members=live)
+    return rebalance(store, group, len(live), members=live,
+                     tolerate_unsealed=True)
 
 
 def committed_segment_offsets(store: str, group: str) -> dict[str, int]:
@@ -601,7 +616,8 @@ def lag_report(spark: SparkSession, store: str,
         .orderBy("grp"))
 
 
-def assign_segments(store: str, n_consumers: int) -> dict[str, int]:
+def assign_segments(store: str, n_consumers: int,
+                    skip_unsealed: bool = False) -> dict[str, int]:
     """Deterministic segment→consumer assignment for a group scaling
     out to ``n_consumers`` instances (the partition-assignment verb of
     every log broker): sealed segments ordered by their trailer lo
@@ -616,6 +632,8 @@ def assign_segments(store: str, n_consumers: int) -> dict[str, int]:
         if f.endswith(".seg"):
             s = segment_stats(os.path.join(store, f))
             if s is None:
+                if skip_unsealed:
+                    continue  # liveness path: not assignable YET
                 raise ValueError(
                     f"assign_segments: unsealed segment {f} has no "
                     "trailer — seal (or compact) before assigning")

@@ -505,10 +505,18 @@ def test_advice_r12_degrade_paths(store):
 
     # (b) stable fleet + one unsealed foreign segment: steady state
     cg.heartbeat(store, "gi", 0)
+    cg.heartbeat(store, "gi", 1)
     gen1, asg1 = cg.auto_rebalance(store, "gi", ttl_sec=30)
     with open(os.path.join(store, "99999.seg"), "wb") as fh:
         fh.write(b"\x00" * 16)  # no trailer: unsealed/foreign
     assert cg.auto_rebalance(store, "gi", ttl_sec=30) == (gen1, asg1)
+    # review r13: the unsealed file must not wedge fencing either — a
+    # member dies while the stray file exists, and auto_rebalance still
+    # publishes the survivor generation (skipping the unassignable file)
+    os.remove(os.path.join(cg._members_dir(store, "gi"), "1.json"))
+    gen2, asg2 = cg.auto_rebalance(store, "gi", ttl_sec=30)
+    assert gen2 == gen1 + 1 and set(asg2.values()) == {0}
+    assert "99999.seg" not in asg2
     # the explicit path keeps the loud error
     with pytest.raises(ValueError, match="no\\s+trailer|unsealed"):
         cg.assign_segments(store, 1)

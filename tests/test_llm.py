@@ -1544,3 +1544,29 @@ def test_degenerate_embeddings_flow_through(spark, tmp_path):
             f"degenerate vector {bad} routed to a cluster"
     for okid in range(12):
         assert routed[okid].cluster is not None
+
+
+def test_index_search_degrades_null_query_row(spark, sf_dir, tmp_path):
+    """review r13: a NULL query embedding (vec_id < 10) must degrade to
+    zero hits for that query — the probe stage used to route it anyway
+    and adc_gather crashed on the qmap entry _search_lut_inputs had
+    (correctly) dropped."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    d = src.to_pydict()
+    kill = 3
+    idx = d["vec_id"].index(kill)
+    d["embedding"][idx] = None
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    pq.write_table(pa.Table.from_pydict(d, schema=src.schema),
+                   str(fx / "embeddings.parquet"))
+
+    out = QUERIES["q_llm_index_search"](spark, str(fx)).collect()
+    got_q = {r.query_id for r in out}
+    assert kill not in got_q, "NULL query fabricated hits"
+    assert got_q == set(range(10)) - {kill}, got_q

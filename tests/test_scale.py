@@ -463,3 +463,29 @@ def test_cbo_statistics_drive_join_reorder(spark, sf_dir):
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
+
+
+def test_routed_tables_all_or_nothing(spark, sf_dir, tmp_path, monkeypatch):
+    """review r13: a half-available bucket layout (one table published,
+    the other missing/stale) must route NOTHING — a mixed bucketed/
+    plain merge join silently reintroduces the orderkey exchange on one
+    side while claiming the layout's zero-exchange contract."""
+    from lstore_spark import catalog
+
+    catalog.build_bucket_layout(spark, sf_dir)
+    t = catalog.routed_tables(spark, sf_dir, "lineitem", "orders")
+    for name, df in t.items():
+        key = "l_orderkey" if name == "lineitem" else "o_orderkey"
+        assert "Bucketed: true" in _plan(df.groupBy(key).count()), name
+    # simulate a half-available layout: orders lookup degrades to None
+    real = catalog.bucketed_table
+
+    def half(spark_, sf_, table):
+        return None if table == "orders" else real(spark_, sf_, table)
+
+    monkeypatch.setattr(catalog, "bucketed_table", half)
+    t2 = catalog.routed_tables(spark, sf_dir, "lineitem", "orders")
+    for name, df in t2.items():
+        assert "Bucketed: true" not in _plan(df.groupBy(
+            "l_orderkey" if name == "lineitem" else "o_orderkey").count()), \
+            f"{name} routed bucketed despite the missing orders layout"
