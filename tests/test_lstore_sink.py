@@ -1099,3 +1099,94 @@ def test_register_ships_zip_once_per_application(spark, monkeypatch):
     mod.register(spark)
     mod.register(spark)
     assert len(calls) == 1, "zip rebuilt/re-shipped on a repeat register"
+
+
+def test_overwrite_commit_crash_fuzz_every_fs_boundary(tmp_path, monkeypatch):
+    """r13 (the consumer crash-harness pattern applied to the sink's
+    two-phase commit): inject a simulated kill at EVERY os.replace /
+    os.remove boundary inside a 3-segment overwrite commit over a
+    2-segment old generation.  After every crash point: all visible
+    *.seg files parse (tmp+rename means never torn), visible rows are
+    always a subset of old ∪ new rows and never empty (publish-before-
+    delete — the store is never lost), and one retried overwrite job
+    converges to exactly the new generation with zero stage debris."""
+    import os
+
+    import pytest
+
+    import lstore_spark.sources.lstore_log as L
+
+    OLD = {1, 2}
+    NEW = {11, 12, 13}
+
+    def fresh(name):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        for i, off in enumerate(sorted(OLD)):
+            L.write_segment(os.path.join(d, f"part-old{i}.seg"),
+                            [(off, [off], [b"k"])])
+        return d
+
+    def visible_rows(d):
+        out = set()
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".seg"):
+                for rec in L.read_segment_file(os.path.join(d, f)):
+                    out.add(rec[0])
+        return out
+
+    def run_commit(d):
+        w = L.LstoreLogWriter({"path": d}, overwrite=True)
+        msgs = [_stage_msg(L, d, f"{w.token}-{i:05d}",
+                           f"part-{w.token}-{i:05d}.seg", off=off)
+                for i, off in enumerate(sorted(NEW))]
+        w.commit(msgs)
+
+    class _Kill(Exception):
+        pass
+
+    real_replace, real_remove = os.replace, os.remove
+    # count the fs-mutation boundaries of one clean commit (the store
+    # itself is created BEFORE the patch — write_segment's own ops are
+    # not commit boundaries)
+    clean = fresh("clean")
+    n = {"c": 0}
+    monkeypatch.setattr(os, "replace",
+                        lambda a, b: (n.__setitem__("c", n["c"] + 1),
+                                      real_replace(a, b))[1])
+    monkeypatch.setattr(os, "remove",
+                        lambda p: (n.__setitem__("c", n["c"] + 1),
+                                   real_remove(p))[1])
+    run_commit(clean)
+    monkeypatch.setattr(os, "replace", real_replace)
+    monkeypatch.setattr(os, "remove", real_remove)
+    total = n["c"]
+    assert visible_rows(clean) == NEW and total >= 8
+
+    for k in range(total):
+        d = fresh(f"k{k}")
+        left = {"n": k}
+
+        def hit(left=left):
+            if left["n"] == 0:
+                raise _Kill()
+            left["n"] -= 1
+
+        monkeypatch.setattr(os, "replace",
+                            lambda a, b, _h=hit: (_h(), real_replace(a, b))[1])
+        monkeypatch.setattr(os, "remove",
+                            lambda p, _h=hit: (_h(), real_remove(p))[1])
+        with pytest.raises(_Kill):
+            run_commit(d)
+        monkeypatch.setattr(os, "replace", real_replace)
+        monkeypatch.setattr(os, "remove", real_remove)
+
+        vis = visible_rows(d)  # every visible segment must parse
+        assert vis <= (OLD | NEW), f"crash@{k}: phantom rows {vis}"
+        assert vis, f"crash@{k}: store lost (publish-before-delete broken)"
+        # retry converges: one fresh overwrite job owns the store
+        run_commit(d)
+        assert visible_rows(d) == NEW, f"crash@{k}: retry did not converge"
+        assert not [f for f in os.listdir(d) if f.endswith(".seg")
+                    and L.segment_stats(os.path.join(d, f)) is None], \
+            f"crash@{k}: unsealed debris published"
