@@ -1190,3 +1190,95 @@ def test_overwrite_commit_crash_fuzz_every_fs_boundary(tmp_path, monkeypatch):
         assert not [f for f in os.listdir(d) if f.endswith(".seg")
                     and L.segment_stats(os.path.join(d, f)) is None], \
             f"crash@{k}: unsealed debris published"
+
+
+def test_stream_commit_crash_fuzz_replay_exactly_once(tmp_path, monkeypatch):
+    """r13: the streaming sink's replay contract under kill-mid-commit.
+    Batch 7 (3 partitions) crashes at EVERY fs boundary of its commit;
+    the restarted run replays batch 7 with a DIFFERENT partition count
+    (2 — the ADVICE r6 shape) under a new run token.  After every crash
+    point: prior batches' rows are untouched, every visible segment
+    parses, and the replay converges to exactly one copy of each batch-7
+    row (multiset equality — duplicates from the crashed attempt must
+    be re-deleted by the replay, stale extra partitions included)."""
+    import os
+
+    import pytest
+
+    import lstore_spark.sources.lstore_log as L
+
+    B7 = [70, 71, 72]
+
+    def fresh(name):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        L.write_segment(os.path.join(d, "part-000006-prior.seg"),
+                        [(60, [60], [b"k"])])
+        return d
+
+    def all_offsets(d):
+        out = []
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".seg"):
+                out += [rec[0] for rec in
+                        L.read_segment_file(os.path.join(d, f))]
+        return sorted(out)
+
+    def commit_batch7(d, parts):
+        w = L.LstoreLogStreamWriter({"path": d})
+        msgs = []
+        for i, offs in enumerate(parts):
+            m = _stage_msg(L, d, f"b-{w.token}-{i:05d}",
+                           f"part-{w.token}-{i:05d}.seg", off=offs[0])
+            # _stage_msg stages one row; append the rest by restaging
+            if len(offs) > 1:
+                L.write_segment(m.tmp_seg, [(o, [o], [b"k"]) for o in offs])
+                side = L._idx_path(m.tmp_seg)
+                if os.path.exists(side):
+                    os.remove(side)
+            msgs.append(m)
+        w.commit(msgs, batchId=7)
+
+    class _Kill(Exception):
+        pass
+
+    real_replace, real_remove = os.replace, os.remove
+    clean = fresh("clean")
+    n = {"c": 0}
+    monkeypatch.setattr(os, "replace",
+                        lambda a, b: (n.__setitem__("c", n["c"] + 1),
+                                      real_replace(a, b))[1])
+    monkeypatch.setattr(os, "remove",
+                        lambda p: (n.__setitem__("c", n["c"] + 1),
+                                   real_remove(p))[1])
+    commit_batch7(clean, [[70], [71], [72]])
+    monkeypatch.setattr(os, "replace", real_replace)
+    monkeypatch.setattr(os, "remove", real_remove)
+    total = n["c"]
+    assert all_offsets(clean) == [60] + B7 and total >= 8
+
+    for k in range(total):
+        d = fresh(f"k{k}")
+        left = {"n": k}
+
+        def hit(left=left):
+            if left["n"] == 0:
+                raise _Kill()
+            left["n"] -= 1
+
+        monkeypatch.setattr(os, "replace",
+                            lambda a, b, _h=hit: (_h(), real_replace(a, b))[1])
+        monkeypatch.setattr(os, "remove",
+                            lambda p, _h=hit: (_h(), real_remove(p))[1])
+        with pytest.raises(_Kill):
+            commit_batch7(d, [[70], [71], [72]])
+        monkeypatch.setattr(os, "replace", real_replace)
+        monkeypatch.setattr(os, "remove", real_remove)
+
+        vis = all_offsets(d)
+        assert vis[0] == 60, f"crash@{k}: prior batch lost"
+        assert set(vis) <= {60, *B7}, f"crash@{k}: phantom rows {vis}"
+        # replay with FEWER partitions under a new run token
+        commit_batch7(d, [[70, 71], [72]])
+        assert all_offsets(d) == [60] + B7, \
+            f"crash@{k}: replay not exactly-once ({all_offsets(d)})"
