@@ -1570,3 +1570,55 @@ def test_index_search_degrades_null_query_row(spark, sf_dir, tmp_path):
     got_q = {r.query_id for r in out}
     assert kill not in got_q, "NULL query fabricated hits"
     assert got_q == set(range(10)) - {kill}, got_q
+
+
+def test_kmeans_unrolled_oracle_equals_loop_on_planted_fixtures(
+        spark, tmp_path):
+    """r13 graduation pin (VERDICT r12 #7): the fully-unrolled 6-round
+    SQL oracle must equal the early-stopping Lloyd loop BECAUSE the
+    fixpoint is absorbing — certify it on a planted fixture engineered
+    to converge in ~1 round (8 tight clusters: each seed vector plus
+    near-copies), where the loop stops rounds before the oracle's
+    unroll, and on a harder random fixture that iterates longer."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lstore_spark.llm.embeddings import _kmeans_full_oracle
+    from tests.oracle_check import canon_rows
+
+    def run_both(vecs):
+        fx = tmp_path / f"fx{len(run_ids)}"
+        fx.mkdir()
+        run_ids.append(1)
+        tbl = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([i % 4 for i in range(len(vecs))], pa.int32()),
+        })
+        pq.write_table(tbl, str(fx / "embeddings.parquet"))
+        got = QUERIES["q_llm_emb_kmeans"](spark, str(fx)).toPandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"'{fx}/embeddings.parquet'")
+        want = con.execute(_kmeans_full_oracle()).df()
+        g = canon_rows(list(got.columns),
+                       [tuple(r) for r in got.itertuples(index=False,
+                                                         name=None)])
+        w = canon_rows(list(want.columns),
+                       [tuple(r) for r in want.itertuples(index=False,
+                                                          name=None)])
+        assert g == w and len(g) == len(vecs)
+
+    run_ids = []
+    rnd = np.random.RandomState(7)
+    # 8 tight clusters: seeds are the 8 lowest vec_ids, every other
+    # vector is a tiny perturbation of one seed -> converges round 1
+    seeds = rnd.randn(8, 64)
+    tight = list(seeds) + [seeds[i % 8] * (1 + 1e-4 * ((i % 5) + 1))
+                           for i in range(40)]
+    run_both(tight)
+    # harder: isotropic random vectors -> several Lloyd rounds
+    run_both(list(rnd.randn(64, 64)))
