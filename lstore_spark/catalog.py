@@ -567,10 +567,21 @@ def routed_tables(spark: SparkSession, sf_dir: str,
     any missing → ALL plain parquet.  A half-available layout must
     never produce a mixed bucketed/plain join — that plan shape is
     pinned nowhere and silently reintroduces the orderkey exchange on
-    one side while claiming the layout's zero-exchange contract."""
-    bkt = {t: bucketed_table(spark, sf_dir, t) for t in tables}
-    if all(df is not None for df in bkt.values()):
-        return bkt
+    one side while claiming the layout's zero-exchange contract.
+
+    Availability is probed first via the publish markers (one
+    fingerprint, one stat per table) so the fallback path never pays
+    ``bucketed_table``'s session DDL for a layout half it won't use
+    (review r13)."""
+    fp = fixture_fingerprint(sf_dir)
+    ready = all(scratch_dir(f"{BUCKET_LAYOUT_TAG}_{t}", sf_dir, key=fp)[1]
+                for t in tables)
+    if ready:
+        bkt = {t: bucketed_table(spark, sf_dir, t) for t in tables}
+        if all(df is not None for df in bkt.values()):
+            return bkt
+        # a marker raced away / _LAYOUT unreadable between the probe
+        # and the registration: all-or-nothing still holds
     return {t: load_table(spark, sf_dir, t) for t in tables}
 
 

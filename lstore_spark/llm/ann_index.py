@@ -386,9 +386,16 @@ def _query_lut(sig: str, qid: int, qe, lo, step):
     oracle=f"""
 WITH {_IDX_CTES},
 qx AS (
+  -- well-formed queries only, mirroring the engine's qmap filter
+  -- (read_query_slice: 64 dims, no NULL elements, no NaN) — review
+  -- r13: a short/NaN query otherwise scored a partial-dim route here
+  -- while the Spark side degrades it to dropped rows
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
          CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM embeddings WHERE vec_id < 10
+  FROM embeddings
+  WHERE vec_id < 10 AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0
 ),
 {_route_ctes("qx", "qroute_pairs", "probes",
              "vec_id AS query_id", f"<= {_NPROBE}")},

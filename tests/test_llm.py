@@ -1550,17 +1550,24 @@ def test_index_search_degrades_null_query_row(spark, sf_dir, tmp_path):
     """review r13: a NULL query embedding (vec_id < 10) must degrade to
     zero hits for that query — the probe stage used to route it anyway
     and adc_gather crashed on the qmap entry _search_lut_inputs had
-    (correctly) dropped."""
+    (correctly) dropped.  A SHORT query embedding must degrade the same
+    way IN BOTH ENGINES: the oracle's qx CTE now carries the engine's
+    well-formed filter, where it previously scored a partial-dim route
+    for the very row the Spark side drops (review r13 second pass)."""
     import os
 
+    import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from lstore_spark.registry import ORACLE
+    from tests.oracle_check import compare
+
     src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     d = src.to_pydict()
-    kill = 3
-    idx = d["vec_id"].index(kill)
-    d["embedding"][idx] = None
+    kill, shorten = 3, 5
+    d["embedding"][d["vec_id"].index(kill)] = None
+    d["embedding"][d["vec_id"].index(shorten)] = [1.0, 2.0]
     fx = tmp_path / "fx"
     fx.mkdir()
     pq.write_table(pa.Table.from_pydict(d, schema=src.schema),
@@ -1568,8 +1575,16 @@ def test_index_search_degrades_null_query_row(spark, sf_dir, tmp_path):
 
     out = QUERIES["q_llm_index_search"](spark, str(fx)).collect()
     got_q = {r.query_id for r in out}
-    assert kill not in got_q, "NULL query fabricated hits"
-    assert got_q == set(range(10)) - {kill}, got_q
+    assert {kill, shorten}.isdisjoint(got_q), "degenerate query got hits"
+    assert got_q == set(range(10)) - {kill, shorten}, got_q
+    # and the ORACLE agrees row-for-row on the degenerate fixture
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{fx}/embeddings.parquet'")
+    r = compare("q_llm_index_search",
+                QUERIES["q_llm_index_search"](spark, str(fx)),
+                con, ORACLE["q_llm_index_search"])
+    assert r.ok, r.detail
 
 
 def test_kmeans_unrolled_oracle_equals_loop_on_planted_fixtures(
