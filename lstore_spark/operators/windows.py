@@ -79,7 +79,7 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_running_sum",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+       CAST(CAST(SUM(CAST(o_totalprice AS {DEC}))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS VARCHAR) AS DOUBLE) AS run_spend
@@ -103,7 +103,7 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_sliding_avg",
     oracle=f"""
 SELECT event_id, user_id,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS VARCHAR) AS DOUBLE)
+       CAST(CAST(SUM(CAST(value AS {DEC})) OVER w AS VARCHAR) AS DOUBLE)
          / COUNT(value) OVER w AS avg5,
        COUNT(value) OVER w AS n_in_frame
 FROM events
@@ -313,20 +313,69 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t
 def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-interval window frame: each event's trailing-one-hour count
     and exact-decimal value sum within its user's stream — the
-    rate-limiter / rolling-exposure shape.  Spark's RANGE frames bound
-    on a numeric sort key, so event time maps to integer epoch seconds
-    first (identical in both engines via the 1970 diff — no timezone
-    hop); the frame [-3599, 0] then means "same wall-clock hour,
-    tie-second peers included" with RANGE-peer semantics matching the
-    oracle exactly.  Scale: one shuffle on user_id, one ordered pass —
-    the frame is streaming-evaluated, never materialized."""
+    rate-limiter / rolling-exposure shape.  Event time maps to integer
+    epoch seconds (identical in both engines via the 1970 diff — no
+    timezone hop); the frame [t−3599, t] has RANGE-peer semantics, so
+    the answer is a function of (user, second) alone.
+
+    NOT the naive ``rangeBetween(-3599, currentRow)`` (review r13):
+    Spark's SLIDING range frame rebuilds the aggregate buffer per row
+    with no retraction — O(rows × frame-rows), and a hot user emitting
+    50k events/hour pays ~50k×50k decimal adds inside one task, the
+    q_win_range_frame disease at 100×.  Instead: (1) collapse events
+    to per-(user, second) partials — peer semantics make this lossless
+    and cap all later work at wall-clock-second granularity; (2) apply
+    range_frame's bucket/probe-merge: bucket seconds by the 3600 s
+    frame width so every frame spans exactly buckets B−1 and B, take
+    the own-bucket half as a GROWING cumulative (O(n) incremental, no
+    rebuild) and the neighbor-bucket suffix via a tie-ordered probe at
+    t−3599 in a DESC cumulative (probe sorts after equal-second
+    actuals — boundary inclusive); (3) add the halves (decimal
+    addition — exact, so the hash equals the oracle's single windowed
+    SUM) and join back to events on (user, second).  Every window is
+    cumulative — no per-row frame rebuild at any density — and
+    parallelism is users × active-hours instead of users."""
     ev = load_table(spark, sf_dir, "events")
     t = F.expr(
         "timestampdiff(SECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)")
-    w = (Window.partitionBy("user_id").orderBy("t")
-         .rangeBetween(-3599, Window.currentRow))
-    return (ev.select("event_id", "user_id", "value", t.alias("t"))
-            .select("event_id", "user_id",
-                    F.count(F.lit(1)).over(w).alias("n_1h"),
-                    F.sum(F.col("value").cast(DEC)).over(w)
-                    .cast("double").alias("sum_1h")))
+    sec = ev.select("event_id", "user_id", "value", t.alias("t"))
+    g = (sec.groupBy("user_id", "t")
+         .agg(F.count(F.lit(1)).alias("c"),
+              F.sum(F.col("value").cast(DEC)).alias("s")))
+    W = 3600
+    ga = g.select("user_id", "t", "c", "s",
+                  F.floor(F.col("t") / W).cast("long").alias("bkt"))
+    # own-bucket prefix: seconds ≤ t — growing frame, O(n) incremental
+    w_grow = (Window.partitionBy("user_id", "bkt").orderBy("t")
+              .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    a = ga.select("user_id", "t",
+                  F.sum("c").over(w_grow).alias("cnt_part"),
+                  F.sum("s").over(w_grow).alias("sum_part"))
+    # neighbor-bucket suffix: seconds ≥ t−3599 via a probe in bucket
+    # B−1; DESC tie 0 > −1 puts the equal-second actual BEFORE the
+    # probe, keeping the frame's left boundary inclusive
+    s_type = dict(zip(ga.schema.names, ga.schema.fields))["s"].dataType
+    actual = ga.select("user_id", "bkt", F.col("t").alias("v"),
+                       F.lit(0).alias("tie"),
+                       F.lit(None).cast("bigint").alias("t_orig"), "c", "s")
+    probe = ga.select("user_id", (F.col("bkt") - 1).alias("bkt"),
+                      (F.col("t") - (W - 1)).alias("v"),
+                      F.lit(-1).alias("tie"), F.col("t").alias("t_orig"),
+                      F.lit(0).cast("long").alias("c"),
+                      F.lit(None).cast(s_type).alias("s"))
+    w_desc = (Window.partitionBy("user_id", "bkt")
+              .orderBy(F.col("v").desc(), F.col("tie").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    b = (actual.unionByName(probe)
+         .select("user_id", "t_orig", "tie",
+                 F.sum("c").over(w_desc).alias("cnt_part"),
+                 F.sum("s").over(w_desc).alias("sum_part"))
+         .filter(F.col("tie") == -1)
+         .select("user_id", F.col("t_orig").alias("t"),
+                 "cnt_part", "sum_part"))
+    per_sec = (a.unionByName(b)
+               .groupBy("user_id", "t")
+               .agg(F.sum("cnt_part").alias("n_1h"),
+                    F.sum("sum_part").cast("double").alias("sum_1h")))
+    return (sec.join(per_sec, ["user_id", "t"])
+            .select("event_id", "user_id", "n_1h", "sum_1h"))

@@ -294,7 +294,12 @@ def global_row_number(df: DataFrame, order: list, alias: str = "pos",
                         F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
             .select("_pid", "_off"))
     return (local.join(F.broadcast(offs), "_pid")
-            .withColumn("__grn", (F.col("_r") + F.col("_off")).cast("int"))
+            # long, not int: the callers route through here precisely
+            # because their relations scale with SF, and a 15B-row rank
+            # overflows int32 (ANSI CAST_OVERFLOW at 100 TB — or silent
+            # negative positions with ANSI off; review r13).  DuckDB's
+            # ROW_NUMBER is BIGINT anyway.
+            .withColumn("__grn", (F.col("_r") + F.col("_off")).cast("long"))
             .drop("_pid", "_r", "_off")
             .withColumnRenamed("__grn", alias))
 

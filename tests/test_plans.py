@@ -568,3 +568,40 @@ def test_broadcast_gate_false_branches_match_oracle(spark, sf_dir, monkeypatch):
         r = compare(key, QUERIES[key](spark, sf_dir), con, ORACLE[key])
         assert calls, f"{key} never consulted the patched gate — vacuous"
         assert r.ok, f"{key} wrong on the gate-False plan: {r.detail}"
+
+
+def test_time_range_twin_matches_native_window(spark, sf_dir):
+    """q_win_time_range's per-second bucket-merge twin (review r13) must
+    be ROW-identical to the native rangeBetween(-3599, 0) window it
+    replaced (the naive sliding frame rebuilds its buffer per row —
+    O(rows × frame-rows), unbounded for dense users).  Pinned at sf0.01
+    AND sf0.1 so hour-boundary frames, tie-second peers, and probe
+    rows landing exactly on an actual second are all exercised."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import os
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.numerics import DEC
+    from lstore_spark.registry import QUERIES
+
+    big = "/root/testdata/sf0.1"
+    dirs = [sf_dir] + ([big] if os.path.isdir(big) and big != sf_dir else [])
+    for d in dirs:
+        got = sorted(map(tuple, QUERIES["q_win_time_range"](spark, d)
+                         .collect()))
+        ev = load_table(spark, d, "events")
+        t = F.expr("timestampdiff(SECOND, "
+                   "to_timestamp_ntz('1970-01-01 00:00:00'), ts)")
+        w = (Window.partitionBy("user_id").orderBy("t")
+             .rangeBetween(-3599, Window.currentRow))
+        want = sorted(map(tuple, ev
+                          .select("event_id", "user_id", "value",
+                                  t.alias("t"))
+                          .select("event_id", "user_id",
+                                  F.count(F.lit(1)).over(w).alias("n_1h"),
+                                  F.sum(F.col("value").cast(DEC)).over(w)
+                                  .cast("double").alias("sum_1h"))
+                          .collect()))
+        assert got == want, f"twin diverges from native window at {d}"
