@@ -467,8 +467,13 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     set.  A true streaming sketch (Misra–Gries) would cap memory per
     task, but the exact two-phase form is already shuffle-bounded by
     vocabulary size."""
+    from ..registry import pin
+
     docs = load_table(spark, sf_dir, "documents")
-    cnt = (
+    # pin: cnt feeds BOTH the grand total and the final projection —
+    # unpinned, Spark re-runs the scan+explode+shuffle once per branch
+    # (no CSE across branches; the global_row_number lesson; review r13)
+    cnt = pin(
         docs.select(F.explode(
             F.expr("filter(split(text, ' '), x -> x <> '')")).alias("token"))
         .groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -611,9 +616,15 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket scan are two passes, and the final quantile step touches 256
     rows — no full sort, no full shuffle, which is the entire point
     versus exact percentile_approx-style machinery."""
+    from ..registry import pin
+
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
-                    F.count("value").alias("n"))
+    # pin: bounds is cross-joined into BOTH the bucketing branch and the
+    # final projection — unpinned it re-runs the full min/max/count scan
+    # per branch (review r13)
+    bounds = pin(
+        ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
+               F.count("value").alias("n")))
     hist = (
         ev.filter(F.col("value").isNotNull())
         .crossJoin(F.broadcast(bounds))

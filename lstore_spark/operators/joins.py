@@ -615,7 +615,9 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large⋈large equi-join accelerated by a portable Bloom runtime
     filter (`might_contain`/`bloom_filter_agg` are not public routines on
     this build, so the bitmap is built from first principles — seeded
-    xxhash64 positions OR-folded into a 16 KiB map<word,bits>).  The
+    xxhash64 positions OR-folded into a 16 KiB dense array<long>;
+    the map<word,bits> form was the measured 126-vs-27 s trap, see
+    scale.dense_array_agg).  The
     probe (lineitem) is pre-filtered against the broadcast bitmap before
     the sort-merge shuffle; the exact join then removes Bloom false
     positives, so the result is EXACTLY the plain join the oracle runs.

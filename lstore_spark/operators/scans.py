@@ -84,10 +84,21 @@ def q_scan_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     with millions of keys this is the difference between shuffling the
     whole log and shuffling ~|keys| rows."""
     ev = load_table(spark, sf_dir, "events")
+    # Per-column NULL-arg guard (review r13): DuckDB's arg_max SKIPS
+    # rows whose ARG is NULL (verified live on 1.0), while a naive
+    # Spark max_by returns the NULL at the true max offset.  Nulling
+    # the ORDERING key when the arg is NULL makes max_by skip those
+    # rows too — each column independently falls back to the latest
+    # non-NULL version, the log-compaction semantics both engines now
+    # share (the q_agg_mode r11 latent-guard class).
+    def latest(col: str):
+        return F.max_by(
+            col, F.when(F.col(col).isNotNull(), F.col("event_id")))
+
     return ev.groupBy("user_id").agg(
         F.max("event_id").alias("last_event_id"),
-        F.expr("max_by(event_type, event_id)").alias("last_type"),
-        F.expr("max_by(value, event_id)").alias("last_value"),
+        latest("event_type").alias("last_type"),
+        latest("value").alias("last_value"),
         F.count(F.lit(1)).alias("n_versions"),
     )
 

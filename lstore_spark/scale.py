@@ -34,6 +34,14 @@ def salted_join(skewed: DataFrame, other: DataFrame, key: str,
     across all salts.  Join key becomes (key, salt): a key holding p% of
     all rows now spreads over n_salts tasks.
 
+    Caveat (review r13): determinism-under-retry and spreading
+    byte-identical rows are mutually exclusive — ANY deterministic
+    function maps exact-duplicate rows to one salt.  Keep a
+    high-cardinality column (an offset/id) in the skewed projection so
+    the hot key's rows differ; a projection reduced to (key, attr)
+    with massive duplication re-concentrates into one bucket and
+    should pre-aggregate the duplicates instead of salting them.
+
     Cost: ``other`` inflates ×n_salts — use with a dimension-sized right
     side, or AQE skew-join for fact⋈fact.
 
@@ -167,7 +175,14 @@ def compact_store(spark: SparkSession, path: str,
     out = out or path.rstrip("/") + "_compacted"
     df = spark.read.parquet(path)
     pairs = [x for kv in plan.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-    n_tgt = F.create_map(*pairs)[F.col("day").cast("string")]
+    # NULL-day rows live under __HIVE_DEFAULT_PARTITION__ in the plan
+    # but read back as day IS NULL — a raw cast lookup returned NULL,
+    # NULLed the salt, and collapsed the whole NULL-day partition into
+    # one oversized writer cell regardless of its planned count
+    # (review r13; purge_before r12 handles the same dir name)
+    day_key = F.coalesce(F.col("day").cast("string"),
+                         F.lit("__HIVE_DEFAULT_PARTITION__"))
+    n_tgt = F.create_map(*pairs)[day_key]
     total = sum(plan.values())
     (
         df.withColumn("__salt", F.pmod(F.xxhash64("event_id"), n_tgt))

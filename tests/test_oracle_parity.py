@@ -97,3 +97,43 @@ def test_counter_rate_single_sample_group(spark, tmp_path):
            QUERIES["q_ts_counter_rate"](spark, str(tmp_path)).collect()}
     assert out[1].n_resets == 0 and out[1].n_samples == 1
     assert out[2].n_resets == 1 and out[2].n_samples == 11
+
+
+def test_latest_by_key_skips_null_args_like_arg_max(spark, tmp_path):
+    """review r13 latent-guard class: DuckDB's arg_max SKIPS rows whose
+    arg is NULL while a naive Spark max_by returns the NULL at the true
+    max offset.  Plant a user whose newest event has NULL event_type
+    (and another whose newest has NULL value) and require hash parity
+    plus the per-column fall-back-to-latest-non-NULL semantics."""
+    import datetime as dt
+
+    import duckdb
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: newest (id 12) has NULL type — last_type falls back
+        # to id 11's; last_value keeps id 12's
+        (11, t0, 1, "view", 1.5, "{}"),
+        (12, t0, 1, None, 2.5, "{}"),
+        # user 2: newest (id 22) has NULL value — symmetric fallback
+        (21, t0, 2, "click", 7.0, "{}"),
+        (22, t0, 2, "purchase", None, "{}"),
+        # user 3: ONLY NULL-type rows — last_type is NULL in both
+        (31, t0, 3, None, 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW events AS SELECT * "
+                 f"FROM '{tmp_path}/events.parquet/*.parquet'")
+    res = compare("q_scan_latest_by_key",
+                  QUERIES["q_scan_latest_by_key"](spark, str(tmp_path)),
+                  duck, ORACLE["q_scan_latest_by_key"])
+    assert res.ok, res.detail
+    out = {r.user_id: r for r in
+           QUERIES["q_scan_latest_by_key"](spark, str(tmp_path)).collect()}
+    assert out[1].last_type == "view" and out[1].last_value == 2.5
+    assert out[2].last_type == "purchase" and out[2].last_value == 7.0
+    assert out[3].last_type is None and out[3].last_value == 9.0

@@ -489,3 +489,31 @@ def test_routed_tables_all_or_nothing(spark, sf_dir, tmp_path, monkeypatch):
         assert "Bucketed: true" not in _plan(df.groupBy(
             "l_orderkey" if name == "lineitem" else "o_orderkey").count()), \
             f"{name} routed bucketed despite the missing orders layout"
+
+
+def test_compact_store_honors_null_day_partition(spark, sf_dir, tmp_path):
+    """review r13: NULL-ts rows land in day=__HIVE_DEFAULT_PARTITION__;
+    the plan keys that name while the day column reads back NULL — the
+    raw map lookup NULLed the salt and collapsed the whole NULL-day
+    partition into one writer cell regardless of the planned count."""
+    from lstore_spark.catalog import load_table
+
+    ev = (load_table(spark, sf_dir, "events").limit(2000)
+          .withColumn("ts", F.when(F.col("event_id") % 2 == 0,
+                                   F.col("ts"))))  # half the rows NULL-day
+    store = str(tmp_path / "nstore")
+    scale.write_events_partitioned(ev, store)
+    hive_null = "day=__HIVE_DEFAULT_PARTITION__"
+    assert os.path.isdir(os.path.join(store, hive_null))
+    out, plan = scale.compact_store(spark, store, target_bytes=48 << 10)
+    assert "__HIVE_DEFAULT_PARTITION__" in plan
+    want = plan["__HIVE_DEFAULT_PARTITION__"]
+    assert want > 1, "fixture too small to exercise the multi-file plan"
+    got = len([f for f in os.listdir(os.path.join(out, hive_null))
+               if f.endswith(".parquet")])
+    # every planned salt bucket that received rows becomes one file;
+    # with rows >> buckets all buckets fill — the broken lookup wrote 1
+    assert got == want, \
+        f"NULL-day partition wrote {got} files, plan said {want}"
+    # rows survive the rewrite exactly
+    assert spark.read.parquet(out).count() == 2000
