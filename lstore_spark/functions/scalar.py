@@ -305,8 +305,13 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        props->>'$.k' AS k_str,
-       CAST(props->>'$.k' AS BIGINT) AS k_int,
-       CAST(props->>'$.k' AS BIGINT) * 2 AS k_doubled,
+       -- integer-regex gate, both engines (review r13): Spark's ANSI
+       -- CAST throws on '12.5' where DuckDB's rounds to 13 — neither
+       -- is a shared contract, so only bare-integer text parses
+       CASE WHEN regexp_matches(props->>'$.k', '^-?[0-9]+$')
+            THEN CAST(props->>'$.k' AS BIGINT) END AS k_int,
+       CASE WHEN regexp_matches(props->>'$.k', '^-?[0-9]+$')
+            THEN CAST(props->>'$.k' AS BIGINT) * 2 END AS k_doubled,
        COALESCE(json_valid(props), FALSE) AS is_valid
 FROM events
 """,
@@ -320,11 +325,16 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     r10)."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
+    # regex-gated: an unguarded cast THROWS under Spark 4's ANSI
+    # default on '12.5'/'n/a' payloads while DuckDB's CAST rounds —
+    # only bare-integer text parses, identically in both engines
+    # (review r13; the q_udf_scalar_python strict-int discipline)
+    ki = F.when(k.rlike("^-?[0-9]+$"), k.cast("long"))
     return ev.select(
         "event_id",
         k.alias("k_str"),
-        k.cast("long").alias("k_int"),
-        (k.cast("long") * 2).alias("k_doubled"),
+        ki.alias("k_int"),
+        (ki * 2).alias("k_doubled"),
         F.get_json_object("props", "$").isNotNull().alias("is_valid"),
     )
 
@@ -350,13 +360,33 @@ def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_fn_variant",
     oracle="""
+WITH kk AS (
+  SELECT event_type, props,
+         -- typed twin of Spark's try_variant_get(..., 'bigint'),
+         -- pinned by live probe (review r13): JSON numbers truncate
+         -- toward zero (12.7 -> 12, -12.7 -> -12), numeric STRINGS
+         -- parse only as bare integers ('12' -> 12, '12.5' -> NULL),
+         -- booleans coerce to 1/0, everything else -> NULL
+         CASE json_type(props, '$.k')
+           WHEN 'BIGINT' THEN CAST(json_extract(props, '$.k') AS BIGINT)
+           WHEN 'UBIGINT' THEN CAST(json_extract(props, '$.k') AS BIGINT)
+           WHEN 'DOUBLE' THEN CAST(trunc(
+                CAST(json_extract(props, '$.k') AS DOUBLE)) AS BIGINT)
+           WHEN 'VARCHAR' THEN (CASE WHEN regexp_matches(
+                  json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+           WHEN 'BOOLEAN' THEN (CASE json_extract_string(props, '$.k')
+                WHEN 'true' THEN 1 ELSE 0 END)
+         END AS k
+  FROM events
+)
 SELECT event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
        COUNT(CASE WHEN json_extract_string(props, '$.missing') IS NULL
                   THEN NULL ELSE 1 END) AS n_missing_present
-FROM events GROUP BY event_type
+FROM kk GROUP BY event_type
 """,
 )
 def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:

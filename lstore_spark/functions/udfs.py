@@ -23,10 +23,21 @@ from ..registry import query
 @query(
     "q_udf_scalar_python",
     oracle="""
-SELECT event_id,
-       TRY_CAST(props->>'$.k' AS BIGINT) AS k_parsed,
-       CASE WHEN TRY_CAST(props->>'$.k' AS BIGINT) >= 50 THEN 'hi' ELSE 'lo' END AS k_band
-FROM events WHERE user_id < 40
+WITH kk AS (
+  SELECT event_id,
+         -- strict JSON-integer-NUMBER gate on the RAW json text
+         -- (review r13): TRY_CAST alone ROUNDS '12.5' to 13 and parses
+         -- quoted strings, where the Python UDF's isinstance(v, int)
+         -- rejects both — the raw text '"12"' / '12.5' / 'true' all
+         -- fail the bare-integer regex, exactly like the UDF
+         CASE WHEN regexp_matches(
+                CAST(json_extract(props, '$.k') AS VARCHAR), '^-?[0-9]+$')
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM events WHERE user_id < 40
+)
+SELECT event_id, k AS k_parsed,
+       CASE WHEN k >= 50 THEN 'hi' ELSE 'lo' END AS k_band
+FROM kk
 """,
 )
 def q_udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,11 +88,15 @@ def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             for x in v:
                 xd = float(x)
                 acc += xd * xd
-            return round(math.sqrt(acc), 6)
+            return math.sqrt(acc)
         return vecs.map(norm)
 
     em = load_table(spark, sf_dir, "embeddings")
-    return em.select("vec_id", l2_norm("embedding").alias("l2_norm"))
+    # round JVM-side: Python round() is half-to-EVEN and diverges from
+    # DuckDB's half-away ROUND at exact dyadic ties (0.0078125 →
+    # 0.007812 vs 0.007813); F.round matches DuckDB (0/250k divergences
+    # in the r13 probe) — review r13
+    return em.select("vec_id", F.round(l2_norm("embedding"), 6).alias("l2_norm"))
 
 
 @query(
@@ -91,10 +106,11 @@ WITH ranked AS (
   SELECT event_type, value,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type,
-       ROUND(AVG(value), 6) AS trimmed_mean_value,
+       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*), 6) AS trimmed_mean_value,
        MIN(n) AS n
 FROM ranked
 WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
@@ -106,23 +122,34 @@ def q_udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate as a grouped-agg pandas UDF: 10% trimmed mean of
     event value per type.  The oracle trims by rank over the same value
     order — ties at the trim boundary remove equal *values* either way,
-    so the mean is identical; rounded to 6dp in both engines (numpy
-    pairwise vs DuckDB sequential summation).  Also cross-checked against
-    numpy in pytest."""
+    so the core multiset is identical; NULL values drop on BOTH sides
+    before trimming (review r13 — a NaN poisoned numpy's mean where
+    SQL's aggregate skips).  The mean itself follows the dec_frame_avg
+    discipline: per-value Decimal(1e-8, HALF_UP) quantization summed
+    exactly, then float(Σ)/n — bit-equal to the oracle's dec2dbl
+    windowed sum, no pairwise-vs-sequential float drift (review r13).
+    Also cross-checked against numpy in pytest."""
+    from decimal import ROUND_HALF_UP, Decimal
 
     @F.pandas_udf(DoubleType())
     def trimmed_mean(v: pd.Series) -> float:
-        s = v.sort_values().to_numpy()
+        s = v.dropna().sort_values().to_numpy()
+        if len(s) == 0:
+            return None
         k = int(len(s) * 0.1)
         core = s[k: len(s) - k] if len(s) > 2 * k else s
-        return float(core.mean())
+        q8 = Decimal("1E-8")
+        acc = Decimal(0)
+        for x in core:
+            acc += Decimal(float(x)).quantize(q8, ROUND_HALF_UP)
+        return float(acc) / len(core)
 
     ev = load_table(spark, sf_dir, "events")
     # A grouped-agg pandas UDF cannot share an agg() with JVM aggregates
     # (INVALID_PANDAS_UDF_PLACEMENT) — counts come from a second agg.
     tm = ev.groupBy("event_type").agg(
         F.round(trimmed_mean("value"), 6).alias("trimmed_mean_value"))
-    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    n = ev.groupBy("event_type").agg(F.count("value").alias("n"))
     return tm.join(n, "event_type")
 
 
@@ -216,7 +243,10 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         if pd.isna(std) or std == 0.0:
             z = pd.array([None] * len(v), dtype="Float64")
         else:
-            z = ((v - v.mean()) / std).round(6).astype("Float64")
+            # unrounded here; the JVM F.round below matches DuckDB's
+            # half-away ROUND where pandas .round is half-to-even
+            # (review r13, the l2_norm dyadic-tie class)
+            z = ((v - v.mean()) / std).astype("Float64")
         return pd.DataFrame({
             "event_id": pdf["event_id"],
             "event_type": pdf["event_type"],
@@ -225,7 +255,8 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    return ev.groupBy("event_type").applyInPandas(normalize, out_schema)
+    return (ev.groupBy("event_type").applyInPandas(normalize, out_schema)
+            .withColumn("z_score", F.round("z_score", 6)))
 
 
 @query(

@@ -56,6 +56,28 @@ STATE_SCHEMA = StructType([
 ])
 
 
+# ONE definition of the 1e8-scaled exact-int value and its oracle text
+# (review r13, the _attribution_slices lesson): both streaming paths and
+# both oracles MUST share the scaling grain, or editing one silently
+# breaks the hash-certified GroupState == JVM equality.
+_V8_SCALE = 100_000_000
+
+
+def _v8_col():
+    """value as exact 1e8-scaled int64, computed JVM-side in decimal."""
+    return (F.col("value").cast("decimal(30,8)")
+            * F.lit(_V8_SCALE)).cast("long").alias("v8")
+
+
+_RUNAGG_ORACLE = f"""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(30,8)) * {_V8_SCALE} AS BIGINT))
+            AS DOUBLE) / {_V8_SCALE}.0 AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
 def running_user_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events stream → per-user (count, exact scaled sum) maintained in
     GroupState; emits the updated running totals each micro-batch
@@ -74,11 +96,9 @@ def running_user_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "sum_v8": [s8]})
 
-    v8 = (F.col("value").cast("decimal(30,8)")
-          * F.lit(100000000)).cast("long").alias("v8")
     return (
         _events_stream(spark, sf_dir)
-        .select("user_id", v8)
+        .select("user_id", _v8_col())
         .groupBy("user_id")
         .applyInPandasWithState(
             update, OUT_SCHEMA, STATE_SCHEMA, "update",
@@ -88,13 +108,7 @@ def running_user_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_apply_state",
-    oracle="""
-SELECT user_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(CAST(value AS DECIMAL(30,8)) * 100000000 AS BIGINT))
-            AS DOUBLE) / 100000000.0 AS sum_value
-FROM events
-GROUP BY user_id
-""",
+    oracle=_RUNAGG_ORACLE,
 )
 def q_stream_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the stateful running aggregate with availableNow; the LAST
@@ -113,7 +127,7 @@ def q_stream_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact and the single divide is correctly rounded in both engines
     return final.select(
         "user_id", "n_events",
-        (F.col("sum_v8").cast("double") / F.lit(100000000.0))
+        (F.col("sum_v8").cast("double") / F.lit(float(_V8_SCALE)))
         .alias("sum_value"))
 
 
@@ -136,11 +150,9 @@ def running_user_agg_stream_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (model scoring, non-associative transitions); for anything a
     built-in aggregate can express, this form IS the production path —
     state bound is still key cardinality, not time."""
-    v8 = (F.col("value").cast("decimal(30,8)")
-          * F.lit(100000000)).cast("long").alias("v8")
     return (
         _events_stream(spark, sf_dir)
-        .select("user_id", v8)
+        .select("user_id", _v8_col())
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum("v8").alias("sum_v8"))
@@ -149,13 +161,7 @@ def running_user_agg_stream_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_runagg_jvm",
-    oracle="""
-SELECT user_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(CAST(value AS DECIMAL(30,8)) * 100000000 AS BIGINT))
-            AS DOUBLE) / 100000000.0 AS sum_value
-FROM events
-GROUP BY user_id
-""",
+    oracle=_RUNAGG_ORACLE,
 )
 def q_stream_runagg_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the JVM-shape running aggregate with availableNow (update
@@ -174,5 +180,5 @@ def q_stream_runagg_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("sum_v8", "n_events").alias("sum_v8"))
     return final.select(
         "user_id", "n_events",
-        (F.col("sum_v8").cast("double") / F.lit(100000000.0))
+        (F.col("sum_v8").cast("double") / F.lit(float(_V8_SCALE)))
         .alias("sum_value"))

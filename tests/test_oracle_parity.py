@@ -137,3 +137,47 @@ def test_latest_by_key_skips_null_args_like_arg_max(spark, tmp_path):
     assert out[1].last_type == "view" and out[1].last_value == 2.5
     assert out[2].last_type == "purchase" and out[2].last_value == 7.0
     assert out[3].last_type is None and out[3].last_value == 9.0
+
+
+def test_json_contracts_agree_on_degenerate_payloads(spark, tmp_path):
+    """review r13: the three JSON-typed-extraction keys must agree with
+    their oracles on payloads the fixture never ships — float k,
+    quoted-numeric k, quoted-float k, non-numeric k, boolean k, and a
+    NULL value column.  Before this round: q_fn_json CRASHED under
+    Spark 4's ANSI cast on '12.5'; the q_udf_scalar_python oracle
+    ROUNDED '12.5' to 13 and parsed quoted strings the strict-int UDF
+    rejects; the q_fn_variant oracle hard-errored on a string k."""
+    import datetime as dt
+
+    import duckdb
+
+    t0 = dt.datetime(2024, 1, 1)
+    payloads = ['{"k": 12}', '{"k": 12.5}', '{"k": "12"}', '{"k": "12.5"}',
+                '{"k": "n/a"}', '{"k": true}', '{"k": null}', '{}',
+                '{"k": -7}', '{"k": -12.7}']
+    rows = [(i, t0, i % 3, "view", float(i), p)
+            for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW events AS SELECT * "
+                 f"FROM '{tmp_path}/events.parquet/*.parquet'")
+    for key in ("q_fn_json", "q_udf_scalar_python", "q_fn_variant"):
+        res = compare(key, QUERIES[key](spark, str(tmp_path)),
+                      duck, ORACLE[key])
+        assert res.ok, f"{key}: {res.detail}"
+    # spot-pin the shared integer contract
+    out = {r.event_id: r for r in
+           QUERIES["q_fn_json"](spark, str(tmp_path)).collect()}
+    assert out[0].k_int == 12 and out[8].k_int == -7
+    # get_json_object / ->> UNQUOTE string payloads, so a quoted bare
+    # integer parses in both engines; everything non-integer is NULL
+    assert out[2].k_int == 12
+    assert all(out[i].k_int is None for i in (1, 3, 4, 5, 6, 7, 9))
+    # variant: numbers truncate toward zero, bare-integer strings parse
+    vout = {}
+    for r in QUERIES["q_fn_variant"](spark, str(tmp_path)).collect():
+        vout[r.event_type] = r
+    assert vout["view"].n == len(payloads)
