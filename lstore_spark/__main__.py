@@ -13,8 +13,11 @@ against them.  Registered query keys are runnable by name too.
     python -m lstore_spark --list
 
 Output formats: ``table`` (default, .show-style), ``csv``, ``json``
-(one object per line).  ``--limit`` caps printed rows (default 100);
-the query itself still runs in full.
+(one object per line).  ``--limit`` caps printed rows (default 100) by
+PLANNING a limited query — Spark legitimately short-circuits the scan
+once the limit is satisfied, so a side-effecting key that must run in
+full should be invoked with a large ``--limit`` (review r13: the old
+text promised full execution the plan never delivered).
 """
 
 from __future__ import annotations

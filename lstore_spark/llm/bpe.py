@@ -197,16 +197,26 @@ def build_vocab_fixture(sf_dir: str) -> str:
         return path
     import pyarrow as pa
     import pyarrow.parquet as pq
-    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id", "text"])
+    # row-group streaming + the corpus_merges word cap (review r13): the
+    # old whole-table to_pylist held every document's text in driver
+    # Python memory at once — the exact OOM class VERDICT r10 #6 closed
+    # in corpus_merges — and a large fixture must fail LOUDLY on the
+    # distinct-word bound either way, not stall the driver
+    pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
     train_counts: collections.Counter = collections.Counter()
     vocab: set[str] = set()
-    for doc_id, text in zip(tbl.column("doc_id").to_pylist(),
-                            tbl.column("text").to_pylist()):
-        words = [w for w in (text or "").split(" ") if w]
-        vocab.update(words)
-        if doc_id < _TRAIN_DOCS:
-            train_counts.update(words)
+    for batch in pf.iter_batches(columns=["doc_id", "text"]):
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            words = [w for w in (text or "").split(" ") if w]
+            vocab.update(words)
+            if doc_id < _TRAIN_DOCS:
+                train_counts.update(words)
+        if len(vocab) > _TRAIN_WORD_CAP:
+            raise ValueError(
+                f"build_vocab_fixture: >{_TRAIN_WORD_CAP:,} distinct "
+                f"words in {sf_dir} — the frozen-vocab exhibit is sized "
+                "for test fixtures; train on a bounded sample instead")
     ranks = {p: i for i, p in enumerate(train_bpe(dict(train_counts)))}
     words = sorted(vocab)
     os.makedirs(out, exist_ok=True)

@@ -20,19 +20,50 @@ QUERIES: dict[str, QueryFn] = {}
 
 class _OracleMap(dict):
     """``ORACLE`` values are DuckDB SQL strings, or zero-arg callables
-    resolved (and memoized in place) on first ``__getitem__`` — for
-    oracles whose SQL embeds a fixture-derived artifact that must be
-    built lazily from the CURRENT testdata (e.g. the frozen BPE vocab
-    table in ``llm/bpe.py``: building it at import time would put a
-    corpus read on every ``import lstore_spark``).  Consumers keep
-    using plain ``ORACLE[key]`` / ``key in ORACLE`` unchanged."""
+    resolved lazily — for oracles whose SQL embeds a fixture-derived
+    artifact that must be built from the CURRENT testdata (e.g. the
+    frozen BPE vocab table in ``llm/bpe.py``: building it at import
+    time would put a corpus read on every ``import lstore_spark``).
+    Consumers keep using plain ``ORACLE[key]`` / ``key in ORACLE``
+    unchanged.
+
+    Review r13 hardening: (a) the memo is keyed by the fixture env var
+    a lazy builder reads, so a harness that re-points
+    ``$LSTORE_SPARK_TEST_SF`` mid-process gets a RE-RESOLVED oracle
+    instead of the stale fixture's SQL; (b) every read surface —
+    ``get``/``items``/``values`` as well as ``[]`` — resolves, so no
+    idiomatic consumer can ever receive a raw function object where
+    SQL text is expected."""
+
+    _memo: dict[tuple, str] = {}
+
+    @staticmethod
+    def _env_sig() -> str:
+        import os
+        return os.environ.get("LSTORE_SPARK_TEST_SF", "")
 
     def __getitem__(self, key: str) -> str:
         val = super().__getitem__(key)
         if callable(val):
-            val = val().strip()
-            super().__setitem__(key, val)
+            memo_key = (key, self._env_sig())
+            hit = self._memo.get(memo_key)
+            if hit is None:
+                hit = val().strip()
+                self._memo[memo_key] = hit
+            return hit
         return val
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def values(self):
+        return [self[k] for k in super().keys()]
+
+    def items(self):
+        return [(k, self[k]) for k in super().keys()]
 
 
 ORACLE: dict[str, str] = _OracleMap()
@@ -170,9 +201,17 @@ def _driver_evidence() -> tuple[frozenset, frozenset, dict, frozenset]:
     latest: dict[str, bool] = {}
     latest_round: dict[str, int] = {}
     rows_seen: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    def _round_of(path: str) -> int:
         m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
-        rnd = int(m.group(1)) if m else 0
+        return int(m.group(1)) if m else 0
+
+    # latest-round-wins must order by the PARSED round number, not the
+    # filename sort: at r100 'r100' sorts lexicographically before
+    # 'r99' and a stale verdict would overwrite the fresh one
+    # (review r13)
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+                       key=_round_of):
+        rnd = _round_of(path)
         try:
             with open(path) as fh:
                 rows = json.load(fh)

@@ -103,4 +103,16 @@ def get_spark(app_name: str = "lstore-spark", cpus: str | int | None = None,
     )
     for k, v in _RUNTIME_CONFS.items():
         b = b.config(k, v)
-    return tune(b.getOrCreate())
+    spark = tune(b.getOrCreate())
+    # Re-assert the explicitly chosen width AFTER tune(): its
+    # stock-vs-deliberate heuristic cannot distinguish a deliberate 200
+    # from the stock 200 and would clobber exactly that one value
+    # (review r13) — here the width is always deliberate.  (If the
+    # session pre-existed with a different width, getOrCreate ignored
+    # the builder conf; honoring the live session is the documented
+    # getOrCreate contract either way.)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    except Exception:
+        pass
+    return spark
