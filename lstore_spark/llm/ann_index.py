@@ -251,7 +251,19 @@ cent AS (
            / COUNT(x) AS c
   FROM vx GROUP BY label, i
 ),
-{_route_ctes("vx", "route_pairs", "route", "vec_id", "= 1")},
+wfx AS (
+  -- routing/encode takes WELL-FORMED corpus vectors only (review r13):
+  -- Spark's all_pairs_cosine router maps NULL/ragged/NULL-element
+  -- vectors to no-route and posexplode drops them from postings, while
+  -- the unguarded vx scored partial-dim routes and partial codes.
+  -- cent/bounds stay on raw vx: BOTH engines train with NULL-skipping
+  -- per-element aggregates over the whole corpus.
+  SELECT * FROM vx
+  WHERE vec_id IN (SELECT vec_id FROM corpus
+                   WHERE len(embedding) = 64
+                     AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+),
+{_route_ctes("wfx", "route_pairs", "route", "vec_id", "= 1")},
 bounds AS (
   SELECT i, MIN(x) AS lo,
          CASE WHEN MAX(x) = MIN(x) THEN CAST(0 AS DOUBLE)
@@ -259,12 +271,12 @@ bounds AS (
   FROM vx GROUP BY i
 ),
 codes AS (
-  SELECT vx.vec_id, vx.i,
+  SELECT wfx.vec_id, wfx.i,
          CAST(LEAST(CAST({_LEVELS - 1} AS BIGINT),
                     GREATEST(CAST(0 AS BIGINT), CAST(floor(
            CASE WHEN b.step = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
-                ELSE (vx.x - b.lo) / b.step END) AS BIGINT))) AS INT) AS code
-  FROM vx JOIN bounds b ON vx.i = b.i
+                ELSE (wfx.x - b.lo) / b.step END) AS BIGINT))) AS INT) AS code
+  FROM wfx JOIN bounds b ON wfx.i = b.i
 )"""
 
 
@@ -612,9 +624,15 @@ _BATCH_CTES = f"""codesum AS (
   FROM codes GROUP BY vec_id
 ),
 batchx AS (
+  -- well-formed batch vectors only (review r13): the frozen-quantizer
+  -- Spark encode routes through the same all_pairs_cosine router that
+  -- drops degenerate vectors (see wfx in _idx_ctes)
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
          CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM embeddings WHERE vec_id >= {_UPDATE_SPLIT}
+  FROM embeddings
+  WHERE vec_id >= {_UPDATE_SPLIT}
+    AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 {_route_ctes("batchx", "broute_pairs", "broute", "vec_id", "= 1")},
 bcodes AS (

@@ -202,21 +202,33 @@ def build_vocab_fixture(sf_dir: str) -> str:
     # Python memory at once — the exact OOM class VERDICT r10 #6 closed
     # in corpus_merges — and a large fixture must fail LOUDLY on the
     # distinct-word bound either way, not stall the driver
-    pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+    # documents.parquet may be a single file (driver testdata) or a
+    # Spark-written DIRECTORY of part files — pq.ParquetFile only opens
+    # the former, so resolve part files explicitly and stream each
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(src):
+        parts = sorted(
+            os.path.join(src, f) for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    else:
+        parts = [src]
     train_counts: collections.Counter = collections.Counter()
     vocab: set[str] = set()
-    for batch in pf.iter_batches(columns=["doc_id", "text"]):
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            words = [w for w in (text or "").split(" ") if w]
-            vocab.update(words)
-            if doc_id < _TRAIN_DOCS:
-                train_counts.update(words)
-        if len(vocab) > _TRAIN_WORD_CAP:
-            raise ValueError(
-                f"build_vocab_fixture: >{_TRAIN_WORD_CAP:,} distinct "
-                f"words in {sf_dir} — the frozen-vocab exhibit is sized "
-                "for test fixtures; train on a bounded sample instead")
+    for part in parts:
+        pf = pq.ParquetFile(part)
+        for batch in pf.iter_batches(columns=["doc_id", "text"]):
+            for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                    batch.column("text").to_pylist()):
+                words = [w for w in (text or "").split(" ") if w]
+                vocab.update(words)
+                if doc_id < _TRAIN_DOCS:
+                    train_counts.update(words)
+            if len(vocab) > _TRAIN_WORD_CAP:
+                raise ValueError(
+                    f"build_vocab_fixture: >{_TRAIN_WORD_CAP:,} distinct "
+                    f"words in {sf_dir} — the frozen-vocab exhibit is "
+                    "sized for test fixtures; train on a bounded sample "
+                    "instead")
     ranks = {p: i for i, p in enumerate(train_bpe(dict(train_counts)))}
     words = sorted(vocab)
     os.makedirs(out, exist_ok=True)

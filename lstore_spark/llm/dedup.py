@@ -778,7 +778,13 @@ def q_llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_dedup_semantic",
     oracle=f"""
 WITH emb AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
+  -- well-formed vectors only (review r13): the Spark side's
+  -- wf_vectors guard drops NULL/ragged/NULL-element vectors from
+  -- seeding, assignment, AND the output roster
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < 2000
+    AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 seed AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ck, embedding
@@ -882,10 +888,13 @@ def semantic_dedup(em: DataFrame, n_clusters: int,
     their members are all kept (keep=true), never mis-dropped — and the
     same width aggregate is one map-side-combined count on the cluster
     key.  None (the oracle-checked key) disables the cap."""
-    from .embeddings import assign_nearest, assign_nearest_hierarchical
+    from .embeddings import (assign_nearest, assign_nearest_hierarchical,
+                             wf_vectors)
 
     w = Window.orderBy("vec_id")
-    cvecs = (em.orderBy("vec_id").limit(n_clusters)
+    # seeds = the lowest WELL-FORMED vec_ids (review r13, the
+    # wf_vectors contract shared with the kmeans family)
+    cvecs = (wf_vectors(em).orderBy("vec_id").limit(n_clusters)
              .select((F.row_number().over(w) - 1).alias("ck"),
                      F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
                      .alias("cvec")))
@@ -1336,15 +1345,23 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_h = F.broadcast(base_h)
     inc = f.filter(~F.col("is_base")).select("doc_id", "h")
     heads = inc.groupBy("h").agg(F.min("doc_id").alias("head_id"))
+    # NULL-text rows hash to h=NULL, and SQL NULL equality means they
+    # match NOTHING — the oracle's EXISTS predicates all read false, so
+    # every NULL-h increment doc flows through with keep=true.  Both
+    # joins are therefore LEFT (an inner join on the nullable h key
+    # silently dropped those docs — review r13), and the head
+    # comparisons coalesce NULL→not-a-dup to the same truth table.
     return (
         inc.join(base_h, "h", "left")
-        .join(heads, "h")
+        .join(heads, "h", "left")
         .select(
             "doc_id",
             F.coalesce("in_base", F.lit(False)).alias("dup_of_base"),
-            (F.col("doc_id") > F.col("head_id")).alias("dup_in_batch"),
+            F.coalesce(F.col("doc_id") > F.col("head_id"), F.lit(False))
+             .alias("dup_in_batch"),
             ((F.coalesce("in_base", F.lit(False)) == F.lit(False))
-             & (F.col("doc_id") == F.col("head_id"))).alias("keep"))
+             & F.coalesce(F.col("doc_id") == F.col("head_id"), F.lit(True)))
+             .alias("keep"))
     )
 
 

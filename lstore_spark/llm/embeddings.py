@@ -142,10 +142,14 @@ cent AS (
   FROM elems GROUP BY label, i
 ),
 vec AS (
+  -- well-formed vectors only (review r13): Spark's assign path DROPS
+  -- NULL/ragged/NULL-element vectors (wf_vectors)
   SELECT vec_id, label AS own_label,
          generate_subscripts(embedding, 1) AS i,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
+  WHERE len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 pairs AS (
   SELECT vec.vec_id, vec.own_label, cent.label AS cand_label,
@@ -176,8 +180,12 @@ def q_llm_emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     cvecs = (centroid_vectors(em.select("label", "embedding"), "label")
              .select(F.col("label").alias("cand_label"), "cvec"))
+    # centroids accumulate over the raw corpus (NULL-skipping sums in
+    # both engines) but only well-formed vectors get ASSIGNED — the
+    # wf_vectors/vec-CTE contract (review r13)
     pairs = (
-        em.select("vec_id", F.col("label").alias("own_label"), "embedding")
+        wf_vectors(em)
+        .select("vec_id", F.col("label").alias("own_label"), "embedding")
         .crossJoin(F.broadcast(cvecs))
         .select("vec_id", "own_label", "cand_label",
                 cosine("embedding", "cvec").alias("cos_sim"))
@@ -237,11 +245,33 @@ def centroid_vectors(df: DataFrame, key: str) -> DataFrame:
     return centroid_from_elems(exploded_elems(df, key), key)
 
 
+def wf_vectors(df: DataFrame) -> DataFrame:
+    """Well-formed corpus vectors only: non-NULL, exactly
+    ``EMBEDDING_DIM`` elements, no NULL elements.  The degenerate rest
+    degrades to DROPPED (the matryoshka/pq_encode contract, review
+    r12) — the SQL twin of this guard is the two-line WHERE every
+    assignment oracle's vec CTE carries (review r13)."""
+    from ..catalog import EMBEDDING_DIM
+    return df.filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMBEDDING_DIM)
+        & (F.size(F.filter("embedding", lambda x: x.isNull())) == 0))
+
+
 def assign_nearest(em: DataFrame, cvecs: DataFrame, key: str) -> DataFrame:
     """Route every vector to its max-cosine centroid (tie → lowest key).
     The centroid table BROADCASTS over the corpus scan; the argmax is a
     map-side-combined max_by per vector — the distributed Lloyd
-    assignment step, nothing quadratic."""
+    assignment step, nothing quadratic.
+
+    Degenerate vectors (NULL/empty/ragged/NULL-element) are DROPPED
+    (review r13): unguarded, the NULL-propagating cosine fold fabricated
+    a present-with-NULLs assignment row while the oracles' unnest-based
+    vec CTEs either emit no row (NULL) or a partial-dim real assignment
+    (ragged) — three different behaviors.  The rows-only hierarchical
+    router below keeps its pinned present-with-NULLs degrade instead
+    (its adaptive callers want degenerate rows visible)."""
+    em = wf_vectors(em)
     # norms precomputed once per vector and once per centroid — identical
     # arithmetic to cosine() (dot/(na·nb) rounded at 6, so every oracle
     # twin still hash-matches) but the norm HOFs drop from 2·n·k per
@@ -392,9 +422,13 @@ cent AS (
   FROM elems GROUP BY label, i
 ),
 vec AS (
+  -- well-formed vectors only (review r13): Spark's assign path DROPS
+  -- NULL/ragged/NULL-element vectors (wf_vectors)
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
+  WHERE len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 pairs AS (
   -- ROUND 6 like every other key in the IVF/kmeans family: the Spark
@@ -483,13 +517,21 @@ def _kmeans_full_oracle() -> str:
     centroid means, ROUND-6 cosines, lowest-ck tie-break."""
     parts = ["""
 WITH vec AS (
+  -- well-formed vectors only (review r13): Spark's assign path DROPS
+  -- NULL/ragged/NULL-element vectors (wf_vectors), and seeds come
+  -- from the lowest WELL-FORMED vec_ids in both engines
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
+  WHERE len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 seed AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ck, embedding
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM embeddings
+  WHERE len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+  ORDER BY vec_id LIMIT 8
 ),
 cent0 AS (
   SELECT ck, generate_subscripts(embedding, 1) AS i,
@@ -549,7 +591,10 @@ def q_llm_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     k, max_iters = _KMEANS_K, _KMEANS_MAX_ITERS  # mirrored by the oracle
     w = Window.orderBy("vec_id")
-    cvecs = (em.orderBy("vec_id").limit(k)
+    # seeds = the k lowest WELL-FORMED vec_ids (review r13): a
+    # degenerate seed would give NULL cosines here vs partial-dim ones
+    # in the oracle's unnest-based cent0
+    cvecs = (wf_vectors(em).orderBy("vec_id").limit(k)
              .select((F.row_number().over(w) - 1).alias("ck"),
                      F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
                      .alias("cvec")))
@@ -579,8 +624,13 @@ def q_llm_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_emb_kmeans_portable",
     oracle="""
 WITH seed AS (
+  -- lowest WELL-FORMED vec_ids seed the centroids (review r13),
+  -- mirroring the wf_vectors guard on the Spark side
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ck, embedding
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM embeddings
+  WHERE len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+  ORDER BY vec_id LIMIT 8
 ),
 cent AS (
   SELECT ck, generate_subscripts(embedding, 1) AS i,
@@ -588,9 +638,13 @@ cent AS (
   FROM seed
 ),
 vec AS (
+  -- well-formed vectors only (review r13): Spark's assign path DROPS
+  -- NULL/ragged/NULL-element vectors (wf_vectors)
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
+  WHERE len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 pairs AS (
   SELECT vec.vec_id, cent.ck,
@@ -1243,9 +1297,17 @@ def q_llm_emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_emb_norm_stats",
     oracle=f"""
 WITH norms AS (
+  -- nrm is NULL for degenerate vectors (NULL / empty / NULL-element)
+  -- in BOTH engines (review r13): unguarded, DuckDB's list_sum SKIPS
+  -- NULL elements (partial norm) and returns NULL on [] while Spark's
+  -- fold NULL-propagates and returns 0.0 on [] — four different
+  -- behaviors for rows no fixture plants but a regenerated one might
   SELECT vec_id, label,
-         ROUND(sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+         CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+                   AND len(list_filter(embedding, x -> x IS NULL)) = 0
+              THEN ROUND(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+         END AS nrm
   FROM embeddings
 )
 SELECT label,
@@ -1269,7 +1331,13 @@ def q_llm_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline.  Scale: pure projection + one tiny per-label rollup —
     scan-bound at any corpus size."""
     em = load_table(spark, sf_dir, "embeddings")
-    nrm = F.round(_norm("embedding"), 6)
+    # mirror the oracle's degenerate-vector guard: nrm NULL unless the
+    # vector is non-NULL, non-empty, and NULL-element-free — n_vecs
+    # still counts every row, the norm stats skip the unmeasurable ones
+    wf = (F.col("embedding").isNotNull()
+          & (F.size("embedding") > 0)
+          & (F.size(F.filter("embedding", lambda x: x.isNull())) == 0))
+    nrm = F.when(wf, F.round(_norm("embedding"), 6))
     return (
         em.select("label", nrm.alias("nrm"))
         .groupBy("label")

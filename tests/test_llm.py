@@ -1545,6 +1545,67 @@ def test_degenerate_embeddings_flow_through(spark, tmp_path):
     for okid in range(12):
         assert routed[okid].cluster is not None
 
+    # review r13: the EXACT assignment family drops degenerate vectors
+    # (wf_vectors) and its oracles carry the matching guard — certify
+    # row-for-row oracle parity ON the degenerate fixture, which the
+    # clean sf0.01 sweep can never exercise
+    import duckdb
+
+    from lstore_spark.registry import ORACLE
+    from tests.oracle_check import compare
+    con = duckdb.connect()
+    for t in ("embeddings", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{fx}/{t}.parquet'")
+    for key in ("q_llm_emb_ivf_assign", "q_llm_emb_kmeans",
+                "q_llm_emb_kmeans_portable", "q_llm_emb_kmeans_update",
+                "q_llm_dedup_semantic", "q_llm_emb_norm_stats"):
+        r = compare(key, QUERIES[key](spark, sf), con, ORACLE[key])
+        assert r.ok, f"{key} on degenerate fixture: {r.detail}"
+    asg = {r.vec_id for r in
+           QUERIES["q_llm_emb_kmeans_portable"](spark, sf).collect()}
+    assert asg == set(range(12)), "degenerate vectors must not be assigned"
+
+
+def test_dedup_incremental_null_text_flows_through(spark, tmp_path):
+    """review r13: a NULL-text increment doc hashes to h=NULL, which
+    matches NOTHING under SQL NULL equality — the oracle emits it with
+    keep=true, and the Spark side's inner join on the nullable h used
+    to silently DROP it (data loss in the daily-ingest exhibit)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lstore_spark.registry import ORACLE, QUERIES
+    from tests.oracle_check import compare
+
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    # evens = base (incl. a NULL-text base doc), odds = increment:
+    # 1 is the NULL-text increment (must flow through with keep=true,
+    # NOT match base 2's NULL hash), 3 duplicates base 0, 5 is fresh
+    texts = ["base a", None, None, "base a", "base b", "inc unique"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": texts,
+        "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+        "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+    }), str(fx / "documents.parquet"))
+
+    out = {r.doc_id: r for r in
+           QUERIES["q_llm_dedup_incremental"](spark, str(fx)).collect()}
+    # every odd (increment) doc is present — including the NULL-text one
+    assert set(out) == {1, 3, 5}
+    assert out[1].keep and not out[1].dup_of_base and not out[1].dup_in_batch
+    assert out[3].dup_of_base and not out[3].keep
+    assert out[5].keep and not out[5].dup_of_base and not out[5].dup_in_batch
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{fx}/documents.parquet'")
+    r = compare("q_llm_dedup_incremental",
+                QUERIES["q_llm_dedup_incremental"](spark, str(fx)),
+                con, ORACLE["q_llm_dedup_incremental"])
+    assert r.ok, r.detail
+
 
 def test_index_search_degrades_null_query_row(spark, sf_dir, tmp_path):
     """review r13: a NULL query embedding (vec_id < 10) must degrade to
@@ -1585,6 +1646,51 @@ def test_index_search_degrades_null_query_row(spark, sf_dir, tmp_path):
                 QUERIES["q_llm_index_search"](spark, str(fx)),
                 con, ORACLE["q_llm_index_search"])
     assert r.ok, r.detail
+
+
+def test_index_build_drops_degenerate_corpus_vectors(spark, sf_dir,
+                                                     tmp_path):
+    """review r13: a degenerate CORPUS vector (vec_id >= 10) must be
+    dropped from routing/postings in BOTH engines — the Spark router
+    already dropped it, but the oracle's unguarded vx scored a
+    partial-dim route and partial codes for it (the query-side guard
+    landed earlier in r13; this is the corpus-side twin).  Training
+    (cent/bounds) still accumulates over the raw corpus with
+    NULL-skipping per-element aggregates in both engines."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lstore_spark.registry import ORACLE
+    from tests.oracle_check import compare
+
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    d = src.to_pydict()
+    kill, shorten = 450, 451          # delta-batch side of _UPDATE_SPLIT=400
+    kill2, shorten2 = 20, 21          # base side
+    for vid, mut in ((kill, None), (shorten, [1.0, 2.0]),
+                     (kill2, None), (shorten2, [3.0])):
+        d["embedding"][d["vec_id"].index(vid)] = mut
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    pq.write_table(pa.Table.from_pydict(d, schema=src.schema),
+                   str(fx / "embeddings.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{fx}/embeddings.parquet'")
+    for key in ("q_llm_index_build", "q_llm_index_update",
+                "q_llm_index_merge", "q_llm_index_search"):
+        r = compare(key, QUERIES[key](spark, str(fx)), con, ORACLE[key])
+        assert r.ok, f"{key} on degenerate corpus: {r.detail}"
+    # and the postings really exclude the degenerate ids
+    from lstore_spark.llm.ann_index import _read_postings, ann_index_dir
+    posts = _read_postings(
+        spark, os.path.join(ann_index_dir(str(fx)), "postings"))
+    cand = {r.cand_id for r in posts.select("cand_id").collect()}
+    assert {kill2, shorten2}.isdisjoint(cand)
 
 
 def test_kmeans_unrolled_oracle_equals_loop_on_planted_fixtures(
