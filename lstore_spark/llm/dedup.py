@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, table_rows
 from ..registry import query
-from .similarity import cosine
-from .text import _DUCK_TOKENS, _SPARK_TOKENS
+from .similarity import _DUCK_PAIRS, cosine, duck_pair_cosine
+from .text import _DUCK_TOKENS, _ORACLE_MAX_TOKENS, _SPARK_TOKENS
 
 
 def minhash_lsh_params(tau: float = 0.5,
@@ -488,7 +488,7 @@ shingle AS (
   SELECT DISTINCT doc_id,
          ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' '
            || ts[CAST(i AS INT) + 2] AS sh
-  FROM tok, range(1, 256) AS g(i)
+  FROM tok, range(1, {_ORACLE_MAX_TOKENS}) AS g(i)
   WHERE i <= len(ts) - 2
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingle GROUP BY doc_id),
@@ -689,7 +689,13 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep_id"))
     rep_docs = docs.join(
         reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
-    sig = minhash_signatures(rep_docs)
+    # localCheckpoint for the same reason as q_llm_dedup_minhash (review
+    # r13): lsh_candidate_pairs consumes sig on three branches (both
+    # self-join sides + the hot-bucket width aggregate); ReuseExchange
+    # dedupes the twin exchanges but not the aggregate branch, so
+    # without this the Arrow minhash UDF re-runs over the
+    # representative corpus
+    sig = minhash_signatures(rep_docs).localCheckpoint()
     pairs = lsh_candidate_pairs(sig, min_est_jaccard=0.5).select("id_a", "id_b")
     labels = dedup_clusters(rep_docs.select("doc_id"), pairs)
     return (hashed.join(reps, "_h")
@@ -717,16 +723,8 @@ WITH wf AS (
     AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(
-           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
-           / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
-              * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
-           6) AS cos_sim
-  FROM wf a
-  JOIN wf b ON a.vec_id < b.vec_id
-  CROSS JOIN generate_series(1, 64) AS g(i)
-  GROUP BY a.vec_id, b.vec_id
+  {_DUCK_PAIRS.format(ida="id_a", idb="id_b", rel="wf",
+                      pair_cond="a.vec_id < b.vec_id")}
 )
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_TAU_EMB_NEAR_DUP}
 """,
@@ -822,11 +820,7 @@ dup AS (
   JOIN emb b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
   CROSS JOIN generate_series(1, 64) AS g(i)
   GROUP BY a.vec_id, b.vec_id
-  HAVING ROUND(
-      SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
-      / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
-         * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
-      6) >= {_TAU_EMB_NEAR_DUP}
+  HAVING {duck_pair_cosine("a", "b")} >= {_TAU_EMB_NEAR_DUP}
 )
 SELECT asg.vec_id, asg.cluster, (dup.vec_id IS NULL) AS keep
 FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
@@ -1046,7 +1040,7 @@ sh AS (
   SELECT doc_id, source,
          concat(coalesce(ts[i], ''), ' ', coalesce(ts[i + 1], ''), ' ',
                 coalesce(ts[i + 2], '')) AS shingle
-  FROM tok, range(1, 256) AS g(i)
+  FROM tok, range(1, {_ORACLE_MAX_TOKENS}) AS g(i)
   WHERE i <= greatest(len(ts) - 2, 1)
 ),
 ev AS (SELECT DISTINCT doc_id AS eval_id, shingle FROM sh WHERE source = 'src0'),
@@ -1266,7 +1260,7 @@ win AS (
   SELECT doc_id,
          array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + {_SUBSTR_W - 1}],
                          ' ') AS span
-  FROM tok, range(1, 256) AS g(i) WHERE i <= len(ts) - {_SUBSTR_W - 1}
+  FROM tok, range(1, {_ORACLE_MAX_TOKENS}) AS g(i) WHERE i <= len(ts) - {_SUBSTR_W - 1}
 )
 SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
 FROM win GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1

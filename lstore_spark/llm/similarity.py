@@ -187,15 +187,25 @@ def all_pairs_cosine_udf(M):
 # DuckDB twin: dot/norms via an index join over generate_series, rounded
 # identically.  (list_cosine_similarity exists but its internal float32
 # accumulation order is unspecified; the explicit form pins semantics.)
-_DUCK_PAIRS = """
-  SELECT a.vec_id AS {ida}, b.vec_id AS {idb},
-         ROUND(
-           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
-           / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
-              * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
-           6) AS cos_sim
-  FROM wf_embeddings a
-  JOIN wf_embeddings b ON {pair_cond}
+def duck_pair_cosine(a: str = "a", b: str = "b") -> str:
+    """THE pair-cosine SQL expression — flat NULL-skipping SUM dot over
+    a pre-exploded dimension index ``i``, DOUBLE-widened terms, ROUND
+    at 1e-6.  ONE copy in-tree (review r13): the embcos / semantic-dup /
+    portable-LSH oracles each hand-carried this 6-line block, and a
+    rounding-grain or widening change in one copy would silently
+    desynchronize the family."""
+    return f"""ROUND(
+           SUM(CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE))
+           / (sqrt(SUM(CAST({a}.embedding[i] AS DOUBLE) * CAST({a}.embedding[i] AS DOUBLE)))
+              * sqrt(SUM(CAST({b}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))),
+           6)"""
+
+
+_DUCK_PAIRS = f"""
+  SELECT a.vec_id AS {{ida}}, b.vec_id AS {{idb}},
+         {duck_pair_cosine()} AS cos_sim
+  FROM {{rel}} a
+  JOIN {{rel}} b ON {{pair_cond}}
   CROSS JOIN generate_series(1, 64) AS g(i)
   GROUP BY a.vec_id, b.vec_id
 """
@@ -217,7 +227,7 @@ _WF_CTE = """wf_embeddings AS (
     oracle=f"""
 WITH {_WF_CTE},
 pairs AS (
-  {_DUCK_PAIRS.format(ida="query_id", idb="cand_id",
+  {_DUCK_PAIRS.format(ida="query_id", idb="cand_id", rel="wf_embeddings",
                       pair_cond="a.vec_id < 10 AND b.vec_id >= 10")}
 )
 SELECT query_id, cand_id, cos_sim, rn AS rank
@@ -287,7 +297,7 @@ def _brute_force_topk(spark: SparkSession, sf_dir: str,
     oracle=f"""
 WITH {_WF_CTE},
 pairs AS (
-  {_DUCK_PAIRS.format(ida="query_id", idb="cand_id",
+  {_DUCK_PAIRS.format(ida="query_id", idb="cand_id", rel="wf_embeddings",
                       pair_cond="a.vec_id < 10 AND b.vec_id >= 10 AND b.label IN (2, 5, 7)")}
 )
 SELECT query_id, cand_id, cos_sim, rn AS rank
@@ -329,7 +339,7 @@ _TAU_PAIRS = 0.30
     oracle=f"""
 WITH {_WF_CTE},
 pairs AS (
-  {_DUCK_PAIRS.format(ida="id_a", idb="id_b",
+  {_DUCK_PAIRS.format(ida="id_a", idb="id_b", rel="wf_embeddings",
                       pair_cond="a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200")}
 )
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_TAU_PAIRS}
@@ -381,7 +391,7 @@ def q_llm_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_WF_CTE},
 pairs AS (
-  {_DUCK_PAIRS.format(ida="query_id", idb="cand_id",
+  {_DUCK_PAIRS.format(ida="query_id", idb="cand_id", rel="wf_embeddings",
                       pair_cond="a.vec_id < 20 AND b.vec_id >= 20")}
 ),
 knn AS (
@@ -824,11 +834,7 @@ cand AS (
 ),
 pairs AS (
   SELECT c.id_a, c.id_b,
-         ROUND(
-           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
-           / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
-              * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
-           6) AS cos_sim
+         {duck_pair_cosine("a", "b")} AS cos_sim
   FROM cand c
   JOIN wf a ON a.vec_id = c.id_a
   JOIN wf b ON b.vec_id = c.id_b

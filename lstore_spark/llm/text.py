@@ -21,6 +21,20 @@ from .hashing import sql_md5_long
 _SPARK_TOKENS = "filter(split(text, ' '), x -> x <> '')"
 _DUCK_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+# Token-position ceiling for the DuckDB oracles ONLY (review r13: this
+# was a silent inline `range(1, 256)` in seven oracles).  DuckDB 1.0's
+# generate_series/range cannot take a lateral column bound, so position
+# enumeration uses a CONSTANT range + `WHERE i <= len(ts)` — correct
+# only while every fixture document stays under this many tokens.  The
+# Spark side enumerates ALL positions, so an over-cap doc would make the
+# oracle silently drop tail shingles and present as an engine mismatch;
+# tests/test_llm.py::test_fixture_token_counts_within_oracle_cap fails
+# LOUDLY against every generated sf dir instead (documents.text maxes
+# out at ~100 tokens by generation — see FIXTURES.md).
+_ORACLE_MAX_TOKENS = 256
+# Same discipline for q_llm_text_chunk's chunk-id enumeration.
+_ORACLE_MAX_CHUNKS = 64
+
 # Shingle/bigram builders over a *materialized* token-array column `ts` —
 # inlining the tokenizer inside each element_at would re-split the text
 # per element (O(tokens²) per doc; showed up as 7s of the sf0.1 bench).
@@ -173,7 +187,7 @@ WITH tok AS (
   SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
 )
 SELECT ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS bigram, COUNT(*) AS n
-FROM tok, range(1, 256) AS g(i)
+FROM tok, range(1, {_ORACLE_MAX_TOKENS}) AS g(i)
 WHERE i <= len(ts) - 1
 GROUP BY 1
 HAVING COUNT(*) >= 20
@@ -461,7 +475,7 @@ WITH tok AS (
 spans AS (
   SELECT doc_id, ts, CAST(i AS INT) AS chunk_id,
          CAST(1 + i * {_STRIDE} AS INT) AS start
-  FROM tok, range(0, 64) AS g(i)
+  FROM tok, range(0, {_ORACLE_MAX_CHUNKS}) AS g(i)
   WHERE i = 0 OR 1 + i * {_STRIDE} <= len(ts)
 )
 SELECT doc_id, chunk_id,
@@ -506,7 +520,7 @@ shingle AS (
   SELECT doc_id,
          ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' '
            || ts[CAST(i AS INT) + 2] AS sh
-  FROM tok, range(1, 256) AS g(i)
+  FROM tok, range(1, {_ORACLE_MAX_TOKENS}) AS g(i)
   WHERE i <= len(ts) - 2
 )
 SELECT doc_id,
@@ -726,7 +740,7 @@ WITH tok AS (
 ),
 bg AS (
   SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
-  FROM tok, range(1, 256) AS g(i) WHERE i <= len(ts) - 1
+  FROM tok, range(1, {_ORACLE_MAX_TOKENS}) AS g(i) WHERE i <= len(ts) - 1
 ),
 train_bg AS (
   SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 5 < 4 GROUP BY 1, 2
@@ -854,7 +868,7 @@ base AS (
 ),
 bg AS (
   SELECT doc_id, ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS bg
-  FROM tok, range(1, 256) AS g(i) WHERE i <= len(ts) - 1
+  FROM tok, range(1, {_ORACLE_MAX_TOKENS}) AS g(i) WHERE i <= len(ts) - 1
 ),
 bgc AS (
   SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2

@@ -1566,6 +1566,47 @@ def test_degenerate_embeddings_flow_through(spark, tmp_path):
     assert asg == set(range(12)), "degenerate vectors must not be assigned"
 
 
+def test_fixture_token_counts_within_oracle_cap():
+    """review r13: seven oracles enumerate token positions with a
+    CONSTANT ``range(1, _ORACLE_MAX_TOKENS)`` (DuckDB 1.0 cannot take
+    lateral column bounds), which silently drops tail shingles the
+    moment any fixture doc exceeds the cap — the failure would present
+    as an engine mismatch in the sweep.  Assert the bound against EVERY
+    generated sf dir so a regenerated fixture fails HERE, loudly, with
+    the constant named."""
+    import glob
+    import os
+
+    import duckdb
+
+    from lstore_spark.llm.text import _ORACLE_MAX_CHUNKS, _ORACLE_MAX_TOKENS
+    from lstore_spark.llm.text import _CHUNK, _STRIDE
+
+    root = os.path.dirname(os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/"))
+    dirs = sorted(glob.glob(os.path.join(root, "sf*")))
+    assert dirs, f"no sf dirs under {root}"
+    con = duckdb.connect()
+    for d in dirs:
+        path = os.path.join(d, "documents.parquet")
+        if not os.path.exists(path):
+            continue
+        mx = con.execute(
+            "SELECT max(len(list_filter(string_split(text, ' '), "
+            "x -> x <> ''))) FROM read_parquet(?)", [path]).fetchone()[0]
+        assert mx < _ORACLE_MAX_TOKENS, (
+            f"{path}: a document has {mx} tokens >= _ORACLE_MAX_TOKENS="
+            f"{_ORACLE_MAX_TOKENS}; the position-enumerating oracles "
+            "(ngrams/fingerprint/lm_score/repetition/contamination/"
+            "jaccard_ngram/substring) would silently drop tail shingles "
+            "— raise the constant in lstore_spark/llm/text.py")
+        # chunk-id enumeration: chunks = 1 + ceil((len-CHUNK)/STRIDE)
+        assert 1 + (mx - _CHUNK + _STRIDE - 1) // _STRIDE \
+            <= _ORACLE_MAX_CHUNKS, (
+            f"{path}: {mx}-token doc needs more than "
+            f"_ORACLE_MAX_CHUNKS={_ORACLE_MAX_CHUNKS} chunks")
+
+
 def test_dedup_incremental_null_text_flows_through(spark, tmp_path):
     """review r13: a NULL-text increment doc hashes to h=NULL, which
     matches NOTHING under SQL NULL equality — the oracle emits it with
