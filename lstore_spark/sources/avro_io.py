@@ -118,6 +118,16 @@ class _Cursor:
 
     def read_bytes(self) -> bytes:
         n = self.read_long()
+        # bounds + sign check (review r13): a corrupt in-payload length
+        # varint (negative, or past the buffer) must fail LOUDLY — the
+        # unchecked slice returned b'' / a truncated slice and, for a
+        # negative n, moved the cursor BACKWARD, re-decoding earlier
+        # bytes into garbage rows while the block's sync framing still
+        # verified (the class read_segment_file closed in r12)
+        if n < 0 or self.pos + n > len(self.data):
+            raise ValueError(
+                f"avro: corrupt bytes/string length {n} at offset "
+                f"{self.pos} (buffer {len(self.data)})")
         out = self.data[self.pos:self.pos + n]
         self.pos += n
         return out
@@ -529,10 +539,18 @@ class AvroReader(DataSourceReader):
     def partitions(self):
         files = sorted(f for f in os.listdir(self.path)
                        if f.endswith(".avro"))
-        return [_AvroPartition(os.path.join(self.path, f)) for f in files]
+        # never return [] (review r13, same Python-DataSource quirk
+        # lstore_log works around): Spark still schedules one task and
+        # hands read() a None partition — the sentinel keeps that task
+        # an explicit empty read instead of an AttributeError
+        return ([_AvroPartition(os.path.join(self.path, f)) for f in files]
+                or [_AvroPartition(None)])
 
     def read(self, partition):
         import datetime as _dt
+
+        if partition is None or partition.path is None:
+            return  # empty-directory sentinel (see partitions())
 
         from lstore_spark.sources.avro_io import (_is_ts_field,
                                                   _ts_logical_of,
@@ -563,8 +581,11 @@ class AvroReader(DataSourceReader):
 
 
 def register(spark: SparkSession) -> None:
-    from .lstore_log import _package_zip
-    spark.sparkContext.addPyFile(_package_zip())
+    # ship_package memoizes per applicationId (review r13: this rebuilt
+    # and re-shipped the zip on every call — twice per roundtrip key —
+    # the exact cost lstore_log.register memoized in r12)
+    from .lstore_log import ship_package
+    ship_package(spark)
     spark.dataSource.register(AvroSource)
 
 

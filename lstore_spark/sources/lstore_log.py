@@ -304,46 +304,84 @@ def segments_as_events(raw: DataFrame) -> DataFrame:
     )
 
 
+_READ_CHUNK = 8 << 20  # 8 MiB parse window
+
+
 def read_segment_file(path: str):
     """Yield (offset, ints, blobs, key) records; ``key`` is blobs[0]
     decoded as UTF-8 (None when absent/undecodable) — the top-level
-    column that makes blob-equality predicates pushable."""
+    column that makes blob-equality predicates pushable.
+
+    Streams the file through an 8 MiB parse window (review r13): the
+    old ``f.read()`` slurp made peak memory O(segment) per scan task —
+    N concurrent multi-GB sealed segments would OOM the Python workers
+    at exactly the store sizes this module claims to serve (the sibling
+    Avro reader streams block-by-block for the same reason).  Records
+    still parse with ``unpack_from`` over the window, so per-record
+    cost is unchanged; memory is O(window + largest record)."""
     with open(path, "rb") as f:
-        data = f.read()
-    pos = 0
-    while pos < len(data):
-        offset, n_ints = struct.unpack_from("<qi", data, pos)
-        pos += 12
-        ints = list(struct.unpack_from(f"<{n_ints}q", data, pos))
-        pos += 8 * n_ints
-        (n_blobs,) = struct.unpack_from("<i", data, pos)
-        pos += 4
-        if n_blobs < 0:
-            # fail-loud like the blob-length path below: range(-1) would
-            # silently yield zero blobs and resume parsing mid-payload
-            # (review r12)
-            raise struct.error(
-                f"torn segment {path}: negative blob count {n_blobs} "
-                f"at offset {pos - 4}")
-        blobs = []
-        for _ in range(n_blobs):
-            (blen,) = struct.unpack_from("<i", data, pos)
-            pos += 4
-            if blen < 0 or pos + blen > len(data):
-                # Torn mid-payload: the slice below would silently return
-                # fewer bytes and yield a corrupted blob (ADVICE r5) —
-                # fail loudly like the short-header unpack_from path does.
+        data = f.read(_READ_CHUNK)
+        pos = 0
+
+        def refill(n: int) -> bool:
+            """Ensure ≥ n parseable bytes remain; False = clean EOF gap."""
+            nonlocal data, pos
+            if len(data) - pos >= n:
+                return True
+            data = data[pos:] + f.read(max(_READ_CHUNK, n))
+            pos = 0
+            return len(data) >= n
+
+        def abs_off() -> int:
+            return f.tell() - (len(data) - pos)
+
+        while True:
+            if not refill(12):
+                if len(data) - pos == 0:
+                    return  # clean end at a record boundary
                 raise struct.error(
-                    f"torn segment {path}: blob of {blen} bytes at "
-                    f"offset {pos} overruns file of {len(data)} bytes")
-            blobs.append(bytes(data[pos: pos + blen]))
-            pos += blen
-        if offset >= 0:  # negative offset = stats trailer, not data
-            try:
-                key = blobs[0].decode("utf-8") if blobs else None
-            except UnicodeDecodeError:
-                key = None
-            yield offset, ints, blobs, key
+                    f"torn segment {path}: short record header at "
+                    f"offset {abs_off()}")
+            offset, n_ints = struct.unpack_from("<qi", data, pos)
+            pos += 12
+            if n_ints < 0 or not refill(8 * n_ints + 4):
+                raise struct.error(
+                    f"torn segment {path}: record with {n_ints} ints at "
+                    f"offset {abs_off() - 12} truncated")
+            ints = list(struct.unpack_from(f"<{n_ints}q", data, pos))
+            pos += 8 * n_ints
+            (n_blobs,) = struct.unpack_from("<i", data, pos)
+            pos += 4
+            if n_blobs < 0:
+                # fail-loud like the blob-length path below: range(-1)
+                # would silently yield zero blobs and resume parsing
+                # mid-payload (review r12)
+                raise struct.error(
+                    f"torn segment {path}: negative blob count {n_blobs} "
+                    f"at offset {abs_off() - 4}")
+            blobs = []
+            for _ in range(n_blobs):
+                if not refill(4):
+                    raise struct.error(
+                        f"torn segment {path}: blob length at offset "
+                        f"{abs_off()} overruns the file")
+                (blen,) = struct.unpack_from("<i", data, pos)
+                pos += 4
+                if blen < 0 or not refill(blen):
+                    # Torn mid-payload: a short slice would silently
+                    # yield a corrupted blob (ADVICE r5) — fail loudly
+                    # like the short-header path does.
+                    raise struct.error(
+                        f"torn segment {path}: blob of {blen} bytes at "
+                        f"offset {abs_off()} overruns the file")
+                blobs.append(bytes(data[pos: pos + blen]))
+                pos += blen
+            if offset >= 0:  # negative offset = stats trailer, not data
+                try:
+                    key = blobs[0].decode("utf-8") if blobs else None
+                except UnicodeDecodeError:
+                    key = None
+                yield offset, ints, blobs, key
 
 
 # ------------------------------------------------------------ the DataSource
@@ -617,6 +655,11 @@ class LstoreLogReader(DataSourceReader):
             ks = segment_keys(path)
             if ks is not None and not self._keys.intersection(ks):
                 return False  # the pbloom skip: no wanted key present
+        if self._lo is None and self._hi is None:
+            # only key predicates pushed (review r13): the offset-bounds
+            # comparison below is vacuously true, so skip the
+            # per-segment trailer tail read it would cost
+            return True
         stats = segment_stats(path)
         if stats is None:
             return True  # unsealed/legacy segment: must scan
@@ -807,18 +850,26 @@ def _package_zip() -> str:
 _SHIPPED_APPS: set = set()  # applicationIds this process shipped the zip to
 
 
-def register(spark: SparkSession) -> None:
-    """Register the data source; ship the package zip at most once per
-    Spark application (review r12: every query key calls this, and
+def ship_package(spark: SparkSession) -> None:
+    """Ship the package zip to the executors at most once per Spark
+    application (review r12: every query key registers a source, and
     rebuilding + re-shipping the identical zip paid an os.walk + zip +
-    addPyFile per query).  The zip memo keys on applicationId — stable
-    for the context's lifetime, fresh after a restart — while the
-    (cheap, session-scoped) ``dataSource.register`` always runs so a
-    second session on the same context still gets the format."""
+    addPyFile per query).  The memo keys on applicationId — stable for
+    the context's lifetime, fresh after a restart.  Shared by every
+    Python data source in the package (avro_io routes here too,
+    review r13)."""
     app = spark.sparkContext.applicationId
     if app not in _SHIPPED_APPS:
         spark.sparkContext.addPyFile(_package_zip())  # workers import this
         _SHIPPED_APPS.add(app)
+
+
+def register(spark: SparkSession) -> None:
+    """Register the data source; the (cheap, session-scoped)
+    ``dataSource.register`` always runs so a second session on the same
+    context still gets the format, while the zip ships once per
+    application (``ship_package``)."""
+    ship_package(spark)
     spark.dataSource.register(LstoreLogDataSource)
 
 
@@ -999,7 +1050,7 @@ def q_scan_log_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("event_type"))
 
 
-def vacuum_store(seg_dir: str, min_age_s: float = 0.0,
+def vacuum_store(seg_dir: str, min_age_s: float = 3600.0,
                  keep_manifests: int | None = None) -> dict:
     """Garbage-collect a segment store: remove (a) orphaned staging
     files (``.stage-*`` / ``*.tmp-*`` left by failed or aborted jobs —
@@ -1010,7 +1061,10 @@ def vacuum_store(seg_dir: str, min_age_s: float = 0.0,
     Files younger than ``min_age_s`` are kept: an in-flight job's stage
     files look identical to orphans, and age is the only safe
     discriminator without a job registry (the VACUUM retention-window
-    rule).  Live ``*.seg`` files are NEVER touched — vacuum is a no-op
+    rule).  The default is ONE HOUR, not 0 (review r13): a zero default
+    made the bare call delete a concurrently-staging job's files and
+    abort its commit — callers that own the store exclusively (tests,
+    the vacuum exhibit on its fresh scratch dir) pass 0.0 explicitly.  Live ``*.seg`` files are NEVER touched — vacuum is a no-op
     on data by construction.  ``keep_manifests=N`` additionally retires
     all but the newest N manifest snapshots (default None = keep all:
     dropping a manifest breaks time travel to that version, so
@@ -1080,7 +1134,9 @@ def q_maint_vacuum_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "part-99999.idx"]:
         with open(os.path.join(seg_dir, junk), "w") as f:
             f.write("{}")
-    removed = vacuum_store(seg_dir)
+    # min_age_s=0: this exhibit owns its fresh scratch dir exclusively,
+    # so the in-flight-writer age guard (default 1 h) is safely waived
+    removed = vacuum_store(seg_dir, min_age_s=0.0)
     assert removed == {"staged": 2, "orphan_idx": 1, "manifests": 0}, removed
     back = segments_as_events(
         spark.read.format("lstore_log").option("path", seg_dir).load())

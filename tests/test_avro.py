@@ -64,6 +64,41 @@ def test_torn_file_fails_loudly(tmp_path):
         list(read_avro_file(p))
 
 
+def test_corrupt_inpayload_length_fails_loudly(tmp_path):
+    """review r13: a flipped length varint INSIDE a block (framing and
+    sync intact) used to move the cursor backward / slice short and
+    yield garbage rows silently — the bounds+sign check in read_bytes
+    must raise instead."""
+    from lstore_spark.sources.avro_io import _Cursor
+
+    # zigzag -1 length (0x01) followed by payload: must not slice b''
+    c = _Cursor(b"\x01abc")
+    with pytest.raises(ValueError, match="corrupt bytes/string length"):
+        c.read_bytes()
+    # overrun length: 10 bytes promised, 3 present
+    c = _Cursor(b"\x14abc")
+    with pytest.raises(ValueError, match="corrupt bytes/string length"):
+        c.read_bytes()
+
+
+def test_empty_dir_reads_as_zero_rows(spark, tmp_path):
+    """review r13: a user-supplied schema skips schema()/_first_file, so
+    an .avro-less directory reaches read() as Spark's None-partition
+    quirk — the reader must return an empty result, not crash on
+    partition.path."""
+    import os
+
+    from lstore_spark.sources.avro_io import register
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    register(spark)
+    got = (spark.read.format("lstore_avro")
+           .schema("event_id bigint, name string")
+           .option("path", d).load())
+    assert got.count() == 0
+
+
 def test_jvm_reads_our_files(spark, tmp_path):
     """Spec compliance, not self-consistency: the BUNDLED JVM
     DataFileReader (avro-1.12.1) must parse a file written by the

@@ -729,8 +729,20 @@ def test_vacuum_age_gate_spares_inflight_staging(tmp_path):
     for p in (old, young):
         with open(p, "w") as f:
             f.write("x")
-    past = time.time() - 3600
+    past = time.time() - 7200
     os.utime(old, (past, past))
+    # the DEFAULT window (1 h, review r13: the old 0.0 default deleted a
+    # concurrently-staging job's files on a bare call) collects the 2 h
+    # debris but spares the just-staged file
+    removed = vacuum_store(d)
+    assert removed == {"staged": 1, "orphan_idx": 0, "manifests": 0}
+    assert not os.path.exists(old) and os.path.exists(young), \
+        "bare vacuum_store ate in-flight staging"
+    # explicit narrow window: 30-min debris goes, fresh file still kept
+    with open(old, "w") as f:
+        f.write("x")
+    mid = time.time() - 1800
+    os.utime(old, (mid, mid))
     removed = vacuum_store(d, min_age_s=600)
     assert removed == {"staged": 1, "orphan_idx": 0, "manifests": 0}
     assert not os.path.exists(old) and os.path.exists(young)
