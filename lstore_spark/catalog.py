@@ -530,16 +530,21 @@ def build_bucket_layout(spark: SparkSession, sf_dir: str,
     return out
 
 
-def bucketed_table(spark: SparkSession, sf_dir: str,
-                   table: str) -> DataFrame | None:
+def bucketed_table(spark: SparkSession, sf_dir: str, table: str,
+                   fp: str | None = None) -> DataFrame | None:
     """The bucketed layout of ``table`` if a marker-complete artifact
     exists for the CURRENT fixture fingerprint, else None (callers fall
     back to the plain parquet plan).  Registration is an external
     CLUSTERED BY table over the published files — per-session catalog
-    metadata only, no data movement."""
+    metadata only, no data movement.  ``fp``: callers that already hold
+    the fixture fingerprint pass it in (review r13: routed_tables
+    computed it once and this recomputed it per table — 1+N full
+    fixture stat-scans per routed query, the same duplicated-scan cost
+    scratch_dir's key= closed in r11)."""
     import json
 
-    fp = fixture_fingerprint(sf_dir)
+    if fp is None:
+        fp = fixture_fingerprint(sf_dir)
     final, done = scratch_dir(f"{BUCKET_LAYOUT_TAG}_{table}", sf_dir, key=fp)
     if not done:
         return None
@@ -577,7 +582,7 @@ def routed_tables(spark: SparkSession, sf_dir: str,
     ready = all(scratch_dir(f"{BUCKET_LAYOUT_TAG}_{t}", sf_dir, key=fp)[1]
                 for t in tables)
     if ready:
-        bkt = {t: bucketed_table(spark, sf_dir, t) for t in tables}
+        bkt = {t: bucketed_table(spark, sf_dir, t, fp=fp) for t in tables}
         if all(df is not None for df in bkt.values()):
             return bkt
         # a marker raced away / _LAYOUT unreadable between the probe

@@ -89,8 +89,14 @@ def groups(store: str) -> list[str]:
 def committed_offset(store: str, group: str) -> int:
     """The group's last durably committed offset; -1 when the group has
     never committed (or does not exist) — deliver-from-the-beginning."""
+    # resolve the path OUTSIDE the tolerant read (review r13): the
+    # except swallowed _cursor_path's name-validation ValueError, so an
+    # invalid group name silently read as -1 — a typo'd consumer
+    # re-read the whole store, and lag_report spliced the raw name into
+    # its stack() SQL before any validation could fire
+    path = _cursor_path(store, group)
     try:
-        with open(_cursor_path(store, group)) as fh:
+        with open(path) as fh:
             return int(json.load(fh)["offset"])
     except (OSError, ValueError, KeyError):
         return -1
@@ -652,18 +658,40 @@ def _fixed_width_store(spark: SparkSession, sf_dir: str, tag: str) -> str:
           .filter(F.col("event_id") < 900)
           .select("event_id", "ts", "user_id", "event_type"))
     store = fresh_scratch_dir(tag, sf_dir)
+    # all 9 range counts in ONE job: the loud staging check below needs
+    # to distinguish an empty range from a failed write
+    range_n = {int(r["k"]): r["count"] for r in
+               ev.groupBy(F.floor(F.col("event_id") / 100).alias("k"))
+               .count().collect()}
     for k in range(9):
         sdir = os.path.join(store, f"stage{k}")
         os.makedirs(sdir)
         batch = ev.filter((F.col("event_id") >= k * 100)
                           & (F.col("event_id") < (k + 1) * 100))
+        n = range_n.get(k, 0)
         write_segments(events_as_segment_rows(batch).repartition(1), sdir)
-        src = os.path.join(sdir, "part-00000.seg")
-        if os.path.exists(src):  # empty range writes no segment
-            os.rename(src, os.path.join(store, f"b{k}.seg"))
-            idx = src[:-len(".seg")] + ".idx"
-            if os.path.exists(idx):
-                os.rename(idx, os.path.join(store, f"b{k}.idx"))
+        # locate by extension + distinguish "range was empty" from
+        # "sink naming drifted" (review r13: the hardcoded part-00000
+        # existence check silently dropped ALL segments on naming
+        # drift — the exact class q_stream_follow's publish() made
+        # loud in r12)
+        staged = sorted(f for f in os.listdir(sdir) if f.endswith(".seg"))
+        if not staged:
+            if n > 0:
+                raise RuntimeError(
+                    f"_fixed_width_store: range {k} has {n} rows but "
+                    "write_segments staged no .seg — sink naming "
+                    "drifted or the write failed")
+            continue  # genuinely empty range: no segment
+        if len(staged) != 1:
+            raise RuntimeError(
+                f"_fixed_width_store: range {k} staged {staged}, "
+                "expected exactly one segment from repartition(1)")
+        src = os.path.join(sdir, staged[0])
+        os.rename(src, os.path.join(store, f"b{k}.seg"))
+        idx = src[:-len(".seg")] + ".idx"
+        if os.path.exists(idx):
+            os.rename(idx, os.path.join(store, f"b{k}.idx"))
     return store
 
 
@@ -722,10 +750,16 @@ def q_stream_consumer_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the trailers, not a recomputation of assign_segments' own
     # rule against itself (ADVICE r11: the old check compared the
     # function to itself and was true by construction).
-    ranges = sorted(
-        segment_stats(os.path.join(store, f)) for f in assignment)
+    raw = [segment_stats(os.path.join(store, f)) for f in assignment]
+    if any(r is None for r in raw):
+        # check BEFORE sorting (review r13: sorted() over a None raised
+        # TypeError and masked this diagnostic)
+        raise AssertionError(
+            "fixed-width store drifted: unreadable segment trailer(s) "
+            f"in {sorted(assignment)} — stats: {raw}")
+    ranges = sorted(raw)
     bad = [(k, r) for k, r in enumerate(ranges)
-           if r is None or r[0] != k * 100 or r[1] > k * 100 + 99]
+           if r[0] != k * 100 or r[1] > k * 100 + 99]
     if len(ranges) != 9 or bad:
         raise AssertionError(
             "fixed-width store drifted: expected 9 segments with "
@@ -851,6 +885,13 @@ def q_stream_consumer_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_seg = sorted(s for s, c in asg1.items() if c == 0)[0]
     hi = (poll_assigned(spark, store, grp, 0, generation=gen1)
           .filter(F.col("offset") < 100).agg(F.max("offset")).first()[0])
+    if hi is None:
+        # guard like q_stream_consumer_groups (review r11 there, r13
+        # here): an empty [0,100) slice means the fixed-width store
+        # invariant broke — say so instead of int(None)'s TypeError
+        raise AssertionError(
+            f"{first_seg}'s [0,100) range polled empty — the "
+            "fixed-width store invariant does not hold on this fixture")
     commit_assigned(store, grp, 0, gen1, {first_seg: int(hi)})
 
     gen2, asg2 = rebalance(store, grp, 2)

@@ -644,8 +644,14 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
+    # stats-gated like the TPC-H family (review r13: this was the one
+    # ungated customer broadcast left — the SF-scaled dim outgrows the
+    # build side past SF~133, the exact shape mutations.py gated in r10)
+    from ..catalog import fits_broadcast
+    if fits_broadcast(sf_dir, "customer"):
+        cust = F.broadcast(cust)
     return (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "sum_value"))
     )

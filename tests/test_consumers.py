@@ -41,6 +41,11 @@ def test_commit_is_monotone_and_durable(store):
         cg.commit_offset(store, "g1", None)  # empty poll must not commit
     with pytest.raises(ValueError):
         cg.ensure_group(store, "../escape")  # names are path components
+    # review r13: an INVALID name must raise from the read side too —
+    # the tolerant except used to swallow the validation error and
+    # return -1, so a typo'd consumer silently re-read the whole store
+    with pytest.raises(ValueError, match="invalid consumer group"):
+        cg.committed_offset(store, "bad name!")
 
 
 def test_crashed_commit_leaves_cursor_intact_and_resumes(store, spark):
