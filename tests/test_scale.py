@@ -480,8 +480,8 @@ def test_routed_tables_all_or_nothing(spark, sf_dir, tmp_path, monkeypatch):
     # simulate a half-available layout: orders lookup degrades to None
     real = catalog.bucketed_table
 
-    def half(spark_, sf_, table):
-        return None if table == "orders" else real(spark_, sf_, table)
+    def half(spark_, sf_, table, **kw):
+        return None if table == "orders" else real(spark_, sf_, table, **kw)
 
     monkeypatch.setattr(catalog, "bucketed_table", half)
     t2 = catalog.routed_tables(spark, sf_dir, "lineitem", "orders")
