@@ -399,6 +399,35 @@ def test_torn_segment_fails_loudly_or_reads_as_unsealed(tmp_path):
             list(read_segment_file(p2))
 
 
+def test_segment_read_memory_is_window_bounded(tmp_path):
+    """review r13: read_segment_file must stream (8 MiB parse window),
+    not slurp — peak Python memory O(window), not O(segment).  A 64 MB
+    segment read under tracemalloc must peak under 4 windows (the old
+    f.read() slurp peaked at >= the segment size).  The full-scale
+    twin (420 MB segment, 25 MB peak) is
+    scripts/segread_mem_probe.py → segread_mem_probe_r13.json."""
+    import tracemalloc
+
+    from lstore_spark.sources.lstore_log import (_READ_CHUNK,
+                                                 read_segment_file,
+                                                 write_segment)
+
+    p = str(tmp_path / "big.seg")
+    blob = b"x" * 1000
+    n_rows = 60_000  # ~64 MB
+    write_segment(p, ((i, [i, i * 2], [b"k", blob]) for i in range(n_rows)))
+    assert os.path.getsize(p) > 6 * _READ_CHUNK  # segment >> window
+
+    tracemalloc.start()
+    total = sum(1 for _ in read_segment_file(p))
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert total == n_rows
+    assert peak < 4 * _READ_CHUNK, \
+        f"peak {peak / 1e6:.0f} MB for a {os.path.getsize(p) / 1e6:.0f} " \
+        "MB segment — reader is slurping again"
+
+
 def test_republish_never_pairs_new_index_with_old_segment(tmp_path):
     """ADVICE r5: republishing a segment path with DIFFERENT content must
     never leave an index describing data the segment beside it doesn't
