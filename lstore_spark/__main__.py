@@ -33,8 +33,8 @@ def main(argv: list[str] | None = None) -> int:
         description="Run SQL or a registered query key over the catalog tables.")
     ap.add_argument("sql", nargs="?", help="Spark SQL text to execute")
     ap.add_argument("--key", help="registered query key to run instead of SQL")
-    ap.add_argument("--sf", default=os.environ.get(
-        "LSTORE_SPARK_TEST_SF", "/root/testdata/sf0.01"),
+    from .catalog import default_sf_dir
+    ap.add_argument("--sf", default=default_sf_dir(),
         help="table directory (default $LSTORE_SPARK_TEST_SF or sf0.01)")
     ap.add_argument("--format", choices=["table", "csv", "json"],
                     default="table")

@@ -82,6 +82,18 @@ SCHEMAS: dict[str, StructType] = {
 
 EMBEDDING_DIM = 64
 
+
+def default_sf_dir() -> str:
+    """The harness-wide default grade fixture — ONE definition, IN THE
+    PACKAGE (review r13: it lived in tests/oracle_check.py, which
+    package code cannot import, so llm/bpe.py re-derived the env read
+    and a moved default could silently point the lazy BPE oracle at
+    different data than the harness's DuckDB views).  tests, scripts
+    and __main__ all import this."""
+    import os
+
+    return os.environ.get("LSTORE_SPARK_TEST_SF", "/root/testdata/sf0.01")
+
 # Logical view of events (ts already a microsecond TIMESTAMP_NTZ) — the
 # schema every operator sees, and the direct read schema for MICROS files.
 EVENTS_LOGICAL = _st(

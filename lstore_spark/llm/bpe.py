@@ -276,10 +276,9 @@ def _pack_bpe_oracle() -> str:
     (``$LSTORE_SPARK_TEST_SF``, default sf0.01 — the driver's grade
     scale, also conftest's and scripts/check.py's default), matching
     how those harnesses register their DuckDB views."""
-    import os
-
+    from ..catalog import default_sf_dir
     from .text import _DUCK_TOKENS
-    sf_dir = os.environ.get("LSTORE_SPARK_TEST_SF", "/root/testdata/sf0.01")
+    sf_dir = default_sf_dir()  # the single definition (review r13)
     path = build_vocab_fixture(sf_dir)
     return f"""
 WITH tok AS (

@@ -177,7 +177,27 @@ def load_all() -> None:
 # but can never starve a stale one behind fresher fast greens.
 
 
-def _driver_evidence() -> tuple[frozenset, frozenset, dict, frozenset]:
+def correctness_files(root: str | None = None) -> list[tuple[int, str]]:
+    """(parsed_round, path) for every CORRECTNESS_r*.json, ascending by
+    the PARSED round number — THE single locator/orderer (review r13:
+    registry, scripts/evidence.py and scripts/check.py each re-derived
+    the glob + regex, and two had already diverged on the r100
+    lexicographic-sort trap)."""
+    import glob
+    import os
+    import re
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = []
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(p))
+        out.append((int(m.group(1)) if m else 0, p))
+    return sorted(out)
+
+
+def _driver_evidence(root: str | None = None
+                     ) -> tuple[frozenset, frozenset, dict, frozenset]:
     """(green, checked, latest_round, rows_seen) from all
     CORRECTNESS_r*.json; latest round wins per key.  A key counts green
     only on a full rows+hash match.  Entries with no oracle verdict
@@ -192,26 +212,16 @@ def _driver_evidence() -> tuple[frozenset, frozenset, dict, frozenset]:
     rows-only tier.  ``latest_round`` records the round number of the
     key's most recent driver visit of ANY grade — the staleness key for
     the re-check pools' rolling order."""
-    import glob
     import json
-    import os
-    import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, bool] = {}
     latest_round: dict[str, int] = {}
     rows_seen: dict[str, bool] = {}
-    def _round_of(path: str) -> int:
-        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
-        return int(m.group(1)) if m else 0
-
-    # latest-round-wins must order by the PARSED round number, not the
+    # correctness_files orders by the PARSED round number, not the
     # filename sort: at r100 'r100' sorts lexicographically before
     # 'r99' and a stale verdict would overwrite the fresh one
     # (review r13)
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
-                       key=_round_of):
-        rnd = _round_of(path)
+    for rnd, path in correctness_files(root):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -221,6 +231,17 @@ def _driver_evidence() -> tuple[frozenset, frozenset, dict, frozenset]:
             if not isinstance(v, dict):
                 continue
             latest_round[k] = rnd
+            if v.get("rows_match") is None and v.get("err") not in (
+                    None, "no_oracle"):
+                # CRASHED driver run (err = traceback, no verdict):
+                # checked-and-not-green, so the key earns tier-0
+                # regression priority — the old rows-only routing
+                # erased its checked status and a crashed slow key
+                # queued behind ~30 never-checked keys (review r13;
+                # scripts/evidence.py already graded this shape ERR)
+                rows_seen.pop(k, None)
+                latest[k] = False
+                continue
             if v.get("err") == "no_oracle" or v.get("rows_match") is None:
                 latest.pop(k, None)  # rows-only: no oracle verdict exists
                 rows_seen[k] = bool(v.get("spark_rows"))

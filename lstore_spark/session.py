@@ -93,26 +93,36 @@ def get_spark(app_name: str = "lstore-spark", cpus: str | int | None = None,
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # The shuffle width goes into the builder (and the post-tune()
+    # re-assert) only when this call CREATES the session or the caller
+    # chose a width explicitly: getOrCreate() applies builder configs
+    # to a PRE-EXISTING session too, so a later default-args
+    # get_spark() would silently rewrite the live session's deliberate
+    # width to the default 32 (review r13 — the same clobber class
+    # tune()'s stock-vs-deliberate heuristic fixed in r11).
+    explicit = (shuffle_partitions is not None
+                or "SPARK_GRAFT_SHUFFLE" in os.environ)
+    pre_existing = SparkSession.getActiveSession() is not None
+    set_width = explicit or not pre_existing
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    if set_width:
+        b = b.config("spark.sql.shuffle.partitions", str(n_shuffle))
     for k, v in _RUNTIME_CONFS.items():
         b = b.config(k, v)
     spark = tune(b.getOrCreate())
-    # Re-assert the explicitly chosen width AFTER tune(): its
-    # stock-vs-deliberate heuristic cannot distinguish a deliberate 200
-    # from the stock 200 and would clobber exactly that one value
-    # (review r13) — here the width is always deliberate.  (If the
-    # session pre-existed with a different width, getOrCreate ignored
-    # the builder conf; honoring the live session is the documented
-    # getOrCreate contract either way.)
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
-    except Exception:
-        pass
+    # Re-assert the chosen width AFTER tune(): its stock-vs-deliberate
+    # heuristic cannot distinguish a deliberate 200 from the stock 200
+    # and would clobber exactly that one value (review r13) — here the
+    # width is deliberate whenever set_width holds.
+    if set_width:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+        except Exception:
+            pass
     return spark

@@ -114,19 +114,24 @@ def check_ann_recall(spark) -> tuple[int, list[str]]:
     return n_checks, fails
 
 
+import functools
+
+
+@functools.cache
 def _current_round() -> int:
     """The build round this self-check runs in: one past the newest
     CORRECTNESS_r*.json (the driver writes rN's file at round close, so
     a check running now is rN+1 evidence).  Override with LSTORE_ROUND."""
-    import glob
-    import re
-
     if os.environ.get("LSTORE_ROUND"):
-        return int(os.environ["LSTORE_ROUND"])
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rounds = [int(m.group(1)) for p in glob.glob(
-        os.path.join(root, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)", os.path.basename(p)))]
+        try:
+            return int(os.environ["LSTORE_ROUND"])
+        except ValueError:
+            # a typo'd override (e.g. 'r14') must not abort the sweep
+            # through _ledger_record's best-effort contract (review
+            # r13) — fall through to the derived round
+            pass
+    from lstore_spark.registry import correctness_files
+    rounds = [r for r, _p in correctness_files()]
     return (max(rounds) + 1) if rounds else 1
 
 
@@ -192,7 +197,8 @@ def main() -> int:
                 extra = f"rows-only n={n}"
         except Exception as e:
             status = "ERR "
-            extra = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
+            msg = (str(e).splitlines() or ["<no message>"])[0]
+            extra = f"{type(e).__name__}: {msg[:160]}"
             if os.environ.get("CHECK_TRACE"):
                 traceback.print_exc()
         dt = time.time() - t0
@@ -214,8 +220,9 @@ def main() -> int:
             failures.extend(rf)
     except Exception as e:  # noqa: BLE001 - summarize, then re-signal
         n_fail += 1
+        msg = (str(e).splitlines() or ["<no message>"])[0]
         failures.append(f"ERR  recall-phase {type(e).__name__}: "
-                        f"{str(e).splitlines()[0][:160]}")
+                        f"{msg[:160]}")
     finally:
         print(f"\n{n_ok}/{n_ok + n_fail} passing")
         if failures:

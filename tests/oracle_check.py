@@ -19,12 +19,14 @@ from lstore_spark.catalog import TABLE_NAMES
 
 
 def default_sf_dir() -> str:
-    """The harness-wide default grade fixture — ONE definition (review
-    r11: conftest, check.py and plan_audit each re-derived it, so a
-    moved default could silently point them at different data)."""
-    import os
+    """The harness-wide default grade fixture — re-export of THE single
+    definition, which lives in the package so package code can import
+    it too (lstore_spark.catalog.default_sf_dir; review r11 unified the
+    harness copies here, review r13 moved it where llm/bpe.py can also
+    reach it)."""
+    from lstore_spark.catalog import default_sf_dir as _d
 
-    return os.environ.get("LSTORE_SPARK_TEST_SF", "/root/testdata/sf0.01")
+    return _d()
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:

@@ -464,11 +464,11 @@ def test_sink_republish_is_idempotent(spark, tmp_path):
     import hashlib
     import os
 
-    from lstore_spark.catalog import load_table
+    from lstore_spark.catalog import default_sf_dir, load_table
     from lstore_spark.sources.lstore_log import (events_as_segment_rows,
                                                  write_segments)
 
-    sf_dir = os.environ.get("LSTORE_SPARK_TEST_SF", "/root/testdata/sf0.01")
+    sf_dir = default_sf_dir()
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("event_id") < 500))
     shaped = (events_as_segment_rows(ev)
