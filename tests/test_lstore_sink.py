@@ -399,6 +399,28 @@ def test_torn_segment_fails_loudly_or_reads_as_unsealed(tmp_path):
             list(read_segment_file(p2))
 
 
+def test_segment_read_blob_larger_than_window(tmp_path):
+    """review r13 edge: a single blob LARGER than the 8 MiB parse
+    window must stream through intact — refill() grows the window to
+    the record's size for exactly that record (the property test's
+    32-byte blobs never cross a window boundary)."""
+    from lstore_spark.sources.lstore_log import (_READ_CHUNK,
+                                                 read_segment_file,
+                                                 write_segment)
+
+    big = bytes(range(256)) * ((_READ_CHUNK * 2) // 256 + 1)  # ~17 MB
+    assert len(big) > 2 * _READ_CHUNK
+    p = str(tmp_path / "bigblob.seg")
+    write_segment(p, [(0, [1], [b"before"]),
+                      (1, [2], [b"k", big]),
+                      (2, [3], [b"after"])])
+    got = list(read_segment_file(p))
+    assert [(o, ints) for o, ints, _b, _k in got] == \
+        [(0, [1]), (1, [2]), (2, [3])]
+    assert got[1][2][1] == big, "oversized blob corrupted by the window"
+    assert got[0][3] == "before" and got[2][3] == "after"
+
+
 def test_segment_read_memory_is_window_bounded(tmp_path):
     """review r13: read_segment_file must stream (8 MiB parse window),
     not slurp — peak Python memory O(window), not O(segment).  A 64 MB
