@@ -58,17 +58,23 @@ def q_llm_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_llm_emb_norm_stats counts exactly these) must quantize to all
     # zeros, not throw DIVIDE_BY_ZERO under the ANSI default (review
     # r10); also keeps array_join from silently dropping NULL elements.
+    # NULL q8 for an EMPTY embedding (review r13): DuckDB 1.0's
+    # array_to_string([]) returns NULL while Spark's array_join returns
+    # '' — a dialect trap no clean fixture exercises but a degenerate
+    # one does; gate on size so both engines emit NULL
     return with_amax.select(
         "vec_id", "amax",
-        F.array_join(
-            F.expr("""
-                transform(embedding,
-                          x -> coalesce(CAST(try_divide(
-                                 CAST(x AS DOUBLE) * 127.0D, amax) AS INT),
-                               0))
-            """),
-            ",",
-        ).alias("q8"),
+        F.when(
+            F.size("embedding") > 0,
+            F.array_join(
+                F.expr("""
+                    transform(embedding,
+                              x -> coalesce(CAST(try_divide(
+                                     CAST(x AS DOUBLE) * 127.0D, amax) AS INT),
+                                   0))
+                """),
+                ",",
+            )).alias("q8"),
     )
 
 

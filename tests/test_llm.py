@@ -1558,7 +1558,12 @@ def test_degenerate_embeddings_flow_through(spark, tmp_path):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{fx}/{t}.parquet'")
     for key in ("q_llm_emb_ivf_assign", "q_llm_emb_kmeans",
                 "q_llm_emb_kmeans_portable", "q_llm_emb_kmeans_update",
-                "q_llm_dedup_semantic", "q_llm_emb_norm_stats"):
+                "q_llm_dedup_semantic", "q_llm_emb_norm_stats",
+                # non-assignment family (r13 second pass): quantize hit
+                # the array_to_string([])→NULL vs array_join([])→''
+                # dialect trap on the empty vector
+                "q_llm_emb_quantize", "q_llm_emb_centroid",
+                "q_llm_emb_whiten", "q_llm_emb_pq_adc"):
         r = compare(key, QUERIES[key](spark, sf), con, ORACLE[key])
         assert r.ok, f"{key} on degenerate fixture: {r.detail}"
     asg = {r.vec_id for r in
