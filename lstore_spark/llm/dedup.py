@@ -363,7 +363,13 @@ _DUCK_SHINGLES_OR_WHOLE = """
     CASE WHEN len(ts) >= 3
          THEN list_transform(generate_series(1, len(ts) - 2),
                              i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
-         ELSE [array_to_string(ts, ' ')] END"""
+         -- inner CASE (review r13): DuckDB's array_to_string([]) is
+         -- NULL while Spark's array_join([]) is '' — a ZERO-token doc
+         -- must get the whole-doc shingle '' (md5('p:'), so all empty
+         -- docs share one signature) while a NULL-text doc keeps the
+         -- NULL signature in both engines
+         ELSE [CASE WHEN ts IS NULL THEN NULL
+                    ELSE COALESCE(array_to_string(ts, ' '), '') END] END"""
 
 
 def portable_minhash_spark_cols() -> list:
@@ -548,11 +554,26 @@ def pairwise_editdist(docs: DataFrame, candidates: DataFrame,
     unbounded impossible by construction.  Two equi-joins attach the
     texts (broadcast-eligible when the candidate set is small — the
     normal case after LSH); the DP itself is Spark's builtin
-    ``levenshtein`` (JVM-side)."""
+    ``levenshtein`` (JVM-side).
+
+    Distances are UTF-8 BYTE-level (review r13): DuckDB 1.0's
+    levenshtein counts bytes ('中文'↔'xy' = 6, not 2) while Spark's
+    counts characters, and the old char-length normalizer even made
+    the oracle's similarity NEGATIVE on multibyte pairs.  Spark now
+    computes the identical byte-level DP via the bijective latin-1
+    re-decode of the UTF-8 bytes, normalized by byte lengths —
+    char-identical on ASCII corpora, and (unlike a transliteration
+    fold) never collapsing distinct non-ASCII texts together."""
     s = docs.select("doc_id", F.substring("text", 1, prefix_len).alias("prefix"))
+
+    def bytes_as_chars(col: str):
+        # each UTF-8 byte becomes exactly one latin-1 char, so the
+        # char-level DP below counts bytes — DuckDB's unit
+        return F.decode(F.encode(F.col(col), "UTF-8"), "ISO-8859-1")
+
     a = s.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
     b = s.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
-    dist = F.levenshtein("pa", "pb")
+    dist = F.levenshtein(bytes_as_chars("pa"), bytes_as_chars("pb"))
     return (
         candidates.select("id_a", "id_b")
         .join(a, "id_a")
@@ -560,7 +581,8 @@ def pairwise_editdist(docs: DataFrame, candidates: DataFrame,
         .select(
             "id_a", "id_b", dist.alias("edit_dist"),
             F.round(
-                1.0 - dist / F.greatest(F.length("pa"), F.length("pb"), F.lit(1)),
+                1.0 - dist / F.greatest(F.octet_length("pa"),
+                                        F.octet_length("pb"), F.lit(1)),
                 6).alias("edit_sim"),
         )
     )
@@ -575,19 +597,22 @@ WITH s AS (
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.prefix, b.prefix) AS edit_dist,
+       -- strlen (BYTES) to match levenshtein's byte unit (review r13:
+       -- the char-based len() normalizer made edit_sim NEGATIVE on
+       -- multibyte pairs); see pairwise_editdist's byte-level contract
        ROUND(1.0 - levenshtein(a.prefix, b.prefix)
-             / greatest(len(a.prefix), len(b.prefix), 1), 6) AS edit_sim
+             / greatest(strlen(a.prefix), strlen(b.prefix), 1), 6) AS edit_sim
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 """,
 )
 def q_llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded exhibit of :func:`pairwise_editdist` — the character-level
-    exact verifier that runs BEHIND LSH/minhash candidate pruning for
-    fuzzy dedup.  Here the candidate set is all pairs of a 30-doc slice
-    (40-char prefixes) so the DuckDB oracle can enumerate the same pairs;
-    the LSH-candidates → editdist re-rank composition is exercised in
-    tests/test_llm.py.  Classic DP semantics, identical in both
-    engines."""
+    """Bounded exhibit of :func:`pairwise_editdist` — the exact
+    Levenshtein verifier that runs BEHIND LSH/minhash candidate pruning
+    for fuzzy dedup.  Here the candidate set is all pairs of a 30-doc
+    slice (40-char prefixes) so the DuckDB oracle can enumerate the same
+    pairs; the LSH-candidates → editdist re-rank composition is
+    exercised in tests/test_llm.py.  Classic DP semantics over UTF-8
+    BYTES in both engines (see pairwise_editdist, review r13)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
     ids = docs.select("doc_id")
     cands = (

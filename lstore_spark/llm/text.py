@@ -504,7 +504,12 @@ def q_llm_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("ch.chunk_id").alias("chunk_id"),
-            F.array_join("ch.toks", " ").alias("chunk_text"),
+            # NULL chunk_text for a zero-token doc's chunk 0 (review
+            # r13): DuckDB's array_to_string([]) is NULL while Spark's
+            # array_join([]) is '' — the same dialect trap as
+            # q_llm_emb_quantize's empty vector
+            F.when(F.size("ch.toks") > 0,
+                   F.array_join("ch.toks", " ")).alias("chunk_text"),
             F.size("ch.toks").alias("n_tokens"),
         )
     )
@@ -1159,8 +1164,9 @@ WITH chars AS (
   FROM chars GROUP BY doc_id
 )
 SELECT doc_id, n_distinct_chars,
+       -- + 0.0: sign-of-zero normalization, see the Spark twin (r13)
        ROUND(log2(CAST(n AS DOUBLE))
-             - {sql_dec2dbl('s')} / n, 6) AS char_entropy_bits
+             - {sql_dec2dbl('s')} / n, 6) + 0.0 AS char_entropy_bits
 FROM per_doc
 """,
 )
@@ -1201,9 +1207,9 @@ def _char_entropy_exploded(docs: DataFrame) -> DataFrame:
     )
     return per_doc.select(
         "doc_id", "n_distinct_chars",
-        F.round(F.log2(F.col("n").cast("double"))
-                - F.col("s").cast("double") / F.col("n"),
-                6).alias("char_entropy_bits"),
+        (F.round(F.log2(F.col("n").cast("double"))
+                 - F.col("s").cast("double") / F.col("n"),
+                 6) + F.lit(0.0)).alias("char_entropy_bits"),
     )
 
 
@@ -1322,11 +1328,14 @@ def _char_entropy_vectorized(docs: DataFrame) -> DataFrame:
         _char_entropy_stats_batches,
         schema="doc_id long, n_distinct_chars long, n long, s double",
     )
+    # + 0.0 normalizes the sign of zero (review r13): a single-char
+    # doc's rounded entropy is -0.0 in DuckDB and 0.0 in Spark, and the
+    # hash canonicalizer prints the sign
     return stats.select(
         "doc_id", "n_distinct_chars",
-        F.round(F.log2(F.col("n").cast("double"))
-                - F.col("s") / F.col("n"),
-                6).alias("char_entropy_bits"),
+        (F.round(F.log2(F.col("n").cast("double"))
+                 - F.col("s") / F.col("n"),
+                 6) + F.lit(0.0)).alias("char_entropy_bits"),
     )
 
 

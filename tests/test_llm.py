@@ -1571,6 +1571,68 @@ def test_degenerate_embeddings_flow_through(spark, tmp_path):
     assert asg == set(range(12)), "degenerate vectors must not be assigned"
 
 
+def test_degenerate_documents_oracle_parity(spark, tmp_path):
+    """review r13: a systematic degenerate-documents probe (NULL text,
+    empty string, 1-token, 300×-single-char, multibyte unicode,
+    whitespace-only) found FOUR sweep-invisible parity bugs — byte-vs-
+    char levenshtein units, two array_to_string([])→NULL dialect traps,
+    and a sign-of-zero entropy — so the probe is now a permanent pin:
+    every oracle-backed text/dedup/quality key must hash-match DuckDB
+    row-for-row ON this fixture.  Excluded by documented contract:
+    q_llm_text_pack_bpe (its frozen vocab is built for the default
+    sweep fixture), rows-only keys (no oracle)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lstore_spark.registry import ORACLE, QUERIES
+    from tests.oracle_check import compare
+
+    texts = [f"document {i} with some words here repeated words {i % 3}"
+             for i in range(18)]
+    texts += [None, "", "one", "x" * 300,
+              "☃ unicode tökens écrit 中文 here",
+              "  leading and trailing  ", None]
+    n = len(texts)
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": texts,
+        "lang": ["en" if i % 5 else None for i in range(n)],
+        "source": [None if i in (3, 19) else f"src{i % 3}"
+                   for i in range(n)],
+        "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+    }), str(fx / "documents.parquet"))
+    good = [[float(i % 7) - 3.0 + j * 0.01 for i in range(64)]
+            for j in range(16)]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(16), pa.int64()),
+        "embedding": pa.array(good, pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(16)], pa.int32()),
+    }), str(fx / "embeddings.parquet"))
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{fx}/{t}.parquet'")
+    skip = {"q_llm_text_pack_bpe"}  # vocab frozen for the sweep fixture
+    keys = sorted(
+        k for k in QUERIES
+        if k in ORACLE and k not in skip
+        and (k.startswith("q_llm_text") or k.startswith("q_llm_dedup")
+             or k.startswith("q_llm_filter") or k.startswith("q_llm_lang")
+             or k.startswith("q_llm_mix") or k.startswith("q_udtf")
+             or k.startswith("q_llm_pipeline")
+             or k.startswith("q_llm_multimodal")))
+    assert len(keys) >= 35, keys  # the family must stay covered
+    bad = []
+    for k in keys:
+        r = compare(k, QUERIES[k](spark, str(fx)), con, ORACLE[k])
+        if not r.ok:
+            bad.append((k, r.detail))
+    assert not bad, bad
+
+
 def test_fixture_token_counts_within_oracle_cap():
     """review r13: seven oracles enumerate token positions with a
     CONSTANT ``range(1, _ORACLE_MAX_TOKENS)`` (DuckDB 1.0 cannot take
