@@ -95,11 +95,17 @@ SELECT event_id,
        CAST(ceil(value) AS BIGINT) AS v_ceil,
        abs(value - 250) AS v_absdiff,
        round(pow(value, 1.5), 4) AS v_pow,
-       sqrt(value) AS v_sqrt,
-       round(ln(value + 1), 6) AS v_ln,
+       -- negative-domain guards (review r13): DuckDB sqrt/ln ERROR on
+       -- negative input where Spark yields NaN/NULL — out-of-domain
+       -- reads as NULL in both engines
+       CASE WHEN value >= 0 THEN sqrt(value) END AS v_sqrt,
+       CASE WHEN value + 1 > 0 THEN round(ln(value + 1), 6) END AS v_ln,
        round(exp(-value / 100), 8) AS v_exp,
        CAST(sign(value - 250) AS DOUBLE) AS v_sign,
-       fmod(value, 7) AS v_mod
+       -- % not fmod (review r13): DuckDB's fmod takes the DIVISOR's
+       -- sign (fmod(-3.5, 7) = 3.5) while its % and Spark's % are
+       -- C-style sign-of-dividend
+       value % 7 AS v_mod
 FROM events
 """,
 )
@@ -115,8 +121,10 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(v).alias("v_ceil"),
         F.abs(v - 250).alias("v_absdiff"),
         F.round(F.pow(v, 1.5), 4).alias("v_pow"),
-        F.sqrt(v).alias("v_sqrt"),
-        F.round(F.log(v + 1), 6).alias("v_ln"),
+        # guarded like the oracle: negative domain -> NULL (Spark's
+        # bare sqrt gives NaN, which is NOT the oracle's NULL)
+        F.when(v >= 0, F.sqrt(v)).alias("v_sqrt"),
+        F.when(v + 1 > 0, F.round(F.log(v + 1), 6)).alias("v_ln"),
         F.round(F.exp(-v / 100), 8).alias("v_exp"),
         F.signum(v - 250).alias("v_sign"),
         (v % 7).alias("v_mod"),
@@ -272,15 +280,21 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_fn_map",
     oracle="""
+WITH src AS (
+  -- malformed-JSON guard: see q_fn_json (review r13)
+  SELECT event_id, event_type,
+         CASE WHEN json_valid(props) THEN props END AS jp
+  FROM events
+)
 SELECT event_id,
        array_to_string(
-         list_sort(map_keys(MAP {'type': event_type, 'k': props->>'$.k'})), ',')
+         list_sort(map_keys(MAP {'type': event_type, 'k': jp->>'$.k'})), ',')
          AS keys_sorted,
-       element_at(MAP {'type': event_type, 'k': props->>'$.k'}, 'k')[1]
+       element_at(MAP {'type': event_type, 'k': jp->>'$.k'}, 'k')[1]
          AS k_val,
-       CAST(cardinality(MAP {'type': event_type, 'k': props->>'$.k'}) AS INT)
+       CAST(cardinality(MAP {'type': event_type, 'k': jp->>'$.k'}) AS INT)
          AS n_keys
-FROM events
+FROM src
 """,
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,17 +317,25 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_fn_json",
     oracle="""
+WITH src AS (
+  -- MALFORMED props degrade to NULL extraction (review r13): DuckDB's
+  -- ->> ERRORS on invalid JSON where Spark's get_json_object returns
+  -- NULL; is_valid still reads the RAW column
+  SELECT event_id, props,
+         CASE WHEN json_valid(props) THEN props END AS jp
+  FROM events
+)
 SELECT event_id,
-       props->>'$.k' AS k_str,
+       jp->>'$.k' AS k_str,
        -- integer-regex gate, both engines (review r13): Spark's ANSI
        -- CAST throws on '12.5' where DuckDB's rounds to 13 — neither
        -- is a shared contract, so only bare-integer text parses
-       CASE WHEN regexp_matches(props->>'$.k', '^-?[0-9]+$')
-            THEN CAST(props->>'$.k' AS BIGINT) END AS k_int,
-       CASE WHEN regexp_matches(props->>'$.k', '^-?[0-9]+$')
-            THEN CAST(props->>'$.k' AS BIGINT) * 2 END AS k_doubled,
+       CASE WHEN regexp_matches(jp->>'$.k', '^-?[0-9]+$')
+            THEN CAST(jp->>'$.k' AS BIGINT) END AS k_int,
+       CASE WHEN regexp_matches(jp->>'$.k', '^-?[0-9]+$')
+            THEN CAST(jp->>'$.k' AS BIGINT) * 2 END AS k_doubled,
        COALESCE(json_valid(props), FALSE) AS is_valid
-FROM events
+FROM src
 """,
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,7 +400,9 @@ WITH kk AS (
            WHEN 'BOOLEAN' THEN (CASE json_extract_string(props, '$.k')
                 WHEN 'true' THEN 1 ELSE 0 END)
          END AS k
-  FROM events
+  FROM (SELECT event_type,
+               CASE WHEN json_valid(props) THEN props END AS props
+        FROM events)
 )
 SELECT event_type,
        COUNT(*) AS n,
@@ -387,6 +411,8 @@ SELECT event_type,
        COUNT(CASE WHEN json_extract_string(props, '$.missing') IS NULL
                   THEN NULL ELSE 1 END) AS n_missing_present
 FROM kk GROUP BY event_type
+-- (kk's inner SELECT already NULLed malformed props, so the
+--  json_* calls above never see invalid text)
 """,
 )
 def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,7 +427,10 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet by the writer) so path access is columnar; here the parse
     happens in the scan projection — still one pass."""
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json (review r13): parse_json THROWS on malformed
+    # payloads under ANSI; a bad blob degrades to NULL variant -> NULL
+    # extractions, matching the oracle's json_valid guard
+    v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "bigint")
     missing = F.try_variant_get(v, "$.missing", "string")
     return (

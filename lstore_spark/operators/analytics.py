@@ -948,6 +948,7 @@ WITH marked AS (
                 OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS is_new
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -971,8 +972,11 @@ def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session index → per-session aggregate.  Both windows and the final
     groupBy share the user_id partitioning, so the whole query costs ONE
     shuffle on user_id (Catalyst collapses the two window operators —
-    same partition spec and ordering — into one sort)."""
-    ev = load_table(spark, sf_dir, "events")
+    same partition spec and ordering — into one sort).  NULL-ts rows
+    excluded — the ts-ordered-window contract (review r13: Spark
+    orders NULLs FIRST, DuckDB LAST, so an unknown-time row shifted
+    every later session_idx differently per engine)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_new = F.when(
@@ -1220,6 +1224,7 @@ WITH seq AS (
          LAG(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_type
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
 FROM seq WHERE prev_type IS NOT NULL
@@ -1244,10 +1249,12 @@ def transition_counts(ev: DataFrame) -> DataFrame:
     definition shared by q_evt_pathing (raw counts) and q_evt_markov
     (row-normalized probabilities), so the sequencing contract
     (event_id tie-break, NULL-lag drop) can never drift between them
-    (review r10 — the block was previously inlined in both)."""
+    (review r10 — the block was previously inlined in both).  NULL-ts
+    rows excluded — the ts-ordered-window contract (r13)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        ev.select("event_type",
+        ev.filter(F.col("ts").isNotNull())
+        .select("event_type",
                   F.lag("event_type").over(w).alias("prev_type"))
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
@@ -1288,7 +1295,10 @@ def q_evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s1") / F.col("n")
     sigma = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
-    z = (F.col("value") - mean) / sigma
+    # try_divide: a constant-valued type has sigma=0 and its z must be
+    # NULL (filtered out) like DuckDB's x/0.0, not an ANSI
+    # DIVIDE_BY_ZERO throw (review r13)
+    z = F.try_divide(F.col("value") - mean, sigma)
     return (
         ev.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > 2.5)
@@ -1302,6 +1312,7 @@ def q_evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH iv AS (
   SELECT user_id, ts, event_id, ts + INTERVAL 5 MINUTE AS te
   FROM events
+  WHERE ts IS NOT NULL
 ),
 marked AS (
   SELECT user_id, ts, event_id, te,
@@ -1330,8 +1341,9 @@ def q_ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two windows + one aggregate, all partitioned by user_id —
     no self-join, no shuffle beyond the per-user repartition the window
-    needs anyway (Catalyst reuses one Exchange for all three)."""
-    ev = load_table(spark, sf_dir, "events")
+    needs anyway (Catalyst reuses one Exchange for all three).
+    NULL-ts rows excluded — the ts-ordered-window contract (r13)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     iv = ev.select("user_id", "ts", "event_id",
                    F.expr("ts + INTERVAL 5 MINUTE").alias("te"))
     w_prev = (Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1364,6 +1376,7 @@ SELECT event_id, user_id, ts,
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS last_purchase_value
 FROM events
+WHERE ts IS NOT NULL
 """,
 )
 def q_ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1375,8 +1388,9 @@ def q_ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one window, partitioned by user_id; running state is a
     single value per partition — Spark's window operator streams the
-    frame without buffering it."""
-    ev = load_table(spark, sf_dir, "events")
+    frame without buffering it.  NULL-ts rows excluded — the
+    ts-ordered-window contract (r13)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
     sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
@@ -1782,6 +1796,7 @@ WITH tl AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS last_view_id
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT event_id AS purchase_id, user_id, value, last_view_id
 FROM tl WHERE event_type = 'purchase'
@@ -1799,8 +1814,9 @@ def q_evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     max prior view id ≡ most recent prior view.
 
     Scale: window partitioned by user_id (high cardinality) — one
-    shuffle of the slim (user, ts, id, type, value) projection."""
-    ev = load_table(spark, sf_dir, "events")
+    shuffle of the slim (user, ts, id, type, value) projection.
+    NULL-ts rows excluded — the ts-ordered-window contract (r13)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     last_view = F.max(
@@ -1899,7 +1915,10 @@ WITH assigned AS (
               THEN 'A' ELSE 'B' END AS arm,
          MAX(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END)
            AS converted
-  FROM events GROUP BY 1, 2
+  -- identifiable users only (review r13): an arm cannot be assigned to
+  -- a NULL user — and the engines even hash it differently (DuckDB's
+  -- concat SKIPS a NULL argument, Spark's concat NULL-propagates)
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
 ),
 arms AS (
   SELECT arm, COUNT(*) AS n_users,
@@ -1936,7 +1955,9 @@ def q_evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one grouped pass per user (partial-combined MAX), a 2-row
     arm aggregate, and scalar math — experiment readouts stay this
     shape at any event volume."""
-    ev = load_table(spark, sf_dir, "events")
+    # identifiable users only — mirrors the oracle (review r13)
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull()))
     arm = F.when(F.expr(_AB_HASH.format(s="STRING")) % 2 == 0, "A") \
            .otherwise("B")
     assigned = (
@@ -1954,11 +1975,17 @@ def q_evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("arm") == "A", F.col("n_conv"))).alias("xa"),
         F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
         F.max(F.when(F.col("arm") == "B", F.col("n_conv"))).alias("xb"))
-    ra = F.col("xa").cast("double") / F.col("na")
-    rb = F.col("xb").cast("double") / F.col("nb")
-    p = (F.col("xa") + F.col("xb")).cast("double") / (F.col("na") + F.col("nb"))
-    z = (ra - rb) / F.sqrt(p * (1 - p)
-                           * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    # try_divide throughout (review r13): a degenerate corpus (no
+    # conversions, or an empty arm) zeroes the pooled variance or an
+    # arm count — DuckDB's x/0 is NULL, Spark's ANSI default throws
+    ra = F.try_divide(F.col("xa").cast("double"), F.col("na"))
+    rb = F.try_divide(F.col("xb").cast("double"), F.col("nb"))
+    p = F.try_divide((F.col("xa") + F.col("xb")).cast("double"),
+                     F.col("na") + F.col("nb"))
+    z = F.try_divide(ra - rb,
+                     F.sqrt(p * (1 - p) * (F.try_divide(F.lit(1.0), F.col("na"))
+                                           + F.try_divide(F.lit(1.0),
+                                                          F.col("nb")))))
     return wide.select(
         "na", "xa", "nb", "xb",
         F.round(ra, 6).alias("rate_a"),
@@ -2086,6 +2113,7 @@ WITH seq AS (
          LAG(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_type
   FROM events
+  WHERE ts IS NOT NULL
 ), trans AS (
   SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
   FROM seq WHERE prev_type IS NOT NULL
@@ -2129,6 +2157,7 @@ WITH seq AS (
          LAG(value, 5) OVER w AS x5, LAG(value, 6) OVER w AS x6,
          LAG(value, 7) OVER w AS x7
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id, value,
@@ -2159,8 +2188,9 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     written order — the resulting double is bit-identical with no
     rounding fudge.  Ramp-up rows renormalize by the present-weight
     sum.  Scale: one shuffle on user_id; 8 lags come from ONE window
-    sort, not eight."""
-    ev = load_table(spark, sf_dir, "events")
+    sort, not eight.  NULL-ts rows excluded — the ts-ordered-window
+    contract (r13)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     num, den = ewma_num_den(w)
     return ev.select("event_id", "user_id", "value",
@@ -2560,7 +2590,12 @@ def q_graph_rank_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_evt_active_users",
     oracle="""
 WITH du AS (
+  -- known-time, identifiable users only (review r13): a NULL ts has no
+  -- day, and the unguarded shape counted a NULL user in dau (COUNT(*))
+  -- but not wau/mau (COUNT(DISTINCT)) -- and the Spark sweep-line
+  -- counted it everywhere
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ), days AS (
   SELECT DISTINCT day FROM du
 ), dau AS (
@@ -2599,8 +2634,10 @@ def q_evt_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     same day spine, so trailing ghost days past the last event drop
     out identically)."""
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id") \
-           .distinct()
+    # known-time, identifiable users only -- mirrors the oracle (r13)
+    du = (ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .select(F.col("ts").cast("date").alias("day"), "user_id")
+          .distinct())
     # Sweep-line rewrite (r9, VERDICT r8 #6): the old shape exploded
     # every (day, user) pair 30× and ran COUNT(DISTINCT) over the
     # fan-out — 30·|du| rows through a shuffle plus the distinct
@@ -2723,6 +2760,7 @@ WITH s AS (
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT event_id, user_id, value,
        {sql_dec2dbl('''CAST(s_t AS DECIMAL(30,8))
@@ -2745,8 +2783,9 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window SUM order is engine-internal — DuckDB uses segment trees —
     so float prefix sums would NOT hash-match), per-row x−k stays one
     correctly-rounded double op, and the final decimal subtraction
-    routes through the VARCHAR cast discipline."""
-    ev = load_table(spark, sf_dir, "events")
+    routes through the VARCHAR cast discipline.  NULL-ts rows
+    excluded — the ts-ordered-window contract (r13)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     s = ev.select(

@@ -58,13 +58,18 @@ SELECT event_id, user_id, value,
        LEAD(value) OVER w AS next_value,
        epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS us_since_last
 FROM events
+WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
 )
 def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event deltas (lstore consumers reconstruct exactly this by
     replaying the log per user; here it's one shuffled window)."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts rows are excluded from every ts-ordered window (review
+    # r13 contract): Spark orders NULLs FIRST, DuckDB LAST, so an
+    # unknown-time row would silently shift the whole partition's
+    # lags/frames differently per engine
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     return ev.select(
@@ -107,13 +112,15 @@ SELECT event_id, user_id,
          / COUNT(value) OVER w AS avg5,
        COUNT(value) OVER w AS n_in_frame
 FROM events
+WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
 )
 def q_win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moving average over the last 5 events per user (rows frame)."""
-    ev = load_table(spark, sf_dir, "events")
+    """Moving average over the last 5 events per user (rows frame).
+    NULL-ts rows excluded — the ts-ordered-window contract (r13)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(-4, Window.currentRow))
     return ev.select(
@@ -300,6 +307,7 @@ WITH sec AS (
   SELECT event_id, user_id, value,
          date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS t
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT event_id, user_id,
        COUNT(*) OVER w AS n_1h,
@@ -334,8 +342,9 @@ def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition — exact, so the hash equals the oracle's single windowed
     SUM) and join back to events on (user, second).  Every window is
     cumulative — no per-row frame rebuild at any density — and
-    parallelism is users × active-hours instead of users."""
-    ev = load_table(spark, sf_dir, "events")
+    parallelism is users × active-hours instead of users.  NULL-ts
+    rows excluded — the ts-ordered-window contract (r13)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     t = F.expr(
         "timestampdiff(SECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)")
     sec = ev.select("event_id", "user_id", "value", t.alias("t"))
@@ -377,5 +386,10 @@ def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("user_id", "t")
                .agg(F.sum("cnt_part").alias("n_1h"),
                     F.sum("sum_part").cast("double").alias("sum_1h")))
-    return (sec.join(per_sec, ["user_id", "t"])
+    # null-safe on user_id (review r13): the oracle's PARTITION BY
+    # treats NULL user as a real partition, but a plain equi-join back
+    # on the nullable key silently dropped those events
+    ps = per_sec.select(F.col("user_id").alias("_u"), F.col("t").alias("_t"),
+                        "n_1h", "sum_1h")
+    return (sec.join(ps, sec.user_id.eqNullSafe(ps._u) & (sec.t == ps._t))
             .select("event_id", "user_id", "n_1h", "sum_1h"))

@@ -102,6 +102,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
        COUNT(*) AS n,
        {sql_dsum('value', 'sum_value')}
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -129,6 +130,7 @@ SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
        COUNT(*) AS n,
        {sql_dsum('value', 'sum_value')}
 FROM events, range(4) AS t(k)
+WHERE ts IS NOT NULL
 GROUP BY 1
 """,
 )
@@ -155,6 +157,7 @@ WITH marked AS (
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= 1800000000 THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
 ), numbered AS (
   SELECT user_id, ts,
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -302,14 +305,19 @@ SELECT event_id, user_id,
        COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) AS run_n
 FROM events
+WHERE ts IS NOT NULL
 """,
 )
 def q_stream_stateful_runagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-user aggregate — the canonical stateful-consumer loop
     over the lstore log.  Batch twin: cumulative window (exact decimal).
     Streaming form: transformWithStateInPandas/applyInPandasWithState
-    keyed by user_id (tests/test_streaming.py exercises the state path)."""
-    ev = load_table(spark, sf_dir, "events")
+    keyed by user_id (tests/test_streaming.py exercises the state
+    path).  NULL-ts rows excluded in BOTH engines (review r13): event
+    time is the stream's watermark column, an unknown-time row cannot
+    participate — and Spark orders NULLs FIRST vs DuckDB's LAST, which
+    silently shifted the whole partition's running values."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return ev.select(

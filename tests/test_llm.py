@@ -1633,6 +1633,93 @@ def test_degenerate_documents_oracle_parity(spark, tmp_path):
     assert not bad, bad
 
 
+def test_degenerate_events_oracle_parity(spark, tmp_path):
+    """review r13: the events-side systematic probe (NULL ts / NULL user
+    / NULL type / NULL value / NULL + malformed props / empty type /
+    negative value / equal-ts ties) found a CLASS of sweep-invisible
+    divergences: Spark orders NULL ts FIRST where DuckDB orders LAST
+    (shifting every ts-ordered window), Spark's window() drops NULL-ts
+    rows where time_bucket keeps a NULL group, DuckDB's concat SKIPS
+    NULL args where Spark's propagates (A/B arm assignment), ->>/fmod/
+    sqrt/ln semantics differ on malformed/negative input, and a plain
+    equi-join back on a nullable user_id dropped rows the oracle kept.
+    All fixed under two documented contracts — ts-ordered/bucketed
+    operators exclude NULL-ts rows; experiment/user rollups exclude
+    NULL users — and this pin runs the whole oracle-backed events
+    family row-for-row against DuckDB on the degenerate fixture."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lstore_spark.registry import ORACLE, QUERIES
+    from tests.oracle_check import compare
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for i in range(60):
+        rows.append((i, base + datetime.timedelta(minutes=17 * i),
+                     i % 7, ["view", "click", "purchase"][i % 3],
+                     round(1.5 * (i % 11), 2),
+                     '{"k": %d, "tag": "t%d"}' % (i, i % 4)))
+    rows += [
+        (100, None, 3, "view", 2.0, '{"k": 1}'),
+        (101, base, None, "click", 1.0, '{"k": 2}'),
+        (102, base + datetime.timedelta(hours=1), 2, None, 3.0, '{"k": 3}'),
+        (103, base + datetime.timedelta(hours=2), 2, "purchase", None,
+         '{"k": 4}'),
+        (104, base + datetime.timedelta(hours=3), 4, "view", 5.0, None),
+        (105, base + datetime.timedelta(hours=4), 4, "view", 5.0,
+         '{bad json'),
+        (106, base + datetime.timedelta(hours=5), 5, "", 0.0, '{}'),
+        (107, base + datetime.timedelta(hours=5), 6, "view", -3.5,
+         '{"k": -1}'),
+    ]
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": [r[3] for r in rows],
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": [r[5] for r in rows],
+    }), str(fx / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{fx}/events.parquet'")
+    # oracle-backed keys whose ENTIRE read surface is the events table
+    keys = [
+        "q_evt_ab_test", "q_evt_active_users", "q_evt_anomaly_zscore",
+        "q_evt_attribution", "q_evt_basket_lift", "q_evt_conversion_time",
+        "q_evt_funnel", "q_evt_funnel_windowed", "q_evt_growth_accounting",
+        "q_evt_markov", "q_evt_pathing", "q_evt_retention", "q_evt_rfm",
+        "q_evt_sessionize", "q_fn_bitwise", "q_fn_cast", "q_fn_conditional",
+        "q_fn_histogram", "q_fn_json", "q_fn_map", "q_fn_math",
+        "q_fn_variant", "q_sample_reservoir", "q_sample_seeded",
+        "q_stream_active_daily", "q_stream_apply_state",
+        "q_stream_dedup_ids", "q_stream_foreachbatch_sink",
+        "q_stream_session_window", "q_stream_sliding_sum",
+        "q_stream_stateful_runagg", "q_stream_stream_join",
+        "q_stream_stream_left_join", "q_stream_stream_outer_join",
+        "q_stream_tumbling_count", "q_stream_watermark_late",
+        "q_ts_counter_rate", "q_ts_cusum", "q_ts_downsample_peak",
+        "q_ts_drawdown", "q_ts_ewma", "q_ts_forward_fill", "q_ts_gapfill",
+        "q_ts_interpolate", "q_ts_interval_coalesce", "q_ts_missing_ranges",
+        "q_ts_ohlc", "q_ts_pop_change", "q_ts_rollup_merge",
+        "q_ts_zscore_rolling", "q_win_lag_lead", "q_win_sliding_avg",
+        "q_win_time_range",
+    ]
+    bad = []
+    for k in keys:
+        r = compare(k, QUERIES[k](spark, str(fx)), con, ORACLE[k])
+        if not r.ok:
+            bad.append((k, r.detail))
+    assert not bad, bad
+
+
 def test_fixture_token_counts_within_oracle_cap():
     """review r13: seven oracles enumerate token positions with a
     CONSTANT ``range(1, _ORACLE_MAX_TOKENS)`` (DuckDB 1.0 cannot take
