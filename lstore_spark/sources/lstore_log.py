@@ -163,6 +163,16 @@ def write_segment(path: str, records: list[tuple[int, list[int], list[bytes]]]) 
         pass
     with open(path, "wb") as f:
         for offset, ints, blobs in records:
+            if (offset is None or any(v is None for v in ints)
+                    or any(b is None for b in blobs)):
+                # the segment format has no NULL encoding — an event
+                # with a NULL field used to die rows deep in struct.pack
+                # with a context-free TypeError (review r13); name the
+                # record and the contract instead
+                raise ValueError(
+                    f"write_segment: record offset={offset!r} carries "
+                    "NULL ints/blobs — the segment format has no NULL "
+                    "encoding; filter or sentinel-encode NULLs upstream")
             if offset < 0:
                 # negative offsets are the trailer sentinel space: the
                 # reader would silently skip such a record as a trailer

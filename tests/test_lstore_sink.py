@@ -399,6 +399,23 @@ def test_torn_segment_fails_loudly_or_reads_as_unsealed(tmp_path):
             list(read_segment_file(p2))
 
 
+def test_write_segment_rejects_null_fields_loudly(tmp_path):
+    """review r13: a NULL int or blob used to die rows deep inside
+    struct.pack with a context-free TypeError (the shape a NULL-ts
+    event reaches the sink as) — the writer must name the record and
+    the no-NULL-encoding contract instead."""
+    import pytest
+
+    from lstore_spark.sources.lstore_log import write_segment
+
+    p = str(tmp_path / "n.seg")
+    for bad in ([(0, [1, None], [b"k"])],
+                [(0, [1], [None])],
+                [(None, [1], [b"k"])]):
+        with pytest.raises(ValueError, match="NULL ints/blobs"):
+            write_segment(p, bad)
+
+
 def test_segment_read_blob_larger_than_window(tmp_path):
     """review r13 edge: a single blob LARGER than the 8 MiB parse
     window must stream through intact — refill() grows the window to
