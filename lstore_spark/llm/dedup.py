@@ -943,15 +943,19 @@ def semantic_dedup(em: DataFrame, n_clusters: int,
                 .filter(F.col("cw") > max_cluster_width)
                 .select("cluster").localCheckpoint())
         pairs_src = v.join(F.broadcast(wide), "cluster", "left_anti")
-    if hierarchical:
-        # Scale path: per-cluster numpy Gram (bit-exact twin of the
-        # join form below — see _dup_ids_vectorized; parity pinned in
-        # tests/test_llm.py over the SAME pairs_src).
-        dup = (_dup_ids_vectorized(pairs_src, tau)
-               .withColumn("dup", F.lit(True)))
-    else:
-        dup = (_dup_ids_joined(pairs_src, tau, n_clusters)
-               .withColumn("dup", F.lit(True)))
+    # Pairwise stage: ONE numpy Gram per cluster (r13 optimization
+    # round) — BIT-EXACT with the salted-join HOF form (_dup_ids_joined,
+    # kept as the certified reference; parity pinned in tests/test_llm.py
+    # over the SAME pairs_src), so the oracle hash is unchanged while
+    # the ~Sum(c_i^2) interpreted aggregate(zip_with(...)) cosine evals
+    # (HOFs never enter codegen) collapse into per-dim vectorized outer
+    # products.  Measured at sf0.1 (interleaved A/B, same session):
+    # joined 0.93-1.22 s vs vectorized 0.39 s median; full key
+    # 1.7 -> ~1.1 s.  The exact assignment stage stays on
+    # assign_nearest — its degenerate-vector and tie semantics are the
+    # oracle-certified contract shared with the kmeans family.
+    dup = (_dup_ids_vectorized(pairs_src, tau)
+           .withColumn("dup", F.lit(True)))
     return (v.select("vec_id", "cluster")
             .join(dup, "vec_id", "left")
             .select("vec_id", "cluster",

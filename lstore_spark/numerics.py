@@ -26,6 +26,15 @@ from pyspark.sql import functions as F
 
 DEC = "decimal(30,8)"
 
+# r13 optimization round: a narrower long-backed per-row cast width for
+# dsum/davg (decimal(18,8)) was prototyped and A/B-measured — an
+# INTERLEAVED same-session comparison on the TPC-H-Q1 flagship showed
+# no effect (pairwise ratios 0.90-1.49 straddling 1.0; the apparent
+# 7.06 -> 4.08 s win in a block-sequential run was ambient drift).
+# The decimal aggregate's cost at this scale is decimal-ness itself
+# (vs ~0.8 s for raw double sums), not the 30-vs-18 precision, so the
+# width stays at the single battle-tested (30,8).
+
 
 def dsum(col: Column, alias: str) -> Column:
     """Exact, order-independent sum of a double expression, as double."""
