@@ -265,39 +265,70 @@ def wf_vectors(df: DataFrame) -> DataFrame:
 
 
 def assign_nearest(em: DataFrame, cvecs: DataFrame, key: str) -> DataFrame:
-    """Route every vector to its max-cosine centroid (tie → lowest key).
-    The centroid table BROADCASTS over the corpus scan; the argmax is a
-    map-side-combined max_by per vector — the distributed Lloyd
-    assignment step, nothing quadratic.
+    """Route every vector to its max-cosine centroid (tie → lowest key)
+    as a ZERO-EXCHANGE Arrow projection (r13 optimization round): the
+    k×dim centroid table is collected driver-side (the same
+    quantizer-sized pull every sibling — IVF router, PQ codebook,
+    stored-index LUT — already makes) and rides the UDF closure; each
+    corpus row's k raw cosines come from ``all_pairs_cosine_udf`` — THE
+    bit-parity-certified fold (left-to-right elementwise accumulation,
+    bit-identical to the old ``cosine_with_norms`` HOF on every pair;
+    asserted unrounded over all sf0.01 pairs in tests/test_llm.py) —
+    and the hash-critical ROUND-6 + argmax stay JVM expressions.
 
-    Degenerate vectors (NULL/empty/ragged/NULL-element) are DROPPED
-    (review r13): unguarded, the NULL-propagating cosine fold fabricated
-    a present-with-NULLs assignment row while the oracles' unnest-based
-    vec CTEs either emit no row (NULL) or a partial-dim real assignment
-    (ragged) — three different behaviors.  The rows-only hierarchical
-    router below keeps its pinned present-with-NULLs degrade instead
-    (its adaptive callers want degenerate rows visible)."""
+    The previous shape (broadcast crossJoin expand → per-pair
+    interpreted ``aggregate(zip_with(...))`` cosines → Exchange(vec_id)
+    + max_by re-aggregate) paid one full shuffle of the expanded n·k
+    pair relation plus ~n·k·dim interpreted HOF element evals per
+    sweep — HOFs never enter codegen; measured 16k evals ≈ 0.3-0.5 s at
+    sf0.1 k=8, and the kmeans key repeats it per Lloyd round.  Now:
+    scan → ArrowEvalPython → project.  Nothing shuffles, nothing
+    re-aggregates; the argmax is ``array_position(r6, array_max(r6))``
+    over the k-array (first occurrence = lowest key, exactly the old
+    ``max_by(struct(cos_sim, -_ck))`` tie order).
+
+    Semantics preserved exactly (oracle hashes unchanged, re-verified
+    at sf0.001/0.01/0.1):
+
+    - degenerate vectors (NULL/empty/ragged/NULL-element) are DROPPED
+      via wf_vectors, as before (review r13 contract);
+    - a zero-norm corpus vector gets every cosine NULL (try_divide ≡
+      the UDF's denom==0 → NULL) → cluster = LOWEST key with cos_sim
+      NULL, replicating max_by's all-NULL-ordering struct compare;
+    - a zero-norm CENTROID's column is NULL and never wins (array_max
+      skips NULLs ≡ NULL-ordering rows losing the struct compare);
+    - NULL centroid keys sort LAST (a NULL -_ck lost every old
+      tie-break) and still win on a strict cosine max (cluster NULL,
+      as before).  Fixtures contain none of these corners (audited
+      r13: zero NULL labels / zero-norm / NaN vectors at all SFs);
+      the planted-degenerate pytest fixtures exercise the dropped
+      class only.
+
+    The rows-only hierarchical router below keeps its pinned
+    present-with-NULLs degrade instead (its adaptive callers want
+    degenerate rows visible)."""
+    from .similarity import all_pairs_cosine_udf
+
     em = wf_vectors(em)
-    # norms precomputed once per vector and once per centroid — identical
-    # arithmetic to cosine() (dot/(na·nb) rounded at 6, so every oracle
-    # twin still hash-matches) but the norm HOFs drop from 2·n·k per
-    # sweep to n + k, which dominates once k grows past a handful
-    # (measured on the 10× fixture with k=312: 146 s → the dot products
-    # alone).
-    pairs = (
-        em.select("vec_id", "embedding")
-        .withColumn("_nv", _norm("embedding"))
-        .crossJoin(F.broadcast(
-            cvecs.select(F.col(key).alias("_ck"), "cvec")
-            .withColumn("_nc", _norm("cvec"))))
-        .select("vec_id", "_ck",
-                cosine_with_norms("embedding", "cvec", "_nv", "_nc")
-                .alias("cos_sim")))
-    best = pairs.groupBy("vec_id").agg(
-        F.expr("max_by(struct(_ck, cos_sim), struct(cos_sim, -_ck))")
-        .alias("b"))
-    return best.select("vec_id", F.col("b._ck").alias("cluster"),
-                       F.col("b.cos_sim").alias("cos_sim"))
+    ktype = cvecs.select(F.col(key)).schema[0].dataType
+    rows = cvecs.select(F.col(key).alias("_ck"), "cvec").collect()
+    # lowest key first (NULL keys last): first-occurrence argmax then
+    # IS the old max_by(struct(cos_sim, -_ck)) tie-break
+    rows.sort(key=lambda r: (r._ck is None, r._ck))
+    if not rows:
+        return em.select(
+            "vec_id", F.lit(None).cast(ktype).alias("cluster"),
+            F.lit(None).cast("double").alias("cos_sim")).where(F.lit(False))
+    cos_all = all_pairs_cosine_udf([list(r.cvec) for r in rows])
+    keys_arr = F.array(*[F.lit(r._ck).cast(ktype) for r in rows])
+    r6 = F.expr("transform(_raw, c -> round(c, 6))")
+    best = F.array_max(r6)
+    pos = F.when(best.isNull(), F.lit(1)) \
+           .otherwise(F.array_position(r6, best))
+    return (em.select("vec_id", cos_all("embedding").alias("_raw"))
+            .select("vec_id",
+                    F.element_at(keys_arr, pos.cast("int")).alias("cluster"),
+                    best.alias("cos_sim")))
 
 
 def assign_nearest_hierarchical(em: DataFrame, cvecs: DataFrame,
