@@ -289,10 +289,17 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
               .select("c_custkey", "c_nationkey"))
     su = load_table(spark, sf_dir, "supplier")
-    od = (load_table(spark, sf_dir, "orders")
+    # order-grain fact pair: read the bucketed orderkey layout when it
+    # exists (VERDICT r12 #6 breadth) — locally the reduced-orders side
+    # broadcasts anyway, but past the gates the li⋈od_r fallback join
+    # meets pre-co-located scans instead of shuffling both facts.
+    from ..catalog import routed_tables
+
+    t = routed_tables(spark, sf_dir, "lineitem", "orders")
+    od = (t["orders"]
           .filter((F.col("o_orderdate") >= yr_lo)
                   & (F.col("o_orderdate") < yr_hi)))
-    li = load_table(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
     # ~20% of customers are in ASIA (1-of-5 regions, 2 narrow cols);
     # orders keep ~3% (1-year window × ASIA custkey semi); supplier
     # broadcasts whole (lineitem/10000 grain).  Measured at 1000×:
@@ -350,11 +357,17 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
     cu = load_table(spark, sf_dir, "customer")
     na = load_table(spark, sf_dir, "nation")
-    od = (load_table(spark, sf_dir, "orders")
+    # order-grain fact pair onto the bucketed layout when present
+    # (VERDICT r12 #6 breadth): locally the quarter-reduced orders
+    # broadcast, but the at-scale fallback join li⋈od is co-located.
+    from ..catalog import routed_tables
+
+    t = routed_tables(spark, sf_dir, "lineitem", "orders")
+    od = (t["orders"]
           .filter((F.col("o_orderdate") >= q_lo)
                   & (F.col("o_orderdate") < q_hi))
           .select("o_orderkey", "o_custkey"))
-    li = (load_table(spark, sf_dir, "lineitem")
+    li = (t["lineitem"]
           .filter(F.col("l_returnflag") == "R"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     od_fit = fits_broadcast(sf_dir, "orders", 0.04)
@@ -410,9 +423,17 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup."""
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
     hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
-    li = (load_table(spark, sf_dir, "lineitem")
+    # The central li_side⋈od_side merge is on orderkey and both sides
+    # are built by broadcast-attaching dims onto the raw fact scans —
+    # partitioning/ordering-preserving — so when the bucketed orderkey
+    # layout exists the SMJ compiles with zero exchanges and zero sorts
+    # (VERDICT r12 #6 breadth; plain parquet falls back to the shuffle).
+    from ..catalog import routed_tables
+
+    t = routed_tables(spark, sf_dir, "lineitem", "orders")
+    li = (t["lineitem"]
           .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)))
-    od = load_table(spark, sf_dir, "orders")
+    od = t["orders"]
     su = load_table(spark, sf_dir, "supplier")
     cu = load_table(spark, sf_dir, "customer")
     na = load_table(spark, sf_dir, "nation")
@@ -504,11 +525,19 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     double divide + ROUND 6 (numerics.py discipline)."""
     lo = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
     hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
-    li = load_table(spark, sf_dir, "lineitem")
+    # Both fact sides are broadcast-reduced projections of the raw
+    # scans, so the central orderkey SMJ inherits the bucketed layout's
+    # partitioning AND sort order when it exists: the li_side/od_side
+    # exchanges and their sorts vanish (VERDICT r12 #6 breadth; plain
+    # parquet keeps the round-9 reduced-shuffle shape).
+    from ..catalog import routed_tables
+
+    t = routed_tables(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"]
     pa = (load_table(spark, sf_dir, "part")
           .filter(F.col("p_type") == "ECONOMY"))
     su = load_table(spark, sf_dir, "supplier")
-    od = (load_table(spark, sf_dir, "orders")
+    od = (t["orders"]
           .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)))
     cu = load_table(spark, sf_dir, "customer")
     na = load_table(spark, sf_dir, "nation")
