@@ -490,20 +490,36 @@ BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 # shape (bucketed scan, zero exchanges) is still exercised locally.
 BUCKET_TARGET_ROWS = 2_500_000
 
+# Layout FAMILIES (r13 breadth, VERDICT r12 #6): each is an independent
+# one-time OPTIMIZE-style rewrite bucketing a join-co-located table pair
+# on its shared grain.  "order" is the original fact⋈fact layout; "cust"
+# serves the customer-grain joins/rollups (inner_hash, q13, q22,
+# semi/anti) the same way.  Tags are per-family format versions; the
+# registered-table prefix must differ per family because "orders"
+# appears in both (same fp, different physical layout).
+BUCKET_FAMILIES: dict[str, dict] = {
+    "order": {"tag": BUCKET_LAYOUT_TAG, "keys": BUCKET_KEYS,
+              "size_from": "lineitem", "tbl_prefix": "lstore_bkt"},
+    "cust": {"tag": "bktcust1",
+             "keys": {"orders": "o_custkey", "customer": "c_custkey"},
+             "size_from": "orders", "tbl_prefix": "lstore_bktc"},
+}
 
-def bucket_layout_n(sf_dir: str) -> int:
-    """Bucket count for this fixture's layout, from footer stats.  Both
-    tables share it (a co-located join needs equal bucket counts), sized
-    off lineitem — the larger side."""
+
+def bucket_layout_n(sf_dir: str, family: str = "order") -> int:
+    """Bucket count for this fixture's layout, from footer stats.  All
+    tables of a family share it (a co-located join needs equal bucket
+    counts), sized off the family's larger side."""
     import math
 
-    rows = table_rows(sf_dir, "lineitem")
+    rows = table_rows(sf_dir, BUCKET_FAMILIES[family]["size_from"])
     return max(8, min(256, math.ceil(rows / BUCKET_TARGET_ROWS)))
 
 
 def build_bucket_layout(spark: SparkSession, sf_dir: str,
-                        tables: tuple = ("lineitem", "orders"),
-                        n_buckets: int | None = None) -> dict[str, str]:
+                        tables: tuple | None = None,
+                        n_buckets: int | None = None,
+                        family: str = "order") -> dict[str, str]:
     """One-time maintenance rewrite: publish each table bucketed+sorted
     on its order key (one file per bucket — the ``repartition`` makes
     each writer task own exactly one bucket).  Atomic under the
@@ -513,7 +529,10 @@ def build_bucket_layout(spark: SparkSession, sf_dir: str,
     and fact⋈fact join thereafter compiles with zero exchanges."""
     import json
 
-    n = n_buckets or bucket_layout_n(sf_dir)
+    fam = BUCKET_FAMILIES[family]
+    if tables is None:
+        tables = tuple(fam["keys"])
+    n = n_buckets or bucket_layout_n(sf_dir, family)
     out: dict[str, str] = {}
     # ONE fingerprint for the whole multi-table build (review r12): a
     # per-iteration recompute both re-stat-scanned the fixture per
@@ -523,12 +542,12 @@ def build_bucket_layout(spark: SparkSession, sf_dir: str,
     # layout and silently fell back to the shuffled plan.
     fp = fixture_fingerprint(sf_dir)
     for t in tables:
-        key = BUCKET_KEYS[t]
-        final, done = scratch_dir(f"{BUCKET_LAYOUT_TAG}_{t}", sf_dir, key=fp)
+        key = fam["keys"][t]
+        final, done = scratch_dir(f"{fam['tag']}_{t}", sf_dir, key=fp)
         if not done:
             clear_incomplete_dir(final)
             tmp = build_tmp_dir(final)
-            tbl = f"lstore_bktbuild_{t}_p{os.getpid()}"
+            tbl = f"lstore_bktbuild_{family}_{t}_p{os.getpid()}"
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             (load_table(spark, sf_dir, t)
              .repartition(n, key)
@@ -543,7 +562,8 @@ def build_bucket_layout(spark: SparkSession, sf_dir: str,
 
 
 def bucketed_table(spark: SparkSession, sf_dir: str, table: str,
-                   fp: str | None = None) -> DataFrame | None:
+                   fp: str | None = None,
+                   family: str = "order") -> DataFrame | None:
     """The bucketed layout of ``table`` if a marker-complete artifact
     exists for the CURRENT fixture fingerprint, else None (callers fall
     back to the plain parquet plan).  Registration is an external
@@ -555,9 +575,10 @@ def bucketed_table(spark: SparkSession, sf_dir: str, table: str,
     scratch_dir's key= closed in r11)."""
     import json
 
+    fam = BUCKET_FAMILIES[family]
     if fp is None:
         fp = fixture_fingerprint(sf_dir)
-    final, done = scratch_dir(f"{BUCKET_LAYOUT_TAG}_{table}", sf_dir, key=fp)
+    final, done = scratch_dir(f"{fam['tag']}_{table}", sf_dir, key=fp)
     if not done:
         return None
     try:
@@ -566,7 +587,7 @@ def bucketed_table(spark: SparkSession, sf_dir: str, table: str,
     except (OSError, ValueError):
         return None
     tune(spark)
-    name = f"lstore_bkt_{table}_{fp}"
+    name = f"{fam['tbl_prefix']}_{table}_{fp}"
     if not spark.catalog.tableExists(name):
         cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                          for f in SCHEMAS[table].fields)
@@ -578,7 +599,7 @@ def bucketed_table(spark: SparkSession, sf_dir: str, table: str,
 
 
 def routed_tables(spark: SparkSession, sf_dir: str,
-                  *tables: str) -> dict[str, DataFrame]:
+                  *tables: str, family: str = "order") -> dict[str, DataFrame]:
     """All-or-nothing bucketed routing (review r13): every requested
     table's layout present for the current fingerprint → all bucketed;
     any missing → ALL plain parquet.  A half-available layout must
@@ -590,11 +611,13 @@ def routed_tables(spark: SparkSession, sf_dir: str,
     fingerprint, one stat per table) so the fallback path never pays
     ``bucketed_table``'s session DDL for a layout half it won't use
     (review r13)."""
+    tag = BUCKET_FAMILIES[family]["tag"]
     fp = fixture_fingerprint(sf_dir)
-    ready = all(scratch_dir(f"{BUCKET_LAYOUT_TAG}_{t}", sf_dir, key=fp)[1]
+    ready = all(scratch_dir(f"{tag}_{t}", sf_dir, key=fp)[1]
                 for t in tables)
     if ready:
-        bkt = {t: bucketed_table(spark, sf_dir, t, fp=fp) for t in tables}
+        bkt = {t: bucketed_table(spark, sf_dir, t, fp=fp, family=family)
+               for t in tables}
         if all(df is not None for df in bkt.values()):
             return bkt
         # a marker raced away / _LAYOUT unreadable between the probe

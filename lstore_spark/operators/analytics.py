@@ -2337,9 +2337,18 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pre-aggregated (custkey, cnt) relation (≤|customers| rows,
     map-side combined) and coalescing the idle cohort to 0 is
     value-identical to counting the 10×-larger join output.  The big
-    orders relation now crosses its exchange already reduced."""
-    cu = load_table(spark, sf_dir, "customer")
-    od = load_table(spark, sf_dir, "orders")
+    orders relation now crosses its exchange already reduced.
+
+    r13: on the custkey bucket layout (VERDICT r12 #6) the per-custkey
+    pre-aggregate needs NO exchange at all (the scan arrives
+    hash-partitioned on o_custkey) and the outer join is co-located
+    with the bucketed customer scan; plain parquet falls back to the
+    round-9 reduced-shuffle shape."""
+    from ..catalog import routed_tables
+
+    t = routed_tables(spark, sf_dir, "customer", "orders", family="cust")
+    cu = t["customer"]
+    od = t["orders"]
     per_ord = (
         od.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(F.count("o_orderkey").alias("_cnt"))
@@ -2442,9 +2451,17 @@ def q_tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-anti hash join (here on the broadcast DISTINCT custkey set of
     orders, the semi-join-reduction shape; at 100 TB the distinct
     custkeys of orders shuffle once and the anti join stays equi).  The
-    scalar average broadcasts as a 1-row relation."""
-    cu = load_table(spark, sf_dir, "customer")
-    od = load_table(spark, sf_dir, "orders")
+    scalar average broadcasts as a 1-row relation.
+
+    r13: on the custkey bucket layout (VERDICT r12 #6) the buyers
+    DISTINCT builds with zero exchange (scan pre-partitioned on
+    o_custkey) and the at-scale anti join is co-located with the
+    bucketed customer scan; plain parquet keeps the shuffled distinct."""
+    from ..catalog import routed_tables
+
+    t = routed_tables(spark, sf_dir, "customer", "orders", family="cust")
+    cu = t["customer"]
+    od = t["orders"]
     cut = (cu.filter(F.col("c_acctbal") > 0.0)
            .agg((F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
                  / F.count(F.lit(1))).alias("cut")))

@@ -34,9 +34,16 @@ WHERE o_totalprice > 400000
 )
 def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi inner join orders⋈customer; Catalyst picks broadcast/SMJ by
-    size, AQE re-plans at runtime."""
-    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    cu = load_table(spark, sf_dir, "customer")
+    size, AQE re-plans at runtime.  When the custkey bucket layout
+    exists (catalog.build_bucket_layout family="cust", VERDICT r12 #6)
+    both scans arrive co-located on the join key, so the at-scale
+    non-broadcast fallback compiles with zero custkey exchanges; plain
+    parquet keeps the planner-chosen shuffled shape."""
+    from ..catalog import routed_tables
+
+    t = routed_tables(spark, sf_dir, "orders", "customer", family="cust")
+    od = t["orders"].filter(F.col("o_totalprice") > 400000)
+    cu = t["customer"]
     return od.join(cu, od.o_custkey == cu.c_custkey, "inner").select(
         "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
 
@@ -153,9 +160,13 @@ WHERE EXISTS (SELECT 1 FROM orders
 """,
 )
 def q_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi join ≡ EXISTS: probe side streams, no row multiplication."""
-    cu = load_table(spark, sf_dir, "customer")
-    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 420000)
+    """Semi join ≡ EXISTS: probe side streams, no row multiplication.
+    Custkey-bucket-routed like q_join_inner_hash (VERDICT r12 #6)."""
+    from ..catalog import routed_tables
+
+    t = routed_tables(spark, sf_dir, "orders", "customer", family="cust")
+    cu = t["customer"]
+    od = t["orders"].filter(F.col("o_totalprice") > 420000)
     return cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").select(
         "c_custkey", "c_name")
 
@@ -170,9 +181,13 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 )
 def q_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join ≡ NOT EXISTS: customers with no big-ticket order (every
-    customer has *some* order in the fixture, so the anti side filters)."""
-    cu = load_table(spark, sf_dir, "customer")
-    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    customer has *some* order in the fixture, so the anti side filters).
+    Custkey-bucket-routed like q_join_inner_hash (VERDICT r12 #6)."""
+    from ..catalog import routed_tables
+
+    t = routed_tables(spark, sf_dir, "orders", "customer", family="cust")
+    cu = t["customer"]
+    od = t["orders"].filter(F.col("o_totalprice") > 400000)
     return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment")
 

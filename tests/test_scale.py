@@ -202,6 +202,63 @@ def test_bucket_layout_routes_q18_and_global_distinct(spark, sf_dir):
         spark, sf_dir))
 
 
+def test_cust_bucket_layout_routes_custkey_grain(spark, sf_dir):
+    """r13 breadth (VERDICT r12 #6): the custkey family
+    (build_bucket_layout family="cust" — orders on o_custkey, customer
+    on c_custkey) must serve the customer-grain keys BY DEFAULT:
+    q13's per-custkey pre-aggregate and q22's buyers DISTINCT compile
+    with zero custkey exchanges, and the broadcast-shaped joins
+    (inner_hash, semi, anti) compile to co-located zero-exchange merges
+    once the broadcast path is off — all returning exactly the
+    plain-parquet rows."""
+    from lstore_spark import catalog
+    from lstore_spark.registry import QUERIES
+
+    routed_keys = ["q_join_inner_hash", "q_join_left_semi",
+                   "q_join_left_anti", "q_tpch_q13_custdist",
+                   "q_tpch_q22_idle_rich"]
+    base = {k: sorted(map(tuple, QUERIES[k](spark, sf_dir).collect()))
+            for k in routed_keys}
+
+    dirs = catalog.build_bucket_layout(spark, sf_dir, family="cust")
+    for d in dirs.values():
+        assert os.path.exists(os.path.join(d, "_SUCCESS")), d
+    assert catalog.bucketed_table(spark, sf_dir, "customer",
+                                  family="cust") is not None
+
+    for k in routed_keys:
+        routed = QUERIES[k](spark, sf_dir)
+        plan = _plan(routed)
+        assert "Exchange hashpartitioning(o_custkey" not in plan, \
+            (k, plan[:1500])
+        assert "Exchange hashpartitioning(c_custkey" not in plan, \
+            (k, plan[:1500])
+        assert sorted(map(tuple, routed.collect())) == base[k], k
+
+    # The broadcast-shaped keys only show the layout's value when the
+    # broadcast path is off (the 100 TB shape): the join must then be a
+    # co-located zero-exchange merge, not a shuffled SMJ.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for k in routed_keys:
+            routed = QUERIES[k](spark, sf_dir)
+            # routed_tables→tune() re-applies the 64 MiB threshold while
+            # the query is constructed; planning is lazy, so overriding
+            # AFTER construction (before first plan access) is what
+            # actually disables broadcast for this key's plan.
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = _plan(routed)
+            assert "Exchange hashpartitioning(o_custkey" not in plan, \
+                (k, plan[:1500])
+            assert "Exchange hashpartitioning(c_custkey" not in plan, \
+                (k, plan[:1500])
+            assert "Bucketed: true" in plan, \
+                f"{k} did not route onto the cust layout"
+            assert sorted(map(tuple, routed.collect())) == base[k], k
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 @needs_sfbig
 def test_hyperplane_lsh_scale_recall_and_occupancy(spark):
     """VERDICT r1 #6: LSH sizing must hold at 20k vectors, not just the
