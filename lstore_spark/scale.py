@@ -286,8 +286,23 @@ def global_row_number(df: DataFrame, order: list, alias: str = "pos",
     row_number WITHIN each range partition, and broadcast cumulative
     partition offsets added back.  The result is invariant to where the
     sampled boundaries land because the order is TOTAL — callers must
-    include a unique tie-break column.  Cost: two parallel exchanges +
-    one |partitions|-row aggregate, instead of one serial full sort."""
+    include a unique tie-break column.  Cost: ONE parallel exchange +
+    one |partitions|-row aggregate, instead of one serial full sort.
+
+    r13: in-partition positions come from ``monotonically_increasing_id``
+    over the range-partitioned, in-partition-sorted relation — NOT from
+    a ``Window.partitionBy(_pid)``.  Spark cannot prove the range
+    exchange's layout satisfies a hash-on-_pid window requirement, so
+    the window form paid a SECOND full-data Exchange (plan-measured:
+    rangepartitioning + hashpartitioning(_pid) back to back) plus the
+    window buffer.  The id form is narrow: after
+    ``sortWithinPartitions`` the row order is deterministic (the order
+    is total), ids are assigned in that order per partition
+    (pid·2³³ + offset), so ``_pid = id >> 33`` and
+    ``_r = (id & (2³³−1)) + 1`` reproduce the window's row_number
+    exactly — including under task retry, which re-sorts to the same
+    sequence.  Bound: < 2³³ (~8.6B) rows per range partition, far past
+    any sane partition sizing."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -295,12 +310,17 @@ def global_row_number(df: DataFrame, order: list, alias: str = "pos",
     from .registry import pin
 
     ranged = (df.repartitionByRange(n, *order)
-              .withColumn("_pid", F.spark_partition_id()))
-    w_in = Window.partitionBy("_pid").orderBy(*order)
+              .sortWithinPartitions(*order)
+              .withColumn("_mid", F.monotonically_increasing_id()))
     # pinned: the offsets aggregate AND the result projection both read
     # this relation, and Spark does no CSE across branches — unpinned,
-    # the range exchange + window would run twice
-    local = pin(ranged.withColumn("_r", F.row_number().over(w_in)))
+    # the range exchange + sort would run twice
+    local = pin(ranged
+                .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+                .withColumn("_r", (F.col("_mid")
+                                   .bitwiseAND(F.lit((1 << 33) - 1))
+                                   + F.lit(1)).cast("long"))
+                .drop("_mid"))
     # offsets: |partitions| rows — the only global window, bounded
     w_off = (Window.orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))

@@ -156,9 +156,19 @@ def test_global_row_number_matches_naive_window(spark, sf_dir):
     want = ev.withColumn("pos", F.row_number().over(Window.orderBy(*order)))
     assert sorted(map(tuple, got.collect())) \
         == sorted(map(tuple, want.collect()))
+    # r13 shape pin: the only full-data exchange is the range partition;
+    # every hash exchange in the plan is the |partitions|-row offsets
+    # aggregate on _pid (the old Window.partitionBy(_pid) form paid a
+    # second full-data hashpartitioning exchange right after the range
+    # exchange — plan-measured, removed by the monotonically_increasing_id
+    # rewrite).
     plan = _plan(got)
-    assert "windowspecdefinition(_pid" in plan, \
-        "big-relation window lost its partition spec"
+    assert "rangepartitioning(" in plan
+    import re
+    hash_keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert hash_keys and all(k.startswith("_pid") for k in hash_keys), \
+        f"unexpected full-data hash exchange: {hash_keys}"
+    assert "monotonically_increasing_id" in plan
 
 
 def test_bucket_layout_routes_q18_and_global_distinct(spark, sf_dir):
