@@ -184,6 +184,32 @@ def main() -> None:
     # training aggregate inside its timed window.
     from lstore_spark.llm.embeddings import pq_codebook
     pq_codebook(spark, SF_DIR)
+    # Bucket-layout warm-up, discarded — same train-once/read-many
+    # rationale as the index and codebook above: the order-/customer-
+    # grain keys DEFAULT-route onto the published bucketed layout
+    # (catalog.build_bucket_layout, the OPTIMIZE-style one-time
+    # maintenance rewrite; VERDICT r12 #6) with plain-parquet fallback
+    # when absent.  On a cold /tmp the first bench invocation would
+    # otherwise silently measure the fallback shapes and the next one
+    # the routed shapes (r13: a host reboot mid-round demonstrated
+    # exactly this ambiguity).  Ensuring the layout here makes the
+    # measured plan deterministic; ``bucket_layouts`` in the JSON
+    # records per family whether a prior artifact was REUSED or this
+    # invocation built it (build cost is outside every timed window
+    # either way).  The plain-fallback A/B lives in scripts/ (run any
+    # probe with LSTORE_SPARK_SCRATCH_ROOT pointed at an empty dir).
+    from lstore_spark import catalog as _catalog
+    layouts: dict[str, str] = {}
+    for fam, fcfg in _catalog.BUCKET_FAMILIES.items():
+        try:
+            fp = _catalog.fixture_fingerprint(SF_DIR)
+            reused = all(
+                _catalog.scratch_dir(f"{fcfg['tag']}_{t}", SF_DIR, key=fp)[1]
+                for t in fcfg["keys"])
+            _catalog.build_bucket_layout(spark, SF_DIR, family=fam)
+            layouts[fam] = "reused" if reused else "built"
+        except Exception:
+            layouts[fam] = "absent"  # routed keys fall back to plain
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     calib0 = calibration_probe()
     pcal0 = parallel_calibration_probe()
@@ -255,6 +281,10 @@ def main() -> None:
         # PREBUILT index (publish marker untouched), no retrain inside
         # the timed window.
         "index_reused": os.path.getmtime(idx_marker) == idx_mtime0,
+        # r13: which bucket-layout families backed the routed keys this
+        # run ("reused" | "built" | "absent" — absent means those keys
+        # measured the plain-parquet fallback plans).
+        "bucket_layouts": layouts,
     }
     print(json.dumps(out), flush=True)
     spark.stop()
