@@ -909,6 +909,7 @@ def semantic_dedup(em: DataFrame, n_clusters: int,
     key.  None (the oracle-checked key) disables the cap."""
     from .embeddings import (assign_nearest, assign_nearest_hierarchical,
                              wf_vectors)
+    from .similarity import _norm
 
     w = Window.orderBy("vec_id")
     # seeds = the lowest WELL-FORMED vec_ids (review r13, the
@@ -917,49 +918,50 @@ def semantic_dedup(em: DataFrame, n_clusters: int,
              .select((F.row_number().over(w) - 1).alias("ck"),
                      F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
                      .alias("cvec")))
+    # r14 (VERDICT r13 #8): assignment CARRIES the embedding through
+    # its projection instead of the old em.join(asg, "vec_id") — a full
+    # corpus SELF-join (broadcast locally, an orderkey-free shuffle at
+    # scale) existed only to re-attach the vector the assignment had
+    # just projected away.  The norm rides along so the pairwise stage
+    # computes n norms, not 2·|pairs|.
     if hierarchical:
-        # Single consumer now (the routing UDF collects the quantizer
-        # driver-side, r9) — no checkpoint needed.
-        asg = assign_nearest_hierarchical(em, cvecs, "ck", n_clusters) \
-            .select("vec_id", "cluster")
+        asg = assign_nearest_hierarchical(em, cvecs, "ck", n_clusters,
+                                          carry=("embedding",))
     else:
-        asg = assign_nearest(em, cvecs, "ck").select("vec_id", "cluster")
-    # materialize (vec, cluster, embedding, norm) once: it feeds both
-    # sides of the within-cluster self-join plus the output roster, and
-    # the assignment shuffle should not run three times (no CSE across
-    # branches — same rationale as the minhash signature checkpoint).
-    # The norm rides along so the pairwise stage computes n norms, not
-    # 2·|pairs| (cosine_with_norms ≡ cosine arithmetically — the oracle
-    # still hash-matches).
-    from .similarity import _norm
-    v = (em.join(asg, "vec_id")
-         .select("vec_id", "cluster", "embedding",
-                 _norm("embedding").alias("_n"))
-         .localCheckpoint())
-    pairs_src = v
-    if max_cluster_width is not None:
-        wide = (v.groupBy("cluster")
-                .agg(F.count(F.lit(1)).alias("cw"))
-                .filter(F.col("cw") > max_cluster_width)
-                .select("cluster").localCheckpoint())
-        pairs_src = v.join(F.broadcast(wide), "cluster", "left_anti")
-    # Pairwise stage: ONE numpy Gram per cluster (r13 optimization
-    # round) — BIT-EXACT with the salted-join HOF form (_dup_ids_joined,
-    # kept as the certified reference; parity pinned in tests/test_llm.py
-    # over the SAME pairs_src), so the oracle hash is unchanged while
-    # the ~Sum(c_i^2) interpreted aggregate(zip_with(...)) cosine evals
-    # (HOFs never enter codegen) collapse into per-dim vectorized outer
-    # products.  Measured at sf0.1 (interleaved A/B, same session):
-    # joined 0.93-1.22 s vs vectorized 0.39 s median; full key
-    # 1.7 -> ~1.1 s.  The exact assignment stage stays on
-    # assign_nearest — its degenerate-vector and tie semantics are the
-    # oracle-certified contract shared with the kmeans family.
-    dup = (_dup_ids_vectorized(pairs_src, tau)
-           .withColumn("dup", F.lit(True)))
-    return (v.select("vec_id", "cluster")
-            .join(dup, "vec_id", "left")
-            .select("vec_id", "cluster",
-                    F.col("dup").isNull().alias("keep")))
+        asg = assign_nearest(em, cvecs, "ck", carry=("embedding",))
+    src = asg.select("vec_id", "cluster", "embedding",
+                     _norm("embedding").alias("_n"))
+    # Pairwise + roster, FUSED (r14, VERDICT r13 #8): the per-cluster
+    # Gram stage now emits every member's keep flag directly
+    # (_keep_flags_vectorized) instead of returning dup ids that were
+    # left-joined back onto a localCheckpoint'ed roster.  Plan delta at
+    # sf0.1: 3 shuffle Exchanges + localCheckpoint materialization →
+    # ONE Exchange (the cluster group shuffle) and no materialization;
+    # the Gram arithmetic is byte-identical code to
+    # _dup_ids_vectorized (BIT-EXACT with the salted-join HOF reference
+    # _dup_ids_joined — parity pinned in tests/test_llm.py), so the
+    # oracle hash is unchanged (re-verified at sf0.001/0.01/0.1).
+    # The exact assignment stage stays on assign_nearest — its
+    # degenerate-vector and tie semantics are the oracle-certified
+    # contract shared with the kmeans family.
+    if max_cluster_width is None:
+        return _keep_flags_vectorized(src, tau)
+    # Capped path: wide clusters must NOT enter the group shuffle (a
+    # boilerplate mega-cluster would land its whole width on one
+    # reduce task — the hot-key pathology the cap exists to bound), so
+    # the anti-join structure stays; the fused flags UDF still removes
+    # the roster join-back.  v feeds three branches (width aggregate,
+    # anti side, wide-member roster) → keep the materialization.
+    v = src.localCheckpoint()
+    wide = (v.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("cw"))
+            .filter(F.col("cw") > max_cluster_width)
+            .select("cluster").localCheckpoint())
+    narrow = v.join(F.broadcast(wide), "cluster", "left_anti")
+    wide_members = (v.join(F.broadcast(wide), "cluster", "left_semi")
+                    .select("vec_id", "cluster",
+                            F.lit(True).alias("keep")))
+    return _keep_flags_vectorized(narrow, tau).unionByName(wide_members)
 
 
 def _dup_ids_joined(pairs_src: DataFrame, tau: float,
@@ -1057,6 +1059,64 @@ def _dup_ids_vectorized(pairs_src: DataFrame, tau: float) -> DataFrame:
 
     return (pairs_src.select("cluster", "vec_id", "embedding", "_n")
             .groupBy("cluster").applyInPandas(find, "vec_id long"))
+
+
+def _keep_flags_vectorized(src: DataFrame, tau: float) -> DataFrame:
+    """The FUSED form of ``_dup_ids_vectorized`` (r14): one per-cluster
+    applyInPandas that runs the IDENTICAL Gram/boundary arithmetic (see
+    that function's bit-parity contract — left-to-right per-dim outer
+    products, same JVM ``_n`` norms, guarded HALF_UP compare at the
+    rounding boundary) and emits EVERY member's ``keep`` flag directly:
+    (vec_id, cluster, keep) with keep = "no earlier near-twin in my
+    cluster".  This folds the old dup-ids → left-join-back-onto-roster
+    tail into the group stage itself, removing the roster join and the
+    checkpoint the two-consumer shape required.  Single-member (and
+    empty) groups emit keep=true without touching the vectors, exactly
+    like the dup form's len<2 early-out."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    q6 = Decimal("1E-6")
+    tau_dec = Decimal(str(tau))
+    boundary = tau - 5e-7
+    schema = StructType([
+        src.schema["vec_id"],
+        src.schema["cluster"],
+        StructField("keep", BooleanType(), False),
+    ])
+
+    def flags(pdf: pd.DataFrame) -> pd.DataFrame:
+        roster = pdf[["vec_id", "cluster"]].copy()
+        if len(pdf) < 2:
+            roster["keep"] = True
+            return roster
+        # --- byte-identical Gram block (_dup_ids_vectorized.find) ---
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        nrm = pdf["_n"].to_numpy()[order].astype(np.float64)
+        w = V.shape[0]
+        G = np.zeros((w, w))
+        for j in range(V.shape[1]):  # ascending dim = the HOF fold order
+            G += np.multiply.outer(V[:, j], V[:, j])
+        C = G / np.multiply.outer(nrm, nrm)
+        ia, ib = np.triu_indices(w, k=1)  # ids ascending → id_a < id_b
+        c = C[ia, ib]
+        dup = c >= boundary + 1e-9
+        amb = np.abs(c - boundary) <= 1e-9
+        for idx in np.nonzero(amb)[0]:
+            dup[idx] = Decimal(float(c[idx])).quantize(
+                q6, ROUND_HALF_UP) >= tau_dec
+        dup_ids = np.unique(ids[ib[dup]])
+        # --- fused tail: roster keep flags instead of dup-id rows ---
+        roster["keep"] = ~roster["vec_id"].isin(dup_ids)
+        return roster
+
+    return (src.select("cluster", "vec_id", "embedding", "_n")
+            .groupBy("cluster").applyInPandas(flags, schema))
 
 
 @query(

@@ -264,7 +264,8 @@ def wf_vectors(df: DataFrame) -> DataFrame:
         & (F.size(F.filter("embedding", lambda x: x.isNull())) == 0))
 
 
-def assign_nearest(em: DataFrame, cvecs: DataFrame, key: str) -> DataFrame:
+def assign_nearest(em: DataFrame, cvecs: DataFrame, key: str,
+                   carry: tuple = ()) -> DataFrame:
     """Route every vector to its max-cosine centroid (tie → lowest key)
     as a ZERO-EXCHANGE Arrow projection (r13 optimization round): the
     k×dim centroid table is collected driver-side (the same
@@ -306,7 +307,15 @@ def assign_nearest(em: DataFrame, cvecs: DataFrame, key: str) -> DataFrame:
 
     The rows-only hierarchical router below keeps its pinned
     present-with-NULLs degrade instead (its adaptive callers want
-    degenerate rows visible)."""
+    degenerate rows visible).
+
+    ``carry`` (r14): extra em columns threaded through both selects —
+    lets a caller that needs the vector AFTER assignment (semantic
+    dedup's Gram stage) avoid a full corpus self-join back onto the
+    assignment projection.  Default () keeps every existing caller's
+    plan byte-identical.  Carried columns do NOT cross the Python
+    boundary (ArrowEvalPython ships only the UDF's input columns and
+    rejoins results positionally JVM-side)."""
     from .similarity import all_pairs_cosine_udf
 
     em = wf_vectors(em)
@@ -317,7 +326,7 @@ def assign_nearest(em: DataFrame, cvecs: DataFrame, key: str) -> DataFrame:
     rows.sort(key=lambda r: (r._ck is None, r._ck))
     if not rows:
         return em.select(
-            "vec_id", F.lit(None).cast(ktype).alias("cluster"),
+            "vec_id", *carry, F.lit(None).cast(ktype).alias("cluster"),
             F.lit(None).cast("double").alias("cos_sim")).where(F.lit(False))
     cos_all = all_pairs_cosine_udf([list(r.cvec) for r in rows])
     keys_arr = F.array(*[F.lit(r._ck).cast(ktype) for r in rows])
@@ -325,14 +334,15 @@ def assign_nearest(em: DataFrame, cvecs: DataFrame, key: str) -> DataFrame:
     best = F.array_max(r6)
     pos = F.when(best.isNull(), F.lit(1)) \
            .otherwise(F.array_position(r6, best))
-    return (em.select("vec_id", cos_all("embedding").alias("_raw"))
-            .select("vec_id",
+    return (em.select("vec_id", *carry, cos_all("embedding").alias("_raw"))
+            .select("vec_id", *carry,
                     F.element_at(keys_arr, pos.cast("int")).alias("cluster"),
                     best.alias("cos_sim")))
 
 
 def assign_nearest_hierarchical(em: DataFrame, cvecs: DataFrame,
-                                key: str, n_fine: int) -> DataFrame:
+                                key: str, n_fine: int,
+                                carry: tuple = ()) -> DataFrame:
     """IVF-accelerated Lloyd assignment: route each vector through
     c = √k coarse centroids (the first c fine centroids serve as the
     coarse book), then exact-assign among only the fine centroids whose
@@ -439,8 +449,10 @@ def assign_nearest_hierarchical(em: DataFrame, cvecs: DataFrame,
                     cs[p] = float(s)
         return pd.DataFrame({"cluster": cl, "cos_sim": cs})
 
-    return (em.select("vec_id", route("embedding").alias("_a"))
-            .select("vec_id", F.col("_a.cluster").alias("cluster"),
+    # carry: same contract as assign_nearest's (r14) — default () keeps
+    # existing callers' plans byte-identical
+    return (em.select("vec_id", *carry, route("embedding").alias("_a"))
+            .select("vec_id", *carry, F.col("_a.cluster").alias("cluster"),
                     F.col("_a.cos_sim").alias("cos_sim")))
 
 
