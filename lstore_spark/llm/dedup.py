@@ -1268,6 +1268,14 @@ _SUBSTR_W = 8  # rolling-window width in tokens (Lee et al. use 50 BPE
 # tokens at corpus scale; 8 fits the short synthetic fixtures while
 # exercising the identical plan shape)
 
+# Corpus-size gate for the single-exchange span-runs form (r14): the
+# measured crossover sits between 5k docs (sf0.1 — two-exchange wins,
+# 1.12 s vs 1.21 s) and 500k docs (the 100x fixture — span-runs wins
+# every interleaved pair, 76.6 s vs 80.8 s median), and the saved
+# exchange only grows relatively more expensive with cluster scale
+# (guide 2.2).  scripts/ab_substring_r14.json records both readings.
+_SPAN_RUNS_MIN_DOCS = 100_000
+
 
 def _span_windows(w: int):
     """Rolling w-token windows of a tokenized doc (column expr over
@@ -1279,9 +1287,46 @@ def _span_windows(w: int):
            array())""")
 
 
+def _span_runs(occ_arrays: DataFrame) -> DataFrame:
+    """Per-doc distinct spans WITH multiplicities (r14, VERDICT r13
+    #3): sort each doc's span array, find run boundaries, emit one
+    (span, cnt) row per DISTINCT span of the doc.  Rationale: a
+    (span, doc) pair lives entirely inside ONE document row, so the
+    per-doc dedup that COUNT(DISTINCT doc_id) needs can happen inside
+    the row BEFORE the explode — Spark's distinct-aggregate rewrite
+    otherwise plans TWO full exchanges, both keyed on (and carrying)
+    the raw span strings (hashpartitioning(span, doc_id), then
+    hashpartitioning(span)); with per-doc (span, cnt) rows ONE
+    exchange on span suffices: n_docs = COUNT(*), n_occ = SUM(cnt).
+    The sort and boundary scan are per-doc JVM array work (≤ L−w+1
+    elements).  Input: (doc_id, spans array<string>); output:
+    (doc_id, span, cnt) — degenerate docs (NULL/short text → empty
+    spans) emit no rows, exactly like the explode they replace."""
+    # empty guard on BOTH exprs: sequence(1, 0) yields the DESCENDING
+    # [1, 0] (the text.py trap) and i=0 makes element_at throw under
+    # ANSI — a short-of-w doc's empty span array must just emit nothing
+    bs = """if(size(sps) <= 0, array(),
+       filter(sequence(1, size(sps)),
+              i -> i = 1 OR element_at(sps, i)
+                   != element_at(sps, i - 1)))"""
+    runs = """if(size(bs) <= 0, array(),
+       transform(sequence(1, size(bs)),
+                 j -> struct(
+                   element_at(sps, element_at(bs, j)) AS span,
+                   coalesce(try_element_at(bs, j + 1), size(sps) + 1)
+                     - element_at(bs, j) AS cnt)))"""
+    return (occ_arrays
+            .select("doc_id", F.expr("array_sort(spans)").alias("sps"))
+            .select("doc_id", "sps", F.expr(bs).alias("bs"))
+            .select("doc_id", F.explode(F.expr(runs)).alias("r"))
+            .select("doc_id", F.col("r.span").alias("span"),
+                    F.col("r.cnt").alias("cnt")))
+
+
 def substring_dedup(docs: DataFrame, w: int = 50,
                     hashed_keys: bool = True,
-                    broadcast_survivors: bool = True) -> DataFrame:
+                    broadcast_survivors: bool = True,
+                    span_runs: bool = False) -> DataFrame:
     """Cross-document repeated-span detection (Lee et al. 2022) with the
     production parameters: ``w`` is the window width in tokens (their
     paper uses 50 BPE tokens; the oracle exhibit key fixes 8 for the
@@ -1320,6 +1365,27 @@ def substring_dedup(docs: DataFrame, w: int = 50,
     occ = (docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
            .select("doc_id", F.explode(_span_windows(w)).alias("span")))
     if not hashed_keys:
+        # r14 (VERDICT r13 #3): ``span_runs=True`` dedups+counts spans
+        # per doc BEFORE the explode (_span_runs), turning the
+        # distinct-aggregate's two raw-span exchanges into ONE — see
+        # the helper's docstring.  Output identical (oracle hash-green
+        # at all three SFs; pytest-pinned equal to the two-exchange
+        # form).  Measured crossover (scripts/ab_substring_r14.json,
+        # interleaved): at sf0.1 the interpreted per-doc sort/boundary
+        # HOFs cost MORE than the tiny local second exchange saves
+        # (1.21 s vs 1.12 s median), at the 100× fixture the saved
+        # shuffle wins every interleaved pair (76.6 s vs 80.8 s median,
+        # min 67.8 vs 75.3) — and shuffles only get relatively more
+        # expensive with cluster scale (guide §2.2), so callers gate on
+        # corpus size (the fits_broadcast discipline), not a constant.
+        if span_runs:
+            runs = _span_runs(
+                docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
+                .select("doc_id", _span_windows(w).alias("spans")))
+            return (runs.groupBy("span")
+                    .agg(F.count(F.lit(1)).alias("n_docs"),
+                         F.sum("cnt").alias("n_occ"))
+                    .filter(F.col("n_docs") > 1))
         return (occ.groupBy("span")
                 .agg(F.count_distinct("doc_id").alias("n_docs"),
                      F.count(F.lit(1)).alias("n_occ"))
@@ -1372,9 +1438,16 @@ def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle on a 16-byte md5 instead and re-derives the text from a
     surviving occurrence in a second pass (output-equivalence is
     pytest-asserted, and the w=50 hashed shape carries its own 100×
-    growth-curve entry in BASELINE.md)."""
+    growth-curve entry in BASELINE.md).
+
+    r14: past _SPAN_RUNS_MIN_DOCS docs the raw form switches to the single-exchange
+    span-runs shape (per-doc dedup+count before the explode) — a
+    footer-stats plan gate like fits_broadcast, crossover measured in
+    scripts/ab_substring_r14.json (see substring_dedup)."""
     docs = load_table(spark, sf_dir, "documents")
-    return substring_dedup(docs, w=_SUBSTR_W, hashed_keys=False)
+    return substring_dedup(docs, w=_SUBSTR_W, hashed_keys=False,
+                           span_runs=table_rows(sf_dir, "documents")
+                           >= _SPAN_RUNS_MIN_DOCS)
 
 
 @query(

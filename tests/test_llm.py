@@ -636,6 +636,47 @@ def test_substring_dedup_hashed_keys_equal_raw(spark, sf_dir):
     assert sorted(map(tuple, smj.collect())) == by_w[8]
 
 
+def test_substring_dedup_span_runs_equal_two_exchange(spark, sf_dir):
+    """r14 (VERDICT r13 #3): the single-exchange span-runs form —
+    per-doc sort + run-length dedup BEFORE the explode — must produce
+    the exact output of the two-exchange distinct-aggregate form, at
+    the fixture width AND on planted degenerates (empty text, <w-token
+    docs, NULL text, in-doc repeated spans, multi-doc shared spans),
+    and its plan must carry exactly ONE shuffle exchange."""
+    from lstore_spark.catalog import load_table
+    from lstore_spark.llm.dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = substring_dedup(docs, w=8, hashed_keys=False, span_runs=False)
+    runs = substring_dedup(docs, w=8, hashed_keys=False, span_runs=True)
+    a = sorted(map(tuple, raw.collect()))
+    assert a == sorted(map(tuple, runs.collect()))
+    assert len(a) > 0
+
+    rep = "x y " * 6          # in-doc repeat: spans recur WITHIN a doc
+    planted = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),     # 3 spans, shared with doc 2
+         (2, "a b c d e f g h i j"),
+         (3, rep + rep),                 # heavy in-doc multiplicity
+         (4, rep + rep),
+         (5, "short doc"),               # < w tokens → no spans
+         (6, ""), (7, None)],            # empty / NULL text
+        "doc_id long, text string")
+    p_raw = substring_dedup(planted, w=8, hashed_keys=False,
+                            span_runs=False)
+    p_runs = substring_dedup(planted, w=8, hashed_keys=False,
+                             span_runs=True)
+    pa = sorted(map(tuple, p_raw.collect()))
+    assert pa == sorted(map(tuple, p_runs.collect()))
+    assert any(r[2] > r[1] for r in pa), "planted in-doc repeats missing"
+
+    # fresh (unexecuted) frame: a collected AQE frame's plan string
+    # prints initial+final sections and double-counts the exchange
+    fresh = substring_dedup(docs, w=8, hashed_keys=False, span_runs=True)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_substring_dedup_pass1_shuffles_no_text(spark, sf_dir):
     """The point of the hashed shape: no raw span string may appear in
     pass 1's exchange — only the 16-byte hash and doc_id go over the
