@@ -41,6 +41,58 @@ def dsum(col: Column, alias: str) -> Column:
     return F.sum(col.cast(DEC)).cast("double").alias(alias)
 
 
+# ---- long-scaled split accumulation (r14, VERDICT r13 #6) ----------------
+#
+# The decimal aggregate's per-row cost is decimal-ness itself (the r13
+# width A/B showed 30-vs-18 precision is a no-op).  For inputs in the
+# documented dsum domain (<=6 true decimal digits per row — prices,
+# quantities, rates, and their 2-factor products), the DECIMAL(30,8)
+# cast of a row is EXACTLY representable as the unscaled long
+# v = round(x·1e8): the double sits ~1e-12·x from the true <=6-digit
+# decimal, never near a half at 1e-8, so both paths recover the same
+# integer.  Accumulating v as TWO long sums — hi = floor(v/1e6),
+# lo = pmod(v, 1e6), Σv = 1e6·Σhi + Σlo — is then value-identical to
+# the decimal sum (integer arithmetic is exact and order-free), and the
+# final value is reconstructed through exact DECIMAL(38,8) divisions so
+# the closing decimal→double cast is the same correctly-rounded one.
+# Overflow headroom under ANSI (loud, never silent): Σlo < 1e6·rows,
+# Σhi <= (max|x|·1e2)·rows — at 100 TB lineitem (~6e11 rows/group-side,
+# |price|<=1e5) both sit under int64.  Measured on TPC-H Q1 at sf0.1
+# (scripts/ab_groupby_hash_r14.json, interleaved, quiet window):
+# decimal 1.172 s median / split 0.990 / unsplit-long 0.811 (the
+# overflow-unsafe ceiling).  Used by the hot flagship aggregate only;
+# everything else stays on the battle-tested dsum/davg.
+
+_SPLIT_M = 1_000_000
+
+
+def long8(col: Column) -> Column:
+    """Unscaled-long image of ``col.cast(DEC)``: round(x·1e8) — exact
+    for the <=6-true-decimal dsum input domain (see block comment)."""
+    return F.round(col * F.lit(100_000_000.0), 0).cast("long")
+
+
+def split_sums(col: Column, tag: str) -> list[Column]:
+    """The two aggregate columns accumulating ``long8(col)`` with int64
+    headroom: s<tag>h = Σ floor(v/1e6), s<tag>l = Σ pmod(v, 1e6).
+    (floor + pmod keep the v = hi·1e6 + lo identity for negative v.)"""
+    v = long8(col)
+    return [
+        F.sum(F.floor(v / F.lit(_SPLIT_M)).cast("long")).alias(f"s{tag}h"),
+        F.sum(F.pmod(v, F.lit(_SPLIT_M))).alias(f"s{tag}l"),
+    ]
+
+
+def split_value(tag: str) -> Column:
+    """Exact double from a split pair: Σhi/1e2 + Σlo/1e8, each division
+    carried out in DECIMAL(38,8) (result scale 8, no value rounding for
+    this domain), then one correctly-rounded cast to double — the same
+    closing cast dsum makes."""
+    hi = (F.col(f"s{tag}h").cast("decimal(38,8)") / F.lit(100))
+    lo = (F.col(f"s{tag}l").cast("decimal(38,8)") / F.lit(100_000_000))
+    return (hi + lo).cast("double")
+
+
 def davg(col: Column, alias: str) -> Column:
     """Order-independent average: exact decimal sum / count, in double."""
     return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).alias(alias)

@@ -99,25 +99,50 @@ def q_agg_groupby_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     groupBy on two low-cardinality keys + 8 aggregates; per-row products
     stay in IEEE double (bit-identical in any engine), accumulation is
-    exact decimal.  At 100 TB this is a pure map-side-combine pattern:
+    exact.  At 100 TB this is a pure map-side-combine pattern:
     6 groups × n_partitions rows shuffle.
+
+    r14 (VERDICT r13 #6): the five exact-decimal accumulators run as
+    long-scaled SPLIT sums (numerics.split_sums — value-identical by
+    construction for the dsum input domain, reconstructed through exact
+    DECIMAL(38,8) division, ANSI-loud past ~6e11 rows·1e5 magnitude).
+    Interleaved A/B at sf0.1 (quiet window, 7 reps,
+    scripts/ab_groupby_hash_r14.json): decimal 1.172 s median / 1.076
+    min vs split 0.990 / 0.836; parity exceptAll 0 both ways and the
+    oracle hash (which stays the certified decimal SQL) is green at all
+    three SFs.  avg_* divide the SAME reconstructed sums by
+    COUNT(col), exactly like davg.
     """
+    from ..numerics import split_sums, split_value
+
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    g = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity"), "sum_qty"),
-            dsum(F.col("l_extendedprice"), "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            davg(F.col("l_quantity"), "avg_qty"),
-            davg(F.col("l_extendedprice"), "avg_price"),
-            davg(F.col("l_discount"), "avg_disc"),
+            *split_sums(F.col("l_quantity"), "q"),
+            *split_sums(F.col("l_extendedprice"), "p"),
+            *split_sums(disc_price, "d"),
+            *split_sums(charge, "c"),
+            *split_sums(F.col("l_discount"), "ds"),
+            F.count(F.col("l_quantity")).alias("_cq"),
+            F.count(F.col("l_extendedprice")).alias("_cp"),
+            F.count(F.col("l_discount")).alias("_cd"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    return g.select(
+        "l_returnflag", "l_linestatus",
+        split_value("q").alias("sum_qty"),
+        split_value("p").alias("sum_base_price"),
+        split_value("d").alias("sum_disc_price"),
+        split_value("c").alias("sum_charge"),
+        (split_value("q") / F.col("_cq")).alias("avg_qty"),
+        (split_value("p") / F.col("_cp")).alias("avg_price"),
+        (split_value("ds") / F.col("_cd")).alias("avg_disc"),
+        "count_order",
     )
 
 

@@ -140,6 +140,37 @@ def test_groupby_is_two_phase(spark, sf_dir):
     assert p.count("HashAggregate") >= 2  # partial + final
 
 
+def test_groupby_hash_split_sums_equal_decimal(spark, sf_dir):
+    """r14 (VERDICT r13 #6): the long-scaled split accumulation the
+    flagship aggregate ships must be value-identical to the certified
+    decimal composition it replaced — the pin that guards the
+    numerics.split_sums domain argument (<=6 true decimal digits per
+    row) against future drift."""
+    from lstore_spark.catalog import load_table
+    from lstore_spark.numerics import davg, dsum
+    from lstore_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    dec = (
+        li.filter(F.col("l_shipdate")
+                  <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"),
+             dsum(F.col("l_extendedprice"), "sum_base_price"),
+             dsum(disc_price, "sum_disc_price"),
+             dsum(charge, "sum_charge"),
+             davg(F.col("l_quantity"), "avg_qty"),
+             davg(F.col("l_extendedprice"), "avg_price"),
+             davg(F.col("l_discount"), "avg_disc"),
+             F.count(F.lit(1)).alias("count_order")))
+    shipped = QUERIES["q_agg_groupby_hash"](spark, sf_dir)
+    assert shipped.exceptAll(dec).count() == 0
+    assert dec.exceptAll(shipped).count() == 0
+
+
 def test_minhash_signatures_have_no_shuffle(spark, sf_dir):
     from lstore_spark.catalog import load_table
     from lstore_spark.llm.dedup import minhash_signatures
