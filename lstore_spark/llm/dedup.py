@@ -303,7 +303,207 @@ def lsh_candidate_pairs(sig: DataFrame,
     return pairs
 
 
-@query("q_llm_dedup_minhash")  # rows-only: algorithmic (pytest on planted dups)
+# ---------------------------------------------------------------------------
+# Hash-grade DuckDB oracle for q_llm_dedup_minhash (r14, VERDICT r13 #5).
+#
+# The key was rows-only since r1 because its signatures are Spark
+# murmur3 ("engine-specific hash").  Engine-specific is not
+# engine-UNDEFINED: Murmur3_x86_32 with Spark's seeding/tail rules is a
+# pure 32-bit wrapping-arithmetic spec, and DuckDB can evaluate it
+# exactly with UBIGINT ops mod 2^32 — so the oracle below re-implements
+# the ENTIRE pipeline (token string hash → shingle int-mix chain → k
+# permutations → signed minima → band buckets → hot-bucket cap → banded
+# self-join → first-colliding-band dedup → est-Jaccard → mate rollup)
+# in ONE static SQL statement, independently of every line of the Spark
+# path.  Parity of the SQL murmur3 primitives with JVM hash() is
+# additionally pinned elementwise in tests/test_llm.py (strings of all
+# tail lengths incl. multibyte; the int chain was already pinned via
+# spark_murmur3_int).  Token byte length is bounded by the generated
+# word-unroll (_MM3_MAX_TOKEN_BYTES) — a loud fixture test enforces the
+# bound, the _ORACLE_MAX_TOKENS discipline.
+
+_MM3_MAX_TOKEN_BYTES = 40
+_MM3_M = 1 << 32
+
+
+def _mm3_mixk1(x: str) -> str:
+    k = f"((({x}) * 3432918353) % {_MM3_M})"
+    rot = f"(({k}) * 32768 % {_MM3_M} | ({k}) // 131072)"
+    return f"(({rot}) * 461845907 % {_MM3_M})"
+
+
+def _mm3_mixh1(h: str, k1: str) -> str:
+    t = f"(xor(({h}), {k1}))"
+    rot = f"((({t}) * 8192) % {_MM3_M} | ({t}) // 524288)"
+    return f"((({rot}) * 5 + 3864292196) % {_MM3_M})"
+
+
+def _mm3_fmix(h: str, ln: str) -> str:
+    h0 = f"(xor(({h}), CAST({ln} AS UBIGINT)))"
+    h1 = f"(xor(({h0}), ({h0}) // 65536))"
+    h2 = f"((({h1}) * 2246822507) % {_MM3_M})"
+    h3 = f"(xor(({h2}), ({h2}) // 8192))"
+    h4 = f"((({h3}) * 3266489909) % {_MM3_M})"
+    return f"(xor(({h4}), ({h4}) // 65536))"
+
+
+def _mm3_hash_int(x: str, seed: str) -> str:
+    """Spark ``hashInt(x, seed)`` (mix one 4-byte word + fmix(len=4)),
+    UBIGINT-mod-2^32 text.  Keep x/seed as short column refs — the
+    avalanche steps replicate their argument text."""
+    return _mm3_fmix(_mm3_mixh1(seed, _mm3_mixk1(x)), "4")
+
+
+def _mm3_string_hash_layers(src: str) -> str:
+    """Nested-SELECT chain computing Spark ``hash(t)`` (Murmur3 x86-32
+    over UTF-8 bytes, seed 42: full LE words, then each tail byte
+    SIGN-EXTENDED and mixed as its own round, then fmix(len)) for every
+    row of ``src`` (column t) — emits (t, uh) with uh the uint32
+    image."""
+    def byte(i: str) -> str:
+        return (f"((instr('0123456789abcdef', hx[{i}*2-1:{i}*2-1]) - 1) * 16"
+                f" + (instr('0123456789abcdef', hx[{i}*2:{i}*2]) - 1))")
+
+    q = (f"SELECT t, lower(hex(encode(t))) AS hx, strlen(t) AS nb, "
+         f"CAST(42 AS UBIGINT) AS h FROM {src}")
+    for w in range(_MM3_MAX_TOKEN_BYTES // 4):
+        word = " + ".join(
+            f"({byte(str(4 * w + j + 1))}) * {256 ** j}" for j in range(4))
+        step = (f"CASE WHEN nb >= {4 * (w + 1)} THEN "
+                f"{_mm3_mixh1('h', _mm3_mixk1(f'CAST({word} AS UBIGINT)'))} "
+                f"ELSE h END")
+        q = f"SELECT t, hx, nb, {step} AS h FROM ({q})"
+    for tb in range(3):
+        pos = f"(4*(nb//4)+{tb}+1)"
+        b = byte(pos)
+        ub = (f"(CASE WHEN ({b}) >= 128 THEN CAST({b} AS UBIGINT) + "
+              f"4294967040 ELSE CAST({b} AS UBIGINT) END)")  # sign-extend
+        step = (f"CASE WHEN nb % 4 > {tb} THEN "
+                f"{_mm3_mixh1('h', _mm3_mixk1(ub))} ELSE h END")
+        q = f"SELECT t, hx, nb, {step} AS h FROM ({q})"
+    return f"SELECT t, {_mm3_fmix('h', 'nb')} AS uh FROM ({q})"
+
+
+def _minhash_oracle() -> str:
+    r, b, k = _MINHASH_R, _BANDS, _MINHASH_K
+    cap = 64  # lsh_candidate_pairs' default max_bucket_width
+    # signed int32 view of a uint32 column, and back
+    def s32(u: str) -> str:
+        return (f"(CAST({u} AS BIGINT) - CASE WHEN ({u}) >= 2147483648 "
+                f"THEN 4294967296 ELSE 0 END)")
+
+    def u32(s: str) -> str:
+        return (f"CAST(((({s}) % 4294967296) + 4294967296) % 4294967296 "
+                f"AS UBIGINT)")
+
+    # chained shingle hash: sh = hash(t1, t2, t3) = per-field hashInt
+    # folding; s42 = hashInt(sh, 42), shared by all k permutations
+    sh_chain = (
+        "SELECT doc_id, j, "
+        + _mm3_hash_int("t1", "CAST(42 AS UBIGINT)") + " AS h1, t2, t3 "
+        "FROM shp")
+    sh_chain = ("SELECT doc_id, j, " + _mm3_hash_int("t2", "h1")
+                + " AS h2, t3 FROM (" + sh_chain + ")")
+    sh_chain = ("SELECT doc_id, j, " + _mm3_hash_int("t3", "h2")
+                + " AS sh FROM (" + sh_chain + ")")
+    sh_chain = ("SELECT doc_id, j, "
+                + _mm3_hash_int("sh", "CAST(42 AS UBIGINT)")
+                + " AS s42 FROM (" + sh_chain + ")")
+    # band bucket: hash(slice(mhs, bnd*r+1, r)) = fold hashInt over the
+    # r=2 elements' uint images, seed 42
+    bkt_chain = ("SELECT doc_id, bnd, "
+                 + _mm3_hash_int(u32("m1"), "CAST(42 AS UBIGINT)")
+                 + " AS bh1, m2 FROM bandm")
+    bkt_chain = ("SELECT doc_id, bnd, " + _mm3_hash_int(u32("m2"), "bh1")
+                 + " AS bktu FROM (" + bkt_chain + ")")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce({_DUCK_TOKENS}, []) AS ts
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS t FROM d
+),
+vocab AS (SELECT DISTINCT t FROM flat),
+vh AS ({_mm3_string_hash_layers('vocab')}),
+th AS (
+  SELECT d.doc_id, coalesce(tl.th, []) AS th
+  FROM d LEFT JOIN (
+    SELECT doc_id, list(vh.uh ORDER BY i) AS th
+    FROM flat JOIN vh USING (t) GROUP BY doc_id
+  ) tl USING (doc_id)
+),
+-- one row per (doc, shingle position); <3-token docs emit the single
+-- zero-padded shingle (coalesce(th[i], 0)), the HOF twin's contract
+shp AS (
+  SELECT doc_id, CAST(j AS INT) AS j,
+         coalesce(th[CAST(j AS INT)], 0) AS t1,
+         coalesce(th[CAST(j AS INT) + 1], 0) AS t2,
+         coalesce(th[CAST(j AS INT) + 2], 0) AS t3
+  FROM th, range(1, {_ORACLE_MAX_TOKENS}) g(j)
+  WHERE j <= greatest(len(th) - 2, 1)
+),
+shs AS ({sh_chain}),
+-- k permutations: hash(sh, p) = hashInt(p, hashInt(sh, 42)); minima
+-- compare SIGNED int32
+perm AS (
+  SELECT doc_id, CAST(p AS INT) AS p,
+         {s32(_mm3_hash_int('CAST(p AS UBIGINT)', 's42'))} AS hp
+  FROM shs, range(0, {k}) q(p)
+),
+mhs AS (
+  SELECT doc_id, list(mn ORDER BY p) AS mhs
+  FROM (SELECT doc_id, p, min(hp) AS mn FROM perm GROUP BY doc_id, p)
+  GROUP BY doc_id
+),
+bandm AS (
+  SELECT doc_id, CAST(bnd AS INT) AS bnd,
+         mhs[CAST(bnd AS INT) * {r} + 1] AS m1,
+         mhs[CAST(bnd AS INT) * {r} + 2] AS m2
+  FROM mhs, range(0, {b}) g(bnd)
+),
+bkt AS (SELECT doc_id, bnd, {s32('bktu')} AS bkt FROM ({bkt_chain})),
+bkts AS (SELECT doc_id, list(bkt ORDER BY bnd) AS bkts FROM bkt
+         GROUP BY doc_id),
+banded AS (
+  SELECT bkt.doc_id, bkt.bnd, bkt.bkt, mhs.mhs, bkts.bkts
+  FROM bkt JOIN mhs USING (doc_id) JOIN bkts USING (doc_id)
+),
+wide AS (
+  SELECT bnd, bkt FROM banded GROUP BY bnd, bkt HAVING count(*) > {cap}
+),
+surv AS (
+  SELECT * FROM banded bd
+  WHERE NOT EXISTS (SELECT 1 FROM wide w
+                    WHERE w.bnd = bd.bnd AND w.bkt = bd.bkt)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, a.bnd, b2.doc_id AS id_b,
+         len(list_filter(list_transform(generate_series(1, {k}),
+                                        i -> a.mhs[i] = b2.mhs[i]),
+                         v -> v)) / {float(k)} AS est_jaccard
+  FROM surv a JOIN surv b2 ON a.bnd = b2.bnd AND a.bkt = b2.bkt
+                          AND a.doc_id < b2.doc_id
+  WHERE a.bnd = list_position(
+          list_transform(generate_series(1, {b}),
+                         i -> a.bkts[i] = b2.bkts[i]), true) - 1
+),
+mates AS (
+  SELECT doc_id, count(*) AS n_mates, max(est_jaccard) AS best
+  FROM (SELECT id_a AS doc_id, est_jaccard FROM pairs
+        UNION ALL
+        SELECT id_b AS doc_id, est_jaccard FROM pairs)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(m.n_mates, 0) AS n_mates,
+       coalesce(m.best, 0.0) AS best_est_jaccard
+FROM d LEFT JOIN mates m USING (doc_id)
+"""
+
+
+@query("q_llm_dedup_minhash", oracle=_minhash_oracle)
 def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate detection: ``minhash_lsh_params``-sized
     signatures (r·b permutations, b bands of r rows — (2, 9) at the
@@ -316,7 +516,15 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection is asserted in tests/test_llm.py.
 
     Scale: signatures in one scan (no shuffle — pure projection); banding
-    join is equi on (band, bucket) — O(candidates), never all-pairs."""
+    join is equi on (band, bucket) — O(candidates), never all-pairs.
+
+    r14: HASH-GRADE (was rows-only since r1).  The oracle above
+    re-implements Spark's Murmur3_x86_32 — string hashing over UTF-8
+    bytes AND the int-mix chains — in pure DuckDB SQL (UBIGINT
+    arithmetic mod 2^32), then re-runs the whole shingle → permute →
+    min → band → cap → first-band-dedup → mate-rollup pipeline
+    independently; see the _minhash_oracle block comment and the
+    elementwise JVM-parity pins in tests/test_llm.py."""
     docs = load_table(spark, sf_dir, "documents")
     # Materialize signatures ONCE (the canonical production shape: sigs
     # are computed once and stored).  They feed three plan branches

@@ -290,6 +290,9 @@ SLOW_KEYS: tuple[str, ...] = (
 HEAVY_KEYS: frozenset = frozenset({
     "q_llm_dedup_embcos", "q_llm_knn_label", "q_llm_dedup_editdist",
     "q_llm_dedup_jaccard_ngram", "q_llm_dedup_clusters_portable",
+    # r14: the minhash hash-grade oracle re-runs the whole murmur3
+    # pipeline in DuckDB SQL (~60 s at sf0.1) — front cheap keys first
+    "q_llm_dedup_minhash",
 })
 
 # Keys first registered THIS round: locally verified but never in any

@@ -1800,6 +1800,77 @@ def test_fixture_token_counts_within_oracle_cap():
             <= _ORACLE_MAX_CHUNKS, (
             f"{path}: {mx}-token doc needs more than "
             f"_ORACLE_MAX_CHUNKS={_ORACLE_MAX_CHUNKS} chunks")
+        # r14: the minhash oracle's murmur3 string hash unrolls the
+        # word loop to a CONSTANT byte budget — same loud-bound rule
+        from lstore_spark.llm.dedup import _MM3_MAX_TOKEN_BYTES
+        mb = con.execute(
+            "SELECT max(strlen(u.t)) FROM (SELECT unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS t "
+            "FROM read_parquet(?)) u", [path]).fetchone()[0]
+        assert mb <= _MM3_MAX_TOKEN_BYTES, (
+            f"{path}: a token has {mb} UTF-8 bytes > "
+            f"_MM3_MAX_TOKEN_BYTES={_MM3_MAX_TOKEN_BYTES}; the minhash "
+            "oracle's murmur3 word-unroll would silently truncate — "
+            "raise the constant in lstore_spark/llm/dedup.py")
+
+
+def test_minhash_oracle_murmur3_sql_matches_jvm(spark):
+    """r14 (VERDICT r13 #5): the DuckDB-SQL murmur3 primitives behind
+    q_llm_dedup_minhash's new hash-grade oracle must equal JVM
+    ``F.hash`` elementwise — strings of EVERY tail length (0-3 leftover
+    bytes), the empty string, multibyte UTF-8, and all fixture tokens;
+    plus the int-chain ``hash(a, b, c)`` on probe triples (the string
+    pin complements the existing spark_murmur3_int grid pin)."""
+    import os
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from lstore_spark.llm.dedup import (_mm3_hash_int,
+                                        _mm3_string_hash_layers)
+
+    toks = ["", "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+            "abcdefgh", "tok123", "über", "中文词", "naïve",
+            "0123456789abcdefghijklmnopqrstuvwxyz"]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    con = duckdb.connect()
+    fixture = [r[0] for r in con.execute(
+        "SELECT DISTINCT unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) FROM read_parquet(?)",
+        [os.path.join(sf_dir, "documents.parquet")]).fetchall()]
+    toks = toks + fixture
+    lst = ", ".join("'" + t.replace("'", "''") + "'" for t in toks)
+    rows = dict(con.execute(
+        f"WITH vocab AS (SELECT unnest([{lst}]) AS t) "
+        f"SELECT t, CAST(uh AS BIGINT) - CASE WHEN uh >= 2147483648 "
+        f"THEN 4294967296 ELSE 0 END "
+        f"FROM ({_mm3_string_hash_layers('vocab')})").fetchall())
+    ref = {r.t: r.h for r in spark.createDataFrame(
+        [(t,) for t in toks], "t string")
+        .select("t", F.hash("t").alias("h")).collect()}
+    assert rows == ref
+
+    # int chain: hash(a, b, c) = per-field hashInt folding
+    triples = [(0, 0, 0), (1, 2, 3), (-1, 2**31 - 1, 42),
+               (123456789, -987654321, 7)]
+    q = ("SELECT " + _mm3_hash_int("CAST(((c %% 4294967296) + 4294967296)"
+         " %% 4294967296 AS UBIGINT)", _mm3_hash_int(
+             "CAST(((b %% 4294967296) + 4294967296) %% 4294967296 AS "
+             "UBIGINT)", _mm3_hash_int(
+                 "CAST(((a %% 4294967296) + 4294967296) %% 4294967296 "
+                 "AS UBIGINT)", "CAST(42 AS UBIGINT)")))
+         + " AS uh FROM probe").replace("%%", "%")
+    got = []
+    for a, b, c in triples:
+        con.execute("CREATE OR REPLACE TABLE probe AS SELECT "
+                    f"CAST({a} AS BIGINT) a, CAST({b} AS BIGINT) b, "
+                    f"CAST({c} AS BIGINT) c")
+        u = con.execute(q).fetchone()[0]
+        got.append(u - (1 << 32) if u >= (1 << 31) else u)
+    jref = [r.h for r in spark.createDataFrame(
+        triples, "a int, b int, c int")
+        .select(F.hash("a", "b", "c").alias("h")).collect()]
+    assert got == jref
 
 
 def test_dedup_incremental_null_text_flows_through(spark, tmp_path):
