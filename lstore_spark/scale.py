@@ -321,12 +321,30 @@ def global_row_number(df: DataFrame, order: list, alias: str = "pos",
                                    .bitwiseAND(F.lit((1 << 33) - 1))
                                    + F.lit(1)).cast("long"))
                 .drop("_mid"))
-    # offsets: |partitions| rows — the only global window, bounded
+    # offsets: |partitions| rows — the only global window, bounded.
+    # Self-verifying decode (ADVICE r13): positions rely on the id bit
+    # layout (pid<<33 | counter); a range partition past 2^33 rows — or
+    # any upstream drift in the encoding — would silently corrupt
+    # positions.  The aggregate already scans per-_pid, so max(_r)
+    # rides along free and the plan FAILS LOUDLY unless the partition's
+    # max in-partition rank equals its row count (exactly the
+    # contiguous-counter invariant the decode needs).
     w_off = (Window.orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))
-    offs = (local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-            .withColumn("_off",
-                        F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+    offs = (local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"),
+                                      F.max("_r").alias("_mx"))
+            .withColumn(
+                "_off",
+                F.when(F.col("_mx") == F.col("_n"),
+                       F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+                .otherwise(F.raise_error(F.concat(
+                    F.lit("global_row_number: id-decode invariant "
+                          "violated (max in-partition rank "),
+                    F.col("_mx"), F.lit(" != row count "), F.col("_n"),
+                    F.lit(" in range partition "), F.col("_pid"),
+                    F.lit(") — partition exceeds 2^33 rows or the "
+                          "monotonically_increasing_id layout "
+                          "changed")))))
             .select("_pid", "_off"))
     return (local.join(F.broadcast(offs), "_pid")
             # long, not int: the callers route through here precisely
