@@ -423,17 +423,22 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup."""
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
     hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
-    # The central li_side⋈od_side merge is on orderkey and both sides
-    # are built by broadcast-attaching dims onto the raw fact scans —
-    # partitioning/ordering-preserving — so when the bucketed orderkey
-    # layout exists the SMJ compiles with zero exchanges and zero sorts
-    # (VERDICT r12 #6 breadth; plain parquet falls back to the shuffle).
-    from ..catalog import routed_tables
-
-    t = routed_tables(spark, sf_dir, "lineitem", "orders")
-    li = (t["lineitem"]
+    # UN-ROUTED in r14 (was routed onto the bucketed orderkey layout in
+    # r13 on plan evidence alone — 3→1 hashpartitioning): the r14 scale
+    # ledger MEASURED it at 1000× and plain won every interleaved pair
+    # (13.8 s median vs routed 16.8; scripts/scale_probe_r14.json).
+    # This key is the family's outlier because BOTH its fact sides are
+    # broadcast-reduced by the selective two-nation predicates before
+    # the orderkey join, so the exchanges the layout removes carry only
+    # the reduced relation (cheap) while the bucketed scan forfeits
+    # AQE coalescing on the full-table read.  The siblings whose
+    # exchange carries un-reduced or mildly-reduced facts keep their
+    # routing — measured wins in the same ledger: q8 12.9 vs 18.3, q3
+    # 8.2 vs 22.7, sort_merge 21.5 vs 50.9, q13 1.3 vs 8.4, q22/q5/
+    # exists_flag likewise (scripts/scale_probe_r14b.json).
+    li = (load_table(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)))
-    od = t["orders"]
+    od = load_table(spark, sf_dir, "orders")
     su = load_table(spark, sf_dir, "supplier")
     cu = load_table(spark, sf_dir, "customer")
     na = load_table(spark, sf_dir, "nation")

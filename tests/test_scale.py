@@ -178,14 +178,17 @@ def test_bucket_layout_routes_q18_and_global_distinct(spark, sf_dir):
     q_tpch_q18_large_orders' rollup+join chain, q_agg_global's
     exact-distinct branch, q_join_sort_merge's fact⋈fact merge, and
     q_tpch_q3_shipping's join+rollup chain — and return exactly the
-    plain-parquet rows.  r13 breadth (VERDICT r12 #6): the q5/q7/q8/q10
-    fact pairs and exists_flag's distinct-key build route the same way."""
+    plain-parquet rows.  r13 breadth (VERDICT r12 #6): the q5/q8/q10
+    fact pairs and exists_flag's distinct-key build route the same way.
+    (q7 was UN-routed in r14: the 1000x scale ledger measured plain
+    faster on every interleaved pair — its fact sides broadcast-reduce
+    before the orderkey join; see scripts/scale_probe_r14.json.)"""
     from lstore_spark import catalog
     from lstore_spark.registry import QUERIES
 
     routed_keys = ["q_tpch_q18_large_orders", "q_agg_global",
                    "q_join_sort_merge", "q_tpch_q3_shipping",
-                   "q_tpch_q5_local_supplier", "q_tpch_q7_volume",
+                   "q_tpch_q5_local_supplier",
                    "q_tpch_q8_market_share", "q_tpch_q10_returns",
                    "q_join_exists_flag"]
     # Plain-parquet reference results (layout not built yet: pytest's
