@@ -18,7 +18,11 @@ Ship bar: the routed arm must beat plain by enough to amortize an
 extra ~580 s / ~11.5 GB one-time rewrite per family (the order-family
 ledger numbers).  Emits one JSON line.
 
-Usage: python scripts/probe_lineitem_grain_families_r14.py [reps]
+Phases run SEQUENTIALLY with cleanup between (each bucketed copy is
+~11.5 GB and the build shuffle needs comparable temp space — both
+at once exhausted the sandbox disk on the first attempt):
+
+Usage: python scripts/probe_lineitem_grain_families_r14.py <supp|part> [reps]
 """
 
 from __future__ import annotations
@@ -98,43 +102,46 @@ def timed(spark, label, fn, reps, out):
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    phase = sys.argv[1]
+    assert phase in ("supp", "part"), "phase must be supp|part"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     spark = get_spark("grain-families-r14")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(32).repartition(32).count()
 
     li_plain = load_table(spark, FX, "lineitem")
     pa = load_table(spark, FX, "part").filter(F.col("p_brand") == "Brand#1")
+    # clear BOTH probe scratches first (an earlier crashed phase may
+    # have left an 11.5 GB copy behind)
+    for tag in ("bktsupp", "bktpart"):
+        spark.sql(f"DROP TABLE IF EXISTS lstore_probe_{tag}")
+        shutil.rmtree(f"/tmp/lstore_probe_{tag}", ignore_errors=True)
 
-    out: dict = {"fixture": FX, "n_buckets": N_BUCKETS}
-    supp_tbl, supp_s, supp_b = build_family(spark, "l_suppkey", "bktsupp")
-    out["suppkey_family_build"] = {"sec": supp_s, "bytes": supp_b}
-    part_tbl, part_s, part_b = build_family(spark, "l_partkey", "bktpart")
-    out["partkey_family_build"] = {"sec": part_s, "bytes": part_b}
-    print(f"# builds: supp {supp_s}s/{supp_b}B part {part_s}s/{part_b}B",
-          file=sys.stderr)
+    out: dict = {"fixture": FX, "n_buckets": N_BUCKETS, "phase": phase}
+    key, tag = (("l_suppkey", "bktsupp") if phase == "supp"
+                else ("l_partkey", "bktpart"))
+    tbl, bsec, bbytes = build_family(spark, key, tag)
+    out["family_build"] = {"key": key, "sec": bsec, "bytes": bbytes}
+    print(f"# build: {key} {bsec}s/{bbytes}B", file=sys.stderr)
 
-    times: dict = {}
-    # parity first
-    a = q15_agg(li_plain)
-    b = q15_agg(spark.table(supp_tbl))
+    if phase == "supp":
+        plain = lambda: q15_agg(li_plain)            # noqa: E731
+        routed = lambda: q15_agg(spark.table(tbl))   # noqa: E731
+        labels = ("q15_plain", "q15_bucketed")
+    else:
+        plain = lambda: q17_threshold(li_plain, pa)          # noqa: E731
+        routed = lambda: q17_threshold(spark.table(tbl), pa)  # noqa: E731
+        labels = ("q17_plain", "q17_bucketed")
+    a, b = plain(), routed()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
-    c = q17_threshold(li_plain, pa)
-    d = q17_threshold(spark.table(part_tbl), pa)
-    assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
     print("# parity ok", file=sys.stderr)
+    times: dict = {}
     for i in range(reps):
-        timed(spark, "q15_plain", lambda: q15_agg(li_plain), 1, times)
-        timed(spark, "q15_bucketed",
-              lambda: q15_agg(spark.table(supp_tbl)), 1, times)
-        timed(spark, "q17_plain",
-              lambda: q17_threshold(li_plain, pa), 1, times)
-        timed(spark, "q17_bucketed",
-              lambda: q17_threshold(spark.table(part_tbl), pa), 1, times)
+        timed(spark, labels[0], plain, 1, times)
+        timed(spark, labels[1], routed, 1, times)
     out["times"] = {k: {"runs_sec": v,
                         "median": round(statistics.median(v), 2),
                         "min": min(v)} for k, v in times.items()}
-    # plan stats: exchanges in each arm
     import re
 
     def nexch(df):
@@ -142,18 +149,11 @@ def main() -> None:
             df._jdf.queryExecution(), "formatted")
         return len(re.findall(r"\(\d+\) Exchange\b", txt))
 
-    out["plan_exchanges"] = {
-        "q15_plain": nexch(q15_agg(li_plain)),
-        "q15_bucketed": nexch(q15_agg(spark.table(supp_tbl))),
-        "q17_plain": nexch(q17_threshold(li_plain, pa)),
-        "q17_bucketed": nexch(q17_threshold(spark.table(part_tbl), pa)),
-    }
+    out["plan_exchanges"] = {labels[0]: nexch(plain()),
+                             labels[1]: nexch(routed())}
     print(json.dumps(out), flush=True)
-    # probe scratch is disposable — reclaim the ~23 GB
-    for tbl, loc in ((supp_tbl, "/tmp/lstore_probe_bktsupp"),
-                     (part_tbl, "/tmp/lstore_probe_bktpart")):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(f"/tmp/lstore_probe_{tag}", ignore_errors=True)
     spark.stop()
 
 
