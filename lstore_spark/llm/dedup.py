@@ -131,7 +131,8 @@ def _minhash_signatures_hof(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
+def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K,
+                       with_buckets: bool = False) -> DataFrame:
     """doc_id → k minhashes, bit-identical to ``_minhash_signatures_hof``
     but with the shingle-hash + k-minima stages vectorized in ONE
     Arrow-batched pandas UDF (the hyperplane-LSH precedent: higher-order
@@ -147,14 +148,36 @@ def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
     tests/test_llm.py, extended there by a full signature-equality pin
     against the HOF form (including 0/1/2-token degenerate docs).
     Still a pure projection over the scan: no shuffle, no explode, no
-    100×-row intermediate — the plan-shape test asserts no Exchange."""
+    100×-row intermediate — the plan-shape test asserts no Exchange.
+
+    ``with_buckets=True`` (r14, opt-in so every other caller's plan
+    stays byte-identical) additionally emits the b LSH band buckets
+    ``bkts[bnd] = hash(slice(mhs, bnd·r+1, r))`` — the same signed-int
+    values the banding HOF in :func:`lsh_candidate_pairs` derives,
+    via the array-hash fold law (hash(arr) folds hashInt over the
+    elements from seed 42; the law the hash-green DuckDB oracle
+    re-implements).  Cost in the UDF is b·r extra ``spark_murmur3_int``
+    passes over |docs|-length vectors (microseconds); the payoff is
+    that the banding stage's three scans of the checkpointed
+    signatures stop re-paying the interpreted hash(slice) +
+    struct-transform HOFs per scan (measured at the 100× fixture:
+    the pairs stage is ~8.5 s of the 17 s key with ZERO surviving
+    pairs — almost all interpreted per-doc banding work)."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import ArrayType, IntegerType
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
     from .similarity import spark_murmur3_int
 
-    @F.pandas_udf(ArrayType(IntegerType()))
+    r_rows, n_bands = _MINHASH_R, _BANDS
+    if with_buckets and k != r_rows * n_bands:
+        raise ValueError(f"with_buckets requires k == r*b "
+                         f"({r_rows}*{n_bands}); got k={k}")
+    out_type = (StructType([StructField("mhs", ArrayType(IntegerType())),
+                            StructField("bkts", ArrayType(IntegerType()))])
+                if with_buckets else ArrayType(IntegerType()))
+
+    @F.pandas_udf(out_type)
     def mh_sig(th_col):
         vals = th_col.to_numpy()
         n = len(vals)
@@ -202,11 +225,26 @@ def minhash_signatures(docs: DataFrame, k: int = _MINHASH_K) -> DataFrame:
         for p in range(k):
             hp = spark_murmur3_int(one * np.uint32(p), s1).view(np.int32)
             sig[:, p] = np.minimum.reduceat(hp, sh_starts)
-        return pd.Series(list(sig))
+        if not with_buckets:
+            return pd.Series(list(sig))
+        # Band buckets by the array-hash fold law: per band, chain
+        # hashInt over the r signature minima from seed 42 — the exact
+        # ints hash(slice(mhs, bnd*r+1, r)) yields JVM-side.
+        bk = np.empty((n_docs, n_bands), dtype=np.int32)
+        for bnd in range(n_bands):
+            h = np.full(n_docs, 42, dtype=np.uint32)
+            for j in range(r_rows):
+                h = spark_murmur3_int(sig[:, bnd * r_rows + j], h)
+            bk[:, bnd] = h.view(np.int32)
+        return pd.DataFrame({"mhs": list(sig), "bkts": list(bk)})
 
-    return (docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
-            .select("doc_id", F.expr("transform(ts, t -> hash(t))").alias("th"))
-            .select("doc_id", mh_sig("th").alias("mhs")))
+    toks = (docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
+            .select("doc_id", F.expr("transform(ts, t -> hash(t))").alias("th")))
+    if not with_buckets:
+        return toks.select("doc_id", mh_sig("th").alias("mhs"))
+    return toks.select("doc_id", mh_sig("th").alias("_s")) \
+               .select("doc_id", F.col("_s.mhs").alias("mhs"),
+                       F.col("_s.bkts").alias("bkts"))
 
 
 def lsh_candidate_pairs(sig: DataFrame,
@@ -259,20 +297,32 @@ def lsh_candidate_pairs(sig: DataFrame,
     reintroduce the per-pair shuffle the first-band trick exists to
     avoid.  Pass ``None`` to disable (test/debug only)."""
     r, b, k = _MINHASH_R, _BANDS, _MINHASH_K
-    # slice() is 1-based; hash(array) hashes the r-row band as one value.
-    # The b band buckets are computed ONCE per doc into a packed array
-    # (b slice+hash evals per doc, not per joined row) and ride through
-    # the banding shuffle (+36 B/row) so the first-band dedup below is
-    # a zip_with over two int arrays instead of re-slicing signatures.
-    bkts = F.expr(
-        f"transform(sequence(0, {b - 1}), "
-        f"bnd -> hash(slice(mhs, bnd * {r} + 1, {r})))")
-    bands = F.expr(
-        f"transform(sequence(0, {b - 1}), "
-        f"bnd -> struct(bnd AS band, bkts[bnd] AS bkt))")
-    banded = (sig.select("doc_id", "mhs", bkts.alias("bkts"))
-              .select("doc_id", "mhs", "bkts", F.explode(bands).alias("bb"))
-              .select("doc_id", "mhs", "bkts", "bb.band", "bb.bkt"))
+    if "bkts" in sig.columns:
+        # Buckets precomputed in the signature UDF
+        # (minhash_signatures(with_buckets=True)) — identical ints by
+        # the array-hash fold law.  posexplode is a codegen'd
+        # generator, so the three scans of the checkpointed signatures
+        # below (hot-width aggregate + both self-join sides) run ZERO
+        # interpreted HOF evals; pos is exactly the 0-based band index
+        # the sequence(0, b-1) form produced.
+        banded = sig.select("doc_id", "mhs", "bkts",
+                            F.posexplode("bkts").alias("band", "bkt"))
+    else:
+        # slice() is 1-based; hash(array) hashes the r-row band as one
+        # value.  The b band buckets are computed ONCE per doc into a
+        # packed array (b slice+hash evals per doc, not per joined row)
+        # and ride through the banding shuffle (+36 B/row) so the
+        # first-band dedup below is a zip_with over two int arrays
+        # instead of re-slicing signatures.
+        bkts = F.expr(
+            f"transform(sequence(0, {b - 1}), "
+            f"bnd -> hash(slice(mhs, bnd * {r} + 1, {r})))")
+        bands = F.expr(
+            f"transform(sequence(0, {b - 1}), "
+            f"bnd -> struct(bnd AS band, bkts[bnd] AS bkt))")
+        banded = (sig.select("doc_id", "mhs", bkts.alias("bkts"))
+                  .select("doc_id", "mhs", "bkts", F.explode(bands).alias("bb"))
+                  .select("doc_id", "mhs", "bkts", "bb.band", "bb.bkt"))
     if max_bucket_width is not None:
         hot = (banded.groupBy("band", "bkt")
                .agg(F.count(F.lit(1)).alias("bw"))
@@ -532,7 +582,10 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark does no CSE across branches, so without this the token-hash
     # projection ran 3× over the corpus — measured 1.8 s → 1.1 s at
     # sf0.1.  ~80 B/doc of executor storage, linear in the corpus.
-    sig = minhash_signatures(docs).localCheckpoint()
+    # with_buckets: band buckets ride in the checkpoint (+36 B/doc) so
+    # the banding stage's three scans skip the interpreted hash(slice)
+    # HOFs entirely (r14; A/B in scripts/ab_minhash_buckets_r14.json).
+    sig = minhash_signatures(docs, with_buckets=True).localCheckpoint()
     pairs = lsh_candidate_pairs(sig)
     # explode, not union-of-two-projections: Spark does no CSE across
     # union branches, so the union form executed the entire banding join
@@ -928,7 +981,10 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedupes the twin exchanges but not the aggregate branch, so
     # without this the Arrow minhash UDF re-runs over the
     # representative corpus
-    sig = minhash_signatures(rep_docs).localCheckpoint()
+    # with_buckets (r14): same win as q_llm_dedup_minhash — the three
+    # consumers skip the interpreted banding HOFs (bucket ints identical
+    # by the fold law, so clusters are unchanged).
+    sig = minhash_signatures(rep_docs, with_buckets=True).localCheckpoint()
     pairs = lsh_candidate_pairs(sig, min_est_jaccard=0.5).select("id_a", "id_b")
     labels = dedup_clusters(rep_docs.select("doc_id"), pairs)
     return (hashed.join(reps, "_h")

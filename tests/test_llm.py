@@ -1192,6 +1192,41 @@ def test_minhash_signatures_vectorized_matches_hof(spark, sf_dir):
     assert hof.exceptAll(vec).count() == 0
 
 
+def test_minhash_with_buckets_matches_hof_banding(spark, sf_dir):
+    """with_buckets=True (r14) must emit the EXACT signed band-bucket
+    ints the interpreted hash(slice(mhs, bnd*r+1, r)) HOF produces
+    (array-hash fold law), and lsh_candidate_pairs over the bucketed
+    signature frame must return the identical pair set it returns over
+    the plain one — including the degenerate 0/1/2-token + null-text
+    docs whose zero-padded shingles stress the fold inputs."""
+    from pyspark.sql import functions as F
+
+    from lstore_spark.catalog import load_table
+    from lstore_spark.llm.dedup import (_BANDS, _MINHASH_R,
+                                        lsh_candidate_pairs,
+                                        minhash_signatures)
+
+    edge = spark.createDataFrame(
+        [(900001, "single"), (900002, "two tokens"), (900003, " "),
+         (900004, "a b c d"), (900005, None), (900006, "")],
+        ["doc_id", "text"])
+    docs = load_table(spark, sf_dir, "documents").limit(200) \
+        .select("doc_id", "text").unionByName(edge)
+    r, b = _MINHASH_R, _BANDS
+    wb = minhash_signatures(docs, with_buckets=True)
+    ref = minhash_signatures(docs).select(
+        "doc_id", "mhs",
+        F.expr(f"transform(sequence(0, {b - 1}), "
+               f"bnd -> hash(slice(mhs, bnd * {r} + 1, {r})))")
+        .alias("bkts"))
+    assert wb.exceptAll(ref).count() == 0
+    assert ref.exceptAll(wb).count() == 0
+    p_wb = lsh_candidate_pairs(wb.localCheckpoint())
+    p_ref = lsh_candidate_pairs(minhash_signatures(docs).localCheckpoint())
+    assert p_wb.exceptAll(p_ref).count() == 0
+    assert p_ref.exceptAll(p_wb).count() == 0
+
+
 def test_hyperplane_band_rows_plan_construction_runs_no_job(spark):
     """Building (and explaining) the LSH band-rows DataFrame must run
     ZERO Spark jobs (VERDICT r8 #7): --explain and plan_audit stay
