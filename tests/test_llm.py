@@ -654,13 +654,16 @@ def test_substring_dedup_span_runs_equal_two_exchange(spark, sf_dir):
     assert len(a) > 0
 
     rep = "x y " * 6          # in-doc repeat: spans recur WITHIN a doc
+    uni = ("żółć 日本語 🎉 mixé " * 3).strip()  # multibyte UTF-8 tokens
     planted = spark.createDataFrame(
         [(1, "a b c d e f g h i j"),     # 3 spans, shared with doc 2
          (2, "a b c d e f g h i j"),
          (3, rep + rep),                 # heavy in-doc multiplicity
          (4, rep + rep),
          (5, "short doc"),               # < w tokens → no spans
-         (6, ""), (7, None)],            # empty / NULL text
+         (6, ""), (7, None),             # empty / NULL text
+         (8, "  pad   " + uni + "  "),   # multi-space runs + multibyte
+         (9, "  pad   " + uni + "  ")],
         "doc_id long, text string")
     p_raw = substring_dedup(planted, w=8, hashed_keys=False,
                             span_runs=False)
@@ -669,6 +672,23 @@ def test_substring_dedup_span_runs_equal_two_exchange(spark, sf_dir):
     pa = sorted(map(tuple, p_raw.collect()))
     assert pa == sorted(map(tuple, p_runs.collect()))
     assert any(r[2] > r[1] for r in pa), "planted in-doc repeats missing"
+
+    # the HOF reference twin must stay row-identical to the shipped
+    # Arrow generator (r14 session 2) — same degenerates, same fixture
+    from pyspark.sql import functions as F
+
+    from lstore_spark.llm.dedup import (_span_runs, _span_runs_arrow,
+                                        _span_windows)
+    from lstore_spark.llm.text import _SPARK_TOKENS
+
+    both = docs.select("doc_id", "text").unionByName(planted)
+    hof = (_span_runs(both.select("doc_id",
+                                  F.expr(_SPARK_TOKENS).alias("ts"))
+                      .select("doc_id", _span_windows(8).alias("spans")))
+           .select("span", "cnt"))
+    arw = _span_runs_arrow(both, 8)
+    assert arw.exceptAll(hof).count() == 0
+    assert hof.exceptAll(arw).count() == 0
 
     # fresh (unexecuted) frame: a collected AQE frame's plan string
     # prints initial+final sections and double-counts the exchange
