@@ -18,7 +18,15 @@ from ..registry import query
 from .hashing import sql_md5_long
 
 # Both engines: array of non-empty space-separated tokens.
-_SPARK_TOKENS = "filter(split(text, ' '), x -> x <> '')"
+# array_remove(split, '') ≡ filter(split, x -> x <> '') for split
+# output (split never yields NULL elements; NULL text → NULL both
+# ways), but array_remove is a codegen'd collection op while the
+# filter lambda is an interpreted HOF evaluated once per token — at
+# the 100× fixture swapping it read 6.15 → 4.03 s on the tfidf
+# dictionary branch and 3.31 → 3.02 s on the minhash token-hash
+# projection, every interleaved pair (r14 session 2,
+# scripts/ab_tokens_arrayremove_r14.json; parity exceptAll 0).
+_SPARK_TOKENS = "array_remove(split(text, ' '), '')"
 _DUCK_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 # Token-position ceiling for the DuckDB oracles ONLY (review r13: this

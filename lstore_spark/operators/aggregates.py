@@ -500,7 +500,9 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (no CSE across branches; the global_row_number lesson; review r13)
     cnt = pin(
         docs.select(F.explode(
-            F.expr("filter(split(text, ' '), x -> x <> '')")).alias("token"))
+            # codegen'd twin of filter(split(...), x -> x <> '') — the
+            # _SPARK_TOKENS swap (r14 session 2), same literal here
+            F.expr("array_remove(split(text, ' '), '')")).alias("token"))
         .groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
     tot = cnt.agg(F.sum("n_occurrences").alias("t"))
