@@ -466,6 +466,42 @@ def fits_broadcast(sf_dir: str, table: str, row_factor: float = 1.0,
     return table_rows(sf_dir, table) * row_factor <= cap
 
 
+# A CPU-bound per-row stage wants at least this many rows before a task
+# is worth scheduling; with fewer rows per task than this the exchange
+# costs more than the parallelism buys (measured: the sf0.1 corpus at
+# 5k docs never spreads — bench plans unchanged — while 500k docs spread
+# to 31 tasks).
+SPREAD_ROWS_PER_TASK = 16_384
+
+
+def spread_rows(df, sf_dir: str, table: str = "documents",
+                rows_per_task: int = SPREAD_ROWS_PER_TASK):
+    """Row-count-based repartition ahead of a CPU-heavy per-row stage
+    (guide §2: derive partitioning from input size, not from the scan's
+    byte-based splits).  Parquet scans split by COMPRESSED bytes, and
+    highly templated text compresses so hard that the compute-heavy
+    projections downstream under-parallelize: the 100× fixture's
+    documents.parquet is 4.5 MB on disk but ~200 MB of text → a 2-split
+    scan on a 32-core host, so every interpreted-HOF token stage ran
+    2-wide (measured r14 session 2: fingerprint 41.6 → 5.4 s,
+    repetition 33.7 → 3.1 s, substring span-runs 66.5 → 7.8 s at the
+    100× fixture from this one change).  The target task count comes
+    from footer ROW stats (no pre-scan): rows / rows_per_task, capped
+    at 4× cluster parallelism; below 4 tasks — every local-SF fixture —
+    this is a no-op, so bench-scale plans are byte-identical.  Never
+    REDUCES parallelism: if the scan already splits at least as wide,
+    the frame passes through untouched."""
+    spark = df.sparkSession
+    n = table_rows(sf_dir, table)
+    target = min((n + rows_per_task - 1) // rows_per_task,
+                 spark.sparkContext.defaultParallelism * 4)
+    if target < 4:
+        return df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # --- bucketed order-grain layout (VERDICT r10 #2) --------------------------
 # The round-10 1000× spill audit left exactly two residual spill shapes:
 # q_tpch_q18_large_orders' per-order rollup (257 s, 60+8 GB map+reduce

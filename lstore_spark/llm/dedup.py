@@ -20,7 +20,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, table_rows
+from ..catalog import load_table, spread_rows, table_rows
 from ..registry import query
 from .similarity import _DUCK_PAIRS, cosine, duck_pair_cosine
 from .text import _DUCK_TOKENS, _ORACLE_MAX_TOKENS, _SPARK_TOKENS
@@ -1587,130 +1587,6 @@ def _span_runs(occ_arrays: DataFrame) -> DataFrame:
                     F.col("r.cnt").alias("cnt")))
 
 
-def _span_runs_arrow(docs: DataFrame, w: int) -> DataFrame:
-    """Arrow-native ``_span_runs`` (r14 session 2): the same per-doc
-    distinct-spans-with-multiplicities rows, but the whole per-doc
-    stage — tokenize, drop empty tokens, join, slice the w-token
-    windows, dedup-and-count — runs in pyarrow C++/numpy via
-    ``mapInArrow`` instead of interpreted HOFs (guide §4.1: HOFs never
-    enter codegen; the profiled split at the 100× fixture was 23.6 s
-    span building + 9.6 s array_sort + 15.1 s run extraction of the
-    65 s key).  No pandas and no per-value Python objects in either
-    direction.  Method per batch:
-
-      1. ``split_pattern(text, ' ')`` (C++) + offset math drops empty
-         tokens — byte-identical to ``_SPARK_TOKENS``;
-      2. ``binary_join(tokens, ' ')`` rebuilds each doc's normalized
-         text, so every w-token window is ONE contiguous byte slice
-         ``[off(j), off(j+w) − 1)`` of it (token boundaries only —
-         UTF-8 safe) — vs array_join(slice) which copies w tokens per
-         window (O(L·w) string work per doc);
-      3. one fancy-indexed gather materializes all span bytes, and
-         ``Table.group_by((doc, span)).count`` — an EXACT C++ hash
-         aggregation, no hashing shortcut — emits the per-doc runs.
-
-    Output is row-identical to ``_span_runs`` (pytest-pinned over the
-    fixture corpus + degenerate/multibyte docs; interleaved A/B at the
-    100× fixture: 32.9 s vs 66.5 s median, winning every pair —
-    scripts/ab_substring_arrow_r14.json).  Sort-free: run grouping by
-    hash table replaces the HOF form's per-doc array_sort, which the
-    output (a bag of rows) never needed."""
-    def gen(batches):
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        empty = pa.RecordBatch.from_arrays(
-            [pa.array([], pa.string()), pa.array([], pa.int64())],
-            ["span", "cnt"])
-        for rb in batches:
-            arr = rb.column(rb.schema.get_field_index("text"))
-            if (pa.types.is_large_string(arr.type)
-                    or pa.types.is_null(arr.type)):
-                arr = arr.cast(pa.string())
-            n = len(arr)
-            if n == 0:
-                yield empty
-                continue
-            toks = pc.split_pattern(arr, " ")
-            lo = toks.offsets.to_numpy().astype(np.int64)
-            child = toks.values
-            off_np = np.frombuffer(child.buffers()[1], dtype=np.int32)
-            vo = off_np[child.offset:
-                        child.offset + len(child) + 1].astype(np.int64)
-            abs_idx = np.arange(lo[0], lo[-1], dtype=np.int64)
-            t_len = vo[abs_idx + 1] - vo[abs_idx]
-            dt_raw = lo[1:] - lo[:-1]
-            doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), dt_raw)
-            keep = t_len > 0  # the filter(..., x -> x <> '') semantics
-            if toks.null_count:
-                null_doc = np.asarray(toks.is_null())
-                keep &= ~null_doc[doc_of_tok]
-            ts_len = t_len[keep]
-            m = np.bincount(doc_of_tok[keep], minlength=n).astype(np.int64)
-            nwin = np.maximum(m - (w - 1), 0)
-            total_w = int(nwin.sum())
-            if total_w == 0:
-                yield empty
-                continue
-            flt_vals = child.take(pa.array(abs_idx[keep]))
-            f_off = np.concatenate([[0], np.cumsum(m)]).astype(np.int32)
-            flt_list = pa.ListArray.from_arrays(pa.array(f_off), flt_vals)
-            joined = pc.binary_join(flt_list, " ")
-            jo_np = np.frombuffer(joined.buffers()[1], dtype=np.int32)
-            jo = jo_np[joined.offset:
-                       joined.offset + n + 1].astype(np.int64)
-            jdata = np.frombuffer(joined.buffers()[2], dtype=np.uint8)
-            cl = np.zeros(len(ts_len) + 1, dtype=np.int64)
-            np.cumsum(ts_len, out=cl[1:])
-            tok_base = np.zeros(n, dtype=np.int64)
-            np.cumsum(m[:-1], out=tok_base[1:])
-            win_doc = np.repeat(np.arange(n, dtype=np.int64), nwin)
-            win_base = np.zeros(n, dtype=np.int64)
-            np.cumsum(nwin[:-1], out=win_base[1:])
-            j_local = (np.arange(total_w, dtype=np.int64)
-                       - np.repeat(win_base, nwin))
-            first_tok = np.repeat(tok_base, nwin) + j_local
-            last_tok = first_tok + (w - 1)
-            # window j of a doc starts at byte cl-prefix + j separators
-            span_start = (jo[win_doc]
-                          + (cl[first_tok] - cl[tok_base[win_doc]])
-                          + j_local)
-            span_len = (cl[last_tok + 1] - cl[first_tok]) + (w - 1)
-            total_b = int(span_len.sum())
-            sb_base = np.zeros(total_w, dtype=np.int64)
-            np.cumsum(span_len[:-1], out=sb_base[1:])
-            pos = (np.repeat(span_start, span_len)
-                   + np.arange(total_b, dtype=np.int64)
-                   - np.repeat(sb_base, span_len))
-            out_buf = jdata[pos]
-            # int32 utf8 offsets bound one batch's span bytes at 2 GiB;
-            # maxRecordsPerBatch (10k docs) keeps real batches ~MBs, so
-            # overflow means a pathological corpus — switch to 64-bit
-            # offsets rather than corrupt
-            if total_b < 2**31:
-                offs = np.concatenate(
-                    [[0], np.cumsum(span_len)]).astype(np.int32)
-                spans = pa.Array.from_buffers(
-                    pa.utf8(), total_w,
-                    [None, pa.py_buffer(offs.tobytes()),
-                     pa.py_buffer(out_buf.tobytes())])
-            else:
-                offs = np.concatenate([[0], np.cumsum(span_len)])
-                spans = pa.Array.from_buffers(
-                    pa.large_utf8(), total_w,
-                    [None, pa.py_buffer(offs.tobytes()),
-                     pa.py_buffer(out_buf.tobytes())]).cast(pa.string())
-            tbl = pa.table({"d": pa.array(win_doc), "s": spans})
-            g = tbl.group_by(["d", "s"]).aggregate([("s", "count")])
-            yield pa.RecordBatch.from_arrays(
-                [g["s"].combine_chunks(),
-                 g["s_count"].combine_chunks().cast(pa.int64())],
-                ["span", "cnt"])
-
-    return docs.select("text").mapInArrow(gen, "span string, cnt long")
-
-
 def substring_dedup(docs: DataFrame, w: int = 50,
                     hashed_keys: bool = True,
                     broadcast_survivors: bool = True,
@@ -1767,11 +1643,19 @@ def substring_dedup(docs: DataFrame, w: int = 50,
         # expensive with cluster scale (guide §2.2), so callers gate on
         # corpus size (the fits_broadcast discipline), not a constant.
         if span_runs:
-            # r14 session 2: the runs themselves now generate in Arrow
-            # (_span_runs_arrow — 2× over the HOF generator at 100×);
-            # _span_runs stays as the HOF reference twin the pin test
-            # compares against.
-            runs = _span_runs_arrow(docs, w)
+            # r14 session 2 postscript: an Arrow span generator
+            # (mapInArrow + pyarrow split/join/group_by) was built,
+            # bit-parity-verified and briefly shipped here — it beat
+            # this HOF form 2× while BOTH ran on the under-split
+            # 2-partition text scan, but once catalog.spread_rows fixed
+            # the parallelism the HOF form won decisively (7.8 s vs
+            # 20.5 s at 100×, interleaved): interpreted HOFs
+            # parallelize perfectly, the Python worker round-trip does
+            # not.  Candidate preserved in scripts/
+            # ab_substring_arrow_r14.py; callers spread the doc scan.
+            runs = _span_runs(
+                docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ts"))
+                .select("doc_id", _span_windows(w).alias("spans")))
             return (runs.groupBy("span")
                     .agg(F.count(F.lit(1)).alias("n_docs"),
                          F.sum("cnt").alias("n_occ"))
@@ -1833,8 +1717,13 @@ def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     r14: past _SPAN_RUNS_MIN_DOCS docs the raw form switches to the single-exchange
     span-runs shape (per-doc dedup+count before the explode) — a
     footer-stats plan gate like fits_broadcast, crossover measured in
-    scripts/ab_substring_r14.json (see substring_dedup)."""
-    docs = load_table(spark, sf_dir, "documents")
+    scripts/ab_substring_r14.json (see substring_dedup).  r14 session 2:
+    the doc scan spreads by ROW count first (catalog.spread_rows — the
+    compressed-text scan under-splits, leaving the per-doc span work
+    2-wide at the 100× fixture; with the spread the span-runs form
+    reads 7.8 s there vs 66.5 s unspread, scripts/ab_repart_r14.json).
+    No-op below ~64k docs, so the sf0.1 bench plan is unchanged."""
+    docs = spread_rows(load_table(spark, sf_dir, "documents"), sf_dir)
     return substring_dedup(docs, w=_SUBSTR_W, hashed_keys=False,
                            span_runs=table_rows(sf_dir, "documents")
                            >= _SPAN_RUNS_MIN_DOCS)

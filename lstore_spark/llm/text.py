@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, table_rows
+from ..catalog import load_table, spread_rows, table_rows
 from ..numerics import DEC, round9_dec, sql_dec2dbl, sql_round9_dec
 from ..registry import query
 from .hashing import sql_md5_long
@@ -555,17 +555,29 @@ def q_llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain groupBy whose count-distinct shuffled 94M shingle strings at
     100×, and inlining sql_md5_long re-evaluated md5 once PER HEX DIGIT
     (12× per shingle — ~1.1B md5 calls); hashing through a two-level
-    transform evaluates md5 exactly once per shingle.  The token and
-    shingle arrays bind as single-element-transform LAMBDA variables —
-    aliased projection columns would collapse-inline into every
-    consumer (the _SPARK_TOKENS macro's O(tokens²) re-split trap; a
-    column-alias draft of this shape ran 50 s at 10× from exactly
-    that)."""
-    docs = load_table(spark, sf_dir, "documents")
-    # conv(hex, 16, 10) parses the 12 leading md5 digits in ONE call —
-    # the hex-digit-sum form (oracle side, hashing.sql_md5_long) costs
-    # 12 substr+instr string ops per shingle, which at 94M shingles
-    # (100×) is ~1.1B interpreted ops; values are identical.
+    transform evaluates md5 exactly once per shingle.
+
+    r14 session 2: the doc scan spreads by ROW count first
+    (catalog.spread_rows — compressed text under-splits the scan, so
+    this whole interpreted projection ran 2-wide at the 100× fixture;
+    spread it reads 5.4 s vs 41.6 s, scripts/ab_repart_r14.json).  An
+    Arrow/mapInArrow port (hashlib md5 over byte-slice shingles) was
+    built and parity-verified but REJECTED: with the spread in place
+    the HOF form wins 5.4 s vs 9.9 s — the per-span Python md5 call
+    overhead loses to interpreted-but-parallel JVM md5
+    (scripts/ab_textproj_arrow_r14.py)."""
+    docs = spread_rows(load_table(spark, sf_dir, "documents"), sf_dir)
+    return _fingerprint_hof(docs)
+
+
+def _fingerprint_hof(docs: DataFrame) -> DataFrame:
+    """The fingerprint projection body (see q_llm_text_fingerprint).
+    conv(hex, 16, 10) parses the 12 leading md5 digits in ONE call —
+    the hex-digit-sum form (oracle side, hashing.sql_md5_long) costs
+    12 substr+instr string ops per shingle.  The token and shingle
+    arrays bind as single-element-transform LAMBDA variables — aliased
+    projection columns would collapse-inline into every consumer (the
+    _SPARK_TOKENS O(tokens²) re-split trap)."""
     one = f"""
       transform(array(({_SPARK_TOKENS})), ts ->
         transform(array(({_SPARK_SHINGLES3_TS})), sh ->
@@ -920,8 +932,44 @@ def q_llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     array as a projection-column alias collapse-inlines the tokenizer
     into every element_at of the bigram transform — the _SPARK_TOKENS
     O(tokens²) re-split trap, measured 7.3 s at 1× / 75 s at 10×.
-    Both arrays bind as single-element-transform lambda variables."""
-    docs = load_table(spark, sf_dir, "documents")
+    Both arrays bind as single-element-transform lambda variables.
+
+    r14 session 2: the doc scan spreads by ROW count first
+    (catalog.spread_rows — compressed text under-splits the scan, so
+    this zero-exchange interpreted projection ran 2-wide at the 100×
+    fixture; spread it reads 3.1 s vs 33.7 s,
+    scripts/ab_repart_r14.json).  An Arrow/mapInArrow stats port was
+    built and parity-verified but REJECTED: with the spread in place
+    the HOF stats win 3.1 s vs 5.8 s
+    (scripts/ab_textproj_arrow_r14.py)."""
+    docs = spread_rows(load_table(spark, sf_dir, "documents"), sf_dir)
+    return _repetition_from_stats(_repetition_stats_hof(docs))
+
+
+def _repetition_from_stats(r: DataFrame) -> DataFrame:
+    """Final ratios + keep verdict over the per-doc stats frame
+    (doc_id, n_tokens, n_distinct, n_bg, top_bg) — shared by the Arrow
+    and HOF stats generators."""
+    # try_divide: under Spark 4's ANSI default a plain `/` THROWS
+    # DIVIDE_BY_ZERO for an empty (n_tokens=0) or 1-token (n_bg=0)
+    # document — exactly the degenerate text a repetition filter
+    # exists to judge (review r10).  Contract pinned 0.0 in both
+    # dialects (oracle: NULLIF + COALESCE).
+    dr = F.coalesce(
+        F.try_divide(F.col("n_distinct").cast("double"),
+                     F.col("n_tokens")), F.lit(0.0))
+    tbf = F.coalesce(
+        F.try_divide(F.col("top_bg").cast("double"), F.col("n_bg")),
+        F.lit(0.0))
+    return r.select(
+        "doc_id", F.col("n_tokens"),
+        F.round(dr, 6).alias("distinct_ratio"),
+        F.round(tbf, 6).alias("top_bigram_frac"),
+        ((dr >= 0.3) & (tbf <= 0.2)).cast("bigint").alias("keep"))
+
+
+def _repetition_stats_hof(docs: DataFrame) -> DataFrame:
+    """The per-doc repetition stats body (see q_llm_text_repetition)."""
     run = ("IF(x <=> acc.prev, acc.run + CAST(1 AS BIGINT),"
            " CAST(1 AS BIGINT))")
     one = f"""
@@ -936,23 +984,9 @@ def q_llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                           CAST(0 AS BIGINT) AS best),
                    (acc, x) -> struct(x, {run}, greatest(acc.best, {run})),
                    acc -> acc.best) AS top_bg)))[0][0]"""
-    r = docs.select("doc_id", F.expr(one).alias("r"))
-    # try_divide: under Spark 4's ANSI default a plain `/` THROWS
-    # DIVIDE_BY_ZERO for an empty (n_tokens=0) or 1-token (n_bg=0)
-    # document — exactly the degenerate text a repetition filter
-    # exists to judge (review r10).  Contract pinned 0.0 in both
-    # dialects (oracle: NULLIF + COALESCE).
-    dr = F.coalesce(
-        F.try_divide(F.col("r.n_distinct").cast("double"),
-                     F.col("r.n_tokens")), F.lit(0.0))
-    tbf = F.coalesce(
-        F.try_divide(F.col("r.top_bg").cast("double"), F.col("r.n_bg")),
-        F.lit(0.0))
-    return r.select(
-        "doc_id", F.col("r.n_tokens").alias("n_tokens"),
-        F.round(dr, 6).alias("distinct_ratio"),
-        F.round(tbf, 6).alias("top_bigram_frac"),
-        ((dr >= 0.3) & (tbf <= 0.2)).cast("bigint").alias("keep"))
+    return (docs.select("doc_id", F.expr(one).alias("r"))
+            .select("doc_id", "r.n_tokens", "r.n_distinct", "r.n_bg",
+                    "r.top_bg"))
 
 
 @query(

@@ -1,7 +1,16 @@
-"""Prototype: Arrow-native span-runs generator for substring dedup.
+"""REJECTED candidate (r14 session 2): Arrow-native span-runs generator
+for substring dedup (mapInArrow + pyarrow C++ split/join/group_by).
 
-Parity vs _span_runs at sf0.01 + degenerates, then interleaved timing
-vs the HOF span-runs form at sf100x.
+History: parity-verified (exceptAll 0 vs the HOF runs at sf0.01 +
+degenerate/multibyte docs; forced-gate DuckDB oracle compare green) and
+briefly SHIPPED on the strength of a 2x interleaved win at the 100x
+fixture (32.9 s vs 66.5 s median) -- but both arms of that A/B ran on
+the under-split 2-partition text scan.  Once catalog.spread_rows fixed
+the stage parallelism (the real lever), the HOF span-runs form won
+decisively: 7.8 s vs 20.5 s median at 100x (scripts/ab_repart_r14.json)
+-- interpreted HOFs parallelize perfectly, the Python worker round-trip
+does not.  The HOF form + spread_rows ships; this standalone copy keeps
+the candidate reproducible.
 """
 import sys, time, json, statistics
 sys.path.insert(0, "/root/repo")

@@ -267,3 +267,29 @@ def test_table_cache_purges_stopped_sessions():
     finally:
         catalog._SESSION_REFS.pop(id(live), None)
         catalog._TABLE_CACHE.pop((id(live), "/fx", "region"), None)
+
+
+def test_spread_rows_is_row_count_gated(spark, sf_dir, monkeypatch):
+    """spread_rows (r14 session 2): a row-count-derived repartition for
+    CPU-bound per-row stages over under-split compressed-text scans.
+    Below the 4-task threshold — every local fixture — it must return
+    the SAME frame (bench plans byte-identical); above it, the task
+    count derives from footer row stats capped at 4× parallelism."""
+    from lstore_spark import catalog
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    assert catalog.spread_rows(docs, sf_dir) is docs  # fixture: no-op
+
+    monkeypatch.setattr(catalog, "table_rows", lambda s, t: 500_000)
+    out = catalog.spread_rows(docs, sf_dir)
+    assert out is not docs
+    expect = min(
+        (500_000 + catalog.SPREAD_ROWS_PER_TASK - 1)
+        // catalog.SPREAD_ROWS_PER_TASK,
+        spark.sparkContext.defaultParallelism * 4)
+    assert out.rdd.getNumPartitions() == expect
+
+    # never REDUCES parallelism: if the scan already splits wider,
+    # pass through untouched
+    wide = docs.repartition(expect + 7)
+    assert catalog.spread_rows(wide, sf_dir) is wide

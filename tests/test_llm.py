@@ -673,22 +673,9 @@ def test_substring_dedup_span_runs_equal_two_exchange(spark, sf_dir):
     assert pa == sorted(map(tuple, p_runs.collect()))
     assert any(r[2] > r[1] for r in pa), "planted in-doc repeats missing"
 
-    # the HOF reference twin must stay row-identical to the shipped
-    # Arrow generator (r14 session 2) — same degenerates, same fixture
-    from pyspark.sql import functions as F
-
-    from lstore_spark.llm.dedup import (_span_runs, _span_runs_arrow,
-                                        _span_windows)
-    from lstore_spark.llm.text import _SPARK_TOKENS
-
-    both = docs.select("doc_id", "text").unionByName(planted)
-    hof = (_span_runs(both.select("doc_id",
-                                  F.expr(_SPARK_TOKENS).alias("ts"))
-                      .select("doc_id", _span_windows(8).alias("spans")))
-           .select("span", "cnt"))
-    arw = _span_runs_arrow(both, 8)
-    assert arw.exceptAll(hof).count() == 0
-    assert hof.exceptAll(arw).count() == 0
+    # the multibyte/multi-space planted docs above also pin the
+    # spread_rows-era path (spread is a row-count no-op at fixture
+    # scale, so the plan-shape assert below still sees ONE exchange)
 
     # fresh (unexecuted) frame: a collected AQE frame's plan string
     # prints initial+final sections and double-counts the exchange
