@@ -736,7 +736,7 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can verify bit-for-bit; the 64-bit production variant uses
     xxhash64 and Hamming-ball bucketing).  Near-dups = small Hamming
     distance between simhash16 values."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_rows(load_table(spark, sf_dir, "documents"), sf_dir)
     tok = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("tok"))
     bits = tok.groupBy("doc_id").agg(
         # the bit-sum SQL text is deliberately engine-identical — no

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_rows
 from ..llm.hashing import sql_md5_long
 from ..numerics import (DEC, davg, dsum, dsum9, sql_davg, sql_dec2dbl,
                         sql_dsum, sql_dsum9)
@@ -494,7 +494,7 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary size."""
     from ..registry import pin
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_rows(load_table(spark, sf_dir, "documents"), sf_dir)
     # pin: cnt feeds BOTH the grand total and the final projection —
     # unpinned, Spark re-runs the scan+explode+shuffle once per branch
     # (no CSE across branches; the global_row_number lesson; review r13)
